@@ -1,0 +1,58 @@
+"""Table loading / catalog helpers over the driver's parquet corpus.
+
+One parquet file per table (TESTDATA.md). Reads are plain ``spark.read.parquet``
+so Catalyst gets predicate pushdown + column pruning for free; callers must
+``select`` only what they need so ``ReadSchema`` stays narrow at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H fixes
+# region=5 / nation=25 rows; supplier/part/customer grow with SF and must NOT
+# be unconditionally broadcast at 100 TB).
+ALWAYS_BROADCAST = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+        # default. Read nanos as long, then integer-divide (`div`, NOT `/`:
+        # double division loses precision at 1e18 ns) down to micros —
+        # identical truncation to DuckDB's ns→µs read of the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries (the
+    read-side SQL surface, SURVEY.md §3.3) resolve by name."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Mirrors the session knobs the reference sets (app name, shuffle partitions,
+state-store provider — /root/reference/src/consumer/spark_streaming.py:46-54)
+but with scale-appropriate defaults: AQE on (runtime coalesce + skew-join),
+Arrow enabled for the pandas boundary, UTC session timezone so results are
+comparable against a DuckDB oracle (DuckDB timestamps are UTC-naive).
+
+At 100 TB on a real cluster the same builder applies — only master(),
+memory sizing and ``spark.sql.shuffle.partitions`` change (set shuffle
+partitions so that each post-shuffle partition is ~128-512 MB; AQE's
+coalescePartitions then trims the long tail at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "realtime-market-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a cluster
+    pass ``None`` after spark-submit has set the master, or an explicit URL.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Streaming state at scale: RocksDB spills to disk instead of JVM heap
+        # (reference pins HDFSBackedStateStoreProvider, spark_streaming.py:50;
+        # RocksDB is the 100 TB-appropriate upgrade).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
