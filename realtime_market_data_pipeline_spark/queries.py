@@ -254,6 +254,466 @@ def dedup_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth (SURVEY.md §2.4/§7.2 step 5): joins, set ops, distinct,
+# rollup/cube, string/date/JSON scalar functions over the TPC-H-ish corpus.
+#
+# Float-sum parity convention: money sums are kept as DECIMAL(38,10) on BOTH
+# sides — per-row double→decimal casts are bit-identical across engines and
+# decimal addition is associative, so distributed summation order can't change
+# the result (a raw double sum differs between engines in the last ulp).
+# Averages divide the exact decimal sum (as double) by the count and round
+# to 6 dp; the residual 1-ulp cast error is ~1e-12 relative — far inside the
+# rounding guard.
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(38,10)"
+
+
+def _dsum(col: F.Column) -> F.Column:
+    return F.sum(col.cast(DEC))
+
+
+def _davg(col: F.Column) -> F.Column:
+    return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1)), 6)
+
+
+def _osum(expr: str) -> str:
+    return f"sum(CAST({expr} AS DECIMAL(38,10)))"
+
+
+def _oavg(expr: str) -> str:
+    return f"round(CAST({_osum(expr)} AS DOUBLE) / count(*), 6)"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_osum('l_quantity')} AS sum_qty,
+       {_osum('l_extendedprice')} AS sum_base_price,
+       {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_oavg('l_quantity')} AS avg_qty,
+       {_oavg('l_extendedprice')} AS avg_price,
+       {_oavg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates. Catalyst plans
+    partial aggregation before the (tiny: 6-group) shuffle, so at 100 TB this
+    is pure scan throughput; the shipdate filter pushes into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02 00:00:00"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc_price).alias("sum_disc_price"),
+        _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        _davg(F.col("l_quantity")).alias("avg_qty"),
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+        _davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join + top-k. Both filters push
+    into their scans before the join; the final ORDER BY ... LIMIT runs as
+    TakeOrdered (per-partition heap), never a global sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01 00:00:00"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01 00:00:00"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. nation/region are broadcast (fixed 25/5
+    rows at any SF); supplier is broadcast here but becomes a shuffle join at
+    real scale — Catalyst/AQE decides from stats, the hint only pins the
+    always-tiny dims."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "region_revenue",
+    oracle=f"""
+SELECT r_name, n_name, count(*) AS num_orders, {_osum('o_totalprice')} AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment join (the ticks×symbol-dim use case from
+    SURVEY.md §2.4): fact → broadcast snowflake dims, then rollup by names."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("num_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+@query(
+    "semi_join_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS. Spark dedups the right side inside the join —
+    no exploding fact-side duplication, one shuffle on the key."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    fo = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    return cust.join(fo, cust.c_custkey == fo.o_custkey, "left_semi")
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+""",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS (customers with no order since 2000 —
+    date-restricted so the result is non-empty at every SF)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+@query(
+    "setop_active_both_years",
+    oracle="""
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+""",
+)
+def setop_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — customers ordering in both 1995 and
+    1996. Spark plans this as an aggregate + semi-join shape (SURVEY.md §2.7 W5)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "setop_lapsed_customers",
+    oracle="""
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+""",
+)
+def setop_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.subtract(y96)
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-agg. Spark expands to a grouping-sets style plan with
+    partial dedup before the final count — no single-point bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n,
+       {_osum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_brand_size",
+    oracle=f"""
+SELECT p_brand, p_size,
+       GROUPING(p_brand, p_size) AS gid,
+       count(*) AS n,
+       {_osum('p_retailprice')} AS sum_price
+FROM part
+GROUP BY CUBE (p_brand, p_size)
+""",
+)
+def cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.cube("p_brand", "p_size").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("p_retailprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "date_parts_orders",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       count(*) AS n_orders,
+       {_osum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (SURVEY.md §2.6 note: driver corpus brings these
+    in; F.year/F.month are codegen'd JVM expressions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "string_funcs_part",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       split_part(p_name, ' ', 1) AS first_word,
+       substr(p_brand, 7) AS brand_num,
+       concat(p_type, ':', p_brand) AS type_brand
+FROM part
+""",
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface (upper/length/split/substr/concat —
+    all JVM built-ins, §2.6 F9-F11 analogues)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.substring("p_brand", 7, 2147483647).alias("brand_num"),
+        F.concat_ws(":", "p_type", "p_brand").alias("type_brand"),
+    )
+
+
+@query(
+    "json_props_stats",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n,
+       {_osum("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column surface: get_json_object on events.props
+    (SURVEY.md §1.2 extension note)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("k")).alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "running_revenue_per_supplier",
+    oracle=f"""
+SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+       sum(CAST(l_extendedprice AS DECIMAL(38,10)))
+         OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+FROM lineitem
+WHERE l_suppkey <= 3
+""",
+)
+def running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic running sum per supplier (ranking/window surface the read-side
+    dedup needs, SURVEY.md §2.7). Decimal accumulator keeps the prefix sums
+    engine-independent."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).alias("running_revenue"),
+    )
+
+
+@query(
+    "top_orders_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrdered — per-partition heaps, k-row driver merge)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    return orders.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
 # Entry points used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
