@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard near-dup.
+
+Engine-portability design: every "hash" is md5-derived (identical in Spark
+and DuckDB), and MinHash permutations are simulated as *lexicographic min of
+seeded md5 strings* — min(md5(seed_i || shingle)) — which is a valid random
+permutation family and is expressible in ANSI SQL, so each operator has an
+exact DuckDB oracle. xxhash64/murmur would be faster but engine-specific;
+swap in F.xxhash64 when oracle parity is not required.
+
+Scale notes (100 TB):
+- exact dedup is one shuffle on the text hash (never on the text itself);
+- MinHash/LSH: signatures are computed scan-side (no shuffle), banding
+  shuffles (band_id, band_key) — candidate pairs are generated per-bucket,
+  so cost is Σ bucket², controlled by band width; the all-pairs Jaccard
+  verification only runs on candidates;
+- SimHash: one scan + one shuffle on (doc, bit-position) for the majority
+  vote — or none at all with the array-based form used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark.operators.text import shingles
+
+
+def exact_dedup_keepers(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the minimum
+    id as the keeper + duplicate count. Shuffles 16-byte md5 keys, not text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature as ``num_hashes`` columns ``mh0..mh{n-1}``, each the
+    lexicographic min of ``md5('s{i}:' || shingle)`` over the doc's shingle
+    set. Computed entirely scan-side (array exprs, no shuffle, no UDF)."""
+    sh = F.array_distinct(shingles(text_col, shingle_k))
+
+    def _seeded_min(i: int):
+        seed = f"s{i}:"
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(seed), s))))
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(_seeded_min(i).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signature (``num_hashes/band_size`` bands); docs sharing any
+    full band become a candidate pair (id_a < id_b, distinct)."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    # one scan: explode an array of (band_id, band_key) structs rather than
+    # unioning n_bands re-scans of the signature relation
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col(f"l.band_id") == F.col(f"r.band_id"))
+            & (F.col(f"l.band_key") == F.col(f"r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
+    |A∩B| and |A∪B| are integer counts, so jaccard = inter/union is a
+    division of identical integers in both engines — no rounding needed."""
+    sets_df = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("n_inter"),
+            F.size(F.array_union("a.sh", "b.sh")).alias("n_union"),
+        )
+    )
+    return joined.withColumn(
+        "jaccard", F.col("n_inter").cast("double") / F.col("n_union")
+    )
+
+
+def all_pairs_jaccard_via_shingle_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard near-dup WITHOUT LSH: explode distinct shingles,
+    self-join on shingle to count intersections (only pairs sharing ≥1
+    shingle ever materialize), then |A∪B| = |A|+|B|−|A∩B|.
+
+    At 100 TB this is the hot-shingle trap: a shingle shared by f docs emits
+    f² pair rows. Production path = LSH (``lsh_candidate_pairs``); this exact
+    variant is the oracle-checkable ground truth and is fine when shingle
+    frequencies are bounded."""
+    sets_df = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
+    ).withColumn("set_size", F.size("sh"))
+    exploded = sets_df.select(id_col, "set_size", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        (F.col("size_a") + F.col("size_b") - F.col("n_inter")).alias("n_union"),
+    ).withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union"))
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+_HEX_BITS = 32  # one parity bit per md5 hex char → 32-bit simhash
+
+
+def simhash32(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+) -> DataFrame:
+    """32-bit SimHash: bit i = majority over shingles of parity(hex digit i
+    of md5(shingle)). Parity-of-hex-digit keeps the bit extraction exact in
+    ANSI SQL (no 64-bit hex→int casts, which DuckDB/Spark disagree on).
+
+    Array-based: per-doc bit votes are computed scan-side with aggregate()
+    over the shingle array — zero shuffles."""
+    sh = F.array_distinct(shingles(text_col, shingle_k))
+    hashed = F.transform(sh, lambda s: F.md5(s))
+
+    def bit_vote(i: int) -> Column:
+        # +1 if parity(hex digit i of md5(shingle)) else -1, summed over
+        # shingles; closure factory so the 2-arg aggregate lambda keeps its
+        # arity (PySpark infers lambda shape from the signature)
+        pos = i + 1
+
+        def step(acc: Column, h: Column) -> Column:
+            digit = F.ascii(F.substring(h, pos, 1))
+            val = F.when(digit >= 97, digit - 87).otherwise(digit - 48)
+            return acc + F.when(val % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(hashed, F.lit(0), step)
+
+    sim = F.lit(0).cast("long")
+    for i in range(_HEX_BITS):
+        sim = sim + F.when(bit_vote(i) > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(
+        F.col(id_col), F.size(sh).alias("n_shingles"), sim.alias("simhash")
+    )

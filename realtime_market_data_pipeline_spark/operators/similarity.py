@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine (exact, oracle-checkable) + a sign-LSH bucketed variant
+(the scale path). All vector math is built-in array expressions
+(transform/zip_with/aggregate) evaluated JVM-side — no Python UDF, no
+driver-side loop. Vectors are cast to double before any arithmetic so both
+engines fold identical IEEE doubles.
+
+Scale notes (100 TB of embeddings):
+- brute-force top-k against a FIXED small query set is a broadcast
+  nested-loop: queries broadcast, one scan of the corpus, per-partition
+  top-k heaps (TakeOrdered via row_number window per query);
+- all-pairs similarity must never cross-join: ``sign_lsh_buckets`` groups
+  vectors by an r-bit hyperplane signature and pairs only within buckets
+  (cost Σ bucket², tuned by r);
+- IVF would replace the hyperplanes with k-means centroids — same dataflow
+  (assign → per-bucket search), centroids trained offline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-to-right aggregate fold (same order DuckDB
+    list_dot_product uses)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector: broadcast the (small)
+    query set, score every corpus vector, row_number per query.
+
+    Output: (query_id, vec_id, cosine_sim, rank) — cosine rounded to 6 dp
+    BEFORE ranking so rank order is engine-independent; vec_id breaks ties."""
+    c = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("qvec")
+    )
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def similar_pairs_topn(
+    corpus: DataFrame,
+    n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-n most-similar distinct pairs by cosine (exact; the all-pairs
+    ground truth the LSH variant approximates). O(N²/2) — only for bounded
+    corpora / per-bucket use."""
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+    )
+    return (
+        pairs.orderBy(
+            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        ).limit(n)
+    )
+
+
+def centroids_by_label(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label mean vector, long form (label, pos, centroid_val).
+
+    posexplode + DECIMAL(38,10) sums keep the reduction exact (float sums are
+    order-dependent; decimal addition is associative → engine-independent).
+    This is the 'train IVF centroids' / 'class prototype' primitive."""
+    exploded = corpus.select(
+        F.col(label_col), F.posexplode(as_double(vec_col)).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_val_raw"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            label_col,
+            "pos",
+            F.round("centroid_val_raw", 6).alias("centroid_val"),
+            "n_vectors",
+        )
+    )
+
+
+def sign_lsh_buckets(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: r-bit signature = sign(v·pₕ) bits packed into a
+    long. Vectors sharing a signature land in one bucket; near-neighbors
+    collide with probability (1 − θ/π)ʳ. Planes are passed in (generate once,
+    driver-side, seeded) and enter the plan as literals — broadcast-free."""
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    sig = F.lit(0).cast("long")
+    for h, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(F.col("v"), lit_plane) > 0, F.lit(2**h).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return v.select(id_col, sig.alias("bucket"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. Recall is tuned by the number of planes (fewer bits → bigger
+    buckets → higher recall, more compute). Multi-probe = union over several
+    plane sets."""
+    cb = sign_lsh_buckets(corpus, planes, id_col, vec_col)
+    qb = sign_lsh_buckets(queries, planes, query_id_col, vec_col).withColumnRenamed(
+        "bucket", "qbucket"
+    )
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cvec")).join(
+        cb, id_col
+    )
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qvec")).join(
+        qb, query_id_col
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col(query_id_col)),
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+All hot-path logic is built-in Column expressions (split/transform/aggregate/
+md5) — no Python UDFs — so the operators stay inside whole-stage codegen and
+scale linearly with partitions. Each has an exact ANSI-SQL twin used as its
+DuckDB oracle (realtime_market_data_pipeline_spark.queries).
+
+The heuristics are deliberately simple, deterministic functions of the text
+(marker-word counts, ratios); on a real corpus you would swap the marker
+lists / thresholds, not the dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker ("stop") words per language for the n-gram-free language-ID
+# heuristic. Deterministic tie-break: fixed language order, then 'und'.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-alphanumeric glyphs — a common pre-tokenizer approximation.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokens as array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, pattern)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish tokens via regexp_count — a cheap proxy for LLM token
+    counting when the real tokenizer isn't on the cluster."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokens(text_col)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals: length, mean token length, stopword ratio, distinct
+    ratio, + a composite score. All ratios are exact rational arithmetic on
+    counts (int/int division in double — bit-identical across engines)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    mean_tok_len = (F.length(text_col) - (n - 1)).cast("double") / n  # chars minus separators
+    stop_ratio = stop_hits.cast("double") / n
+    uniq_ratio = uniq.cast("double") / n
+    score = (
+        F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+        * F.when(stop_ratio > 0.01, F.lit(1.0)).otherwise(F.lit(0.8))
+        * uniq_ratio
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = hits of each language's marker list;
+    CJK-codepoint presence short-circuits to 'zh'; argmax with fixed-order
+    tie-break; 'und' when no markers hit at all."""
+    toks = tokens(text_col)
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        # closure factory, NOT a default-arg lambda: PySpark infers lambda
+        # arity from the signature, and extra default args break it
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    has_cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]")) > 0
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best_score == 0, F.lit("und"))
+        .otherwise(best)
+    )
+    out = df.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+    return out.withColumn(
+        "is_match", (F.col("lang_pred") == F.col("lang_label")).cast("int")
+    )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as array<string> (contract for minhash / jaccard
+    dedup). Empty array when the doc has fewer than k tokens."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)  # inclusive
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprints: full-text md5 + a content-defined fingerprint
+    (lexicographic min/max md5 over k-shingles — a 2-permutation minhash),
+    robust to reordering-free edits at the margins."""
+    sh = shingles(text_col, k)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.array_min(hashed).alias("shingle_min_md5"),
+        F.array_max(hashed).alias("shingle_max_md5"),
+    )

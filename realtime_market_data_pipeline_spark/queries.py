@@ -714,6 +714,421 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# North-star LLM-data-pipeline operators (BASELINE.json): text analysis,
+# dedup (exact / minhash-LSH / simhash / n-gram jaccard), embedding
+# similarity, multimodal plumbing. Operators live in operators/{text,dedup,
+# similarity,multimodal}.py; each query here pins an exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+from realtime_market_data_pipeline_spark.operators import dedup as dd
+from realtime_market_data_pipeline_spark.operators import multimodal as mm
+from realtime_market_data_pipeline_spark.operators import similarity as sim
+from realtime_market_data_pipeline_spark.operators import text as tx
+
+# DuckDB twins of operators.text.tokens / operators.text.shingles(k=3)
+_O_TOKS = r"string_split_regex(text, '\s+')"
+_O_SHINGLES = (
+    "list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)),"
+    " i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))"
+)
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, text, {_O_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(list_distinct(t)) AS INTEGER) AS n_unique_tokens
+FROM toks
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (operators.text)."""
+    return tx.with_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_O_STOP_IN = "('" + "', '".join(tx.STOPWORDS) + "')"
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, text, {_O_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(len(list_filter(t, x -> x IN {_O_STOP_IN})) AS INTEGER) AS stop_hits,
+         CAST(len(list_distinct(t)) AS INTEGER) AS uniq
+  FROM toks
+)
+SELECT doc_id, n AS n_tokens,
+       round(CAST(n_chars - (n - 1) AS DOUBLE) / n, 6) AS mean_token_len,
+       round(CAST(stop_hits AS DOUBLE) / n, 6) AS stopword_ratio,
+       round(CAST(uniq AS DOUBLE) / n, 6) AS unique_ratio,
+       round(
+         (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.5 END)
+         * (CASE WHEN CAST(stop_hits AS DOUBLE) / n > 0.01 THEN 1.0 ELSE 0.8 END)
+         * (CAST(uniq AS DOUBLE) / n), 6) AS quality_score
+FROM m
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+_O_LANG_SCORES = ",\n         ".join(
+    f"CAST(len(list_filter(t, x -> x IN ('"
+    + "', '".join(markers)
+    + f"'))) AS INTEGER) AS s_{lang}"
+    for lang, markers in tx.LANG_MARKERS.items()
+)
+# fixed-order argmax identical to operators.text.with_lang_id: strict '>' scan
+_O_LANG_BEST = """
+CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+     WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+     WHEN s_de > s_fr AND s_de > s_es AND s_de > s_en THEN 'de'
+     WHEN s_fr > s_es AND s_fr > s_en THEN 'fr'
+     WHEN s_es > s_en THEN 'es'
+     ELSE 'en' END
+"""
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, text, {_O_TOKS} AS t FROM documents),
+s AS (
+  SELECT doc_id, lang, text,
+         {_O_LANG_SCORES}
+  FROM toks
+)
+SELECT doc_id, lang AS lang_label,
+       {_O_LANG_BEST} AS lang_pred,
+       CAST(({_O_LANG_BEST}) = lang AS INTEGER) AS is_match
+FROM s
+""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID; the fixed-order argmax in the oracle CASE is
+    exactly the when-chain in operators.text.with_lang_id."""
+    return tx.with_lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, text, {_O_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, text, list_transform(
+         range(0, greatest(len(t) - 2, 0)),
+         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS s
+       FROM toks)
+SELECT doc_id,
+       md5(text) AS text_md5,
+       list_aggregate(list_transform(s, x -> md5(x)), 'min') AS shingle_min_md5,
+       list_aggregate(list_transform(s, x -> md5(x)), 'max') AS shingle_max_md5
+FROM sh
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# Near-dup test corpus: documents ∪ a truncated copy (first ⌊4n/5⌋ words,
+# doc_id+100000) — gives every doc one planted near-duplicate so the
+# dedup operators produce non-trivial, verifiable output at every SF.
+_O_NEARDUP_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           list_slice({_O_TOKS}, 1, greatest((4 * len({_O_TOKS})) // 5, 1)),
+           ' ') AS text
+  FROM documents
+)
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tx.tokens("text")
+    prefix_n = F.greatest(
+        F.expr(r"(4 * size(split(text, '\\s+'))) div 5"), F.lit(1)
+    ).cast("int")
+    truncated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, prefix_n)).alias("text"),
+    )
+    return docs.unionByName(truncated)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+)
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM corpus
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted full duplicates: every text
+    appears twice → keeper = min doc_id, n_copies = 2."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dd.exact_dedup_keepers(docs.unionByName(dup))
+
+
+_N_MINHASH = 16
+_BAND = 4
+_O_SIG_COLS = ",\n         ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('s{i}:' || s)), 'min') AS mh{i}"
+    for i in range(_N_MINHASH)
+)
+_O_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_id, "
+    + " || '|' || ".join(f"mh{b * _BAND + j}" for j in range(_BAND))
+    + " AS band_key FROM sig"
+    for b in range(_N_MINHASH // _BAND)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_O_NEARDUP_CORPUS},
+toks AS (SELECT doc_id, {_O_TOKS} AS t FROM corpus),
+shs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM toks),
+sig AS (
+  SELECT doc_id,
+         {_O_SIG_COLS}
+  FROM shs
+),
+bands AS (
+{_O_BANDS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+  FROM cand JOIN shs a ON cand.id_a = a.doc_id JOIN shs b ON cand.id_b = b.doc_id
+)
+SELECT id_a, id_b, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM verified
+WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands×4) candidate generation, then exact Jaccard
+    verification ≥ 0.5, over the planted near-dup corpus. The md5-seeded
+    permutation family makes the signature engine-portable."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = dd.minhash_signature(corpus, num_hashes=_N_MINHASH)
+    cand = dd.lsh_candidate_pairs(sigs, num_hashes=_N_MINHASH, band_size=_BAND)
+    verified = dd.jaccard_pairs(corpus, cand)
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        "jaccard",
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_O_NEARDUP_CORPUS},
+toks AS (SELECT doc_id, {_O_TOKS} AS t FROM corpus),
+shs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM toks),
+ex AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS set_size, unnest(sh) AS shingle FROM shs),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_inter,
+       CAST(size_a + size_b - n_inter AS BIGINT) AS n_union,
+       CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via shingle self-join (LSH-free ground
+    truth; see operator docstring for the 100 TB hot-shingle caveat)."""
+    return dd.all_pairs_jaccard_via_shingle_join(
+        _neardup_corpus(spark, sf_dir), min_jaccard=0.5
+    )
+
+
+@query(
+    "dedup_simhash32",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_O_TOKS} AS t FROM documents),
+shs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM toks),
+h AS (SELECT doc_id, md5(unnest(sh)) AS hx FROM shs),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN (CASE WHEN ascii(substr(hx, CAST(i+1 AS INTEGER), 1)) >= 97
+                         THEN ascii(substr(hx, CAST(i+1 AS INTEGER), 1)) - 87
+                         ELSE ascii(substr(hx, CAST(i+1 AS INTEGER), 1)) - 48 END) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) r
+),
+votes AS (SELECT doc_id, i, sum(v) AS s FROM bits GROUP BY 1, 2)
+SELECT v.doc_id,
+       CAST(len(shs.sh) AS INTEGER) AS n_shingles,
+       CAST(sum(CASE WHEN v.s > 0 THEN power(2, v.i) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes v JOIN shs ON v.doc_id = shs.doc_id
+GROUP BY 1, 2
+""",
+)
+def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (parity-of-hex-digit bit extraction keeps
+    the oracle in ANSI SQL)."""
+    return dd.simhash32(load_table(spark, sf_dir, "documents"))
+
+
+# embedding oracles share the explicit dot/(|a||b|) formula so both engines
+# fold the same IEEE doubles in the same order
+_O_COS = (
+    "round(list_dot_product(qv, cv) /"
+    " (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id, {_O_COS} AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<5 (broadcast
+    nested-loop; the exact baseline the ANN variant approximates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk(emb, queries_df, k=5)
+
+
+@query(
+    "embedding_similar_pairs",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim
+FROM pairs
+ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
+LIMIT 20
+""",
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs (exact all-pairs — the
+    embedding-cosine near-dup primitive)."""
+    return sim.similar_pairs_topn(load_table(spark, sf_dir, "embeddings"), n=20)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+WITH ex AS (
+  SELECT label, CAST(i AS INTEGER) AS pos,
+         CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) r
+)
+SELECT label, pos,
+       round(CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS centroid_val,
+       count(*) AS n_vectors
+FROM ex
+GROUP BY 1, 2
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (long form) — exact via decimal accumulators."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.centroids_by_label(emb)
+    # centroid uses decimal sums already; recompute rounding path to match
+    return out.select("label", "pos", "centroid_val", "n_vectors")
+
+
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-k (rows-only check: bucket membership depends on
+    sign(v·plane), which is not robustly reproducible in ANSI SQL — the
+    brute-force twin embedding_cosine_topk carries the full oracle)."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ann_topk_lsh(emb, queries_df, planes, k=5)
+
+
+QUERIES["embedding_ann_lsh"] = embedding_ann_lsh
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) % 640 AS INTEGER) AS width,
+       CAST(length(text) % 480 AS INTEGER) AS height,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       CAST(list_sum(list_transform(range(1, CAST(least(length(text), 64) AS INTEGER) + 1),
+            i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) % 251 AS INTEGER) AS checksum_mod
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents→fake media payloads→mapInPandas
+    feature extraction (Arrow-batched; deterministic fake decode, real
+    plumbing — operators.multimodal)."""
+    media = mm.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return mm.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
 # Entry points used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
