@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes its full plan into the `noop` sink (measures compute, not
+driver-side row transfer). Session reuse across queries mirrors a warmed
+long-running engine; a throwaway warmup query absorbs JVM/codegen start-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_market_data_pipeline_spark import queries as Q
+from realtime_market_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "features_tumbling_1h",
+    "features_sliding_6h_1h",
+    "realized_vol_1d",
+    "pivot_last_daily",
+    "dedup_last_write_wins",
+    "topk_per_type",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "region_revenue",
+    "distinct_counts",
+    "rollup_returnflag_status",
+    "running_revenue_per_supplier",
+    "doc_quality_scores",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_topk",
+    "embedding_similar_pairs",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="rtmdp-bench")
+
+    # warmup: JVM + parquet footer caches + codegen paths
+    Q.QUERIES["kpi_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

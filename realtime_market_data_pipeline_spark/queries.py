@@ -1129,6 +1129,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Source surface (SURVEY.md §2.1 S7 / §2.2 K3): synthetic GBM generator and
+# the Kafka payload codec. The GBM draw comes from xxhash64 (no DuckDB twin),
+# so these are rows-only checks; the streaming tests in tests/test_streaming.py
+# carry the equivalence evidence.
+# ---------------------------------------------------------------------------
+
+from realtime_market_data_pipeline_spark.operators.features import parse_ticks
+from realtime_market_data_pipeline_spark.sources import ticks as srcticks
+
+
+def synthetic_gbm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer→consumer chain, broker-free: GBM ticks → Kafka JSON payload →
+    parse_ticks → windowed features (rows-only; deterministic by seed)."""
+    ticks = srcticks.synthetic_ticks_batch(spark, n_per_symbol=2000, seed=42)
+    parsed = parse_ticks(srcticks.to_kafka_payload(ticks))
+    return feat.compute_features(parsed, window="10 seconds")
+
+
+QUERIES["synthetic_gbm_features"] = synthetic_gbm_features
+
+
+# ---------------------------------------------------------------------------
 # Entry points used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

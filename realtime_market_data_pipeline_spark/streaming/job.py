@@ -1,0 +1,112 @@
+"""Streaming job assembly — the reference consumer end-to-end, Spark-native.
+
+Mirrors the lifecycle traced in SURVEY.md §3.1: source → parse →
+compute_features (watermark + sliding window) → foreachBatch sink with
+checkpoint, but built from the same pure operators the batch engine uses, so
+every transformation here is the one the DuckDB oracle already checked in
+batch mode.
+
+Covers §2.8 T1-T7: watermark (= window duration by default, as the reference
+hardcodes at spark_streaming.py:76), sliding event-time windows, update/append
+output modes, checkpointing, and the T8 latency column.
+
+Kafka wiring (S1/K3) is provided but exercised only where a broker exists —
+this container has none, so tests drive the identical plan through file and
+rate sources instead; the transformation chain is source-agnostic by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from realtime_market_data_pipeline_spark.operators.features import (
+    compute_features,
+    parse_ticks,
+    with_ingest_latency,
+)
+from realtime_market_data_pipeline_spark.streaming.sinks import BatchWriter
+
+
+def read_kafka_ticks(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "ticks",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1: Kafka stream source → parsed ticks (reference
+    spark_streaming.py:315-324). ``failOnDataLoss=false`` matches the
+    reference's tolerance for compacted/expired offsets. Requires the
+    spark-sql-kafka package on the classpath (not bundled in this container)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    return parse_ticks(raw)
+
+
+def read_parquet_ticks_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Broker-free streaming source: a parquet directory consumed
+    incrementally (one file per micro-batch by default — gives the
+    multi-batch update-mode semantics the §2.2 trap needs, without Kafka).
+    Schema is read from the files once at plan time."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def features_stream(
+    ticks: DataFrame,
+    window: str = "60 seconds",
+    slide: str | None = None,
+    watermark: str | None = None,
+    with_latency: bool = True,
+    deterministic: bool = True,
+) -> DataFrame:
+    """The streaming feature plan: identical operator chain to batch, plus
+    watermark (defaulting to the window duration, spark_streaming.py:76) and
+    the T8 ingest/latency columns."""
+    out = compute_features(
+        ticks,
+        window=window,
+        slide=slide,
+        watermark=watermark if watermark is not None else window,
+        deterministic=deterministic,
+    )
+    return with_ingest_latency(out) if with_latency else out
+
+
+def start_features_stream(
+    features: DataFrame,
+    writer: BatchWriter,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """K4: wire a feature stream to a foreachBatch sink with checkpointing
+    (reference spark_streaming.py:334-341). ``available_now=True`` drains all
+    currently-available input then stops — the batch-equivalence testing mode;
+    ``processing_time`` sets a fixed-interval trigger (T5)."""
+    w = (
+        features.writeStream.outputMode(output_mode)
+        .foreachBatch(writer)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()

@@ -1,0 +1,168 @@
+"""Streaming sinks — the reference's `foreachBatch` writers, Spark-native.
+
+Covers SURVEY.md §2.2:
+- K1  foreachBatch → DuckDB          (reference spark_streaming.py:121-178)
+- K4  output mode + checkpoint        (reference spark_streaming.py:334-341)
+- K5  sink schema pre-creation        (reference spark_streaming.py:246-296)
+- T7  fault tolerance / idempotence   (reference spark_streaming.py:320,337)
+
+The reference's K1 is append-only INSERT in `update` output mode, so the sink
+table accumulates multiple progressively-updated rows per (window_start,
+symbol) and readers recover last-write-wins (§2.2 "semantic trap"). That
+behavior is reproduced here (``duckdb_append_writer``), and *improved* per
+SURVEY.md §7.2 step 4 with an idempotent variant: each micro-batch writes to a
+``batch_id=N`` parquet subdirectory with dynamic overwrite, so a replayed
+batch overwrites itself instead of double-inserting — exactly-once landing on
+top of at-least-once delivery. At 100 TB the same shape is a Delta/Iceberg
+MERGE; plain partitioned parquet keeps this container-runnable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference sink column order (spark_streaming.py:126-140): the 9 deterministic
+# feature columns + the 2 ingest-time columns appended by with_ingest_latency.
+FEATURE_SINK_COLUMNS = (
+    "symbol",
+    "window_start",
+    "window_end",
+    "first_price",
+    "last_price",
+    "log_return",
+    "volatility",
+    "num_ticks",
+    "max_event_time_ms",
+    "ingest_ts",
+    "latency_ms",
+)
+
+# DuckDB DDL mirroring spark_streaming.py:146-160 (types per SURVEY.md §1.2).
+_FEATURES_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+  symbol VARCHAR,
+  window_start TIMESTAMP,
+  window_end TIMESTAMP,
+  first_price DOUBLE,
+  last_price DOUBLE,
+  log_return DOUBLE,
+  volatility DOUBLE,
+  num_ticks BIGINT,
+  max_event_time_ms BIGINT,
+  ingest_ts TIMESTAMP,
+  latency_ms BIGINT
+)
+"""
+
+# Idempotent widening migrations (spark_streaming.py:162-164).
+_FEATURES_MIGRATIONS = (
+    "ALTER TABLE {table} ADD COLUMN IF NOT EXISTS ingest_ts TIMESTAMP",
+    "ALTER TABLE {table} ADD COLUMN IF NOT EXISTS latency_ms BIGINT",
+    "ALTER TABLE {table} ADD COLUMN IF NOT EXISTS max_event_time_ms BIGINT",
+)
+
+BatchWriter = Callable[[DataFrame, int], None]
+
+
+def _ordered(batch_df: DataFrame) -> DataFrame:
+    cols = [c for c in FEATURE_SINK_COLUMNS if c in batch_df.columns]
+    return batch_df.select(*cols)
+
+
+def ensure_duckdb_schema(db_path: str, table: str = "features") -> None:
+    """K5: pre-create the sink table so readers see it before the first
+    micro-batch lands (spark_streaming.py:246-268)."""
+    import duckdb
+
+    con = duckdb.connect(db_path)
+    try:
+        con.execute(_FEATURES_DDL.format(table=table))
+        for mig in _FEATURES_MIGRATIONS:
+            con.execute(mig.format(table=table))
+    finally:
+        con.close()
+
+
+def duckdb_append_writer(db_path: str, table: str = "features") -> BatchWriter:
+    """K1, bug-compatible: per micro-batch reorder → Arrow → DuckDB
+    ``INSERT INTO … SELECT`` (spark_streaming.py:121-178). Append-only, so in
+    `update` output mode the table holds duplicate rows per (window, symbol)
+    — the §2.2 trap — and readers dedup with
+    operators.readside.dedup_last_write_wins.
+
+    The per-batch ``toPandas`` collect is the reference's own design; it
+    bounds batch size by what the driver holds. The idempotent parquet writer
+    below is the scale path.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        import duckdb
+
+        pdf = _ordered(batch_df).toPandas()
+        con = duckdb.connect(db_path)
+        try:
+            con.execute(_FEATURES_DDL.format(table=table))
+            for mig in _FEATURES_MIGRATIONS:
+                con.execute(mig.format(table=table))
+            con.register("batch", pdf)
+            cols = ", ".join(pdf.columns)
+            con.execute(f"INSERT INTO {table} ({cols}) SELECT {cols} FROM batch")
+        finally:
+            con.close()
+
+    return write
+
+
+def parquet_append_writer(path: str) -> BatchWriter:
+    """Plain executor-side append — no driver collect, no broker. Readers
+    never block writers (obviates the reference UI's snapshot-copy trick,
+    streamlit_app.py:41-49). Same duplicate-rows-per-window semantics as K1
+    under `update` mode."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return write
+
+
+def idempotent_parquet_writer(path: str) -> BatchWriter:
+    """T7 improvement: partition the sink by ``batch_id`` and overwrite only
+    the arriving batch's partition (dynamic partitionOverwriteMode). A batch
+    replayed after a crash rewrites `batch_id=N` in place — no double-insert,
+    giving exactly-once output from the checkpointed at-least-once stream.
+    Distributed write, no driver collect; at real scale swap for a
+    Delta/Iceberg MERGE keyed on (window_start, symbol)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write
+
+
+def memory_upsert_writer(
+    state: dict, key_cols: tuple[str, ...] = ("window_start", "symbol")
+) -> BatchWriter:
+    """Test/debug sink: keyed last-write-wins upsert into a driver dict —
+    the "dedup at the sink" alternative named in §2.2. Collects to the
+    driver; tests only."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        for row in _ordered(batch_df).collect():
+            d = row.asDict()
+            state[tuple(d[k] for k in key_cols)] = d
+
+    return write

@@ -1,0 +1,189 @@
+"""Streaming wrap tests (SURVEY.md §7.2 step 4, §5 batch-equivalence trick).
+
+The streaming plan is the same operator chain as batch, so correctness is
+checked by: generate deterministic GBM ticks → split across parquet files →
+consume as a stream one file per micro-batch (update mode) → keyed
+last-write-wins sink state must equal the batch result over the full input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark.operators.features import (
+    compute_features,
+    parse_ticks,
+)
+from realtime_market_data_pipeline_spark.operators.readside import (
+    dedup_last_write_wins,
+)
+from realtime_market_data_pipeline_spark.sources import ticks as src
+from realtime_market_data_pipeline_spark.streaming import job, sinks
+
+DET_COLS = [
+    "symbol",
+    "window_start",
+    "window_end",
+    "first_price",
+    "last_price",
+    "log_return",
+    "volatility",
+    "num_ticks",
+    "max_event_time_ms",
+]
+
+
+@pytest.fixture(scope="module")
+def gbm_ticks(spark):
+    return src.synthetic_ticks_batch(spark, n_per_symbol=400, seed=7).cache()
+
+
+@pytest.fixture(scope="module")
+def tick_dir(spark, gbm_ticks, tmp_path_factory):
+    """Three time-ordered parquet files so a maxFilesPerTrigger=1 stream sees
+    three micro-batches, each updating windows that span file boundaries."""
+    d = str(tmp_path_factory.mktemp("ticks_stream") / "ticks")
+    bounds = [(0, 9), (9, 17), (17, 60)]
+    for lo, hi in bounds:
+        chunk = gbm_ticks.filter(
+            (F.col("event_time") >= F.timestamp_millis(F.lit(1_704_067_200_000 + lo * 1000)))
+            & (F.col("event_time") < F.timestamp_millis(F.lit(1_704_067_200_000 + hi * 1000)))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _batch_expected(gbm_ticks, window="10 seconds"):
+    return {
+        tuple(r)
+        for r in compute_features(gbm_ticks, window=window)
+        .select(*DET_COLS)
+        .collect()
+    }
+
+
+def test_synthetic_gbm_deterministic(spark):
+    a = src.synthetic_ticks_batch(spark, n_per_symbol=50, seed=11).collect()
+    b = src.synthetic_ticks_batch(spark, n_per_symbol=50, seed=11).collect()
+    assert sorted(a) == sorted(b)
+    assert all(r.price > 0 for r in a)
+    assert {r.symbol for r in a} == {"AAPL", "MSFT", "GOOG"}
+    # different seed → different path
+    c = src.synthetic_ticks_batch(spark, n_per_symbol=50, seed=12).collect()
+    assert sorted(a) != sorted(c)
+
+
+def test_kafka_payload_roundtrip(spark, gbm_ticks):
+    sample = gbm_ticks.limit(100)
+    back = parse_ticks(src.to_kafka_payload(sample))
+    orig = {tuple(r) for r in sample.select("symbol", "price", "event_time_ms").collect()}
+    rt = {tuple(r) for r in back.select("symbol", "price", "event_time_ms").collect()}
+    assert rt == orig
+
+
+def test_csv_backfill_roundtrip(spark, tmp_path):
+    p = tmp_path / "backfill.csv"
+    p.write_text(
+        "symbol,price,event_time_ms\n"
+        " aapl ,190.5,1704067200000\n"
+        "MSFT,410.25,1704067201000\n"
+    )
+    out = src.read_tick_csv(spark, str(p)).collect()
+    by_sym = {r.symbol: r for r in out}
+    assert set(by_sym) == {"AAPL", "MSFT"}  # strip().upper() normalization
+    assert by_sym["AAPL"].price == 190.5
+    assert by_sym["AAPL"].event_time.isoformat().startswith("2024-01-01T00:00:00")
+
+
+def test_stream_matches_batch_update_mode(spark, gbm_ticks, tick_dir, tmp_path):
+    state: dict = {}
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    feats = job.features_stream(
+        stream, window="10 seconds", watermark="0 seconds", with_latency=False
+    )
+    q = job.start_features_stream(
+        feats,
+        sinks.memory_upsert_writer(state),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",
+        available_now=True,
+    )
+    q.awaitTermination(timeout=300)
+    got = {tuple(v[c] for c in DET_COLS) for v in state.values()}
+    assert got == _batch_expected(gbm_ticks)
+
+
+def test_stream_duckdb_sink_and_readside_dedup(spark, gbm_ticks, tick_dir, tmp_path):
+    """K1 semantics end-to-end: update mode + append-only INSERT duplicates
+    rows per window (§2.2 trap); the read-side last-write-wins dedup recovers
+    the batch answer."""
+    import duckdb
+
+    db = str(tmp_path / "features.duckdb")
+    sinks.ensure_duckdb_schema(db)
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    feats = job.features_stream(stream, window="10 seconds", watermark="0 seconds")
+    q = job.start_features_stream(
+        feats,
+        sinks.duckdb_append_writer(db),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        output_mode="update",
+        available_now=True,
+    )
+    q.awaitTermination(timeout=300)
+
+    con = duckdb.connect(db)
+    try:
+        pdf = con.execute("SELECT * FROM features ORDER BY ingest_ts").df()
+    finally:
+        con.close()
+    expected = _batch_expected(gbm_ticks)
+    # the trap reproduced: more sink rows than final windows
+    assert len(pdf) > len(expected)
+
+    sunk = spark.createDataFrame(pdf)
+    deduped = dedup_last_write_wins(
+        sunk, ["window_start", "symbol"], "ingest_ts", tiebreak=["num_ticks"]
+    )
+    got = {tuple(r) for r in deduped.select(*DET_COLS).collect()}
+    assert got == expected
+
+
+def test_idempotent_sink_replay_no_double_insert(spark, gbm_ticks, tmp_path):
+    """T7 improvement: replaying a micro-batch overwrites its own partition."""
+    out = str(tmp_path / "sink")
+    feats = compute_features(gbm_ticks, window="10 seconds")
+    writer = sinks.idempotent_parquet_writer(out)
+    writer(feats, 0)
+    writer(feats, 0)  # replay of the same batch_id
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out).select(*DET_COLS).collect()
+    }
+    assert got == _batch_expected(gbm_ticks)
+
+
+def test_sliding_stream_matches_batch(spark, gbm_ticks, tick_dir, tmp_path):
+    state: dict = {}
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    feats = job.features_stream(
+        stream, window="20 seconds", slide="5 seconds",
+        watermark="0 seconds", with_latency=False,
+    )
+    q = job.start_features_stream(
+        feats,
+        sinks.memory_upsert_writer(state),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        output_mode="update",
+        available_now=True,
+    )
+    q.awaitTermination(timeout=300)
+    expected = {
+        tuple(r)
+        for r in compute_features(gbm_ticks, window="20 seconds", slide="5 seconds")
+        .select(*DET_COLS)
+        .collect()
+    }
+    got = {tuple(v[c] for c in DET_COLS) for v in state.values()}
+    assert got == expected
