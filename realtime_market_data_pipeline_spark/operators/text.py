@@ -131,6 +131,47 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_long(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Distinct k-word shingles in LONG form — one (id, shingle) row each —
+    via ``posexplode`` + ``lead`` window.
+
+    This is the hot-path twin of ``shingles``: array higher-order functions
+    (``transform`` lambdas) run on Catalyst's row-at-a-time expression
+    interpreter, outside whole-stage codegen, which dominates runtime when a
+    dedup pipeline evaluates them millions of times. The exploded form keeps
+    every expression (split, lead, concat_ws, md5 downstream) codegen-able;
+    the one added cost is the per-doc sort inside the lead window — a shuffle
+    on id_col that the downstream groupBy(id_col) then reuses, so at 100 TB
+    this costs one exchange, not two.
+
+    Docs with fewer than k tokens yield no rows (the array form yields an
+    empty array — callers that must keep such docs re-join on id_col).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.col("tok").alias("_t0")] + [
+        F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, k)
+    ]
+    full = toks.select(id_col, *lead_cols).filter(
+        F.col(f"_t{k - 1}").isNotNull()
+    )
+    sh = full.select(
+        id_col,
+        F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(k)]).alias("shingle"),
+    )
+    return sh.distinct() if distinct else sh
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprints: full-text md5 + a content-defined fingerprint
     (lexicographic min/max md5 over k-shingles — a 2-permutation minhash),
