@@ -32,6 +32,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "user_sessions_12h",
+    "tfidf_top3_terms",
+    "word_counts_top100",
     "region_revenue",
     "distinct_counts",
     "rollup_returnflag_status",

@@ -695,6 +695,363 @@ def running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_revenue_forecast",
+    oracle=f"""
+SELECT {_osum('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: filter-only global aggregate — the pure-scan-throughput
+    query. All three predicates push into the parquet scan (min/max rowgroup
+    pruning); the aggregate is a 2-phase partial+final with no keyed shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+SELECT round(CAST({_osum('l_extendedprice')} AS DOUBLE) / 7.0, 6) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN (SELECT l_partkey AS pk, 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*)) AS qty_limit
+      FROM lineitem GROUP BY l_partkey) t
+  ON l_partkey = pk
+WHERE l_quantity < qty_limit
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) planned
+    as an aggregate + self-join. Both sides shuffle on l_partkey once; at
+    100 TB AQE picks SMJ and the per-part aggregate is the small side.
+    The 0.2*avg threshold uses the decimal-sum/count average so the double
+    each engine compares against is identical."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    limits = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_limit")
+    )
+    small = li.join(limits, li.l_partkey == limits.pk).filter(
+        F.col("l_quantity") < F.col("qty_limit")
+    )
+    return small.agg(
+        F.round(_dsum(F.col("l_extendedprice")).cast("double") / 7.0, 6).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       {_osum('l_quantity')} AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 140
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy + HAVING over a fact-fact join. The quantity
+    aggregate groups on the join key itself, so Catalyst reuses the join's
+    hash partitioning — no second shuffle for the groupBy."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        li, li.l_orderkey == orders.o_orderkey
+    )
+    return (
+        joined.groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 140)
+    )
+
+
+@query(
+    "value_percentiles_by_type",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation on sorted values). At 100 TB swap for approx_percentile —
+    exact percentile materializes per-group sorted value buffers."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "word_counts_top100",
+    oracle=r"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 100
+""",
+)
+def word_counts_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency — explode + count + global top-k. The classic
+    two-shuffle plan (word partial counts, then TakeOrdered); at 100 TB the
+    partial aggregation absorbs the token explosion before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "tfidf_top3_terms",
+    oracle=r"""
+WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tfidf, rank FROM ranked WHERE rank <= 3
+""",
+)
+def tfidf_top3_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. tf and df are exact integer counts;
+    idf = ln(N/df) rounded identically on both sides; fixed (tfidf desc,
+    word) ordering makes the per-doc rank engine-independent."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "user_sessions_12h",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 12 HOUR OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 12 HOUR AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS session_value
+FROM sessioned
+GROUP BY user_id, session_no
+""",
+)
+def user_sessions_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via ``session_window`` (gap = 12h): Spark's native
+    session aggregation (merging windows in the state store when streaming);
+    the oracle is the classic gap-and-island SQL. Session end = last event +
+    gap, per Spark's definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "12 hours").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "events_lag_lead_rank",
+    oracle="""
+SELECT event_id, user_id, ts,
+       lag(ts) OVER w AS prev_ts,
+       lead(ts) OVER w AS next_ts,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INTEGER) AS value_rank,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER) AS type_dense_rank
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def events_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function sampler: lag/lead on the time axis + rank/dense_rank
+    on value — the ranking surface SURVEY.md §2.7 calls for."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(wt).alias("prev_ts"),
+        F.lead("ts").over(wt).alias("next_ts"),
+        F.rank().over(wv).alias("value_rank"),
+        F.dense_rank().over(wd).alias("type_dense_rank"),
+    )
+
+
+@query(
+    "moving_avg_value_5",
+    oracle="""
+SELECT event_id, event_type, ts,
+       round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+FROM events
+WHERE user_id < 20
+""",
+)
+def moving_avg_value_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average per event_type — the bounded-frame analytic
+    (ROWS BETWEEN) surface. Frame of 5 doubles ⇒ both engines sum the same
+    values in the same order."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("ma5"),
+    )
+
+
+@query(
+    "union_backfill_counts",
+    oracle="""
+SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+FROM (
+  SELECT event_type, ts FROM events WHERE ts < TIMESTAMP '2024-01-15'
+  UNION ALL
+  SELECT event_type, ts FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+)
+GROUP BY event_type
+""",
+)
+def union_backfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 set-op surface: live/backfill split re-merged with unionByName
+    (the batch twin of the reference's publish-to-same-topic merge,
+    README.md:137-140) — the union is a zero-shuffle concatenation."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    live = ev.filter(F.col("ts") >= "2024-01-15")
+    backfill = ev.filter(F.col("ts") < "2024-01-15").select("ts", "event_type")
+    merged = backfill.unionByName(live.select("event_type", "ts"))
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
+    engine-specific, so no cross-engine value oracle; the exact twin is
+    distinct_counts). The sketch is mergeable ⇒ one tiny shuffle at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["approx_distinct_users"] = approx_distinct_users
+
+
+@query(
     "top_orders_global",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
