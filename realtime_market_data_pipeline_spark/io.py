@@ -51,6 +51,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    lower: str | None = None,
+    upper: str | None = None,
+) -> DataFrame:
+    """``events`` with a time-range predicate that actually reaches the
+    parquet scan.
+
+    The raw file stores ``ts`` as TIMESTAMP(NANOS) (read as int64, see
+    ``load_table``); a filter on the *derived* ``timestamp_micros(ts div
+    1000)`` column is not invertible by Catalyst, so only IsNotNull pushes
+    down and the scan reads everything. Because the ns→timestamp mapping is
+    monotonic, ``ts >= T`` ⇔ ``ts_ns >= micros(T)*1000`` exactly (div
+    truncates non-negative ns), so this helper filters in int64-ns space
+    BEFORE the conversion — the range lands in PushedFilters and prunes
+    row groups / partitions at any scale."""
+    import datetime as _dt
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if not isinstance(df.schema["ts"].dataType, T.LongType):
+        # file without nanos quirk: plain typed filter pushes down natively
+        if lower is not None:
+            df = df.filter(F.col("ts") >= lower)
+        if upper is not None:
+            df = df.filter(F.col("ts") < upper)
+        return df
+
+    def _ns(bound: str) -> int:
+        t = _dt.datetime.fromisoformat(bound).replace(tzinfo=_dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000) * 1000
+
+    if lower is not None:
+        df = df.filter(F.col("ts") >= F.lit(_ns(lower)))
+    if upper is not None:
+        df = df.filter(F.col("ts") < F.lit(_ns(upper)))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so ``spark.sql`` queries (the
     read-side SQL surface, SURVEY.md §3.3) resolve by name."""

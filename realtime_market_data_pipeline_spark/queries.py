@@ -161,14 +161,15 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00
 """,
 )
 def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic form of the UI time-range scan (streamlit_app.py:23-28);
-    predicate pushes down to the parquet scan."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    return readside.time_range_filter(
-        ev, "ts", lower="2024-01-10 00:00:00", upper="2024-01-20 00:00:00"
-    )
+    """Deterministic form of the UI time-range scan (streamlit_app.py:23-28).
+    Uses load_events_range so the bounds push into the parquet scan in raw
+    int64-ns space — a filter on the derived timestamp column would scan
+    everything (see io.load_events_range)."""
+    from realtime_market_data_pipeline_spark.io import load_events_range
+
+    return load_events_range(
+        spark, sf_dir, lower="2024-01-10 00:00:00", upper="2024-01-20 00:00:00"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @query(

@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions — the 100 TB scale contract.
+
+Correctness says the answer is right at sf0.01; these tests say the PLAN
+would still be the right plan at 1000× the data: filters reach the parquet
+scan, projections prune columns, small dims broadcast, aggregates are
+partial+final, and the hot path stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from realtime_market_data_pipeline_spark import queries as Q
+from realtime_market_data_pipeline_spark.plans import inspect as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_time_range_filter_pushes_down(spark):
+    # the events file stores ts as int64 nanos; the bounds must reach the
+    # scan in ns space (filtering the derived timestamp would scan all rows)
+    df = Q.QUERIES["events_time_range"](spark, SF)
+    pf = P.pushed_filters(df)
+    assert any("GreaterThanOrEqual(ts" in f for f in pf), pf
+    assert any("LessThan(ts" in f for f in pf), pf
+
+
+def test_q1_scan_prunes_columns_and_aggregates_partially(spark):
+    df = Q.QUERIES["q1_pricing_summary"](spark, SF)
+    (cols,) = P.scan_columns(df)
+    # 7 needed columns, not the 11-column table
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    assert any("l_shipdate" in f for f in P.pushed_filters(df))
+    assert P.has_partial_aggregation(df)
+    # one keyed shuffle for the 6-group aggregate
+    assert P.exchange_count(df) == 1
+    with P.aqe_disabled(spark):
+        assert P.codegen_stage_count(Q.QUERIES["q1_pricing_summary"](spark, SF)) >= 1
+
+
+def test_q5_broadcasts_all_dimensions_at_small_sf(spark):
+    df = Q.QUERIES["q5_local_supplier_volume"](spark, SF)
+    joins = P.join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 3  # nation, region + AQE-sized dims
+    assert "CartesianProduct" not in joins
+
+
+def test_region_revenue_broadcast_dims(spark):
+    df = Q.QUERIES["region_revenue"](spark, SF)
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+
+
+def test_q18_reuses_join_partitioning_for_group_by(spark):
+    df = Q.QUERIES["q18_large_orders"](spark, SF)
+    # at sf0.001 both joins broadcast from static stats, so the plan needs at
+    # most the one groupBy shuffle; at real scale AQE swaps in SMJ and the
+    # groupBy (keyed on the join key) still adds no extra exchange
+    joins = P.join_strategies(df)
+    assert joins and "CartesianProduct" not in joins
+    assert P.exchange_count(df) <= 1 + joins.count("SortMergeJoin") * 2
+
+
+def test_features_single_shuffle(spark):
+    df = Q.QUERIES["features_tumbling_1h"](spark, SF)
+    # windowed groupBy = exactly one keyed exchange, partial+final agg
+    assert P.exchange_count(df) == 1
+    assert P.has_partial_aggregation(df)
+
+
+def test_word_counts_partial_agg_absorbs_explosion(spark):
+    df = Q.QUERIES["word_counts_top100"](spark, SF)
+    assert P.has_partial_aggregation(df)
+    # global top-k must be TakeOrdered (per-partition heaps), not a full sort
+    assert "TakeOrderedAndProject" in P.plan_string(df)
+
+
+def test_top_orders_take_ordered_not_global_sort(spark):
+    df = Q.QUERIES["top_orders_global"](spark, SF)
+    s = P.plan_string(df)
+    assert "TakeOrderedAndProject" in s
+    assert P.exchange_count(df) == 0  # no shuffle at all: scan → local heaps
+
+
+def test_minhash_keeps_flat_codegen_path(spark):
+    # the signature aggregation must be hash-based partial+final over flat
+    # md5 expressions — interpreted array lambdas would show zero codegen
+    with P.aqe_disabled(spark):
+        df = Q.QUERIES["dedup_minhash_lsh"](spark, SF)
+        assert P.codegen_stage_count(df) >= 3
+        assert P.has_partial_aggregation(df)
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    df = Q.QUERIES["embedding_cosine_topk"](spark, SF)
+    s = P.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
