@@ -161,7 +161,7 @@ def memory_upsert_writer(
     driver; tests only."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        for row in _ordered(batch_df).collect():
+        for row in batch_df.collect():
             d = row.asDict()
             state[tuple(d[k] for k in key_cols)] = d
 

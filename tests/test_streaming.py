@@ -187,3 +187,48 @@ def test_sliding_stream_matches_batch(spark, gbm_ticks, tick_dir, tmp_path):
     }
     got = {tuple(v[c] for c in DET_COLS) for v in state.values()}
     assert got == expected
+
+
+def test_stateful_intra_window_vol_matches_batch(spark, gbm_ticks, tick_dir, tmp_path):
+    """applyInPandasWithState realized vol == batch lag+stddev version, with
+    the return chain crossing micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.operators.features import (
+        intra_window_volatility,
+    )
+    from realtime_market_data_pipeline_spark.streaming.stateful import (
+        intra_window_vol_stream,
+    )
+
+    state: dict = {}
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    out = intra_window_vol_stream(stream, window="10 seconds")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(
+            sinks.memory_upsert_writer(state, key_cols=("symbol", "window_start_ms"))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    expected = {
+        (r["symbol"], r["ws"]): (
+            None if r["realized_vol"] is None else round(r["realized_vol"], 6),
+            r["num_returns"],
+        )
+        for r in intra_window_volatility(gbm_ticks, window="10 seconds")
+        .withColumn("ws", F.unix_millis("window_start"))
+        .collect()
+    }
+    got = {
+        (v["symbol"], v["window_start_ms"]): (
+            None if v["realized_vol"] is None else round(v["realized_vol"], 6),
+            v["num_returns"],
+        )
+        for v in state.values()
+    }
+    assert got == expected
