@@ -96,3 +96,9 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     read-side SQL surface, SURVEY.md §3.3) resolve by name."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Catalog introspection (SURVEY.md §2.1 S6 — the notebook's
+    ``duckdb_tables()`` existence check)."""
+    return spark.catalog.tableExists(name)

@@ -215,6 +215,123 @@ def centroids_by_label(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids with deterministic k-means: init = the vectors
+    with the n_centroids smallest ids, then ``n_iter`` Lloyd steps. Each step
+    is one distributed assignment pass (blocked numpy matmul in mapInPandas)
+    + one exact per-dimension mean (posexplode + decimal sums); only the
+    k×d centroid matrix ever reaches the driver — the standard k-means
+    dataflow at any scale (MLlib does the same)."""
+    v = corpus.select(F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v"))
+    centers = [
+        list(r.v) for r in v.orderBy("vid").limit(n_centroids).collect()
+    ]
+    for _ in range(n_iter):
+        assigned = ivf_assign(v, centers, id_col="vid", vec_col="v")
+        means = (
+            v.join(assigned, "vid")
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        centers = [
+            [by_cluster[c][p] for p in sorted(by_cluster[c])]
+            if c in by_cluster
+            else centers[c]  # empty cluster keeps its previous centroid
+            for c in range(n_centroids)
+        ]
+    return centers
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine
+    (n_probe=1 for indexing, >1 for query-time multi-probe). Vectorized
+    numpy matmul per Arrow batch; centroids ride in the closure (k×d
+    doubles — broadcast-free)."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(centers, dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            S = Mn @ Cn.T
+            k = min(n_probe, S.shape[1])
+            top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            ids = np.repeat(pdf[id_col].to_numpy(), k)
+            yield pd.DataFrame(
+                {id_col: ids, "cluster": top.reshape(-1).astype("int32")}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cluster int"
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    bucket; each query probes its ``n_probe`` nearest buckets and exact
+    cosine re-scores only those candidates (the same recall/compute dial as
+    a FAISS IVF index, as a pure dataflow). Candidates ≈ n_probe/k_centroids
+    of the corpus per query — subquadratic where brute force is O(N·Q)."""
+    c = corpus.select(F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("cvec"))
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("qid"), as_double(vec_col).alias("qvec")
+    )
+    c_assign = ivf_assign(c, centers, id_col="vid", vec_col="cvec", n_probe=1)
+    q_assign = ivf_assign(q, centers, id_col="qid", vec_col="qvec", n_probe=n_probe)
+    cand = q_assign.join(c_assign, "cluster").select("qid", "vid")
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "vid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def sign_lsh_buckets(
     corpus: DataFrame,
     planes: list[list[float]],

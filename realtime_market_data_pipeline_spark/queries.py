@@ -1038,6 +1038,25 @@ def union_backfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The read-side clients speak SQL strings (DuckDB SQL in the Streamlit UI /
+# notebook, SURVEY.md §3.3) — this query IS that surface: one ANSI statement
+# executed verbatim by both engines (spark.sql over registered temp views vs
+# DuckDB), proving the SQL frontend needs no dialect translation.
+_SQL_FRONTEND_STMT = """
+SELECT event_type AS symbol, ts, value AS price, user_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+"""
+
+
+@query("sql_frontend_scan", oracle=_SQL_FRONTEND_STMT)
+def sql_frontend_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_market_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(_SQL_FRONTEND_STMT)
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
     engine-specific, so no cross-engine value oracle; the exact twin is
@@ -1463,6 +1482,22 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_ann_lsh"] = embedding_ann_lsh
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (rows-only): deterministic k-means centroids (seed-free
+    — init by smallest vec_ids), corpus bucketed by nearest centroid,
+    queries probe 4 of 16 buckets. The brute-force twin embedding_cosine_topk
+    carries the exact oracle; tests/test_similarity.py checks recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = sim.ivf_train_centroids(emb, n_centroids=16, n_iter=2)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ann_topk_ivf(emb, queries_df, centers, k=5, n_probe=4)
+
+
+QUERIES["embedding_ann_ivf"] = embedding_ann_ivf
 
 
 @query(

@@ -232,3 +232,68 @@ def test_stateful_intra_window_vol_matches_batch(spark, gbm_ticks, tick_dir, tmp
         for v in state.values()
     }
     assert got == expected
+
+
+def test_append_mode_emits_only_closed_windows(spark, gbm_ticks, tick_dir, tmp_path):
+    """T4: append mode + watermark emits exactly the windows whose end ≤ final
+    watermark (= max event time with 0s delay); open windows stay in state."""
+    rows: list = []
+
+    def collect_appends(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    feats = job.features_stream(
+        stream, window="10 seconds", watermark="0 seconds", with_latency=False
+    )
+    q = (
+        feats.writeStream.outputMode("append")
+        .foreachBatch(collect_appends)
+        .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    max_ms = gbm_ticks.agg(F.max("event_time_ms")).first()[0]
+    expected = {
+        t for t in _batch_expected(gbm_ticks)
+        if t[2].timestamp() * 1000 <= max_ms  # window_end ≤ watermark
+    }
+    got = {tuple(r[c] for c in DET_COLS) for r in rows}
+    assert got == expected
+    # and strictly fewer than the full batch result (open windows held back)
+    assert len(got) < len(_batch_expected(gbm_ticks))
+
+
+def test_synthetic_stream_rate_source(spark, tmp_path):
+    """S7 streaming: rate-source GBM ticks produce schema-correct positive
+    prices (one real micro-batch via rate-micro-batch for determinism)."""
+    ticks = src.synthetic_ticks_stream(spark, tps=30)
+    assert dict(ticks.dtypes) == {
+        "symbol": "string",
+        "price": "double",
+        "event_time_ms": "bigint",
+        "event_time": "timestamp",
+    }
+    rows: list = []
+
+    def grab(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        ticks.writeStream.outputMode("append")
+        .foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 60
+    while not rows and _time.time() < deadline:
+        _time.sleep(1)
+    q.stop()
+    assert rows, "rate source produced no ticks within 60s"
+    assert all(r.price > 0 for r in rows)
+    assert {r.symbol for r in rows} <= {"AAPL", "MSFT", "GOOG"}
