@@ -1,0 +1,99 @@
+"""Consumer CLI — the reference's ``python -m src.consumer.spark_streaming``
+entry point (spark_streaming.py:299-341), Spark-native.
+
+    python -m realtime_market_data_pipeline_spark.cli \
+        --source synthetic --window 60s --slide 10s \
+        --sink parquet:./data/features --checkpoint ./data/ckpt
+
+Sources: ``kafka:<bootstrap>/<topic>`` (needs the spark-sql-kafka package),
+``parquet:<dir>`` (incremental file stream — the broker-free twin),
+``synthetic`` (rate-source GBM ticks). Sinks: ``parquet:<dir>`` (append),
+``idempotent:<dir>`` (batch_id-partitioned, replay-safe),
+``duckdb:<db-path>`` (reference K1 semantics), ``console``.
+
+argparse instead of click (no third-party CLI dep); flags mirror the
+reference: --window/--slide/--starting-offsets/--sink plus --watermark
+(the reference hardcodes watermark = window, kept as the default here).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from realtime_market_data_pipeline_spark.session import get_spark
+from realtime_market_data_pipeline_spark.sources.ticks import synthetic_ticks_stream
+from realtime_market_data_pipeline_spark.streaming import job, sinks
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="realtime-market-data-pipeline-spark",
+        description="Windowed per-symbol feature stream (reference consumer parity)",
+    )
+    p.add_argument("--source", default="synthetic",
+                   help="kafka:<bootstrap>/<topic> | parquet:<dir> | synthetic")
+    p.add_argument("--window", default="60s")
+    p.add_argument("--slide", default="10s")
+    p.add_argument("--watermark", default=None,
+                   help="watermark delay (default: = window, as the reference)")
+    p.add_argument("--starting-offsets", default="latest",
+                   choices=["earliest", "latest"])
+    p.add_argument("--sink", default="console",
+                   help="parquet:<dir> | idempotent:<dir> | duckdb:<path> | console")
+    p.add_argument("--checkpoint", default="./data/checkpoints/features")
+    p.add_argument("--output-mode", default="update", choices=["update", "append"])
+    p.add_argument("--trigger", default=None,
+                   help="processing-time interval, e.g. '10 seconds'")
+    p.add_argument("--once", action="store_true",
+                   help="drain available input then stop (availableNow)")
+    return p
+
+
+def make_source(spark, args):
+    if args.source == "synthetic":
+        return synthetic_ticks_stream(spark)
+    kind, _, rest = args.source.partition(":")
+    if kind == "kafka":
+        bootstrap, _, topic = rest.partition("/")
+        return job.read_kafka_ticks(
+            spark, bootstrap, topic or "ticks", starting_offsets=args.starting_offsets
+        )
+    if kind == "parquet":
+        return job.read_parquet_ticks_stream(spark, rest)
+    raise SystemExit(f"unknown source {args.source!r}")
+
+
+def make_writer(args):
+    kind, _, rest = args.sink.partition(":")
+    if kind == "console":
+        return lambda df, bid: df.show(20, truncate=False)
+    if kind == "parquet":
+        return sinks.parquet_append_writer(rest)
+    if kind == "idempotent":
+        return sinks.idempotent_parquet_writer(rest)
+    if kind == "duckdb":
+        sinks.ensure_duckdb_schema(rest)
+        return sinks.duckdb_append_writer(rest)
+    raise SystemExit(f"unknown sink {args.sink!r}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name="rtmdp-consumer")
+    ticks = make_source(spark, args)
+    feats = job.features_stream(
+        ticks, window=args.window, slide=args.slide, watermark=args.watermark
+    )
+    q = job.start_features_stream(
+        feats,
+        make_writer(args),
+        checkpoint_dir=args.checkpoint,
+        output_mode=args.output_mode,
+        available_now=args.once,
+        processing_time=args.trigger,
+    )
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,71 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def decode_audio(payload: bytes) -> object:
+    """Real decoder stub — requires soundfile/librosa, not in this container."""
+    raise NotImplementedError(
+        "audio decode requires libsndfile/librosa; wire the real decoder "
+        "here on a cluster image that ships it"
+    )
+
+
+def decode_video_frames(payload: bytes, every_n: int) -> object:
+    """Real decoder stub — requires ffmpeg/pyav, not in this container."""
+    raise NotImplementedError(
+        "video decode requires ffmpeg/pyav; wire the real decoder here on a "
+        "cluster image that ships it"
+    )
+
+
+def frame_sample_stub(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
+    """Video frame-sampling plumbing: emits one row per sampled 'frame'
+    (every ``every_n_bytes``-th payload byte stands in for a decoded frame).
+    The real operator decodes with ffmpeg per batch and yields
+    (media_id, frame_idx, frame_payload) — same fan-out shape: mapInPandas
+    expanding rows, no shuffle, output rows ≫ input rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    vals.append(int(payload[off]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_byte": vals}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, frame_byte int"
+    )
+
+
+def audio_features_stub(media: DataFrame, frame_len: int = 32) -> DataFrame:
+    """Audio feature plumbing: fixed-length framing + per-frame energy proxy
+    over raw payload bytes (real impl: decode → frame → RMS/MFCC per frame).
+    Demonstrates the frame-window fan-out with deterministic fake values."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(0, max(len(payload) // frame_len, 1)):
+                    chunk = payload[i * frame_len : (i + 1) * frame_len]
+                    ids.append(mid)
+                    idxs.append(i)
+                    energies.append(
+                        float(sum(b * b for b in chunk)) / max(len(chunk), 1)
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "energy": energies}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, energy double"
+    )
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes payloads through mapInPandas unchanged (real
     impl would decode→resize→re-encode per batch)."""

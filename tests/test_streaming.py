@@ -297,3 +297,42 @@ def test_synthetic_stream_rate_source(spark, tmp_path):
     assert rows, "rate source produced no ticks within 60s"
     assert all(r.price > 0 for r in rows)
     assert {r.symbol for r in rows} <= {"AAPL", "MSFT", "GOOG"}
+
+
+def test_cli_parquet_source_to_idempotent_sink(spark, gbm_ticks, tick_dir, tmp_path):
+    """End-to-end through the CLI wiring: parquet stream → idempotent sink."""
+    from realtime_market_data_pipeline_spark import cli
+
+    out = str(tmp_path / "cli_sink")
+    cli.main([
+        "--source", f"parquet:{tick_dir}",
+        "--window", "10s", "--slide", "10s",
+        "--sink", f"idempotent:{out}",
+        "--checkpoint", str(tmp_path / "cli_ckpt"),
+        "--once",
+    ])
+    sunk = spark.read.parquet(out)
+    deduped = dedup_last_write_wins(
+        sunk, ["window_start", "symbol"], "batch_id", tiebreak=["num_ticks"]
+    )
+    got = {tuple(r) for r in deduped.select(*DET_COLS).collect()}
+    assert got == _batch_expected(gbm_ticks)
+
+
+def test_multimodal_frame_and_audio_stubs(spark):
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.documents_as_media(
+        load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    )
+    frames = mm.frame_sample_stub(media, every_n_bytes=50).collect()
+    assert frames and all(f.frame_byte >= 0 for f in frames)
+    per_media: dict = {}
+    for f in frames:
+        per_media.setdefault(f.media_id, []).append(f.frame_idx)
+    for idxs in per_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+
+    audio = mm.audio_features_stub(media, frame_len=64).collect()
+    assert audio and all(a.energy >= 0 for a in audio)
