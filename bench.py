@@ -56,10 +56,15 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="rtmdp-bench")
 
-    # warmup: JVM + parquet footer caches + codegen paths
+    # warmup: JVM + parquet footer caches + codegen paths, plus the Python
+    # UDF worker pool + Arrow channel (several headline queries use
+    # mapInPandas; a long-running engine has workers resident)
     Q.QUERIES["kpi_summary"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

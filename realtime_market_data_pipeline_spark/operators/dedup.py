@@ -59,8 +59,12 @@ def minhash_signature(
     expression and the partial (map-side) mins shrink the shuffle to one
     signature row per doc per partition — the interpreted-``transform``
     array form was ~50× slower at identical output. Docs with < shingle_k
-    tokens produce no signature (empty shingle set ⇒ undefined minhash)."""
-    sh = shingles_long(df, text_col, id_col, k=shingle_k)
+    tokens produce no signature (empty shingle set ⇒ undefined minhash).
+
+    distinct=False: min() is invariant under duplicate shingles, so the
+    usual distinct-shingle step (an extra exchange on (id, shingle)) is
+    skipped — identical signatures, one shuffle less."""
+    sh = shingles_long(df, text_col, id_col, k=shingle_k, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -123,12 +127,13 @@ def jaccard_pairs(
     |A∩B| and |A∪B| are integer counts, so jaccard = inter/union is a
     division of identical integers in both engines — no rounding needed.
 
-    Shingle sets are assembled from the exploded relation (codegen path);
-    the array_intersect/union then runs only on candidate pairs, which LSH
-    has already shrunk to ~linear in corpus size."""
-    sets_df = shingles_long(df, text_col, id_col, k=shingle_k).groupBy(id_col).agg(
-        F.collect_set("shingle").alias("sh")
-    )
+    Shingle sets are assembled from the exploded relation (codegen path;
+    collect_set dedups in-aggregate, so no separate distinct exchange); the
+    array_intersect/union then runs only on candidate pairs, which LSH has
+    already shrunk to ~linear in corpus size."""
+    sets_df = shingles_long(
+        df, text_col, id_col, k=shingle_k, distinct=False
+    ).groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     a = sets_df.alias("a")
     b = sets_df.alias("b")
     joined = (
