@@ -1038,6 +1038,80 @@ def union_backfill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tick_validation_counts",
+    oracle="""
+WITH payloads AS (
+  SELECT json_object('symbol', event_type, 'price', value,
+                     'event_time_ms', epoch_ms(ts))::VARCHAR AS v
+  FROM events
+  UNION ALL
+  SELECT text AS v FROM documents
+),
+checked AS (
+  SELECT CASE WHEN json_valid(v) AND json_type(v) = 'OBJECT'
+              AND json_extract_string(v, '$.symbol') IS NOT NULL
+              AND json_extract_string(v, '$.price') IS NOT NULL
+              AND json_extract_string(v, '$.event_time_ms') IS NOT NULL
+         THEN 1 ELSE 0 END AS ok
+  FROM payloads
+)
+SELECT count(*) AS n_total,
+       sum(ok) AS n_valid,
+       sum(1 - ok) AS n_invalid,
+       sum(1 - ok) AS n_missing_symbol,
+       sum(1 - ok) AS n_missing_price,
+       sum(1 - ok) AS n_missing_event_time
+FROM checked
+""",
+)
+def tick_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's smoke test (scripts/smoke_test.py:19-31) as a
+    distributed aggregate: clean tick JSON (from events) + garbage payloads
+    (documents prose) → per-contract-field validity counts. Every garbage
+    payload fails whole-object parse, so the per-field counts equal
+    n_invalid on both engines."""
+    from realtime_market_data_pipeline_spark.operators import quality as ql
+
+    ev = load_table(spark, sf_dir, "events")
+    good = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("symbol"),
+                F.col("value").alias("price"),
+                F.unix_millis("ts").alias("event_time_ms"),
+            )
+        ).alias("value")
+    )
+    bad = load_table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    return ql.validate_tick_payloads(good.unionByName(bad))
+
+
+@query(
+    "profile_events_numeric",
+    oracle="""
+SELECT 'value' AS column, count(*) AS n_rows,
+       count(*) - count(value) AS n_null, count(DISTINCT value) AS n_distinct,
+       round(min(value), 6) AS min_val, round(max(value), 6) AS max_val,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(value), 6) AS mean_val
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id),
+       round(CAST(min(user_id) AS DOUBLE), 6), round(CAST(max(user_id) AS DOUBLE), 6),
+       round(CAST(sum(CAST(user_id AS DECIMAL(38,10))) AS DOUBLE) / count(user_id), 6)
+FROM events
+""",
+)
+def profile_events_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (completeness / cardinality / range) — the
+    training-pipeline pre-flight check, long-form."""
+    from realtime_market_data_pipeline_spark.operators import quality as ql
+
+    return ql.profile_numeric(
+        load_table(spark, sf_dir, "events"), cols=["value", "user_id"]
+    )
+
+
 # The read-side clients speak SQL strings (DuckDB SQL in the Streamlit UI /
 # notebook, SURVEY.md §3.3) — this query IS that surface: one ANSI statement
 # executed verbatim by both engines (spark.sql over registered temp views vs
