@@ -116,14 +116,26 @@ def duckdb_append_writer(db_path: str, table: str = "features") -> BatchWriter:
     return write
 
 
-def parquet_append_writer(path: str) -> BatchWriter:
+def parquet_append_writer(
+    path: str, partition_by_date_of: str | None = None
+) -> BatchWriter:
     """Plain executor-side append — no driver collect, no broker. Readers
     never block writers (obviates the reference UI's snapshot-copy trick,
     streamlit_app.py:41-49). Same duplicate-rows-per-window semantics as K1
-    under `update` mode."""
+    under `update` mode.
+
+    ``partition_by_date_of``: time-partition the sink by that column's date —
+    the parquet equivalent of the reference's Timescale hypertable on
+    window_start (spark_streaming.py:223-227); time-range readers then prune
+    whole partitions."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        w = batch_df
+        if partition_by_date_of is not None:
+            w = w.withColumn("_date", F.to_date(F.col(partition_by_date_of)))
+            w.write.mode("append").partitionBy("_date").parquet(path)
+        else:
+            w.write.mode("append").parquet(path)
 
     return write
 

@@ -336,3 +336,68 @@ def test_multimodal_frame_and_audio_stubs(spark):
 
     audio = mm.audio_features_stub(media, frame_len=64).collect()
     assert audio and all(a.energy >= 0 for a in audio)
+
+
+def test_stream_static_enrichment_join(spark, gbm_ticks, tick_dir, tmp_path):
+    """SURVEY.md §2.4: live enrichment = stream-static broadcast join; the
+    dimension is joined per micro-batch without interrupting the stream."""
+    dim = spark.createDataFrame(
+        [("AAPL", "tech"), ("MSFT", "tech"), ("GOOG", "comms")],
+        ["symbol", "sector"],
+    )
+    rows: list = []
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    enriched = stream.join(F.broadcast(dim), "symbol", "left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    assert len(rows) == gbm_ticks.count()
+    assert all(r.sector in ("tech", "comms") for r in rows)
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """T1 late-data policy: a row whose window was already finalized and
+    evicted (watermark passed the window end in an EARLIER batch) is dropped.
+    A late row arriving in the same batch as the eviction still merges —
+    Spark's watermark is a guarantee about sufficiently-late data, not an
+    exact cutoff — hence three micro-batches here."""
+    import time as _time
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "late_ticks")
+    batches = [
+        [("AAPL", 1.0, base + 1_000)],   # seeds window [0s,10s)
+        [("AAPL", 2.0, base + 95_000)],  # watermark (next batch) reaches 85s
+        [("AAPL", 3.0, base + 96_000)],  # [0,10s) finalized + evicted this batch
+        [("AAPL", 99.0, base + 5_000)],  # late: window already closed → dropped
+    ]
+    for data in batches:
+        df = spark.createDataFrame(
+            data, ["symbol", "price", "event_time_ms"]
+        ).withColumn("event_time", F.timestamp_millis("event_time_ms"))
+        df.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)  # distinct mtimes → stable file→batch order
+
+    rows: list = []
+    stream = job.read_parquet_ticks_stream(spark, d, max_files_per_trigger=1)
+    feats = job.features_stream(
+        stream, window="10 seconds", watermark="10 seconds", with_latency=False
+    )
+    q = (
+        feats.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    first_window = [r for r in rows if r.window_start.isoformat().endswith("00:00:00")]
+    assert len(first_window) == 1  # emitted exactly once, never re-opened
+    # the late 99.0 tick was dropped: the closed window still shows price 1.0
+    assert first_window[0].num_ticks == 1
+    assert first_window[0].last_price == 1.0
