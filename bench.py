@@ -33,8 +33,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q10_returned_item_customers",
+    "q14_promo_revenue_ratio",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
     "user_sessions_12h",
     "tfidf_top3_terms",
     "word_counts_top100",
