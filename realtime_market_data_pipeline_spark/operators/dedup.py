@@ -199,6 +199,66 @@ def all_pairs_jaccard_via_shingle_join(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def cluster_near_dups(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: connected components by
+    min-label propagation. Output (doc_id, cluster_id) with cluster_id = the
+    smallest doc_id reachable through the pair graph; singletons keep their
+    own id.
+
+    Iterative join dataflow (labels ⟕ edges → min per node) with a driver
+    convergence loop — the standard Spark connected-components shape (driver
+    holds only the changed-label count per round; k-means-style). Near-dup
+    graphs are forests of tiny star/chain clusters, so convergence is
+    ~O(cluster diameter) rounds, not O(log N) of a giant component. Each
+    round caches the new labels and unpersists the old — bounded memory."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 _HEX_BITS = 32  # one parity bit per md5 hex char → 32-bit simhash
 
 

@@ -172,6 +172,68 @@ def shingles_long(
     return sh.distinct() if distinct else sh
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 100,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks (optionally overlapping
+    via ``stride`` < chunk_tokens) — the LLM-training packing primitive.
+
+    One row per chunk: (id, chunk_idx, chunk_text, n_chunk_tokens). Pure
+    expression pipeline: chunk starts are a ``sequence`` exploded flat, the
+    chunk text a ``slice`` + ``concat_ws`` — row-expanding but shuffle-free,
+    so 100 TB chunks stream straight from scan to sink."""
+    stride = stride or chunk_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.slice("_t", F.col("_start"), chunk_tokens)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1).alias(
+            "n_chunk_tokens"
+        ),
+    )
+
+
+def with_split_assignment(
+    df: DataFrame,
+    train_pct: int = 80,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Deterministic train/eval split: bucket = first two hex digits of
+    md5(salt || id) → [0,256); train iff bucket < 256·train_pct/100.
+
+    Hash-based (not sampleBy) so membership is a pure function of the id —
+    stable across runs, partitionings and engines, and new data lands in the
+    same split forever. The md5-digit arithmetic keeps it reproducible in
+    ANSI SQL for the oracle."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+    def hexval(pos: int) -> Column:
+        d = F.ascii(F.substring(h, pos, 1))
+        return F.when(d >= 97, d - 87).otherwise(d - 48)
+
+    bucket = hexval(1) * 16 + hexval(2)
+    threshold = int(256 * train_pct / 100)
+    return df.withColumn("bucket", bucket).withColumn(
+        "split", F.when(F.col("bucket") < threshold, F.lit("train")).otherwise(F.lit("eval"))
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprints: full-text md5 + a content-defined fingerprint
     (lexicographic min/max md5 over k-shingles — a 2-permutation minhash),

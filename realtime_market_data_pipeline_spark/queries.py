@@ -1655,6 +1655,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 40, 30
+
+
+@query(
+    "doc_chunks_40t_stride30",
+    oracle=rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(range(1, greatest(len(t), 1) + 1, {_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / {_STRIDE} AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(t, s, s + {_CHUNK} - 1), ' ') AS chunk_text,
+       CAST(least({_CHUNK}, n - s + 1) AS INTEGER) AS n_chunk_tokens
+FROM starts
+""",
+)
+def doc_chunks_40t_stride30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training chunking: 40-token windows, stride 30 (10-token overlap),
+    one output row per chunk — row-expanding, shuffle-free."""
+    return tx.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=_CHUNK, stride=_STRIDE
+    )
+
+
+@query(
+    "doc_train_eval_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5('split:v1' || CAST(doc_id AS VARCHAR)) AS hx,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_chars,
+         (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1)) - 87
+               ELSE ascii(substr(hx,1,1)) - 48 END) * 16
+         + (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1)) - 87
+                 ELSE ascii(substr(hx,2,1)) - 48 END) AS bucket
+  FROM h
+)
+SELECT split, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+FROM (SELECT CASE WHEN bucket < 204 THEN 'train' ELSE 'eval' END AS split, n_chars FROM b)
+GROUP BY split
+""",
+)
+def doc_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based 80/20 split — membership is a pure function
+    of doc_id (stable across runs/engines/partitionings), verified by both
+    engines computing identical bucket assignments."""
+    docs = tx.with_split_assignment(
+        load_table(spark, sf_dir, "documents"), train_pct=80
+    )
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("n_chars_total"),
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (rows-only: iterative label propagation is not
+    single-statement ANSI SQL): LSH pairs → connected components. The
+    planted corpus makes truth checkable — tests/test_dedup_clusters.py."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = dd.minhash_signature(corpus, num_hashes=_N_MINHASH)
+    cand = dd.lsh_candidate_pairs(sigs, num_hashes=_N_MINHASH, band_size=_BAND)
+    verified = dd.jaccard_pairs(corpus, cand).filter(F.col("jaccard") >= 0.5)
+    return dd.cluster_near_dups(corpus.select("doc_id"), verified)
+
+
+QUERIES["dedup_clusters"] = dedup_clusters
+
+
 @query(
     "dedup_simhash32",
     oracle=f"""
