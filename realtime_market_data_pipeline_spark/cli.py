@@ -77,9 +77,35 @@ def make_writer(args):
     raise SystemExit(f"unknown sink {args.sink!r}")
 
 
+def run_backfill(spark, csv_path: str, target_dir: str) -> int:
+    """Backfill parity (reference src/backfill/publish_historical.py): replay
+    a historical CSV into the live pipeline's input. The reference publishes
+    to the same Kafka topic; the file-stream twin appends the rows as a
+    parquet file into the watched directory — the stream picks it up as a
+    micro-batch with original event times, landing in correct event-time
+    windows (subject to the watermark, README.md:137-140)."""
+    from realtime_market_data_pipeline_spark.sources.ticks import read_tick_csv
+
+    rows = read_tick_csv(spark, csv_path).select(
+        "symbol", "price", "event_time_ms", "event_time"
+    )
+    rows.coalesce(1).write.mode("append").parquet(target_dir)
+    return rows.count()
+
+
 def main(argv: list[str] | None = None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    parser.add_argument("--backfill", default=None,
+                        help="csv-path: replay into --source parquet:<dir> and exit")
+    args = parser.parse_args(argv)
     spark = get_spark(app_name="rtmdp-consumer")
+    if args.backfill is not None:
+        kind, _, rest = args.source.partition(":")
+        if kind != "parquet":
+            raise SystemExit("--backfill needs --source parquet:<dir>")
+        n = run_backfill(spark, args.backfill, rest)
+        print(f"backfilled {n} ticks into {rest}")
+        return
     ticks = make_source(spark, args)
     feats = job.features_stream(
         ticks, window=args.window, slide=args.slide, watermark=args.watermark

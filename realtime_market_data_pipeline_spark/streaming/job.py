@@ -34,20 +34,25 @@ def read_kafka_ticks(
     bootstrap_servers: str,
     topic: str = "ticks",
     starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """S1: Kafka stream source → parsed ticks (reference
     spark_streaming.py:315-324). ``failOnDataLoss=false`` matches the
-    reference's tolerance for compacted/expired offsets. Requires the
-    spark-sql-kafka package on the classpath (not bundled in this container)."""
-    raw = (
+    reference's tolerance for compacted/expired offsets;
+    ``max_offsets_per_trigger`` is the consumer-side backpressure knob (T9 —
+    bounds per-batch work so one burst can't blow past executor memory).
+    Requires the spark-sql-kafka package on the classpath (not bundled in
+    this container)."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .option("failOnDataLoss", "false")
-        .load()
     )
-    return parse_ticks(raw)
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_ticks(reader.load())
 
 
 def read_parquet_ticks_stream(

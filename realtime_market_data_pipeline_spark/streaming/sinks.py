@@ -165,6 +165,29 @@ def idempotent_parquet_writer(path: str) -> BatchWriter:
     return write
 
 
+def jdbc_append_writer(
+    url: str,
+    table: str = "features",
+    properties: dict[str, str] | None = None,
+) -> BatchWriter:
+    """K2: foreachBatch → JDBC append (the reference's TimescaleDB sink,
+    spark_streaming.py:181-243, minus the driver-side psycopg2 loop — Spark's
+    JDBC writer inserts from the executors in parallel). Untestable in this
+    container (no database server); the parquet writers above carry the
+    tested semantics. For Timescale, pre-create the hypertable (K5) and let
+    this append; idempotence needs a unique (window_start, symbol, batch_id)
+    constraint + ON CONFLICT, or the idempotent parquet/lakehouse sink."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _ordered(batch_df)
+            .write.mode("append")
+            .jdbc(url, table, properties=properties or {})
+        )
+
+    return write
+
+
 def memory_upsert_writer(
     state: dict, key_cols: tuple[str, ...] = ("window_start", "symbol")
 ) -> BatchWriter:

@@ -42,7 +42,11 @@ STATE_SCHEMA = (
 )
 
 
-def intra_window_vol_stream(ticks: DataFrame, window: str = "60 seconds") -> DataFrame:
+def intra_window_vol_stream(
+    ticks: DataFrame,
+    window: str = "60 seconds",
+    horizon: str | None = None,
+) -> DataFrame:
     """Streaming twin of ``operators.features.intra_window_volatility``
     (tumbling windows): stddev_samp of per-tick log returns, each return
     assigned to the window of its own tick, with the return chain crossing
@@ -50,8 +54,17 @@ def intra_window_vol_stream(ticks: DataFrame, window: str = "60 seconds") -> Dat
 
     Emits (symbol, window_start_ms, window_end_ms, realized_vol,
     num_returns) for every window touched in the batch — realized_vol is
-    NULL until a window holds ≥2 returns (matching stddev_samp)."""
+    NULL until a window holds ≥2 returns (matching stddev_samp).
+
+    ``horizon`` bounds state for unbounded streams: window accumulators
+    whose end falls more than ``horizon`` behind the symbol's latest event
+    are dropped after emission (an event-time TTL, the manual analog of a
+    watermark for this custom operator). None keeps all windows — fine for
+    bounded replays/tests, required OFF at 100 TB."""
     win_ms = duration_seconds(normalize_duration(window)) * 1000
+    horizon_ms = (
+        duration_seconds(normalize_duration(horizon)) * 1000 if horizon else None
+    )
 
     def update(key, pdf_iter, state):
         import pandas as pd
@@ -83,6 +96,9 @@ def intra_window_vol_stream(ticks: DataFrame, window: str = "60 seconds") -> Dat
                     ent[2] += delta * (r - ent[1])
                 last_price, last_time = float(price), int(t)
 
+        if horizon_ms is not None and last_time is not None:
+            cutoff = last_time - horizon_ms
+            stats = {k: v for k, v in stats.items() if k + win_ms >= cutoff}
         ks = sorted(stats)
         state.update(
             (
@@ -95,7 +111,7 @@ def intra_window_vol_stream(ticks: DataFrame, window: str = "60 seconds") -> Dat
             )
         )
         rows = []
-        for wk in sorted(touched):
+        for wk in sorted(touched & set(stats)):  # late-touched may be pruned
             n, _, m2 = stats[wk]
             vol = math.sqrt(m2 / (n - 1)) if n >= 2 else None
             rows.append((symbol, wk, wk + win_ms, vol, n))
