@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): operator invariants that must hold on
+ANY input, not just the driver corpus. Examples are kept small and few —
+each property runs a real Spark job per example."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark.operators.features import compute_features
+from realtime_market_data_pipeline_spark.operators.text import (
+    chunk_documents,
+    with_split_assignment,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+tick_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        st.integers(min_value=0, max_value=10**8),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(ticks=tick_lists)
+@settings(**_SETTINGS)
+def test_features_invariants(spark, ticks):
+    df = spark.createDataFrame(
+        ticks, ["symbol", "price", "event_time_ms"]
+    ).withColumn("event_time", F.timestamp_millis("event_time_ms"))
+    out = compute_features(df, window="10 seconds").collect()
+    assert sum(r.num_ticks for r in out) == len(ticks)  # every tick in exactly one window
+    for r in out:
+        assert r.window_start < r.window_end
+        assert r.num_ticks >= 1
+        # first/last are real prices from the input
+        prices = {p for s, p, t in ticks if s == r.symbol}
+        assert r.first_price in prices and r.last_price in prices
+        if r.log_return is not None:
+            assert r.volatility is not None and r.volatility >= 0
+
+
+doc_lists = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # forces multi-token texts with spaces
+        min_size=1,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=doc_lists, chunk=st.integers(2, 6))
+@settings(**_SETTINGS)
+def test_chunking_reconstructs_documents(spark, texts, chunk):
+    """With stride == chunk_tokens (no overlap), re-concatenating a doc's
+    chunks in order must reproduce its exact token sequence."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    chunks = chunk_documents(df, chunk_tokens=chunk, stride=chunk).collect()
+    toks = {
+        r.doc_id: r.toks
+        for r in df.select("doc_id", F.split("text", r"\s+").alias("toks")).collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        rebuilt = " ".join(p for _, p in parts).split(" ")
+        assert rebuilt == toks[doc_id]
+        assert [i for i, _ in parts] == list(range(len(parts)))
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True))
+@settings(**_SETTINGS)
+def test_split_assignment_is_stable_and_partition_free(spark, ids):
+    """Split membership is a pure function of the id: identical across runs
+    and across partitioning."""
+    df1 = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    df2 = df1.repartition(7)
+    a = {r.doc_id: r.split for r in with_split_assignment(df1).collect()}
+    b = {r.doc_id: r.split for r in with_split_assignment(df2).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "eval"}

@@ -469,3 +469,74 @@ def test_stateful_vol_horizon_prunes_state(spark, gbm_ticks, tick_dir, tmp_path)
     }
     for (sym, ws), v in state.items():
         assert expected[(sym, ws)] == v["num_returns"]
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """T2 completeness: native session_window aggregation in streaming —
+    append mode only (update is rejected for session windows); sessions emit
+    once the watermark passes their end, including a merge across batches
+    (events 0s and 20s arrive in different files but share one session)."""
+    import time as _time
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "sess_in")
+    files = [
+        [(1, base + 0), (2, base + 1_000)],
+        [(1, base + 20_000), (2, base + 20_000), (1, base + 90_000)],
+        [(3, base + 300_000)],   # advances watermark → closes all user-1/2 sessions
+        [(3, base + 400_000)],   # extra batch so eviction definitely runs
+    ]
+    all_rows = [r for f in files for r in f]
+    for data in files:
+        spark.createDataFrame(data, ["user_id", "event_time_ms"]).withColumn(
+            "ts", F.timestamp_millis("event_time_ms")
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    def sessionize(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 seconds").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "0 seconds")
+    )
+    emitted: list = []
+    q = (
+        sessionize(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    src_df = spark.createDataFrame(
+        all_rows, ["user_id", "event_time_ms"]
+    ).withColumn("ts", F.timestamp_millis("event_time_ms"))
+    import datetime as _dt
+
+    final_wm = _dt.datetime.utcfromtimestamp((base + 400_000) / 1000)
+    expected = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in sessionize(src_df).collect()
+        if r.session_end <= final_wm  # later sessions stay open in state
+    }
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events) for r in emitted
+    }
+    assert got == expected
+    # cross-batch session merge: user 1's 0s and 20s events share one session
+    assert got[(1, __import__("datetime").datetime(2024, 1, 1, 0, 0, 0))][1] == 2
