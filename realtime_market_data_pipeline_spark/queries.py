@@ -664,6 +664,50 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "regex_extract_brands",
+    oracle=r"""
+SELECT regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       count(*) AS n_parts,
+       count(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY 1
+""",
+)
+def regex_extract_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract surface (SURVEY.md §2.6 note): pull the numeric brand
+    id out of 'Brand#N' and aggregate — regex runs codegen'd JVM-side."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
+    "props_key_counts",
+    oracle="""
+SELECT k, count(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+GROUP BY k
+""",
+)
+def props_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string → MapType surface (SURVEY.md §1.2 extension): parse
+    events.props as map<string,string>, explode the keys, count occurrences.
+    The map parse is schema-free (arbitrary keys) — the complement of the
+    fixed-StructType tick parse."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        F.explode(
+            F.map_keys(F.from_json("props", "map<string,string>"))
+        ).alias("k")
+    )
+    return keys.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "running_revenue_per_supplier",
     oracle=f"""
 SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
