@@ -540,3 +540,53 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
     assert got == expected
     # cross-batch session merge: user 1's 0s and 20s events share one session
     assert got[(1, __import__("datetime").datetime(2024, 1, 1, 0, 0, 0))][1] == 2
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """T6/T7: restarting a checkpointed stream neither reprocesses consumed
+    input (no duplicate sink rows) nor misses files added between runs."""
+    import duckdb
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "ck_ticks")
+    db = str(tmp_path / "ck_features.duckdb")
+    ckpt = str(tmp_path / "ck_recover")
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, ["symbol", "price", "event_time_ms"]
+        ).withColumn("event_time", F.timestamp_millis("event_time_ms")).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    def run_stream():
+        stream = job.read_parquet_ticks_stream(spark, d, max_files_per_trigger=1)
+        feats = job.features_stream(stream, window="10 seconds", watermark="0 seconds")
+        q = job.start_features_stream(
+            feats, sinks.duckdb_append_writer(db), checkpoint_dir=ckpt,
+            output_mode="update", available_now=True,
+        )
+        q.awaitTermination(timeout=300)
+
+    def sink_rows():
+        con = duckdb.connect(db)
+        try:
+            return con.execute(
+                "SELECT count(*), count(DISTINCT window_start) FROM features"
+            ).fetchone()
+        finally:
+            con.close()
+
+    sinks.ensure_duckdb_schema(db)
+    write_file([("AAPL", 1.0, base + 1_000), ("AAPL", 2.0, base + 3_000)])
+    run_stream()
+    n1, w1 = sink_rows()
+    assert n1 == 1 and w1 == 1
+
+    run_stream()  # restart, no new input → nothing reprocessed
+    assert sink_rows() == (n1, w1)
+
+    write_file([("AAPL", 3.0, base + 15_000)])
+    run_stream()  # restart with one new file → exactly one new row
+    n3, w3 = sink_rows()
+    assert (n3, w3) == (n1 + 1, 2)
