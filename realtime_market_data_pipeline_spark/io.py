@@ -98,6 +98,27 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_files: int,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally sorted within partitions for better
+    rowgroup locality/min-max pruning). Streaming sinks emit one-plus files
+    per micro-batch; at 100 TB unbounded small files destroy scan throughput
+    (footer-per-file overhead, no pruning), so compaction runs as a periodic
+    maintenance job. Returns the row count written. Write-then-swap: callers
+    atomically repoint readers (or replace src) after success."""
+    df = spark.read.parquet(src_dir).repartition(target_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst_dir)
+    return spark.read.parquet(dst_dir).count()
+
+
 def table_exists(spark: SparkSession, name: str) -> bool:
     """Catalog introspection (SURVEY.md §2.1 S6 — the notebook's
     ``duckdb_tables()`` existence check)."""

@@ -215,6 +215,41 @@ def centroids_by_label(
     )
 
 
+def l2_normalize(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_norm",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Unit-normalize vectors (cosine → dot product; the standard index
+    preprocessing). Elementwise transform, no shuffle; zero vectors map to
+    NULL rather than NaN-poisoning downstream aggregates."""
+    v = as_double(vec_col)
+    n = norm(v)
+    scaled = F.transform(
+        v,
+        (lambda x: F.round(x / n, round_dp)) if round_dp is not None else (lambda x: x / n),
+    )
+    return corpus.withColumn(out_col, F.when(n > 0, scaled))
+
+
+def quantize_int8(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|, q_i =
+    round(x_i·scale). Cuts embedding storage 4× (the float32→int8 step of a
+    production ANN index); keep ``scale`` to dequantize (x ≈ q/scale).
+    Elementwise + one array_max per row — scan-bound."""
+    v = as_double(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    return corpus.withColumn(
+        "scale", F.when(amax > 0, scale)
+    ).withColumn("q", F.when(amax > 0, q))
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

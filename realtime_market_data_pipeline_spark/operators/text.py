@@ -172,6 +172,15 @@ def shingles_long(
     return sh.distinct() if distinct else sh
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Cleaning normalization: lowercase, non-alphanumerics → space, collapse
+    runs of whitespace, trim — the canonical pre-dedup/pre-tokenize step.
+    Three regex passes, all codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 100,

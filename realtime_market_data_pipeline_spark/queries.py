@@ -1920,6 +1920,62 @@ QUERIES["embedding_ann_ivf"] = embedding_ann_ivf
 
 
 @query(
+    "doc_text_normalized",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS text_norm
+FROM documents
+""",
+)
+def doc_text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning normalization (lowercase / strip punctuation / collapse
+    whitespace) — the canonical pre-dedup text stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.normalize_text("text").alias("text_norm"))
+
+
+@query(
+    "embedding_l2_normalized",
+    oracle="""
+SELECT vec_id,
+       CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+            THEN list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> round(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[]))), 6))
+       END AS embedding_norm
+FROM embeddings
+""",
+)
+def embedding_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm preprocessing for cosine indexes; both engines fold the
+    same doubles in the same order, rounded 6dp elementwise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.l2_normalize(emb, round_dp=6).select("vec_id", "embedding_norm")
+
+
+@query(
+    "embedding_quantized_int8",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
+SELECT vec_id,
+       round(CASE WHEN amax > 0 THEN 127.0 / amax END, 6) AS scale,
+       CASE WHEN amax > 0
+            THEN list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS INTEGER))
+       END AS q
+FROM m
+""",
+)
+def embedding_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (4× storage cut for ANN indexes): scale
+    rounded 6dp; integer codes compare exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.quantize_int8(emb)
+    return out.select("vec_id", F.round("scale", 6).alias("scale"), "q")
+
+
+@query(
     "multimodal_features",
     oracle="""
 SELECT doc_id AS media_id,

@@ -45,7 +45,9 @@ DEFAULT_DRIFT = 0.05
 DEFAULT_VOL = 0.2
 
 
-def read_tick_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_tick_csv(
+    spark: SparkSession, path: str, keep_corrupt: bool = False
+) -> DataFrame:
     """CSV backfill → typed ticks (S2). The reference replays these rows into
     Kafka preserving ``event_time_ms`` (publish_historical.py:46-55) so they
     land in correct event-time windows; the batch engine instead reads them
@@ -54,14 +56,32 @@ def read_tick_csv(spark: SparkSession, path: str) -> DataFrame:
     Schema is fixed, not inferred — same stance as the consumer's explicit
     StructType. Symbols are normalized exactly like the backfill publisher
     (``strip().upper()``, publish_historical.py:47).
+
+    ``keep_corrupt=True`` adds a ``_corrupt_record`` column holding each
+    malformed line verbatim (PERMISSIVE mode) — at 100 TB, dirty rows get
+    quarantined for inspection, never crash the job or silently vanish.
     """
-    raw = spark.read.csv(path, header=True, schema=TICK_CSV_SCHEMA)
-    return raw.select(
+    schema = TICK_CSV_SCHEMA
+    if keep_corrupt:
+        schema = T.StructType(
+            [*TICK_CSV_SCHEMA.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+    raw = spark.read.csv(
+        path,
+        header=True,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    cols = [
         normalize_symbol("symbol").alias("symbol"),
         F.col("price"),
         F.col("event_time_ms"),
         ms_to_timestamp("event_time_ms").alias("event_time"),
-    )
+    ]
+    if keep_corrupt:
+        cols.append(F.col("_corrupt_record"))
+    return raw.select(*cols)
 
 
 def to_kafka_payload(ticks: DataFrame) -> DataFrame:

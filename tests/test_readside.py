@@ -41,3 +41,45 @@ def test_catalog_introspection(spark):
     register_views(spark, SF, names=("region",))
     assert table_exists(spark, "region")
     assert not table_exists(spark, "no_such_table")
+
+
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    from realtime_market_data_pipeline_spark.sources.ticks import read_tick_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "symbol,price,event_time_ms\n"
+        "aapl,100.5,1704067200000\n"
+        "msft,not_a_price,1704067201000\n"
+        "goog,300.25,1704067202000\n"
+    )
+    out = read_tick_csv(spark, str(p), keep_corrupt=True).collect()
+    good = [r for r in out if r._corrupt_record is None]
+    bad = [r for r in out if r._corrupt_record is not None]
+    assert {r.symbol for r in good} == {"AAPL", "GOOG"}
+    assert len(bad) == 1 and "not_a_price" in bad[0]._corrupt_record
+    assert bad[0].price is None
+
+
+def test_compact_parquet_preserves_data(spark, tmp_path):
+    from realtime_market_data_pipeline_spark.io import compact_parquet
+    from realtime_market_data_pipeline_spark.sources.ticks import (
+        synthetic_ticks_batch,
+    )
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    ticks = synthetic_ticks_batch(spark, n_per_symbol=100, seed=5)
+    for i in range(6):  # six tiny appends → many small files
+        ticks.filter(F.col("event_time_ms") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) >= 6
+    n = compact_parquet(spark, src, dst, target_files=2, sort_within_by=["event_time"])
+    assert n == ticks.count()
+    assert len(glob.glob(dst + "/*.parquet")) == 2
+    before = {tuple(r) for r in spark.read.parquet(src).collect()}
+    after = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert before == after
