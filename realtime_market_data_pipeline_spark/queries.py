@@ -586,6 +586,105 @@ def cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gid first: it disambiguates which set a row belongs to, and (like the
+# rollup/cube queries) keeps NULL group keys from being compared against
+# strings when rows are sorted for the hash. Spelled as a CASE on NULLness
+# (valid: both columns are NOT NULL in the data) because the one statement
+# runs verbatim on both engines and Spark's SQL GROUPING() is 1-arg while
+# DuckDB's is the multi-arg bitmask.
+_GROUPING_SETS_STMT = f"""
+SELECT (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid,
+       l_returnflag, l_linestatus,
+       count(*) AS n,
+       {_osum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@query("grouping_sets_flag_status", oracle=_GROUPING_SETS_STMT)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices) through
+    the SQL frontend — one statement, both engines, one scan expanded to the
+    three groupings."""
+    from realtime_market_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_GROUPING_SETS_STMT)
+
+
+@query(
+    "trailing_7d_revenue",
+    oracle=f"""
+SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+       sum(CAST(l_extendedprice AS DECIMAL(38,10)))
+         OVER (PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS revenue_7d
+FROM lineitem
+WHERE l_suppkey <= 3
+""",
+)
+def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (trailing 7 days by value, not by row count) —
+    the sliding analytic that F.window can't express per-row. Decimal
+    accumulator keeps the frame sums engine-independent."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).alias("revenue_7d"),
+    )
+
+
+@query(
+    "stats_price_quantity",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+       round(covar_samp(l_extendedprice, l_quantity), 6) AS covar_pq,
+       round(var_samp(l_extendedprice), 6) AS var_price,
+       round(stddev_samp(l_quantity), 6) AS sd_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar / variance / stddev, sample
+    forms — both engines use the same definitions; skewness/kurtosis are
+    excluded: Spark computes population g-statistics, DuckDB bias-corrected
+    sample statistics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias("covar_pq"),
+        F.round(F.var_samp("l_extendedprice"), 6).alias("var_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    )
+
+
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (rows-only: Bernoulli draws are engine-specific):
+    sampleBy event_type with per-stratum fractions, seeded — the
+    class-balancing primitive for training-data curation."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.1, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    sample = ev.sampleBy("event_type", fractions, seed=42)
+    return sample.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+QUERIES["stratified_sample_events"] = stratified_sample_events
+
+
 @query(
     "date_parts_orders",
     oracle=f"""
