@@ -44,6 +44,8 @@ def normalize_duration(text: str) -> str:
 def duration_seconds(text: str) -> int:
     """Duration string → whole seconds (for oracle-side epoch bucketing)."""
     qty, unit = normalize_duration(text).split(" ", 1)
+    if not unit.endswith("s"):  # Spark accepts singular forms ("1 day")
+        unit += "s"
     factor = {
         "milliseconds": None,
         "seconds": 1,

@@ -1316,6 +1316,99 @@ def user_sessions_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_last_purchase",
+    oracle="""
+WITH marks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS mark_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts, e.value,
+       m.ts AS mark_ts, m.mark_value
+FROM events e
+ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts
+""",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the trade↔quote operator Spark lacks natively): every
+    event gets the user's most recent purchase value at-or-before its
+    timestamp. Spark side = union + window forward-fill (one shuffle, no row
+    blowup — operators.temporal.asof_join); oracle = DuckDB's native ASOF
+    LEFT JOIN."""
+    from realtime_market_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "value")
+    marks = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("mark_value"))
+    )
+    out = asof_join(
+        left, marks, keys=["user_id"], ts_col="ts", payload_cols=["mark_value"]
+    )
+    # alias asof_ts → mark_ts: the driver sorts columns alphabetically
+    # before hashing, and a nullable leading column breaks row ordering
+    return out.withColumnRenamed("asof_ts", "mark_ts")
+
+
+@query(
+    "range_join_event_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 12 HOUR OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 12 HOUR AS session_end
+  FROM (SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked)
+  GROUP BY user_id, session_no
+)
+SELECT e.event_id, e.user_id, s.session_start, s.session_end
+FROM events e
+JOIN sessions s ON e.user_id = s.user_id
+  AND e.ts >= s.session_start AND e.ts < s.session_end
+""",
+)
+def range_join_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: events joined into their user's
+    12h-gap sessions. Spark side buckets intervals to days and equi-joins on
+    (user, bucket) + residual filter (operators.temporal.range_join_bucketed)
+    — never an inequality nested-loop; oracle is the plain SQL range join."""
+    from realtime_market_data_pipeline_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "12 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+    points = ev.select("event_id", "user_id", "ts")
+    out = range_join_bucketed(
+        points,
+        sessions,
+        keys=["user_id"],
+        point_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket="1 day",
+    )
+    return out.select("event_id", "user_id", "session_start", "session_end")
+
+
+@query(
     "events_lag_lead_rank",
     oracle="""
 SELECT event_id, user_id, ts,
