@@ -38,6 +38,10 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "asof_last_purchase",
+    "range_join_event_sessions",
     "user_sessions_12h",
     "tfidf_top3_terms",
     "word_counts_top100",
@@ -48,6 +52,7 @@ HEADLINE = [
     "doc_quality_scores",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "embedding_cosine_topk",
     "embedding_similar_pairs",
     "multimodal_features",

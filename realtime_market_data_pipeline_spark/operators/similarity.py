@@ -183,6 +183,95 @@ def similar_pairs_topn(
     ).limit(n)
 
 
+def threshold_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+) -> DataFrame:
+    """All distinct pairs with cosine ≥ ``threshold`` — exact (the
+    embedding-cosine near-dup primitive). Same blocked-BLAS dataflow as
+    ``similar_pairs_topn``, but the block-local cut is
+    ``score ≥ threshold − 1e-6`` (the margin absorbs BLAS-vs-fold summation
+    ulps) and the JVM re-score applies the exact threshold with the same
+    left-to-right fold the oracle uses, so the surviving pair set is
+    bit-identical.
+
+    At 100 TB the blocked all-pairs is still quadratic in blocks; past that,
+    ``sign_lsh_buckets`` is the subquadratic candidate generator (with
+    recall < 1)."""
+    n_vec = corpus.count()
+    n_blocks = max(1, -(-n_vec // block_size))
+    cut = threshold - 1e-6
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v")
+    )
+    blocks = (
+        v.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("vecs"))
+    )
+    grid = (
+        blocks.alias("A")
+        .join(blocks.alias("B"), F.col("A.blk") <= F.col("B.blk"))
+        .select(
+            F.col("A.blk").alias("blk_a"),
+            F.col("B.blk").alias("blk_b"),
+            F.col("A.vecs").alias("va"),
+            F.col("B.vecs").alias("vb"),
+        )
+        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    )
+
+    def block_threshold(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ida = np.array([e["vid"] for e in row.va], dtype=np.int64)
+                A = np.array([list(e["v"]) for e in row.va])
+                idb = np.array([e["vid"] for e in row.vb], dtype=np.int64)
+                B = np.array([list(e["v"]) for e in row.vb])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (A @ B.T) / np.outer(
+                        np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+                    )
+                mask = S >= cut
+                if row.blk_a == row.blk_b:
+                    mask &= ida[:, None] < idb[None, :]
+                ii, jj = np.nonzero(mask)
+                if ii.size == 0:
+                    continue
+                pa, pb = ida[ii], idb[jj]
+                out_a.append(np.minimum(pa, pb))
+                out_b.append(np.maximum(pa, pb))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    cand = grid.mapInPandas(block_threshold, schema="id_a long, id_b long")
+    a = v.alias("a")
+    b = v.alias("b")
+    id_type = dict(corpus.dtypes)[id_col]
+    return (
+        cand.join(a, cand.id_a == F.col("a.vid"))
+        .join(b, cand.id_b == F.col("b.vid"))
+        .select(
+            F.col("id_a").cast(id_type).alias("id_a"),
+            F.col("id_b").cast(id_type).alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def centroids_by_label(
     corpus: DataFrame,
     label_col: str = "label",

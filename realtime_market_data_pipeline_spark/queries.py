@@ -1165,6 +1165,218 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {_osum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by ship year.
+    Both nation dims are broadcast after their IN-list filter, so the
+    selective predicate reaches supplier/customer before the fact joins;
+    the disjunctive pair condition runs post-join on the two tiny attached
+    name columns (no re-shuffle)."""
+    pair = ["NATION_3", "NATION_8"]
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_8")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_8")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN volume
+                           ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part market per
+    order year — conditional-vs-total aggregation in a single pass (two
+    decimal sums, one ratio), never two scans. part filter prunes the fact
+    first; region/nation dims broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n1 = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nkey")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("c_nkey"))
+        .join(n2, supp.s_nationkey == F.col("s_nkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_12", vol.cast(DEC)).otherwise(
+            F.lit(0).cast(DEC)
+        )
+    )
+    den = F.sum(vol.cast(DEC))
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_osum('l_extendedprice * (1 - l_discount)')} AS profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: corpus has no partsupp/supplycost, so profit
+    = discounted revenue): per supplier-nation × order-year revenue on parts
+    matching a name pattern. The LIKE filter prunes part before the
+    broadcast-semi against lineitem."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy("n_name", F.year("o_orderdate").alias("o_year")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram via left outer join
+    (customers with zero orders count as 0). Double aggregation; the second
+    groupBy is over a tiny domain so AQE coalesces its shuffle to a few
+    partitions."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
     "value_percentiles_by_type",
     oracle="""
 SELECT event_type,
@@ -1992,6 +2204,43 @@ def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (parity-of-hex-digit bit extraction keeps
     the oracle in ANSI SQL)."""
     return dd.simhash32(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.42
+)
+SELECT e.vec_id, COALESCE(p.dup_of, e.vec_id) AS canonical_id,
+       p.dup_of IS NOT NULL AS is_dup
+FROM embeddings e
+LEFT JOIN (SELECT id_b AS vec_id, min(id_a) AS dup_of
+           FROM pairs GROUP BY id_b) p USING (vec_id)
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (completes the dedup family: exact /
+    minhash-LSH / n-gram-Jaccard / simhash / embedding): a vector is a
+    duplicate iff some lower-id vector is within cosine ≥ τ; canonical_id =
+    the lowest such id (self when unique). Pair generation is the
+    blocked-BLAS threshold join (similarity.threshold_pairs) — never an N²
+    interpreted cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.threshold_pairs(emb, threshold=0.42)
+    dup_of = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return emb.select("vec_id").join(dup_of, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("dup_of", "vec_id").alias("canonical_id"),
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
 
 
 # embedding oracles share the explicit dot/(|a||b|) formula so both engines

@@ -19,6 +19,7 @@ construction.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from realtime_market_data_pipeline_spark.operators.features import (
@@ -91,6 +92,64 @@ def features_stream(
         deterministic=deterministic,
     )
     return with_ingest_latency(out) if with_latency else out
+
+
+def dedup_ticks_stream(
+    ticks: DataFrame,
+    watermark: str = "60 seconds",
+    keys: tuple[str, ...] = ("symbol", "event_time_ms"),
+) -> DataFrame:
+    """At-least-once → effectively-once ingest: drop replayed ticks with the
+    same key seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). Unlike plain ``dropDuplicates`` on a
+    stream, state is bounded — keys older than the watermark are evicted, so
+    this survives unbounded topics (the reference's T7 gap: a replayed Kafka
+    batch double-inserts, spark_streaming.py:320,337 — this closes it at the
+    source side; sinks.idempotent_parquet_writer closes it at the sink side).
+    """
+    return ticks.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    lookahead: str = "0 seconds",
+    watermark: str = "60 seconds",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stream-stream inner equi-join constrained to a time interval:
+    ``right_ts ∈ [left_ts − lookback, left_ts + lookahead]`` (the
+    trades×quotes correlation shape). Both sides are watermarked so the join
+    state store only retains rows inside the interval + watermark horizon —
+    without the range condition a stream-stream join must buffer one side
+    forever. Executes as one hash shuffle on the key; the range predicate
+    both bounds state AND filters in-partition."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    if right_cols:
+        r = r.select(key, right_ts, *right_cols).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lookahead}")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        "l.*",
+        F.col(f"r.{right_ts}").alias(f"right_{right_ts}"),
+        *[F.col(f"r.{c}").alias(f"right_{c}") for c in right_cols],
+    )
 
 
 def start_features_stream(

@@ -95,3 +95,31 @@ def test_cosine_topk_broadcasts_queries(spark):
     df = Q.QUERIES["embedding_cosine_topk"](spark, SF)
     s = P.plan_string(df)
     assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+
+
+def test_q7_q8_broadcast_dims_no_cartesian(spark):
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        joins = P.join_strategies(Q.QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in joins, (name, joins)
+        assert "CartesianProduct" not in joins, (name, joins)
+        assert "BroadcastNestedLoopJoin" not in joins, (name, joins)
+
+
+def test_asof_join_single_window_shuffle(spark):
+    # the as-of forward-fill must stay an equi-shuffle + in-partition sort:
+    # no join operator at all in the fill (it's a union + window), so the
+    # plan may never contain a nested-loop from the range condition
+    df = Q.QUERIES["asof_last_purchase"](spark, SF)
+    s = P.plan_string(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "Window" in s
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # bucketed range join compiles to a hash-partitioned equi-join on
+    # (keys, bucket) with a residual filter — the inequality never becomes
+    # the join condition itself
+    df = Q.QUERIES["range_join_event_sessions"](spark, SF)
+    joins = P.join_strategies(df)
+    assert joins, joins
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins

@@ -590,3 +590,107 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     run_stream()  # restart with one new file → exactly one new row
     n3, w3 = sink_rows()
     assert (n3, w3) == (n1 + 1, 2)
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed ticks (same symbol +
+    event_time_ms) inside the watermark horizon are dropped — the
+    source-side fix for the reference's T7 double-insert gap — with state
+    bounded by the watermark (unlike streaming dropDuplicates)."""
+    import time as _time
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "dup_ticks")
+    batches = [
+        # batch 1: one genuine dup inside the batch
+        [("AAPL", 1.0, base + 1_000), ("AAPL", 1.0, base + 1_000),
+         ("MSFT", 2.0, base + 2_000)],
+        # batch 2: replays a batch-1 tick (within watermark) + one new tick
+        [("AAPL", 1.0, base + 1_000), ("AAPL", 3.0, base + 8_000)],
+    ]
+    for data in batches:
+        df = spark.createDataFrame(
+            data, ["symbol", "price", "event_time_ms"]
+        ).withColumn("event_time", F.timestamp_millis("event_time_ms"))
+        df.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    rows: list = []
+    stream = job.read_parquet_ticks_stream(spark, d, max_files_per_trigger=1)
+    deduped = job.dedup_ticks_stream(stream, watermark="60 seconds")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    keys = sorted((r.symbol, r.event_time_ms) for r in rows)
+    assert keys == [
+        ("AAPL", base + 1_000),
+        ("AAPL", base + 8_000),
+        ("MSFT", base + 2_000),
+    ]
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (trades×quotes shape): the availableNow
+    streaming run must produce exactly the pairs of the batch join with the
+    same range condition."""
+    import time as _time
+
+    base = 1_704_067_200_000
+
+    def write_two_files(path, rows, val_col):
+        for chunk in (rows[: len(rows) // 2], rows[len(rows) // 2:]):
+            df = spark.createDataFrame(
+                chunk, ["symbol", "event_time_ms", val_col]
+            ).withColumn("event_time", F.timestamp_millis("event_time_ms"))
+            df.coalesce(1).write.mode("append").parquet(path)
+            _time.sleep(1.2)
+
+    trades = [("AAPL", base + t * 1_000, float(t)) for t in (5, 10, 20, 40)] + [
+        ("MSFT", base + 12_000, 99.0)
+    ]
+    quotes = [("AAPL", base + t * 1_000, 100.0 + t) for t in (2, 4, 9, 33)] + [
+        ("MSFT", base + 11_000, 55.0)
+    ]
+    td, qd = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    write_two_files(td, trades, "price")
+    write_two_files(qd, quotes, "quote")
+
+    rows: list = []
+    joined = job.interval_join_streams(
+        job.read_parquet_ticks_stream(spark, td),
+        job.read_parquet_ticks_stream(spark, qd),
+        key="symbol",
+        left_ts="event_time",
+        right_ts="event_time",
+        lookback="5 seconds",
+        right_cols=("quote",),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = sorted((r.symbol, r.event_time_ms, r.right_quote) for r in rows)
+
+    tdf = spark.read.parquet(td)
+    qdf = spark.read.parquet(qd).select(
+        F.col("symbol").alias("qs"), F.col("event_time").alias("qt"), "quote"
+    )
+    batch = tdf.join(
+        qdf,
+        (tdf.symbol == F.col("qs"))
+        & (F.col("qt") >= tdf.event_time - F.expr("INTERVAL 5 seconds"))
+        & (F.col("qt") <= tdf.event_time),
+    )
+    want = sorted(
+        (r.symbol, r.event_time_ms, r.quote) for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
