@@ -172,6 +172,29 @@ def shingles_long(
     return sh.distinct() if distinct else sh
 
 
+def with_repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total / distinct bigram
+    occurrences, the most-frequent bigram's count, and the fraction of
+    bigram occurrences belonging to a repeated bigram (the 'duplicate
+    n-gram fraction' quality-filter rule). Two chained aggregations over the
+    exploded bigram relation — partial aggregation shrinks the first
+    shuffle to (doc, bigram) partial counts, and the second groupBy reuses
+    the same id partitioning. Docs with < 2 tokens yield no row."""
+    bg = shingles_long(df, text_col, id_col, k=2, distinct=False)
+    cnt = bg.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    dup_occ = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.round(dup_occ.cast("double") / F.sum("c").cast("double"), 6).alias(
+            "dup_bigram_fraction"
+        ),
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Cleaning normalization: lowercase, non-alphanumerics → space, collapse
     runs of whitespace, trim — the canonical pre-dedup/pre-tokenize step.

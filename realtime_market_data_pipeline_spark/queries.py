@@ -1962,6 +1962,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "doc_repetition_scores",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_O_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                               i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM toks
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       max(c) AS top_bigram_count,
+       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_fraction
+FROM cnt
+GROUP BY doc_id
+""",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-bigram quality filter (text.
+    with_repetition_scores): the 'fraction of occurrences in repeated
+    n-grams' rule from large-corpus curation pipelines."""
+    return tx.with_repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
 # Near-dup test corpus: documents ∪ a truncated copy (first ⌊4n/5⌋ words,
 # doc_id+100000) — gives every doc one planted near-duplicate so the
 # dedup operators produce non-trivial, verifiable output at every SF.
