@@ -43,6 +43,26 @@ def exact_dedup_keepers(
     )
 
 
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (aᵢ, bᵢ) for the minhash
+    family hᵢ(x) = (aᵢ·x + bᵢ) mod P. Fixed closed-form (not RNG-seeded) so
+    the DuckDB oracle can embed the identical literals."""
+    return [
+        ((2_654_435_761 * (i + 1)) % MINHASH_P, (40_503 * i + 17) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_base_hash(col: Column) -> Column:
+    """Shingle → 60-bit integer: first 15 hex digits of md5, parsed base-16,
+    reduced mod P. One md5 per shingle regardless of signature width."""
+    x = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return x % MINHASH_P
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -50,13 +70,17 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature as ``num_hashes`` columns ``mh0..mh{n-1}``, each the
-    lexicographic min of ``md5('s{i}:' || shingle)`` over the doc's shingle
-    set.
+    """MinHash signature as ``num_hashes`` long columns ``mh0..mh{n-1}``:
+    ``mhᵢ = min over shingles of (aᵢ·h(shingle) + bᵢ) mod P`` with ONE md5
+    per shingle (``minhash_base_hash``) and ``num_hashes`` cheap affine
+    transforms — the standard universal-hash minhash family. The earlier
+    scheme hashed ``md5('s{i}:'||shingle)`` per function, i.e. num_hashes
+    md5+concat evaluations per shingle; at 100 TB that multiplies the
+    dominant scan-side cost by the signature width for no recall gain.
 
     Computed over the exploded shingle relation (``shingles_long``) with a
-    groupBy(id) of ``min`` aggregates: every md5/concat is a flat codegen'd
-    expression and the partial (map-side) mins shrink the shuffle to one
+    groupBy(id) of ``min`` aggregates: every expression is flat and
+    codegen'd, and the partial (map-side) mins shrink the shuffle to one
     signature row per doc per partition — the interpreted-``transform``
     array form was ~50× slower at identical output. Docs with < shingle_k
     tokens produce no signature (empty shingle set ⇒ undefined minhash).
@@ -65,9 +89,10 @@ def minhash_signature(
     usual distinct-shingle step (an extra exchange on (id, shingle)) is
     skipped — identical signatures, one shuffle less."""
     sh = shingles_long(df, text_col, id_col, k=shingle_k, distinct=False)
+    x = minhash_base_hash(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 

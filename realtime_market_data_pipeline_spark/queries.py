@@ -2042,9 +2042,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_MINHASH = 16
 _BAND = 4
+# hex→int fold: first 15 md5 hex digits as a base-16 polynomial (16^k = 2^4k
+# is a power of two, exact in double) — mirrors Spark-side conv(substr(md5),16,10)
+_O_HEXFOLD = (
+    "list_aggregate(list_transform(range(15), j -> "
+    "CAST(CASE WHEN ascii(substr(h, CAST(j+1 AS INTEGER), 1)) >= 97 "
+    "THEN ascii(substr(h, CAST(j+1 AS INTEGER), 1)) - 87 "
+    "ELSE ascii(substr(h, CAST(j+1 AS INTEGER), 1)) - 48 END AS BIGINT) "
+    "* CAST(power(16, 14 - j) AS BIGINT)), 'sum')"
+)
 _O_SIG_COLS = ",\n         ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('s{i}:' || s)), 'min') AS mh{i}"
-    for i in range(_N_MINHASH)
+    f"list_aggregate(list_transform(hx, x -> ({a} * x + {b}) % 2147483647),"
+    f" 'min') AS mh{i}"
+    for i, (a, b) in enumerate(dd.minhash_params(_N_MINHASH))
 )
 _O_BANDS = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band_id, "
@@ -2060,10 +2070,14 @@ _O_BANDS = "\n  UNION ALL\n".join(
 WITH {_O_NEARDUP_CORPUS},
 toks AS (SELECT doc_id, {_O_TOKS} AS t FROM corpus),
 shs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM toks),
+shh AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shs),
+shx AS (SELECT doc_id,
+               list_transform(hs, h -> {_O_HEXFOLD} % 2147483647) AS hx
+        FROM shh),
 sig AS (
   SELECT doc_id,
          {_O_SIG_COLS}
-  FROM shs
+  FROM shx
 ),
 bands AS (
 {_O_BANDS}
