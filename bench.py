@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "curation_pipeline",
     "embedding_cosine_topk",
     "embedding_similar_pairs",
     "multimodal_features",

@@ -1656,6 +1656,81 @@ def events_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_distribution_ranks",
+    oracle="""
+SELECT event_id, user_id, value,
+       CAST(ntile(4) OVER wv AS INTEGER) AS value_quartile,
+       round(percent_rank() OVER wv, 6) AS value_pct_rank,
+       round(cume_dist() OVER wv, 6) AS value_cume_dist,
+       first_value(event_id) OVER wv AS min_value_event,
+       last_value(event_id) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS max_value_event
+FROM events
+WHERE user_id < 10
+WINDOW wv AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+""",
+)
+def events_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics (§2.7 completion): ntile quartiles,
+    percent_rank, cume_dist, first/last_value with an explicit full frame —
+    all per-user, one shuffle on user_id shared by every function (same
+    partitioning, same ordering → a single Window exec)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    w_full = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.ntile(4).over(wv).alias("value_quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("value_cume_dist"),
+        F.first("event_id").over(wv).alias("min_value_event"),
+        F.last("event_id").over(w_full).alias("max_value_event"),
+    )
+
+
+@query(
+    "embedding_component_stats",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) < 0.1))
+            AS INTEGER) AS n_near_zero,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+            AS INTEGER) AS n_positive,
+       round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x)), 'sum'), 6) AS l1_norm,
+       list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS max_component
+FROM embeddings
+""",
+)
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface (filter/transform/aggregate) as
+    per-vector stats. HOF lambdas are interpreted, not codegen'd — fine here
+    because work is bounded at 64 ops/row; the hot-path similarity operators
+    use blocked numpy instead (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = sim.as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: F.abs(x) < 0.1)).alias("n_near_zero"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.array_max(v).alias("max_component"),
+    )
+
+
+@query(
     "moving_avg_value_5",
     oracle="""
 SELECT event_id, event_type, ts,
@@ -2218,6 +2293,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_clusters"] = dedup_clusters
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation (rows-only: the composition is checked by
+    invariant tests in tests/test_curation.py; each constituent stage —
+    quality, exact dedup, minhash-LSH, chunking, hash split — has its own
+    oracle-checked query): quality gate → exact dedup → near-dup removal →
+    chunking → train/eval split over the planted near-dup corpus."""
+    from realtime_market_data_pipeline_spark.operators.curation import (
+        curate_documents,
+    )
+
+    return curate_documents(_neardup_corpus(spark, sf_dir))
+
+
+QUERIES["curation_pipeline"] = curation_pipeline
 
 
 @query(
