@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="Windowed per-symbol feature stream (reference consumer parity)",
     )
     p.add_argument("--source", default="synthetic",
-                   help="kafka:<bootstrap>/<topic> | parquet:<dir> | synthetic")
+                   help="kafka:<bootstrap>/<topic> | parquet:<dir> | synthetic"
+                        " | gbm (pluggable gbm_ticks DataSource)")
     p.add_argument("--window", default="60s")
     p.add_argument("--slide", default="10s")
     p.add_argument("--watermark", default=None,
@@ -52,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
 def make_source(spark, args):
     if args.source == "synthetic":
         return synthetic_ticks_stream(spark)
+    if args.source == "gbm":
+        from realtime_market_data_pipeline_spark.sources.gbm_datasource import (
+            register_gbm_source,
+        )
+
+        register_gbm_source(spark)
+        return spark.readStream.format("gbm_ticks").load()
     kind, _, rest = args.source.partition(":")
     if kind == "kafka":
         bootstrap, _, topic = rest.partition("/")

@@ -694,3 +694,35 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
         (r.symbol, r.event_time_ms, r.quote) for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_metrics_listener_captures_progress(spark, gbm_ticks, tick_dir, tmp_path):
+    """T8 generalization: the progress listener sees every micro-batch with
+    input-row counts and (for the stateful agg) state-store rows."""
+    import time as _time
+
+    from realtime_market_data_pipeline_spark.streaming.metrics import attach_metrics
+
+    collector, detach = attach_metrics(spark)
+    try:
+        stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+        feats = job.features_stream(stream, window="10 seconds", with_latency=False)
+        q = (
+            feats.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", str(tmp_path / "ckpt_metrics"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        # listener events are delivered asynchronously after termination
+        deadline = _time.time() + 30
+        while _time.time() < deadline and collector.total_input_rows < gbm_ticks.count():
+            _time.sleep(0.5)
+    finally:
+        detach()
+    s = collector.summary()
+    assert s["batches"] >= 3  # one per input file
+    assert s["total_input_rows"] == gbm_ticks.count()
+    assert s["final_state_rows"] > 0  # windowed agg holds state
+    assert all(b.batch_duration_ms >= 0 for b in collector.batches)
