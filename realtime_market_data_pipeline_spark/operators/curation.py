@@ -21,13 +21,13 @@ from pyspark.sql import functions as F
 
 from realtime_market_data_pipeline_spark.operators.dedup import (
     exact_dedup_keepers,
-    jaccard_pairs,
+    jaccard_from_sets,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_sig_sets,
 )
 from realtime_market_data_pipeline_spark.operators.text import (
     chunk_documents,
-    with_quality_scores,
+    quality_score,
     with_split_assignment,
 )
 
@@ -50,11 +50,9 @@ def curate_documents(
     threshold after LSH candidate generation) drop the higher id. A doc can
     only be dropped in favor of a surviving lower id, so the output is
     deterministic and order-insensitive."""
-    # 1. quality gate (per-row, no shuffle) — prune before anything keyed
-    quality = with_quality_scores(docs).filter(
-        F.col("quality_score") >= min_quality
-    )
-    kept = docs.join(quality.select("doc_id"), "doc_id")
+    # 1. quality gate as a per-row filter expression — no score table, no
+    # join-back, zero shuffles; prune before anything keyed
+    kept = docs.filter(quality_score() >= min_quality)
 
     # 2. exact dedup: one row per distinct text, min id wins
     keepers = exact_dedup_keepers(kept).select(
@@ -62,11 +60,16 @@ def curate_documents(
     )
     exact_kept = kept.join(keepers, "doc_id")
 
-    # 3. near-dup removal: LSH candidates → exact Jaccard → drop higher ids
-    sigs = minhash_signature(exact_kept, num_hashes=num_hashes)
-    cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, band_size=band_size)
+    # 3. near-dup removal: LSH candidates → exact Jaccard → drop higher ids.
+    # Signature and shingle set come from ONE aggregate (minhash_sig_sets);
+    # the banding branch and both Jaccard join sides hang off the identical
+    # subplan, so ReuseExchange computes the shingle scan once per job.
+    sigsets = minhash_sig_sets(exact_kept, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(
+        sigsets, num_hashes=num_hashes, band_size=band_size
+    )
     near_dup_ids = (
-        jaccard_pairs(exact_kept, cand)
+        jaccard_from_sets(sigsets, cand)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()

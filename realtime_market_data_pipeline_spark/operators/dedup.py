@@ -97,6 +97,68 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_sig_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature AND distinct shingle set per doc in ONE groupBy —
+    ``(id, mh0..mh{n-1}, sh)``. A minhash+LSH+Jaccard-verify pipeline needs
+    both relations; computing them separately scans/tokenizes the corpus
+    twice and shuffles it twice (``minhash_signature`` then a ``collect_set``
+    agg). Merging them means one pass and one exchange, and because every
+    downstream branch (LSH banding, Jaccard's a-side and b-side joins) hangs
+    off the *identical* aggregate subplan, Spark's ReuseExchange kicks in —
+    the shingle scan runs once per job instead of once per branch.
+
+    Trade-off vs the split form: the shuffle now carries partially-merged
+    shingle sets (all distinct shingles) rather than 16 longs/doc. That is
+    the same volume the Jaccard verify's own ``collect_set`` agg would have
+    shuffled anyway, so the merged plan is strictly cheaper whenever the
+    verify stage exists; use plain ``minhash_signature`` when only the
+    signature is needed."""
+    sh = shingles_long(df, text_col, id_col, k=shingle_k, distinct=False)
+    x = minhash_base_hash(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    aggs.append(F.collect_set("shingle").alias("sh"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def jaccard_from_sets(
+    sets_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+) -> DataFrame:
+    """Exact Jaccard for (id_a, id_b) pairs given a precomputed
+    ``(id, shingle-set)`` relation (e.g. ``minhash_sig_sets``) — same output
+    contract as ``jaccard_pairs`` but without re-deriving the sets."""
+    a = sets_df.select(
+        F.col(id_col).alias("id_a"), F.col(set_col).alias("sh_a")
+    )
+    b = sets_df.select(
+        F.col(id_col).alias("id_b"), F.col(set_col).alias("sh_b")
+    )
+    joined = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("n_union"),
+        )
+    )
+    return joined.withColumn(
+        "jaccard", F.col("n_inter").cast("double") / F.col("n_union")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -59,6 +59,25 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality score as one per-row Column (rounded 6 dp, exactly
+    the ``quality_score`` column of ``with_quality_scores``) — lets a
+    pipeline apply the quality gate as a shuffle-free ``filter`` instead of
+    computing the score table and joining it back."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    stop_ratio = stop_hits.cast("double") / n
+    uniq_ratio = uniq.cast("double") / n
+    return F.round(
+        F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+        * F.when(stop_ratio > 0.01, F.lit(1.0)).otherwise(F.lit(0.8))
+        * uniq_ratio,
+        6,
+    )
+
+
 def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality signals: length, mean token length, stopword ratio, distinct
     ratio, + a composite score. All ratios are exact rational arithmetic on
@@ -70,18 +89,13 @@ def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_tok_len = (F.length(text_col) - (n - 1)).cast("double") / n  # chars minus separators
     stop_ratio = stop_hits.cast("double") / n
     uniq_ratio = uniq.cast("double") / n
-    score = (
-        F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
-        * F.when(stop_ratio > 0.01, F.lit(1.0)).otherwise(F.lit(0.8))
-        * uniq_ratio
-    )
     return df.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(uniq_ratio, 6).alias("unique_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        quality_score(text_col).alias("quality_score"),
     )
 
 

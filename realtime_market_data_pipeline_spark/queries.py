@@ -2179,9 +2179,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification ≥ 0.5, over the planted near-dup corpus. The md5-seeded
     permutation family makes the signature engine-portable."""
     corpus = _neardup_corpus(spark, sf_dir)
-    sigs = dd.minhash_signature(corpus, num_hashes=_N_MINHASH)
-    cand = dd.lsh_candidate_pairs(sigs, num_hashes=_N_MINHASH, band_size=_BAND)
-    verified = dd.jaccard_pairs(corpus, cand)
+    sigsets = dd.minhash_sig_sets(corpus, num_hashes=_N_MINHASH)
+    cand = dd.lsh_candidate_pairs(sigsets, num_hashes=_N_MINHASH, band_size=_BAND)
+    verified = dd.jaccard_from_sets(sigsets, cand)
     return verified.select(
         "id_a",
         "id_b",
@@ -2286,9 +2286,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-statement ANSI SQL): LSH pairs → connected components. The
     planted corpus makes truth checkable — tests/test_dedup_clusters.py."""
     corpus = _neardup_corpus(spark, sf_dir)
-    sigs = dd.minhash_signature(corpus, num_hashes=_N_MINHASH)
-    cand = dd.lsh_candidate_pairs(sigs, num_hashes=_N_MINHASH, band_size=_BAND)
-    verified = dd.jaccard_pairs(corpus, cand).filter(F.col("jaccard") >= 0.5)
+    sigsets = dd.minhash_sig_sets(corpus, num_hashes=_N_MINHASH)
+    cand = dd.lsh_candidate_pairs(sigsets, num_hashes=_N_MINHASH, band_size=_BAND)
+    verified = dd.jaccard_from_sets(sigsets, cand).filter(F.col("jaccard") >= 0.5)
     return dd.cluster_near_dups(corpus.select("doc_id"), verified)
 
 
