@@ -292,3 +292,46 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
         F.array_min(hashed).alias("shingle_min_md5"),
         F.array_max(hashed).alias("shingle_max_md5"),
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# Patterns are restricted to the RE2 ∩ java.util.regex common subset (no
+# lookaround, no backreferences) so the IDENTICAL strings run in Spark's
+# codegen'd regexp_replace/regexp_count and in an RE2 engine (DuckDB oracle).
+# Scrub order is the tuple order and the three patterns are mutually
+# non-overlapping (3-2-4 digit groups ≠ 3-3-4; emails carry no dashes-digit
+# runs), so sequential replacement is order-independent here — the fixed
+# order only matters if overlapping patterns are ever added.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Text with every PII_PATTERNS match replaced by its typed redaction
+    token. Pure per-row JVM expression chain — shuffle-free, codegen'd,
+    scan-parallel at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII audit + scrub: match counts per PII kind (counted on the
+    original text), the scrubbed text, and ``residual_digits`` — digits
+    remaining after the scrub, the invariant a curation gate would alert on
+    (0 when the pattern set covers the corpus's PII forms)."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}") for kind, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = scrub_pii(c)
+    return df.select(
+        "doc_id",
+        *counts,
+        scrubbed.alias("scrubbed_text"),
+        F.regexp_count(scrubbed, F.lit(r"\d")).alias("residual_digits"),
+    )

@@ -2065,6 +2065,91 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_repetition_scores(load_table(spark, sf_dir, "documents"))
 
 
+# PII-planted corpus: the synthetic documents contain zero digits, so a
+# scrub over them would be vacuous. Instead plant deterministic synthetic
+# PII derived from doc_id — an email always, a phone for doc_id%3==0, an
+# SSN for doc_id%2==0 — identically in both engines, then scrub. The
+# patterns (text.PII_PATTERNS) are the same literal strings on both sides
+# (RE2 ∩ java.util.regex subset).
+_P_SSN, _P_PHONE, _P_EMAIL = (p for _, p, _ in tx.PII_PATTERNS)
+
+_O_PII_CORPUS = """
+pii AS (
+  SELECT doc_id,
+         text
+         || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ph 415-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' ssn 042-68-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+    )
+    phone = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" ph 415-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        did % 2 == 0,
+        F.concat(F.lit(" ssn 042-68-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ssn).alias("text")
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH {_O_PII_CORPUS}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_P_SSN}')) AS INTEGER) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '{_P_PHONE}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_P_EMAIL}')) AS INTEGER) AS n_email,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_P_SSN}', '<SSN>', 'g'),
+             '{_P_PHONE}', '<PHONE>', 'g'),
+             '{_P_EMAIL}', '<EMAIL>', 'g')) AS scrubbed_md5,
+       CAST(len(regexp_extract_all(
+         regexp_replace(regexp_replace(regexp_replace(
+             text, '{_P_SSN}', '<SSN>', 'g'),
+             '{_P_PHONE}', '<PHONE>', 'g'),
+             '{_P_EMAIL}', '<EMAIL>', 'g'), '\\d')) AS INTEGER) AS residual_digits
+FROM pii
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + scrub (text.with_pii_scrubbed) over the PII-planted
+    corpus: per-doc match counts per kind, md5 of the scrubbed text, and the
+    residual-digit invariant (0 ⇒ the scrub removed every digit it planted).
+    Pure per-row regexp expressions — shuffle-free at any scale."""
+    scrubbed = tx.with_pii_scrubbed(_pii_corpus(spark, sf_dir))
+    return scrubbed.select(
+        "doc_id",
+        "n_ssn",
+        "n_phone",
+        "n_email",
+        F.md5(F.col("scrubbed_text")).alias("scrubbed_md5"),
+        "residual_digits",
+    )
+
+
 # Near-dup test corpus: documents ∪ a truncated copy (first ⌊4n/5⌋ words,
 # doc_id+100000) — gives every doc one planted near-duplicate so the
 # dedup operators produce non-trivial, verifiable output at every SF.
