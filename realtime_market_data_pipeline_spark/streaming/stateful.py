@@ -135,3 +135,174 @@ def intra_window_vol_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ------------------------
+
+EWMA_OUTPUT_SCHEMA = "symbol string, event_time_ms long, price double, ewma double"
+EWMA_STATE_SCHEMA = "ewma double, last_time_ms long"
+
+
+def _ewma_walk(prices, times, hl_ms, ewma=None, last_t=None):
+    """Event-time-decayed EWMA recursion shared by the batch and streaming
+    twins: w = 0.5^(Δt/half_life); ewma ← w·ewma + (1−w)·price. Returns
+    (per-row ewma list, final ewma, final time)."""
+    out = []
+    for price, t in zip(prices, times):
+        if ewma is None:
+            ewma = float(price)
+        else:
+            w = 0.5 ** ((int(t) - last_t) / hl_ms)
+            ewma = w * ewma + (1.0 - w) * float(price)
+        last_t = int(t)
+        out.append(ewma)
+    return out, ewma, last_t
+
+
+def ewma_stream(
+    ticks: DataFrame,
+    half_life: str = "30 seconds",
+) -> DataFrame:
+    """Per-symbol event-time-decayed price EWMA over a tick stream
+    (``applyInPandasWithState``). Emits one row per tick with the EWMA as of
+    that tick; the (ewma, last_time) pair is the ONLY state, so state size
+    is O(symbols) regardless of stream length — the bounded-state property
+    that matters at 100 TB.
+
+    Same cross-batch ordering contract as ``intra_window_vol_stream``:
+    per-symbol arrival is event-time ordered across micro-batches; rows are
+    sorted within each batch here."""
+    hl_ms = duration_seconds(normalize_duration(half_life)) * 1000.0
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (symbol,) = key
+        ewma, last_t = state.get if state.exists else (None, None)
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_time_ms")
+            prices = pdf["price"].astype(float).tolist()
+            times = pdf["event_time_ms"].astype("int64").tolist()
+            series, ewma, last_t = _ewma_walk(prices, times, hl_ms, ewma, last_t)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "symbol": symbol,
+                        "event_time_ms": times,
+                        "price": prices,
+                        "ewma": series,
+                    }
+                )
+            )
+        if last_t is not None:
+            state.update((float(ewma), int(last_t)))
+        yield from iter(frames)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def ewma_stream_tws(
+    ticks: DataFrame,
+    half_life: str = "30 seconds",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``ewma_stream`` on the Spark 4 arbitrary-state API
+    (``transformWithStateInPandas``: ValueState + optional processing-time
+    state TTL) — the successor to ``applyInPandasWithState`` and the form
+    that composes with timers / multiple typed state variables on a real
+    cluster.
+
+    ENVIRONMENT GATE: the transformWithState Python protocol speaks
+    protobuf to a JVM-side state server (pyspark
+    ``sql/streaming/proto/StateMessage_pb2``); containers without
+    ``google.protobuf`` cannot run it — this build environment is one, so
+    tests exercise the identical ``_ewma_walk`` recursion through
+    ``ewma_stream`` and skip this variant when protobuf is absent."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(pyspark state-server protocol); use ewma_stream instead"
+        ) from e
+    hl_ms = duration_seconds(normalize_duration(half_life)) * 1000.0
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _EwmaProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "ewma", EWMA_STATE_SCHEMA, state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            (symbol,) = key
+            ewma, last_t = (
+                self._state.get() if self._state.exists() else (None, None)
+            )
+            frames = []
+            for pdf in rows:
+                pdf = pdf.sort_values("event_time_ms")
+                prices = pdf["price"].astype(float).tolist()
+                times = pdf["event_time_ms"].astype("int64").tolist()
+                series, ewma, last_t = _ewma_walk(
+                    prices, times, hl_ms, ewma, last_t
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "symbol": symbol,
+                            "event_time_ms": times,
+                            "price": prices,
+                            "ewma": series,
+                        }
+                    )
+                )
+            if last_t is not None:
+                self._state.update((float(ewma), int(last_t)))
+            yield from iter(frames)
+
+        def close(self) -> None:
+            pass
+
+    return ticks.groupBy("symbol").transformWithStateInPandas(
+        _EwmaProcessor(), EWMA_OUTPUT_SCHEMA, "Update", "None"
+    )
+
+
+def ewma_batch(ticks: DataFrame, half_life: str = "30 seconds") -> DataFrame:
+    """Batch twin of ``ewma_stream`` (identical ``_ewma_walk`` recursion via
+    ``applyInPandas`` over whole per-symbol histories) — the equivalence
+    target for the streaming test, and the backfill path a user would run
+    over historical ticks. One shuffle on symbol; the recursion is inherently
+    sequential per symbol, which is exactly the per-key parallelism shape."""
+    hl_ms = duration_seconds(normalize_duration(half_life)) * 1000.0
+
+    def compute(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("event_time_ms")
+        prices = pdf["price"].astype(float).tolist()
+        times = pdf["event_time_ms"].astype("int64").tolist()
+        series, _, _ = _ewma_walk(prices, times, hl_ms)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"].iloc[0],
+                "event_time_ms": times,
+                "price": prices,
+                "ewma": series,
+            }
+        )
+
+    return ticks.groupBy("symbol").applyInPandas(compute, EWMA_OUTPUT_SCHEMA)

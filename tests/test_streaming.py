@@ -726,3 +726,69 @@ def test_metrics_listener_captures_progress(spark, gbm_ticks, tick_dir, tmp_path
     assert s["total_input_rows"] == gbm_ticks.count()
     assert s["final_state_rows"] > 0  # windowed agg holds state
     assert all(b.batch_duration_ms >= 0 for b in collector.batches)
+
+
+def test_stateful_ewma_matches_batch(spark, gbm_ticks, tick_dir, tmp_path):
+    """Streaming per-symbol EWMA == batch applyInPandas twin, with the
+    recursion crossing micro-batch boundaries via keyed state."""
+    from realtime_market_data_pipeline_spark.streaming.stateful import (
+        ewma_batch,
+        ewma_stream,
+    )
+
+    rows: list = []
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    out = ewma_stream(stream, half_life="15 seconds")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = {
+        (r.symbol, r.event_time_ms): round(r.ewma, 9) for r in rows
+    }
+    want = {
+        (r.symbol, r.event_time_ms): round(r.ewma, 9)
+        for r in ewma_batch(gbm_ticks, half_life="15 seconds").collect()
+    }
+    assert len(got) == gbm_ticks.count()
+    assert got == want
+    # EWMA of the very first tick per symbol is the price itself
+    firsts = {
+        r.symbol: (r.event_time_ms, r.price)
+        for r in gbm_ticks.orderBy("event_time_ms").collect()[::-1]
+    }  # reversed → dict keeps the EARLIEST per symbol after full pass
+    for sym, (t, p) in firsts.items():
+        assert got[(sym, t)] == round(p, 9)
+
+
+def test_tws_variant_gated_on_protobuf(spark):
+    """The transformWithState variant requires google.protobuf (pyspark's
+    state-server protocol). Where absent, it must fail loudly at CALL time
+    with a pointer to ewma_stream — not crash the streaming query later."""
+    from realtime_market_data_pipeline_spark.streaming.stateful import (
+        ewma_stream_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="ewma_stream"):
+            ewma_stream_tws(
+                spark.createDataFrame(
+                    [], "symbol string, price double, event_time_ms long"
+                )
+            )
+    else:  # pragma: no cover - environment-dependent
+        df = ewma_stream_tws(
+            spark.readStream.format("rate").load().selectExpr(
+                "'A' AS symbol",
+                "CAST(value AS DOUBLE) AS price",
+                "unix_millis(timestamp) AS event_time_ms",
+            )
+        )
+        assert df.isStreaming
