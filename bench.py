@@ -26,6 +26,7 @@ HEADLINE = [
     "features_tumbling_1h",
     "features_sliding_6h_1h",
     "realized_vol_1d",
+    "ohlc_rollup_1m_1h",
     "pivot_last_daily",
     "dedup_last_write_wins",
     "topk_per_type",

@@ -1,0 +1,92 @@
+"""Tiered OHLC bar rollup — the continuous-aggregate / hypertable-rollup
+pattern: coarse bars are composed FROM finer bars, never by re-scanning raw
+ticks.
+
+At 100 TB this is the only sane shape for multi-resolution analytics: the
+raw scan happens once (finest tier); every coarser tier aggregates ~60×
+fewer rows than the one below it, so the whole pyramid costs barely more
+than the finest tier alone. The composition is exact because every bar
+statistic is chosen to be decomposable:
+
+- open/close: ``min_by``/``max_by`` over bar_start — the earliest/latest
+  non-empty fine bar carries the tick that opens/closes the coarse bar;
+- high/low: max/min are associative;
+- n_ticks: sums;
+- sum_price: summed in DECIMAL(38,10), so re-aggregation order cannot
+  change the value (float sums are order-dependent; decimal sums are not).
+
+Streaming form: feed ``ohlc_bars`` from a watermarked stream and upsert
+each tier with ``sinks.idempotent_parquet_writer`` / a foreachBatch MERGE —
+the same incremental-refresh contract TimescaleDB-style continuous
+aggregates provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,10)"
+
+BAR_COLS = (
+    "symbol",
+    "bar_start",
+    "bar_end",
+    "open_price",
+    "high_price",
+    "low_price",
+    "close_price",
+    "n_ticks",
+    "sum_price",
+)
+
+
+def ohlc_bars(ticks: DataFrame, bar: str = "1 minute") -> DataFrame:
+    """Finest tier: per-symbol OHLC bars directly from ticks. One shuffle on
+    (symbol, window); partial aggregation shrinks the map side to one row
+    per bar per partition before the exchange."""
+    agged = ticks.groupBy("symbol", F.window("event_time", bar).alias("w")).agg(
+        F.min_by("price", "event_time_ms").alias("open_price"),
+        F.max("price").alias("high_price"),
+        F.min("price").alias("low_price"),
+        F.max_by("price", "event_time_ms").alias("close_price"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.col("price").cast(_DEC)).alias("sum_price"),
+    )
+    return agged.select(
+        "symbol",
+        F.col("w.start").alias("bar_start"),
+        F.col("w.end").alias("bar_end"),
+        *BAR_COLS[3:],
+    )
+
+
+def rollup_ohlc(bars: DataFrame, coarse: str) -> DataFrame:
+    """Compose coarser bars from finer bars (any tier → any coarser tier
+    whose duration is a multiple). Input and output share the BAR_COLS
+    contract, so tiers chain: 1m → 15m → 1h → 1d."""
+    agged = bars.groupBy("symbol", F.window("bar_start", coarse).alias("w")).agg(
+        F.min_by("open_price", "bar_start").alias("open_price"),
+        F.max("high_price").alias("high_price"),
+        F.min("low_price").alias("low_price"),
+        F.max_by("close_price", "bar_start").alias("close_price"),
+        F.sum("n_ticks").alias("n_ticks"),
+        F.sum("sum_price").alias("sum_price"),
+    )
+    return agged.select(
+        "symbol",
+        F.col("w.start").alias("bar_start"),
+        F.col("w.end").alias("bar_end"),
+        *BAR_COLS[3:],
+    )
+
+
+def finalize_bars(bars: DataFrame) -> DataFrame:
+    """Presentation projection: replace the decomposable ``sum_price``
+    carrier with the derived ``avg_price`` (6 dp)."""
+    return bars.select(
+        *BAR_COLS[:8],
+        F.round(F.col("sum_price").cast("double") / F.col("n_ticks"), 6).alias(
+            "avg_price"
+        ),
+    )

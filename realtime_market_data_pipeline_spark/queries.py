@@ -146,6 +146,37 @@ def realized_vol_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "realized_vol")
 
 
+@query(
+    "ohlc_rollup_1m_1h",
+    oracle=f"""
+WITH {_TICKS_CTE}
+SELECT symbol,
+       make_timestamp((epoch_ms(event_time) // 3600000) * 3600000 * 1000) AS bar_start,
+       make_timestamp(((epoch_ms(event_time) // 3600000) + 1) * 3600000 * 1000) AS bar_end,
+       arg_min(price, event_time) AS open_price,
+       max(price) AS high_price,
+       min(price) AS low_price,
+       arg_max(price, event_time) AS close_price,
+       count(*) AS n_ticks,
+       round(CAST(sum(CAST(price AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_price
+FROM ticks
+GROUP BY 1, 2, 3
+""",
+)
+def ohlc_rollup_1m_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered continuous-aggregate rollup (operators/rollup.py): 1-minute
+    OHLC bars from ticks, then 1-hour bars composed FROM the 1-minute tier.
+    The oracle computes the hour bars in ONE shot from raw ticks — a match
+    proves the tier composition is exact (decomposable statistics; decimal
+    price sums). At 100 TB the tiered plan reads raw data once and each
+    coarser grain aggregates ~60× fewer rows."""
+    from realtime_market_data_pipeline_spark.operators import rollup as ro
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    hours = ro.rollup_ohlc(ro.ohlc_bars(ticks, "1 minute"), "1 hour")
+    return ro.finalize_bars(hours)
+
+
 # ---------------------------------------------------------------------------
 # Read-side surface (SURVEY.md §2.3/§2.7: time-range filter, KPIs, pivot,
 # top-k, dedup)

@@ -1,0 +1,60 @@
+"""Tiered OHLC rollup: composing coarse bars from fine bars must equal
+computing them directly from raw ticks — the invariant that makes the
+continuous-aggregate pyramid safe at scale (the DuckDB oracle re-proves the
+1m→1h case against raw SQL; these tests pin multi-tier chaining and the
+decomposability of every bar statistic)."""
+
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark.operators import rollup as ro
+from realtime_market_data_pipeline_spark.operators.features import ticks_from_events
+from realtime_market_data_pipeline_spark.io import load_table
+from tests.conftest import SF_SMALL
+
+
+def _canon(df):
+    return sorted(
+        (
+            r.symbol,
+            r.bar_start,
+            r.bar_end,
+            r.open_price,
+            r.high_price,
+            r.low_price,
+            r.close_price,
+            r.n_ticks,
+            r.avg_price,
+        )
+        for r in ro.finalize_bars(df).collect()
+    )
+
+
+def _ticks(spark):
+    return ticks_from_events(load_table(spark, SF_SMALL, "events"))
+
+
+def test_single_hop_composition(spark):
+    ticks = _ticks(spark)
+    direct = ro.ohlc_bars(ticks, "1 hour")
+    tiered = ro.rollup_ohlc(ro.ohlc_bars(ticks, "1 minute"), "1 hour")
+    assert _canon(tiered) == _canon(direct)
+
+
+def test_multi_tier_chain(spark):
+    ticks = _ticks(spark)
+    direct = ro.ohlc_bars(ticks, "1 day")
+    pyramid = ro.rollup_ohlc(
+        ro.rollup_ohlc(ro.ohlc_bars(ticks, "15 minutes"), "1 hour"), "1 day"
+    )
+    assert _canon(pyramid) == _canon(direct)
+
+
+def test_bar_invariants(spark):
+    bars = ro.finalize_bars(ro.ohlc_bars(_ticks(spark), "1 hour")).collect()
+    assert len(bars) > 0
+    for b in bars:
+        assert b.low_price <= b.open_price <= b.high_price
+        assert b.low_price <= b.close_price <= b.high_price
+        assert b.low_price <= b.avg_price <= b.high_price
+        assert b.n_ticks >= 1
+        assert (b.bar_end - b.bar_start).total_seconds() == 3600
