@@ -122,14 +122,22 @@ def interval_join_streams(
     lookahead: str = "0 seconds",
     watermark: str = "60 seconds",
     right_cols: tuple[str, ...] = (),
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join constrained to a time interval:
+    """Stream-stream equi-join constrained to a time interval:
     ``right_ts ∈ [left_ts − lookback, left_ts + lookahead]`` (the
     trades×quotes correlation shape). Both sides are watermarked so the join
     state store only retains rows inside the interval + watermark horizon —
     without the range condition a stream-stream join must buffer one side
     forever. Executes as one hash shuffle on the key; the range predicate
-    both bounds state AND filters in-partition."""
+    both bounds state AND filters in-partition.
+
+    ``how='left_outer'`` emits unmatched left rows with NULL right columns —
+    but only once the watermark has passed the row's interval (the engine
+    cannot know "no match will come" earlier). Consequence for bounded
+    replays: rows inside the final watermark horizon at end-of-stream never
+    flush; streams that must drain fully need a watermark-advancing sentinel
+    (or a processing-time-based close). Same state-size bound as inner."""
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     if right_cols:
@@ -145,7 +153,7 @@ def interval_join_streams(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lookahead}")
         )
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "l.*",
         F.col(f"r.{right_ts}").alias(f"right_{right_ts}"),
         *[F.col(f"r.{c}").alias(f"right_{c}") for c in right_cols],

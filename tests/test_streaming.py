@@ -792,3 +792,71 @@ def test_tws_variant_gated_on_protobuf(spark):
             )
         )
         assert df.isStreaming
+
+
+def test_interval_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: unmatched trades surface with
+    NULL quote once the watermark passes their interval; matched pairs equal
+    the inner join. A far-future sentinel row advances the watermark so all
+    outer results flush in the bounded replay."""
+    import time as _time
+
+    base = 1_704_067_200_000
+    sentinel_t = base + 10_000_000  # pushes watermark far past all real rows
+
+    def write_files(path, chunks, val_col):
+        for chunk in chunks:
+            df = spark.createDataFrame(
+                chunk, ["symbol", "event_time_ms", val_col]
+            ).withColumn("event_time", F.timestamp_millis("event_time_ms"))
+            df.coalesce(1).write.mode("append").parquet(path)
+            _time.sleep(1.2)
+
+    # AAPL@5s and AAPL@20s have a quote within 5s lookback; AAPL@40 and
+    # MSFT@12 do not (MSFT quote is 6s stale) -> expect NULLs for those.
+    trades = [("AAPL", base + t * 1_000, float(t)) for t in (5, 20, 40)] + [
+        ("MSFT", base + 12_000, 99.0)
+    ]
+    quotes = [
+        ("AAPL", base + 2_000, 102.0),
+        ("AAPL", base + 19_000, 119.0),
+        ("MSFT", base + 6_000, 55.0),
+    ]
+    td, qd = str(tmp_path / "trades_o"), str(tmp_path / "quotes_o")
+    write_files(td, [trades, [("ZZZ", sentinel_t, 0.0)]], "price")
+    write_files(qd, [quotes, [("ZZZ", sentinel_t, 0.0)]], "quote")
+
+    rows: list = []
+    joined = job.interval_join_streams(
+        job.read_parquet_ticks_stream(spark, td),
+        job.read_parquet_ticks_stream(spark, qd),
+        key="symbol",
+        left_ts="event_time",
+        right_ts="event_time",
+        lookback="5 seconds",
+        right_cols=("quote",),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = sorted(
+        (r.symbol, r.event_time_ms, r.right_quote)
+        for r in rows
+        if r.symbol != "ZZZ"
+    )
+    want = sorted(
+        [
+            ("AAPL", base + 5_000, 102.0),
+            ("AAPL", base + 20_000, 119.0),
+            ("AAPL", base + 40_000, None),
+            ("MSFT", base + 12_000, None),
+        ]
+    )
+    assert got == want
