@@ -41,10 +41,18 @@ BAR_COLS = (
 )
 
 
-def ohlc_bars(ticks: DataFrame, bar: str = "1 minute") -> DataFrame:
+def ohlc_bars(
+    ticks: DataFrame, bar: str = "1 minute", watermark: str | None = None
+) -> DataFrame:
     """Finest tier: per-symbol OHLC bars directly from ticks. One shuffle on
     (symbol, window); partial aggregation shrinks the map side to one row
-    per bar per partition before the exchange."""
+    per bar per partition before the exchange.
+
+    Works unchanged on a tick STREAM: pass ``watermark`` to bound state and
+    sink each micro-batch's updated bars with an idempotent upsert
+    (streaming/sinks) — that pair is the incremental tier refresh."""
+    if watermark is not None:
+        ticks = ticks.withWatermark("event_time", watermark)
     agged = ticks.groupBy("symbol", F.window("event_time", bar).alias("w")).agg(
         F.min_by("price", "event_time_ms").alias("open_price"),
         F.max("price").alias("high_price"),

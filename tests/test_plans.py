@@ -123,3 +123,29 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     joins = P.join_strategies(df)
     assert joins, joins
     assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
+
+
+def test_curation_pipeline_reuses_sigset_exchange(spark):
+    """The fused minhash-signature+shingle-set aggregate must be computed
+    once and ReusedExchange'd into the LSH-banding branch and both Jaccard
+    join sides — the property that keeps the curation pipeline at one
+    shingle scan per job regardless of corpus size."""
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators.curation import (
+        curate_documents,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = curate_documents(docs)
+    df.collect()  # AQE finalizes reuse only during execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3
+
+
+def test_ohlc_rollup_two_exchanges_partial_aggs(spark):
+    df = Q.QUERIES["ohlc_rollup_1m_1h"](spark, SF)
+    assert P.exchange_count(df) == 2  # one per tier, nothing else
+    assert P.has_partial_aggregation(df)
+    (cols,) = P.scan_columns(df)
+    assert cols == {"ts", "event_type", "value"}  # pruned 3-col scan

@@ -860,3 +860,33 @@ def test_interval_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
         ]
     )
     assert got == want
+
+
+def test_streaming_ohlc_bars_match_batch(spark, gbm_ticks, tick_dir, tmp_path):
+    """Streaming finest-tier OHLC bars (update mode, keyed upsert sink) must
+    equal the batch bars over the full input — the incremental refresh leg
+    of the tiered-rollup contract."""
+    from realtime_market_data_pipeline_spark.operators import rollup as ro
+
+    state: dict = {}
+    stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+    bars = ro.finalize_bars(
+        ro.ohlc_bars(stream, bar="10 seconds", watermark="0 seconds")
+    )
+    q = (
+        bars.writeStream.outputMode("update")
+        .foreachBatch(sinks.memory_upsert_writer(state, key_cols=("symbol", "bar_start")))
+        .option("checkpointLocation", str(tmp_path / "ckpt_bars"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    cols = ("symbol", "bar_start", "open_price", "high_price", "low_price",
+            "close_price", "n_ticks", "avg_price")
+    want = {
+        tuple(r[c] for c in cols)
+        for r in ro.finalize_bars(ro.ohlc_bars(gbm_ticks, bar="10 seconds")).collect()
+    }
+    got = {tuple(v[c] for c in cols) for v in state.values()}
+    assert got == want and len(got) > 0
