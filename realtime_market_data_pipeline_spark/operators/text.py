@@ -335,3 +335,41 @@ def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
         scrubbed.alias("scrubbed_text"),
         F.regexp_count(scrubbed, F.lit(r"\d")).alias("residual_digits"),
     )
+
+
+def hash_embed(df: DataFrame, text_col: str = "text", dims: int = 16) -> DataFrame:
+    """Deterministic feature-hash document embedding (the 'hashing trick'):
+    each token hashes to one of ``dims`` buckets with a ±1 sign (dim = low 4
+    bits of the 60-bit md5 fold, sign = bit 4), per-doc bucket sums are
+    L2-normalized into columns ``d0..d{dims-1}``.
+
+    This is the cheapest text→vector bridge that needs no model on the
+    cluster: every expression is a flat codegen'd Column (explode → integer
+    ops → dims conditional sums in ONE groupBy — same single-exchange shape
+    as minhash), the output is a unit vector usable by every operator in
+    operators/similarity.py, and — because the hash is md5 — an ANSI-SQL
+    engine reproduces it bit-for-bit (pre-normalization sums are exact
+    integers, so the 6 dp rounding after division cannot diverge).
+    Bit-layout constraint: dims must be a power of two ≤ 2^29 (dim and sign
+    read disjoint low bits of the fold)."""
+    assert dims & (dims - 1) == 0, "dims must be a power of two"
+    toks = df.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    x = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    dim = (x % dims).cast("int")
+    sign = F.when(x % (2 * dims) < dims, F.lit(1)).otherwise(F.lit(-1))
+    d = toks.select("doc_id", dim.alias("dim"), sign.alias("sign"))
+    sums = [
+        F.sum(F.when(F.col("dim") == i, F.col("sign")).otherwise(0)).alias(f"e{i}")
+        for i in range(dims)
+    ]
+    e = d.groupBy("doc_id").agg(*sums)
+    norm = F.sqrt(sum(F.col(f"e{i}") * F.col(f"e{i}") for i in range(dims)))
+    return e.select(
+        "doc_id",
+        *[
+            F.when(norm > 0, F.round(F.col(f"e{i}") / norm, 6))
+            .otherwise(F.lit(0.0))
+            .alias(f"d{i}")
+            for i in range(dims)
+        ],
+    )

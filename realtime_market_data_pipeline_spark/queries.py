@@ -617,6 +617,40 @@ def cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+WITH long AS (
+  {" UNION ALL ".join(f"SELECT '{m}' AS measure, {m} AS v FROM lineitem" for m in _UNPIVOT_MEASURES)}
+)
+SELECT measure, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+       {_osum("v")} AS sum_v
+FROM long GROUP BY measure
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (W4's inverse; ``DataFrame.unpivot``/melt) of the
+    four lineitem measures, then per-measure stats. Unpivot is a per-row
+    row-expanding projection — no shuffle until the 4-group aggregate, whose
+    map-side partials reduce the exchange to 4 rows per partition at any
+    scale. Oracle spells it as UNION ALL, the engine-neutral equivalent
+    (DuckDB's UNPIVOT and Spark's melt both desugar to this shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[], values=list(_UNPIVOT_MEASURES),
+        variableColumnName="measure", valueColumnName="v",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        _dsum(F.col("v")).alias("sum_v"),
+    )
+
+
 # gid first: it disambiguates which set a row belongs to, and (like the
 # rollup/cube queries) keeps NULL group keys from being compared against
 # strings when rows are sorted for the hash. Spelled as a CASE on NULLness
@@ -2453,6 +2487,41 @@ def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (parity-of-hex-digit bit extraction keeps
     the oracle in ANSI SQL)."""
     return dd.simhash32(load_table(spark, sf_dir, "documents"))
+
+
+_EMBED_DIMS = 16
+_O_EMBED_SUMS = ",\n         ".join(
+    f"CAST(sum(CASE WHEN dim = {i} THEN sign ELSE 0 END) AS BIGINT) AS e{i}"
+    for i in range(_EMBED_DIMS)
+)
+_O_EMBED_NORM = " + ".join(f"e{i}*e{i}" for i in range(_EMBED_DIMS))
+_O_EMBED_OUT = ",\n       ".join(
+    f"CASE WHEN norm > 0 THEN round(e{i} / norm, 6) ELSE 0.0 END AS d{i}"
+    for i in range(_EMBED_DIMS)
+)
+
+
+@query(
+    "doc_embed_hash16",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_O_TOKS}) AS tok FROM documents),
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+hx AS (SELECT doc_id, {_O_HEXFOLD} AS x FROM hs),
+d AS (SELECT doc_id, CAST(x % {_EMBED_DIMS} AS INTEGER) AS dim,
+             CASE WHEN x % {2 * _EMBED_DIMS} < {_EMBED_DIMS} THEN 1 ELSE -1 END AS sign
+      FROM hx),
+e AS (SELECT doc_id, {_O_EMBED_SUMS} FROM d GROUP BY doc_id),
+n AS (SELECT *, sqrt({_O_EMBED_NORM}) AS norm FROM e)
+SELECT doc_id,
+       {_O_EMBED_OUT}
+FROM n
+""",
+)
+def doc_embed_hash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text→vector bridge (text.hash_embed): 16-dim feature-hash
+    embedding, L2-normalized, exact md5-derived oracle. Output unit vectors
+    feed the similarity/ANN operator family."""
+    return tx.hash_embed(load_table(spark, sf_dir, "documents"), dims=_EMBED_DIMS)
 
 
 @query(
