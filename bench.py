@@ -75,6 +75,15 @@ def main() -> None:
     spark.range(1000).mapInPandas(lambda it: it, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
+    # warm the remaining cold codegen families at the smallest SF (trivial
+    # data, so this times compilation, not compute): the array-HOF cosine
+    # fold + blocked-BLAS candidate path, and the minhash/LSH hash chain
+    tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny):
+        for warm_q in ("embedding_similar_pairs", "curation_pipeline"):
+            Q.QUERIES[warm_q](spark, tiny).write.mode("overwrite").format(
+                "noop"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -96,12 +96,16 @@ def similar_pairs_topn(
        naive O(N²) nested-loop join whose per-pair interpreted fold was the
        bottleneck (a 64-dim fold per 2M pairs ≈ 40 s at sf0.1; one BLAS
        matmul per block-pair ≈ ms).
-    2. *Exact re-score*: the ~blocks²·5n surviving candidates are re-scored
-       with the same left-to-right JVM fold (``cosine``) the single-phase
-       form used, so the emitted values — and their 6-dp rounding — are
-       bit-identical to the DuckDB oracle regardless of BLAS summation order.
-       The candidate_factor margin makes phase-1's float ordering irrelevant
-       at the cut.
+    2. *Exact re-score*: each candidate pair is emitted WITH its two vectors
+       (Arrow columns; ~blocks²·5n rows so the widening is bounded by the
+       candidate cut, not the corpus) and re-scored by the same left-to-right
+       JVM fold (``cosine``) the single-phase form used, so the emitted
+       values — and their 6-dp rounding — are bit-identical to the DuckDB
+       oracle regardless of BLAS summation order. Carrying the vectors costs
+       two Arrow columns on a tiny candidate set and saves two join stages
+       (the previous form joined candidates back to the corpus twice). The
+       candidate_factor margin makes phase-1's float ordering irrelevant at
+       the cut.
 
     At 100 TB: block_size bounds task memory (block_size²·8 B score matrix);
     blocks² tasks fan out across the cluster; for corpora where even that is
@@ -110,29 +114,31 @@ def similar_pairs_topn(
     n_blocks = max(1, -(-n_vec // block_size))
     m = candidate_factor * n
     v = corpus.select(F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v"))
+    n_pairs = n_blocks * (n_blocks + 1) // 2
     blocks = (
         v.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vid", "v")).alias("vecs"))
     )
-    grid = (
-        blocks.alias("A")
-        .join(blocks.alias("B"), F.col("A.blk") <= F.col("B.blk"))
-        .select(
-            F.col("A.blk").alias("blk_a"),
-            F.col("B.blk").alias("blk_b"),
-            F.col("A.vecs").alias("va"),
-            F.col("B.vecs").alias("vb"),
-        )
-        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    grid = blocks.alias("A").join(
+        blocks.alias("B"), F.col("A.blk") <= F.col("B.blk")
+    ).select(
+        F.col("A.blk").alias("blk_a"),
+        F.col("B.blk").alias("blk_b"),
+        F.col("A.vecs").alias("va"),
+        F.col("B.vecs").alias("vb"),
     )
+    if n_pairs > 1:
+        # one task per block-pair so every matmul fans out; skipped when the
+        # grid is a single pair (the extra exchange would only add a stage)
+        grid = grid.repartition(n_pairs)
 
     def block_topn(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out_a, out_b = [], []
+            out = []
             for row in pdf.itertuples(index=False):
                 ida = np.array([e["vid"] for e in row.va], dtype=np.int64)
                 A = np.array([list(e["v"]) for e in row.va])
@@ -156,27 +162,35 @@ def similar_pairs_topn(
                 k = min(m, s.size)
                 top = np.argpartition(-s, k - 1)[:k] if k < s.size else np.arange(s.size)
                 pa, pb = ida[ii[top]], idb[jj[top]]
-                out_a.append(np.minimum(pa, pb))
-                out_b.append(np.maximum(pa, pb))
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                    }
+                swap = pa > pb
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.where(swap, pb, pa),
+                            "id_b": np.where(swap, pa, pb),
+                            "va": [
+                                B[j] if sw else A[i]
+                                for i, j, sw in zip(ii[top], jj[top], swap)
+                            ],
+                            "vb": [
+                                A[i] if sw else B[j]
+                                for i, j, sw in zip(ii[top], jj[top], swap)
+                            ],
+                        }
+                    )
                 )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    cand = grid.mapInPandas(block_topn, schema="id_a long, id_b long")
-    a = v.alias("a")
-    b = v.alias("b")
-    rescored = (
-        cand.join(a, cand.id_a == F.col("a.vid"))
-        .join(b, cand.id_b == F.col("b.vid"))
-        .select(
-            F.col("id_a").cast(dict(corpus.dtypes)[id_col]).alias("id_a"),
-            F.col("id_b").cast(dict(corpus.dtypes)[id_col]).alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
-        )
+    cand = grid.mapInPandas(
+        block_topn,
+        schema="id_a long, id_b long, va array<double>, vb array<double>",
+    )
+    id_type = dict(corpus.dtypes)[id_col]
+    rescored = cand.select(
+        F.col("id_a").cast(id_type).alias("id_a"),
+        F.col("id_b").cast(id_type).alias("id_b"),
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
     )
     return rescored.orderBy(
         F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
@@ -196,13 +210,16 @@ def threshold_pairs(
     ``score ≥ threshold − 1e-6`` (the margin absorbs BLAS-vs-fold summation
     ulps) and the JVM re-score applies the exact threshold with the same
     left-to-right fold the oracle uses, so the surviving pair set is
-    bit-identical.
+    bit-identical. As in ``similar_pairs_topn``, candidates carry their two
+    vectors out of the Python stage (bounded by the near-threshold pair
+    count) instead of joining back to the corpus twice.
 
     At 100 TB the blocked all-pairs is still quadratic in blocks; past that,
     ``sign_lsh_buckets`` is the subquadratic candidate generator (with
     recall < 1)."""
     n_vec = corpus.count()
     n_blocks = max(1, -(-n_vec // block_size))
+    n_pairs = n_blocks * (n_blocks + 1) // 2
     cut = threshold - 1e-6
     v = corpus.select(
         F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v")
@@ -212,24 +229,23 @@ def threshold_pairs(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vid", "v")).alias("vecs"))
     )
-    grid = (
-        blocks.alias("A")
-        .join(blocks.alias("B"), F.col("A.blk") <= F.col("B.blk"))
-        .select(
-            F.col("A.blk").alias("blk_a"),
-            F.col("B.blk").alias("blk_b"),
-            F.col("A.vecs").alias("va"),
-            F.col("B.vecs").alias("vb"),
-        )
-        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    grid = blocks.alias("A").join(
+        blocks.alias("B"), F.col("A.blk") <= F.col("B.blk")
+    ).select(
+        F.col("A.blk").alias("blk_a"),
+        F.col("B.blk").alias("blk_b"),
+        F.col("A.vecs").alias("va"),
+        F.col("B.vecs").alias("vb"),
     )
+    if n_pairs > 1:
+        grid = grid.repartition(n_pairs)
 
     def block_threshold(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out_a, out_b = [], []
+            out = []
             for row in pdf.itertuples(index=False):
                 ida = np.array([e["vid"] for e in row.va], dtype=np.int64)
                 A = np.array([list(e["v"]) for e in row.va])
@@ -246,27 +262,36 @@ def threshold_pairs(
                 if ii.size == 0:
                     continue
                 pa, pb = ida[ii], idb[jj]
-                out_a.append(np.minimum(pa, pb))
-                out_b.append(np.maximum(pa, pb))
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                    }
+                swap = pa > pb
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.where(swap, pb, pa),
+                            "id_b": np.where(swap, pa, pb),
+                            "va": [
+                                B[j] if sw else A[i]
+                                for i, j, sw in zip(ii, jj, swap)
+                            ],
+                            "vb": [
+                                A[i] if sw else B[j]
+                                for i, j, sw in zip(ii, jj, swap)
+                            ],
+                        }
+                    )
                 )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    cand = grid.mapInPandas(block_threshold, schema="id_a long, id_b long")
-    a = v.alias("a")
-    b = v.alias("b")
+    cand = grid.mapInPandas(
+        block_threshold,
+        schema="id_a long, id_b long, va array<double>, vb array<double>",
+    )
     id_type = dict(corpus.dtypes)[id_col]
     return (
-        cand.join(a, cand.id_a == F.col("a.vid"))
-        .join(b, cand.id_b == F.col("b.vid"))
-        .select(
+        cand.select(
             F.col("id_a").cast(id_type).alias("id_a"),
             F.col("id_b").cast(id_type).alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
