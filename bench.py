@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "decontamination_8gram",
     "curation_pipeline",
     "embedding_cosine_topk",
     "embedding_similar_pairs",

@@ -254,29 +254,86 @@ def chunk_documents(
     )
 
 
-def with_split_assignment(
-    df: DataFrame,
-    train_pct: int = 80,
-    id_col: str = "doc_id",
-    salt: str = "split:v1",
-) -> DataFrame:
-    """Deterministic train/eval split: bucket = first two hex digits of
-    md5(salt || id) → [0,256); train iff bucket < 256·train_pct/100.
-
-    Hash-based (not sampleBy) so membership is a pure function of the id —
-    stable across runs, partitionings and engines, and new data lands in the
-    same split forever. The md5-digit arithmetic keeps it reproducible in
-    ANSI SQL for the oracle."""
+def split_bucket(id_col: str = "doc_id", salt: str = "split:v1") -> Column:
+    """Deterministic hash bucket in [0,256): first two hex digits of
+    md5(salt || id). A pure per-row function of the id — stable across runs,
+    partitionings and engines; the md5-digit arithmetic keeps it
+    reproducible in ANSI SQL for the oracles."""
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
 
     def hexval(pos: int) -> Column:
         d = F.ascii(F.substring(h, pos, 1))
         return F.when(d >= 97, d - 87).otherwise(d - 48)
 
-    bucket = hexval(1) * 16 + hexval(2)
+    return hexval(1) * 16 + hexval(2)
+
+
+def with_split_assignment(
+    df: DataFrame,
+    train_pct: int = 80,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Deterministic train/eval split: bucket = ``split_bucket`` → [0,256);
+    train iff bucket < 256·train_pct/100. Hash-based (not sampleBy) so
+    membership is a pure function of the id and new data lands in the same
+    split forever."""
     threshold = int(256 * train_pct / 100)
-    return df.withColumn("bucket", bucket).withColumn(
+    return df.withColumn("bucket", split_bucket(id_col, salt)).withColumn(
         "split", F.when(F.col("bucket") < threshold, F.lit("train")).otherwise(F.lit("eval"))
+    )
+
+
+def decontaminate_against_eval(
+    df: DataFrame,
+    k: int = 8,
+    train_pct: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents sharing any
+    k-gram with any eval-split document (the exact-substring contamination
+    sweep run before LLM training; long k keeps it selective — 8 here,
+    8–13 in published pipelines). Splits come from the same ``split_bucket``
+    hash as ``with_split_assignment``, so this composes with the split
+    operator: what it flags is precisely "train text the eval benchmark has
+    seen".
+
+    Output: one row per train doc — (doc_id, n_shared_ngrams = distinct
+    k-grams of this doc that occur anywhere in eval, contaminated bool).
+
+    Dataflow at 100 TB: one scan feeds both sides (the split is a per-row
+    hash filter, not a join); shingles come from the codegen'd long-form
+    explode (``shingles_long``); the shingle equi-join is keyed on the
+    k-gram string. A real benchmark set is tiny next to the corpus, so its
+    distinct-shingle side broadcasts (pass ``broadcast_eval=True`` to force
+    it; AQE does it automatically when sizes justify) and the sweep costs
+    ONE pass + one keyed aggregation; at this synthetic 80/20 split the
+    shuffle join is the right plan and AQE keeps it."""
+    bucket = split_bucket(id_col, salt)
+    cut = int(256 * train_pct / 100)
+    sh = shingles_long(df, text_col, id_col, k=k)
+    sh_bucket = split_bucket(id_col, salt)  # recomputed on the long form
+    ev = sh.filter(sh_bucket >= cut).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        sh.filter(sh_bucket < cut)
+        .join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        df.filter(bucket < cut)
+        .select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0)).cast("long").alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

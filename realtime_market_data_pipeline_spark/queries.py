@@ -2431,6 +2431,55 @@ def doc_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_K = 8
+_O_SHINGLES_8 = (
+    f"list_distinct(list_transform(range(0, greatest(len(t) - {_DECON_K - 1}, 0)),"
+    " i -> " + " || ' ' || ".join(f"t[i+{j}]" for j in range(1, _DECON_K + 1)) + "))"
+)
+_O_BUCKET = """
+         (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1)) - 87
+               ELSE ascii(substr(hx,1,1)) - 48 END) * 16
+         + (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1)) - 87
+                 ELSE ascii(substr(hx,2,1)) - 48 END)
+"""
+
+
+@query(
+    "decontamination_8gram",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, text, md5('split:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+b AS (SELECT doc_id, text, {_O_BUCKET} AS bucket FROM h),
+toks AS (SELECT doc_id, bucket, {_O_TOKS} AS t FROM b),
+shs AS (SELECT doc_id, bucket, {_O_SHINGLES_8} AS sh FROM toks),
+ex AS (SELECT doc_id, bucket, unnest(sh) AS shingle FROM shs),
+ev AS (SELECT DISTINCT shingle FROM ex WHERE bucket >= 204),
+hits AS (
+  SELECT ex.doc_id, count(*) AS n
+  FROM ex JOIN ev USING (shingle) WHERE ex.bucket < 204
+  GROUP BY ex.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_shared_ngrams,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM b LEFT JOIN hits USING (doc_id)
+WHERE b.bucket < 204
+""",
+)
+def decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (text.decontaminate_against_eval): flag
+    train-split docs sharing any 8-gram with the eval split — the
+    exact-substring contamination sweep run before LLM training, composed
+    with the same hash split doc_train_eval_split uses. One scan feeds both
+    split sides; the 8-gram equi-join broadcasts when the benchmark side is
+    small (AQE) and stays a keyed shuffle at this synthetic 80/20 split."""
+    return tx.decontaminate_against_eval(
+        load_table(spark, sf_dir, "documents"), k=_DECON_K, train_pct=80
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering (rows-only: iterative label propagation is not
     single-statement ANSI SQL): LSH pairs → connected components. The
