@@ -51,6 +51,7 @@ HEADLINE = [
     "rollup_returnflag_status",
     "running_revenue_per_supplier",
     "doc_quality_scores",
+    "doc_lm_scores",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -337,6 +337,75 @@ def decontaminate_against_eval(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Bigram language-model quality scoring (the CCNet/KenLM perplexity
+    filter re-expressed relationally): fit add-one-smoothed bigram
+    probabilities P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V) on the train split
+    (``split_bucket``), then score EVERY doc with ≥2 tokens by
+    avg_neg_logp = −(Σ ln P)/n — high means the corpus LM finds the doc
+    surprising — plus known_bigram_ratio (fraction of the doc's bigrams seen
+    in training).
+
+    The "model" is two count relations (bigram counts; head-word totals
+    derived from them) plus a scalar vocabulary size — Zipf-bounded, so at
+    100 TB they are orders of magnitude smaller than the corpus and the
+    scoring joins broadcast (AQE) or fall back to keyed shuffles on the
+    bigram/head-word strings; scoring itself is one pass over the exploded
+    bigram relation + one per-doc aggregation.
+
+    Cross-engine determinism: each ln() term is rounded to 9 dp and summed
+    in DECIMAL(38,10), so the per-doc sum is exact and the final 6 dp
+    rounding cannot diverge (the 9-dp grid leaves ulp-level libm differences
+    no boundary to flip, and decimal addition is order-free)."""
+    cut = int(256 * train_pct / 100)
+    bucket = split_bucket(id_col, salt)
+    bg = shingles_long(df, text_col, id_col, k=2, distinct=False)
+    train_bg = bg.filter(split_bucket(id_col, salt) < cut)
+    c2 = train_bg.groupBy("shingle").agg(F.count(F.lit(1)).alias("c2"))
+    w1c = c2.groupBy(
+        F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    vocab = (
+        df.filter(bucket < cut)
+        .select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v_size"))
+    )
+    scored = (
+        bg.withColumn("w1", F.split_part(F.col("shingle"), F.lit(" "), F.lit(1)))
+        .join(c2, "shingle", "left")
+        .join(w1c, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size")).cast("double")
+        ),
+        9,
+    )
+    known = F.when(F.col("c2").isNotNull(), 1).otherwise(0)
+    n = F.count(F.lit(1))
+    return (
+        scored.select(id_col, logp.alias("logp"), known.alias("known"))
+        .groupBy(id_col)
+        .agg(
+            n.alias("n_bigrams"),
+            F.round(F.sum("known").cast("double") / n, 6).alias(
+                "known_bigram_ratio"
+            ),
+            F.round(
+                (-F.sum(F.col("logp").cast("decimal(38,10)"))).cast("double") / n, 6
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprints: full-text md5 + a content-defined fingerprint
     (lexicographic min/max md5 over k-shingles — a 2-permutation minhash),

@@ -2445,6 +2445,51 @@ _O_BUCKET = """
 
 
 @query(
+    "doc_lm_scores",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, text, md5('split:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+b AS (SELECT doc_id, text, {_O_BUCKET} AS bucket FROM h),
+toks AS (SELECT doc_id, bucket, {_O_TOKS} AS t FROM b),
+bg AS (
+  SELECT doc_id, bucket,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM toks
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE bucket < 204 GROUP BY 1),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+       FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v_size
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE bucket < 204)),
+s AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg),
+j AS (
+  SELECT s.doc_id,
+         round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(c1.c1, 0) + v.v_size AS DOUBLE)), 9) AS logp,
+         CASE WHEN c2.bigram IS NOT NULL THEN 1 ELSE 0 END AS known
+  FROM s LEFT JOIN c2 USING (bigram) LEFT JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(known) AS DOUBLE) / count(*), 6) AS known_bigram_ratio,
+       round(CAST(-sum(CAST(logp AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+         AS avg_neg_logp
+FROM j GROUP BY doc_id
+""",
+)
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (text.bigram_lm_scores): add-one-smoothed
+    bigram LM fitted on the hash train split, every doc scored by average
+    negative log-probability + known-bigram ratio — the CCNet/KenLM
+    perplexity filter as two Zipf-bounded count relations and one scoring
+    pass. Each ln() term is 9-dp-rounded and summed in DECIMAL(38,10) so
+    both engines aggregate identical values in any order."""
+    return tx.bigram_lm_scores(load_table(spark, sf_dir, "documents"), train_pct=80)
+
+
+@query(
     "decontamination_8gram",
     oracle=f"""
 WITH h AS (
