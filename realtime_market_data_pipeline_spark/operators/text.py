@@ -337,6 +337,46 @@ def decontaminate_against_eval(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    ctx_tokens: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate each group's documents in
+    id order and split the token stream into fixed ``ctx_tokens`` context
+    windows; a document belongs to the window its first token lands in
+    (row-preserving assignment — no text is materialized, only the layout).
+    Output: one row per (group, seq_id) with n_docs and n_tokens — the pack
+    manifest a training-data writer would consume.
+
+    All integer arithmetic (running token offsets via a window cumsum), so
+    it is exact in any engine. At 100 TB the window sort is per-group
+    (sources/shards are numerous and bounded), the running sum is a single
+    sort-based window — no global ordering anywhere — and the following
+    per-(group, seq) aggregation map-side-combines down to one row per
+    context window."""
+    from pyspark.sql.window import Window
+
+    n = token_count(text_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("_n").over(w), F.lit(0))
+    assigned = df.select(group_col, F.col(id_col), n.alias("_n")).select(
+        group_col,
+        "_n",
+        F.floor(start / ctx_tokens).cast("long").alias("seq_id"),
+    )
+    return assigned.groupBy(group_col, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -2444,6 +2444,107 @@ _O_BUCKET = """
 """
 
 
+_BM25_TERMS = ("hash", "join", "stream", "filter")
+
+
+@query(
+    "bm25_top20",
+    oracle=rf"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+       WHERE word IN {_BM25_TERMS!r} GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+s AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 *
+                  (CAST(dl.dl * st.n_docs AS DOUBLE) / st.total))), 9) AS ps
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc AS (SELECT doc_id, sum(CAST(ps AS DECIMAL(38,10))) AS sd FROM s GROUP BY 1)
+SELECT doc_id, round(CAST(sd AS DOUBLE), 6) AS bm25
+FROM sc ORDER BY sd DESC, doc_id ASC LIMIT 20
+""",
+)
+def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 docs for the fixed query
+    {{hash, join, stream, filter}} — the ranked-retrieval companion to
+    tfidf_top3_terms. tf/df/dl are exact integer relations; each per-term
+    score is 9-dp-rounded and summed in DECIMAL(38,10), and the top-20 cut
+    orders by that EXACT decimal sum (ties by doc_id), so the ranking can
+    never diverge between engines on float ulps. The term filter lands in
+    the token explode (predicate pushdown before the tf aggregation); corpus
+    stats are a broadcast scalar; at scale the only big exchanges are the
+    two keyed aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("total")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25
+        + 0.75
+        * ((F.col("dl") * F.col("n_docs")).cast("double") / F.col("total"))
+    )
+    ps = F.round(idf * F.col("tf") * 2.2 / denom, 9)
+    s = (
+        tf.join(dfr, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", ps.alias("ps"))
+    )
+    sc = s.groupBy("doc_id").agg(
+        F.sum(F.col("ps").cast("decimal(38,10)")).alias("sd")
+    )
+    return (
+        sc.orderBy(F.col("sd").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.round(F.col("sd").cast("double"), 6).alias("bm25"))
+    )
+
+
+@query(
+    "sequence_packing_256",
+    oracle="""
+WITH n AS (
+  SELECT doc_id, source, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+a AS (
+  SELECT source, n,
+         CAST(floor(COALESCE(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)
+              AS BIGINT) AS seq_id
+  FROM n
+)
+SELECT source, seq_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM a GROUP BY source, seq_id
+""",
+)
+def sequence_packing_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest (text.pack_documents): concatenate each
+    source's docs in id order, split at 256-token context boundaries, assign
+    each doc to the window holding its first token. Pure integer window
+    cumsum + aggregation — exact in any engine; the sort is per-source, never
+    global."""
+    return tx.pack_documents(
+        load_table(spark, sf_dir, "documents"), ctx_tokens=256
+    )
+
+
 @query(
     "doc_lm_scores",
     oracle=f"""
