@@ -149,3 +149,57 @@ def test_ohlc_rollup_two_exchanges_partial_aggs(spark):
     assert P.has_partial_aggregation(df)
     (cols,) = P.scan_columns(df)
     assert cols == {"ts", "event_type", "value"}  # pruned 3-col scan
+
+
+def test_single_exchange_document_pipelines(spark):
+    """The one-keyed-exchange family: feature-hash embedding, sequence
+    packing, and UNPIVOT stats each reduce to scan -> narrow ops -> ONE
+    shuffle -> final agg, with the scan pruned to exactly the needed
+    columns — the shape that scales linearly with corpus size."""
+    df = Q.QUERIES["doc_embed_hash16"](spark, SF)
+    assert P.exchange_count(df) == 1 and P.has_partial_aggregation(df)
+    assert P.scan_columns(df) == [{"doc_id", "text"}]
+
+    df = Q.QUERIES["sequence_packing_256"](spark, SF)
+    assert P.exchange_count(df) == 1  # window sort; groupBy reuses it
+    assert P.scan_columns(df) == [{"doc_id", "text", "source"}]
+
+    df = Q.QUERIES["unpivot_lineitem_measures"](spark, SF)
+    assert P.exchange_count(df) == 1 and P.has_partial_aggregation(df)
+    assert P.scan_columns(df) == [
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    ]
+
+
+def test_decontamination_equi_joins_only(spark):
+    """The contamination sweep must stay an equi-join on the shingle key
+    (+ hash/broadcast joins elsewhere) — a nested-loop anywhere here would
+    be quadratic in corpus size."""
+    df = Q.QUERIES["decontamination_8gram"](spark, SF)
+    joins = P.join_strategies(df)
+    assert joins and all("NestedLoop" not in j and "Cartesian" not in j for j in joins), joins
+    assert P.has_partial_aggregation(df)
+
+
+def test_bm25_scalar_stats_broadcast_rest_hash_joins(spark):
+    """Corpus stats (N, total tokens) enter as a 1-row broadcast; every
+    keyed join (tf-df, tf-dl) must be a hash join. Scans read only
+    (doc_id, text)."""
+    df = Q.QUERIES["bm25_top20"](spark, SF)
+    joins = P.join_strategies(df)
+    nested = [j for j in joins if "NestedLoop" in j]
+    assert len(nested) <= 2, joins  # only the scalar-stats cross joins
+    assert all("Cartesian" not in j for j in joins)
+    for cols in P.scan_columns(df):
+        assert cols == {"doc_id", "text"}
+
+
+def test_lm_scores_reuses_bigram_counts(spark):
+    """The head-word totals derive from the bigram-count relation; the
+    executed plan must compute that aggregation once and reuse it, not
+    re-scan the corpus for it."""
+    df = Q.QUERIES["doc_lm_scores"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
