@@ -2444,6 +2444,52 @@ _O_BUCKET = """
 """
 
 
+@query(
+    "mixture_weights_by_source",
+    oracle=r"""
+WITH g AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS n_sources FROM g)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+       round(CAST(total AS DOUBLE) / (n_sources * n_tokens), 6) AS sampling_weight
+FROM g CROSS JOIN t
+""",
+)
+def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixture reweighting: per-source token shares and the
+    per-source sampling weight that flattens the mixture to uniform tokens
+    per source (weight = uniform-target tokens ÷ actual tokens; >1 means
+    upsample/repeat epochs, <1 means subsample). All ratios are single
+    divisions of exact integer aggregates. One pruned scan, one keyed
+    aggregation (sources are few → the totals row is a broadcast scalar)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tx.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    t = g.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("sampling_weight"),
+    )
+
+
 _BM25_TERMS = ("hash", "join", "stream", "filter")
 
 
