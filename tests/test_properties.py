@@ -90,3 +90,54 @@ def test_split_assignment_is_stable_and_partition_free(spark, ids):
     b = {r.doc_id: r.split for r in with_split_assignment(df2).collect()}
     assert a == b
     assert set(a.values()) <= {"train", "eval"}
+
+
+@given(texts=doc_lists, ctx=st.integers(2, 9))
+@settings(**_SETTINGS)
+def test_packing_conserves_docs_and_tokens(spark, texts, ctx):
+    """The pack manifest is a partition of the input: every doc lands in
+    exactly one (group, seq) cell, token totals are conserved, and seq_ids
+    follow the running offset (doc i's bin is floor(offset_i / ctx))."""
+    from realtime_market_data_pipeline_spark.operators.text import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in enumerate(texts)],
+        ["doc_id", "source", "text"],
+    )
+    import re
+
+    out = pack_documents(df, ctx_tokens=ctx).collect()
+    n_tok = [len(re.split(r"\s+", t)) for t in texts]  # same semantics as F.split
+    assert sum(r.n_docs for r in out) == len(texts)
+    assert sum(r.n_tokens for r in out) == sum(n_tok)
+    # recompute expected bins driver-side
+    exp: dict = {}
+    off = 0
+    for n in n_tok:
+        seq = off // ctx
+        d, tk = exp.get(seq, (0, 0))
+        exp[seq] = (d + 1, tk + n)
+        off += n
+    assert {r.seq_id: (r.n_docs, r.n_tokens) for r in out} == exp
+
+
+@given(texts=doc_lists)
+@settings(**_SETTINGS)
+def test_lm_scores_bounds_and_counts(spark, texts):
+    """Every doc with >=2 tokens gets exactly one row; n_bigrams equals
+    token_count-1; the known ratio is a true ratio."""
+    from realtime_market_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    import re
+
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    for i, t in enumerate(texts):
+        n = len(re.split(r"\s+", t))
+        if n < 2:
+            assert i not in out
+        else:
+            assert out[i].n_bigrams == n - 1
+            assert 0.0 <= out[i].known_bigram_ratio <= 1.0
