@@ -2672,10 +2672,58 @@ def decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_O_NEARDUP_CORPUS},
+toks AS (SELECT doc_id, {_O_TOKS} AS t FROM corpus),
+shs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM toks),
+shh AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shs),
+shx AS (SELECT doc_id,
+               list_transform(hs, h -> {_O_HEXFOLD} % 2147483647) AS hx
+        FROM shh),
+sig AS (
+  SELECT doc_id,
+         {_O_SIG_COLS}
+  FROM shx
+),
+bands AS (
+{_O_BANDS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand JOIN shs a ON cand.id_a = a.doc_id JOIN shs b ON cand.id_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM corpus
+  UNION
+  SELECT e.src AS node, reach.r
+  FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+""",
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering (rows-only: iterative label propagation is not
-    single-statement ANSI SQL): LSH pairs → connected components. The
-    planted corpus makes truth checkable — tests/test_dedup_clusters.py."""
+    """Near-dup clustering: LSH pairs → connected components by min-label
+    propagation (cluster_id = smallest doc_id reachable through the verified
+    pair graph; singletons keep their own id). The Spark side is the
+    standard iterative join dataflow with a driver convergence counter; the
+    oracle computes the same fixpoint as a DuckDB RECURSIVE CTE transitive
+    closure — tractable at oracle scale because near-dup graphs are forests
+    of tiny star/chain clusters. Planted-truth invariants:
+    tests/test_dedup_clusters.py."""
     corpus = _neardup_corpus(spark, sf_dir)
     sigsets = dd.minhash_sig_sets(corpus, num_hashes=_N_MINHASH)
     cand = dd.lsh_candidate_pairs(sigsets, num_hashes=_N_MINHASH, band_size=_BAND)
@@ -2683,23 +2731,81 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cluster_near_dups(corpus.select("doc_id"), verified)
 
 
-QUERIES["dedup_clusters"] = dedup_clusters
-
-
+@query(
+    "curation_pipeline",
+    oracle=f"""
+WITH {_O_NEARDUP_CORPUS},
+qt AS (SELECT doc_id, text, {_O_TOKS} AS t FROM corpus),
+q AS (
+  SELECT doc_id, text FROM qt
+  WHERE round(
+      (CASE WHEN len(t) >= 20 AND len(t) <= 1000 THEN 1.0 ELSE 0.5 END)
+      * (CASE WHEN CAST(len(list_filter(t, x -> x IN {_O_STOP_IN})) AS DOUBLE)
+              / len(t) > 0.01 THEN 1.0 ELSE 0.8 END)
+      * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 6) >= 0.3
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+ek AS (SELECT q.doc_id, q.text FROM q JOIN keepers USING (doc_id)),
+toks AS (SELECT doc_id, {_O_TOKS} AS t FROM ek),
+shs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM toks),
+shh AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shs),
+shx AS (SELECT doc_id,
+               list_transform(hs, h -> {_O_HEXFOLD} % 2147483647) AS hx
+        FROM shh),
+sig AS (
+  SELECT doc_id,
+         {_O_SIG_COLS}
+  FROM shx
+),
+bands AS (
+{_O_BANDS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+nd AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM cand JOIN shs a ON cand.id_a = a.doc_id JOIN shs b ON cand.id_b = b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+),
+nk AS (SELECT ek.doc_id, ek.text FROM ek ANTI JOIN nd USING (doc_id)),
+nkt AS (SELECT doc_id, {_O_TOKS} AS t FROM nk),
+starts AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(range(1, greatest(len(t), 1) + 1, 100)) AS s
+  FROM nkt
+),
+ch AS (
+  SELECT doc_id,
+         CAST((s - 1) / 100 AS INTEGER) AS chunk_idx,
+         array_to_string(list_slice(t, s, s + 99), ' ') AS chunk_text,
+         CAST(least(100, n - s + 1) AS INTEGER) AS n_chunk_tokens
+  FROM starts
+),
+bk AS (
+  SELECT doc_id, {{bucket}} AS bucket
+  FROM (SELECT doc_id, md5('split:v1' || CAST(doc_id AS VARCHAR)) AS hx FROM nk)
+)
+SELECT ch.doc_id, chunk_idx, chunk_text, n_chunk_tokens, bucket,
+       CASE WHEN bucket < 230 THEN 'train' ELSE 'eval' END AS split
+FROM ch JOIN bk USING (doc_id)
+""".replace("{bucket}", _O_BUCKET),
+)
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation (rows-only: the composition is checked by
-    invariant tests in tests/test_curation.py; each constituent stage —
-    quality, exact dedup, minhash-LSH, chunking, hash split — has its own
-    oracle-checked query): quality gate → exact dedup → near-dup removal →
-    chunking → train/eval split over the planted near-dup corpus."""
+    """End-to-end curation — quality gate → exact dedup → minhash-LSH
+    near-dup removal → 100-token chunking → 90/10 hash split, one fused lazy
+    plan (operators/curation.py). The oracle replays the IDENTICAL
+    composition in one DuckDB statement (each stage reuses the fragment its
+    standalone oracle query already proved); composition invariants:
+    tests/test_curation.py."""
     from realtime_market_data_pipeline_spark.operators.curation import (
         curate_documents,
     )
 
     return curate_documents(_neardup_corpus(spark, sf_dir))
-
-
-QUERIES["curation_pipeline"] = curation_pipeline
 
 
 @query(
