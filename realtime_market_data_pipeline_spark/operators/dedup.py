@@ -321,6 +321,9 @@ def cluster_near_dups(
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # change detection rides the SAME join that updates labels (a
+            # node changed iff a neighbor label undercut its own) — one
+            # action per round, not a second labels-vs-labels join
             new_labels = (
                 labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
                 .select(
@@ -328,17 +331,13 @@ def cluster_near_dups(
                     F.least(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
+                    (F.col("nbr_label") < F.col("label")).alias("_chg"),
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = new_labels.filter(F.col("_chg")).count()
             labels.unpersist()
-            labels = new_labels
+            labels = new_labels.drop("_chg")
             if changed == 0:
                 break
         return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
