@@ -98,3 +98,55 @@ def finalize_bars(bars: DataFrame) -> DataFrame:
             "avg_price"
         ),
     )
+
+
+def gapfill_locf(ticks: DataFrame, grain: str = "minute") -> DataFrame:
+    """Time-bucket gap-filling with last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` pair, relationally: per
+    symbol, a dense bucket spine spans first..last observed bucket
+    (``sequence`` + explode), empty buckets join as NULL and carry the
+    previous bucket's (decimal-exact, 6-dp) average price forward via an
+    ignore-nulls last() window. ``is_gap`` marks filled rows.
+
+    Scale shape: the only tick-cardinality operation is the first bucket
+    aggregation (map-side combined); spine generation, the spine⟕bars join
+    and the LOCF window all run on BAR cardinality (≈ minutes × symbols),
+    orders of magnitude smaller. The LOCF window is per-symbol — never a
+    global sort. Leading gaps cannot occur (each symbol's spine starts at a
+    bucket that has data), so price_locf is never NULL."""
+    from pyspark.sql.window import Window
+
+    b = ticks.groupBy(
+        "symbol", F.date_trunc(grain, "event_time").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("price").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_p"),
+    )
+    step = {"minute": "interval 1 minute", "hour": "interval 1 hour"}[grain]
+    spine = (
+        b.groupBy("symbol")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "symbol",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr(step))
+            ).alias("bucket_ts"),
+        )
+    )
+    j = spine.join(b, ["symbol", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "symbol",
+        "bucket_ts",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_ticks"),
+        F.last("avg_p", ignorenulls=True).over(w).alias("price_locf"),
+        F.col("n").isNull().alias("is_gap"),
+    )

@@ -147,6 +147,44 @@ def realized_vol_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gapfill_locf_1m",
+    oracle=f"""
+WITH {_TICKS_CTE},
+b AS (
+  SELECT symbol, CAST(date_trunc('minute', event_time) AS TIMESTAMP) AS bucket_ts,
+         count(*) AS n,
+         round(CAST(sum(CAST(price AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_p
+  FROM ticks GROUP BY 1, 2
+),
+sp AS (
+  SELECT symbol, unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                        INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM b GROUP BY symbol
+),
+j AS (SELECT sp.symbol, sp.bucket_ts, b.n, b.avg_p
+      FROM sp LEFT JOIN b USING (symbol, bucket_ts))
+SELECT symbol, bucket_ts,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_ticks,
+       last_value(avg_p IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_locf,
+       n IS NULL AS is_gap
+FROM j
+""",
+)
+def gapfill_locf_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-minute price series with gap-filling + LOCF
+    (rollup.gapfill_locf — the TimescaleDB time_bucket_gapfill/locf pair):
+    per-symbol spine between first and last observed minute, empty minutes
+    carry the previous decimal-exact average forward and are flagged
+    is_gap. Everything past the first aggregation runs at bar cardinality."""
+    from realtime_market_data_pipeline_spark.operators import rollup as ro
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return ro.gapfill_locf(ticks, grain="minute")
+
+
+@query(
     "ohlc_rollup_1m_1h",
     oracle=f"""
 WITH {_TICKS_CTE}

@@ -58,3 +58,32 @@ def test_bar_invariants(spark):
         assert b.low_price <= b.avg_price <= b.high_price
         assert b.n_ticks >= 1
         assert (b.bar_end - b.bar_start).total_seconds() == 3600
+
+
+def test_gapfill_locf_by_hand(spark):
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark.operators.rollup import gapfill_locf
+
+    rows = [
+        ("A", 10.0, datetime(2026, 1, 1, 0, 0, 30)),
+        ("A", 20.0, datetime(2026, 1, 1, 0, 0, 45)),  # minute 0: avg 15
+        # minutes 1-2 empty -> gaps carrying 15.0
+        ("A", 40.0, datetime(2026, 1, 1, 0, 3, 10)),  # minute 3: avg 40
+        ("B", 7.0, datetime(2026, 1, 1, 5, 0, 0)),    # single-minute symbol
+    ]
+    ticks = spark.createDataFrame(
+        rows, "symbol string, price double, event_time timestamp"
+    )
+    out = {
+        (r.symbol, r.bucket_ts.minute): r
+        for r in gapfill_locf(ticks, grain="minute").collect()
+    }
+    assert len(out) == 5  # A: minutes 0..3; B: one minute
+    a0, a1, a2, a3 = (out[("A", m)] for m in range(4))
+    assert (a0.n_ticks, a0.price_locf, a0.is_gap) == (2, 15.0, False)
+    assert (a1.n_ticks, a1.price_locf, a1.is_gap) == (0, 15.0, True)
+    assert (a2.n_ticks, a2.price_locf, a2.is_gap) == (0, 15.0, True)
+    assert (a3.n_ticks, a3.price_locf, a3.is_gap) == (1, 40.0, False)
+    b = out[("B", 0)]
+    assert (b.n_ticks, b.price_locf, b.is_gap) == (1, 7.0, False)
