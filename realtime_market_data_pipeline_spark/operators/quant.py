@@ -1,0 +1,132 @@
+"""Quant analytics over bar series — max drawdown, Bollinger bands, and
+pairwise return correlation (the read-side indicator queries a market-data
+pipeline's consumers run; reference scope: dashboards/api readers over the
+feature store, e.g. app/streamlit_app.py's indicator panels).
+
+All three operate on MINUTE-BAR cardinality (symbols × minutes), never on
+raw ticks: the single tick-cardinality stage is the ``ohlc_bars`` bucket
+aggregation (map-side combined, one exchange), after which every window /
+join / correlation runs on a relation that is orders of magnitude smaller.
+Per-symbol windows sort within a symbol's partition only — never a global
+sort — so the shapes hold unchanged at 100 TB.
+
+Cross-engine determinism discipline (see queries.py module docstring): the
+bar price is the decimal-exact minute average rounded to 6 dp, so every
+engine starts from bit-identical doubles; downstream float arithmetic is
+either identical-operand IEEE ops (ratios, comparisons) or rounded
+aggregates (stddev, corr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DEC = "decimal(38,10)"
+
+
+def minute_avg_bars(ticks: DataFrame, grain: str = "minute") -> DataFrame:
+    """(symbol, bucket_ts, avg_p): decimal-exact per-bucket average price,
+    6 dp. One shuffle; partial agg shrinks the map side to one row per bar."""
+    return ticks.groupBy(
+        "symbol", F.date_trunc(grain, "event_time").alias("bucket_ts")
+    ).agg(
+        F.round(
+            F.sum(F.col("price").cast(_DEC)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_p"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def max_drawdown(bars: DataFrame) -> DataFrame:
+    """Per-symbol maximum drawdown of the bar-price series: running peak via
+    an unbounded-preceding window, drawdown = price/peak − 1 (≤ 0), reported
+    as the series minimum. Window is per-symbol (no global sort); the final
+    agg is 1 row per symbol."""
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = bars.select(
+        "symbol",
+        "bucket_ts",
+        F.round(F.col("avg_p") / F.max("avg_p").over(w) - 1.0, 6).alias("dd"),
+    )
+    return dd.groupBy("symbol").agg(
+        F.min("dd").alias("max_drawdown"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+
+
+def bollinger_stats(bars: DataFrame, n: int = 20, k: float = 2.0) -> DataFrame:
+    """Bollinger-band summary per symbol: trailing-``n``-bar mid (decimal
+    mean) and stddev band, counted breaches above/below, and max relative
+    bandwidth. Only full windows (exactly ``n`` trailing bars) are
+    evaluated.
+
+    Determinism: mid and sd are rounded to 6 dp, after which the band
+    edges, comparisons, and bandwidth are identical-operand IEEE arithmetic
+    in both engines; breach counts are integer."""
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_ts")
+        .rowsBetween(-(n - 1), 0)
+    )
+    banded = bars.select(
+        "symbol",
+        "avg_p",
+        F.count("avg_p").over(w).alias("w_n"),
+        F.round(
+            F.sum(F.col("avg_p").cast(_DEC)).over(w).cast("double")
+            / F.count("avg_p").over(w),
+            6,
+        ).alias("mid"),
+        F.round(F.stddev_samp("avg_p").over(w), 6).alias("sd"),
+    ).where(F.col("w_n") == n)
+    kk = F.lit(float(k))
+    return banded.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            (F.col("avg_p") > F.col("mid") + kk * F.col("sd")).cast("long")
+        ).alias("n_breach_up"),
+        F.sum(
+            (F.col("avg_p") < F.col("mid") - kk * F.col("sd")).cast("long")
+        ).alias("n_breach_down"),
+        F.max(
+            F.round(2.0 * kk * F.col("sd") / F.col("mid"), 6)
+        ).alias("max_bandwidth"),
+    )
+
+
+def pairwise_return_corr(bars: DataFrame) -> DataFrame:
+    """Correlation matrix (upper triangle) of per-bucket log returns across
+    symbols: lag-1 log return per symbol (6 dp), inner-join aligned on
+    bucket_ts, Pearson corr per (sym_a < sym_b) pair.
+
+    Scale shape: the self-join keys on bucket_ts — at most ``symbols`` rows
+    per key, so the join output is bars × symbols, still bar-cardinality.
+    The pair count is symbols², tiny; corr partial-aggregates map-side."""
+    lw = Window.partitionBy("symbol").orderBy("bucket_ts")
+    rets = bars.select(
+        "symbol",
+        "bucket_ts",
+        F.round(F.log(F.col("avg_p") / F.lag("avg_p").over(lw)), 6).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    a = rets.select(
+        F.col("symbol").alias("sym_a"),
+        "bucket_ts",
+        F.col("ret").alias("ret_a"),
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym_b"),
+        "bucket_ts",
+        F.col("ret").alias("ret_b"),
+    )
+    joined = a.join(b, "bucket_ts").where(F.col("sym_a") < F.col("sym_b"))
+    return joined.groupBy("sym_a", "sym_b").agg(
+        F.round(F.corr("ret_a", "ret_b"), 6).alias("ret_corr"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

@@ -215,6 +215,108 @@ def ohlc_rollup_1m_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ro.finalize_bars(hours)
 
 
+# Shared oracle scaffolding for quant indicators: decimal-exact 6-dp
+# per-minute average-price bars (≡ operators.quant.minute_avg_bars).
+_MINUTE_BARS_CTE = """
+b AS (
+  SELECT symbol, CAST(date_trunc('minute', event_time) AS TIMESTAMP) AS bucket_ts,
+         round(CAST(sum(CAST(price AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_p
+  FROM ticks GROUP BY 1, 2
+)"""
+
+
+@query(
+    "max_drawdown_per_symbol",
+    oracle=f"""
+WITH {_TICKS_CTE},
+{_MINUTE_BARS_CTE},
+dd AS (
+  SELECT symbol,
+         round(avg_p / max(avg_p) OVER (PARTITION BY symbol ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0, 6) AS dd
+  FROM b
+)
+SELECT symbol, min(dd) AS max_drawdown, count(*) AS n_bars
+FROM dd GROUP BY symbol
+""",
+)
+def max_drawdown_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol maximum drawdown of the minute-bar price series
+    (operators/quant.max_drawdown): running peak via unbounded-preceding
+    window, min of price/peak − 1. Everything past the bar aggregation runs
+    at bar cardinality; the window is per-symbol, never a global sort."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.max_drawdown(quant.minute_avg_bars(ticks))
+
+
+@query(
+    "bollinger_breach_stats",
+    oracle=f"""
+WITH {_TICKS_CTE},
+{_MINUTE_BARS_CTE},
+w AS (
+  SELECT symbol, avg_p,
+         count(avg_p) OVER win AS w_n,
+         round(CAST(sum(CAST(avg_p AS DECIMAL(38,10))) OVER win AS DOUBLE)
+               / count(avg_p) OVER win, 6) AS mid,
+         round(stddev_samp(avg_p) OVER win, 6) AS sd
+  FROM b
+  WINDOW win AS (PARTITION BY symbol ORDER BY bucket_ts
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, count(*) AS n_windows,
+       CAST(sum(CASE WHEN avg_p > mid + 2.0 * sd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_breach_up,
+       CAST(sum(CASE WHEN avg_p < mid - 2.0 * sd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_breach_down,
+       max(round(4.0 * sd / mid, 6)) AS max_bandwidth
+FROM w WHERE w_n = 20 GROUP BY symbol
+""",
+)
+def bollinger_breach_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band summary (operators/quant.bollinger_stats, n=20, k=2):
+    trailing-20-bar decimal mean ± 2σ, breach counts and max relative
+    bandwidth per symbol. mid and sd are rounded to 6 dp before the band
+    arithmetic so the comparisons are identical-operand IEEE ops in both
+    engines."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.bollinger_stats(quant.minute_avg_bars(ticks), n=20, k=2.0)
+
+
+@query(
+    "pairwise_return_corr",
+    oracle=f"""
+WITH {_TICKS_CTE},
+{_MINUTE_BARS_CTE},
+r AS (
+  SELECT symbol, bucket_ts,
+         round(ln(avg_p / lag(avg_p) OVER (PARTITION BY symbol ORDER BY bucket_ts)), 6) AS ret
+  FROM b
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL)
+SELECT r1.symbol AS sym_a, r2.symbol AS sym_b,
+       round(corr(r1.ret, r2.ret), 6) AS ret_corr,
+       count(*) AS n_obs
+FROM rr r1 JOIN rr r2 USING (bucket_ts)
+WHERE r1.symbol < r2.symbol
+GROUP BY 1, 2
+""",
+)
+def pairwise_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol correlation matrix (operators/quant.pairwise_return_corr):
+    lag-1 log returns per symbol on minute bars, aligned on bucket_ts via a
+    bucket-keyed self-join (≤ symbols rows per key — no blowup), Pearson
+    corr per unordered pair. Output is symbols² rows."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.pairwise_return_corr(quant.minute_avg_bars(ticks))
+
+
 # ---------------------------------------------------------------------------
 # Read-side surface (SURVEY.md §2.3/§2.7: time-range filter, KPIs, pivot,
 # top-k, dedup)

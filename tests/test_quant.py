@@ -1,0 +1,90 @@
+"""Hand-computed checks for operators/quant.py (drawdown, Bollinger,
+pairwise return correlation)."""
+
+from __future__ import annotations
+
+import math
+import statistics
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark.operators.quant import (
+    bollinger_stats,
+    max_drawdown,
+    minute_avg_bars,
+    pairwise_return_corr,
+)
+
+
+def _bars(spark, series):
+    """series: {symbol: [price per consecutive minute]} -> bars DataFrame."""
+    rows = [
+        (sym, datetime(2026, 1, 1, 0, m), float(p))
+        for sym, prices in series.items()
+        for m, p in enumerate(prices)
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, bucket_ts timestamp, avg_p double"
+    )
+
+
+def test_minute_avg_bars_decimal_mean(spark):
+    ticks = spark.createDataFrame(
+        [
+            ("A", 10.0, datetime(2026, 1, 1, 0, 0, 10)),
+            ("A", 20.5, datetime(2026, 1, 1, 0, 0, 50)),
+            ("A", 7.0, datetime(2026, 1, 1, 0, 1, 0)),
+        ],
+        "symbol string, price double, event_time timestamp",
+    )
+    out = {r.bucket_ts.minute: r for r in minute_avg_bars(ticks).collect()}
+    assert out[0].avg_p == 15.25 and out[0].n_ticks == 2
+    assert out[1].avg_p == 7.0 and out[1].n_ticks == 1
+
+
+def test_max_drawdown_by_hand(spark):
+    bars = _bars(spark, {"A": [10, 20, 15, 5], "B": [3, 4]})
+    out = {r.symbol: r for r in max_drawdown(bars).collect()}
+    assert out["A"].max_drawdown == -0.75  # 5 against peak 20
+    assert out["A"].n_bars == 4
+    assert out["B"].max_drawdown == 0.0  # monotone series never draws down
+    assert out["B"].n_bars == 2
+
+
+def test_bollinger_by_hand(spark):
+    # n=3, k=1: windows [10,10,13] -> breach up (13 > 11 + 1.732...),
+    # [10,13,10] -> inside, [13,10,6] -> breach down (6 < 9.667 - 3.512).
+    bars = _bars(spark, {"A": [10, 10, 13, 10, 6]})
+    (row,) = bollinger_stats(bars, n=3, k=1.0).collect()
+    assert (row.n_windows, row.n_breach_up, row.n_breach_down) == (3, 1, 1)
+    sd_last = round(statistics.stdev([13, 10, 6]), 6)
+    mid_last = round((13 + 10 + 6) / 3, 6)
+    assert row.max_bandwidth == round(2.0 * 1.0 * sd_last / mid_last, 6)
+
+
+def test_pairwise_corr_proportional_and_inverse(spark):
+    # Y = 2X (identical log returns), Z reversed-ratio (negated returns).
+    bars = _bars(
+        spark,
+        {"X": [10, 20, 10, 40], "Y": [20, 40, 20, 80], "Z": [40, 20, 40, 10]},
+    )
+    out = {(r.sym_a, r.sym_b): r for r in pairwise_return_corr(bars).collect()}
+    assert set(out) == {("X", "Y"), ("X", "Z"), ("Y", "Z")}
+    assert all(r.n_obs == 3 for r in out.values())
+    assert out[("X", "Y")].ret_corr == 1.0
+    assert out[("X", "Z")].ret_corr == -1.0
+    assert out[("Y", "Z")].ret_corr == -1.0
+
+
+def test_pairwise_corr_alignment_inner_join(spark):
+    # Z missing minute 2 -> only overlapping return buckets correlate.
+    bars = _bars(spark, {"X": [10, 20, 10, 40]}).union(
+        _bars(spark, {"Z": [40, 20]}).withColumn(
+            "bucket_ts", F.col("bucket_ts") + F.expr("interval 0 minutes")
+        )
+    )
+    (row,) = pairwise_return_corr(bars).collect()
+    assert (row.sym_a, row.sym_b, row.n_obs) == ("X", "Z", 1)
+    # single-point correlation is undefined -> NULL in both engines
+    assert row.ret_corr is None or math.isnan(row.ret_corr)
