@@ -116,6 +116,25 @@ def gapfill_locf(ticks: DataFrame, grain: str = "minute") -> DataFrame:
     bucket that has data), so price_locf is never NULL."""
     from pyspark.sql.window import Window
 
+    j = _dense_spine_join(ticks, grain)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "symbol",
+        "bucket_ts",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_ticks"),
+        F.last("avg_p", ignorenulls=True).over(w).alias("price_locf"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+def _dense_spine_join(ticks: DataFrame, grain: str) -> DataFrame:
+    """Shared gap-fill scaffolding: bucket ticks to (symbol, bucket_ts, n,
+    avg_p), then left-join onto the per-symbol dense bucket spine spanning
+    first..last observed bucket. Gap rows carry NULL n/avg_p."""
     b = ticks.groupBy(
         "symbol", F.date_trunc(grain, "event_time").alias("bucket_ts")
     ).agg(
@@ -137,16 +156,56 @@ def gapfill_locf(ticks: DataFrame, grain: str = "minute") -> DataFrame:
             ).alias("bucket_ts"),
         )
     )
-    j = spine.join(b, ["symbol", "bucket_ts"], "left")
-    w = (
+    return spine.join(b, ["symbol", "bucket_ts"], "left")
+
+
+def gapfill_interpolate(ticks: DataFrame, grain: str = "minute") -> DataFrame:
+    """Gap-filling with LINEAR interpolation — the TimescaleDB
+    ``time_bucket_gapfill`` + ``interpolate`` pair: each empty bucket gets
+    the time-weighted blend of the nearest observed bucket on each side,
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)``. Observed
+    buckets keep their exact 6-dp average.
+
+    Same scale shape as ``gapfill_locf`` (everything past the first agg at
+    bar cardinality, per-symbol windows only). Determinism: prev/next are
+    6-dp doubles, the time ratio is a correctly-rounded quotient of exact
+    integers, and the blend's operand order is fixed — identical IEEE
+    arithmetic in any engine. Interior gaps always have both neighbors
+    (the spine spans observed buckets), so price_interp is never NULL."""
+    from pyspark.sql.window import Window
+
+    j = _dense_spine_join(ticks, grain)
+    wp = (
         Window.partitionBy("symbol")
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wn = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("n").isNotNull(), F.col("bucket_ts"))
+    t = F.unix_timestamp("bucket_ts")
+    tp = F.unix_timestamp(F.last(obs_ts, ignorenulls=True).over(wp))
+    tn = F.unix_timestamp(F.first(obs_ts, ignorenulls=True).over(wn))
+    pp = F.last("avg_p", ignorenulls=True).over(wp)
+    pn = F.first("avg_p", ignorenulls=True).over(wn)
+    ratio = (t - tp).cast("double") / (tn - tp).cast("double")
     return j.select(
         "symbol",
         "bucket_ts",
         F.coalesce("n", F.lit(0)).cast("long").alias("n_ticks"),
-        F.last("avg_p", ignorenulls=True).over(w).alias("price_locf"),
+        F.when(F.col("n").isNotNull(), F.col("avg_p"))
+        # The blend routinely lands on exact decimal ties (ratio 1/2 over
+        # 6-dp inputs -> ...5 in the 7th digit), where double-rounding
+        # diverges across engines; round in DECIMAL space instead, where
+        # every engine rounds half away from zero.
+        .otherwise(
+            F.round((pp + (pn - pp) * ratio).cast("decimal(38,10)"), 6).cast(
+                "double"
+            )
+        )
+        .alias("price_interp"),
         F.col("n").isNull().alias("is_gap"),
     )

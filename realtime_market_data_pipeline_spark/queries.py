@@ -185,6 +185,60 @@ def gapfill_locf_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gapfill_interpolate_1m",
+    oracle=f"""
+WITH {_TICKS_CTE},
+b AS (
+  SELECT symbol, CAST(date_trunc('minute', event_time) AS TIMESTAMP) AS bucket_ts,
+         count(*) AS n,
+         round(CAST(sum(CAST(price AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6) AS avg_p
+  FROM ticks GROUP BY 1, 2
+),
+sp AS (
+  SELECT symbol, unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                        INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM b GROUP BY symbol
+),
+j AS (SELECT sp.symbol, sp.bucket_ts, b.n, b.avg_p
+      FROM sp LEFT JOIN b USING (symbol, bucket_ts)),
+f AS (
+  SELECT symbol, bucket_ts, n, avg_p,
+         last_value(avg_p IGNORE NULLS) OVER wp AS pp,
+         first_value(avg_p IGNORE NULLS) OVER wn AS pn,
+         last_value(CASE WHEN n IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+             OVER wp AS tp,
+         first_value(CASE WHEN n IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+             OVER wn AS tn
+  FROM j
+  WINDOW wp AS (PARTITION BY symbol ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, bucket_ts, CAST(COALESCE(n, 0) AS BIGINT) AS n_ticks,
+       CASE WHEN n IS NOT NULL THEN avg_p
+            ELSE CAST(round(CAST(pp + (pn - pp) *
+                 (CAST(date_diff('second', tp, bucket_ts) AS DOUBLE)
+                  / CAST(date_diff('second', tp, tn) AS DOUBLE))
+                 AS DECIMAL(38,10)), 6) AS DOUBLE) END
+           AS price_interp,
+       n IS NULL AS is_gap
+FROM f
+""",
+)
+def gapfill_interpolate_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-minute price series with LINEAR interpolation across gaps
+    (rollup.gapfill_interpolate — the TimescaleDB time_bucket_gapfill/
+    interpolate pair): empty minutes get the time-weighted blend of the
+    nearest observed minute on each side. Everything past the first
+    aggregation runs at bar cardinality."""
+    from realtime_market_data_pipeline_spark.operators import rollup as ro
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return ro.gapfill_interpolate(ticks, grain="minute")
+
+
+@query(
     "ohlc_rollup_1m_1h",
     oracle=f"""
 WITH {_TICKS_CTE}

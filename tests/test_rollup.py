@@ -60,6 +60,30 @@ def test_bar_invariants(spark):
         assert (b.bar_end - b.bar_start).total_seconds() == 3600
 
 
+def test_gapfill_interpolate_by_hand(spark):
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark.operators.rollup import (
+        gapfill_interpolate,
+    )
+
+    rows = [
+        ("A", 10.0, datetime(2026, 1, 1, 0, 0, 30)),  # minute 0: avg 10
+        # minutes 1-2 empty -> 1/3 and 2/3 of the way to 40
+        ("A", 40.0, datetime(2026, 1, 1, 0, 3, 10)),  # minute 3: avg 40
+    ]
+    ticks = spark.createDataFrame(
+        rows, "symbol string, price double, event_time timestamp"
+    )
+    out = {
+        r.bucket_ts.minute: r
+        for r in gapfill_interpolate(ticks, grain="minute").collect()
+    }
+    assert [out[m].price_interp for m in range(4)] == [10.0, 20.0, 30.0, 40.0]
+    assert [out[m].is_gap for m in range(4)] == [False, True, True, False]
+    assert [out[m].n_ticks for m in range(4)] == [1, 0, 0, 1]
+
+
 def test_gapfill_locf_by_hand(spark):
     from datetime import datetime
 
