@@ -106,27 +106,42 @@ def pairwise_return_corr(bars: DataFrame) -> DataFrame:
     symbols: lag-1 log return per symbol (6 dp), inner-join aligned on
     bucket_ts, Pearson corr per (sym_a < sym_b) pair.
 
-    Scale shape: the self-join keys on bucket_ts — at most ``symbols`` rows
-    per key, so the join output is bars × symbols, still bar-cardinality.
-    The pair count is symbols², tiny; corr partial-aggregates map-side."""
+    Scale shape: a bucket_ts-keyed self-join would plan the tick-cardinality
+    bar aggregation TWICE (one scan per join side); instead the alignment is
+    a collect_list by bucket_ts (≤ symbols structs per group) and the pair
+    generation is an in-row higher-order-function explosion — one raw scan,
+    all-JVM, and the quadratic blowup is per-bucket (symbols², bounded),
+    never a join blowup. corr partial-aggregates map-side; pair order
+    inside the collected array is irrelevant (every unordered pair is
+    emitted exactly once via the sym_a < sym_b filter)."""
     lw = Window.partitionBy("symbol").orderBy("bucket_ts")
     rets = bars.select(
         "symbol",
         "bucket_ts",
         F.round(F.log(F.col("avg_p") / F.lag("avg_p").over(lw)), 6).alias("ret"),
     ).where(F.col("ret").isNotNull())
-    a = rets.select(
-        F.col("symbol").alias("sym_a"),
-        "bucket_ts",
-        F.col("ret").alias("ret_a"),
+    per_bucket = rets.groupBy("bucket_ts").agg(
+        F.collect_list(F.struct("symbol", "ret")).alias("a")
     )
-    b = rets.select(
-        F.col("symbol").alias("sym_b"),
-        "bucket_ts",
-        F.col("ret").alias("ret_b"),
-    )
-    joined = a.join(b, "bucket_ts").where(F.col("sym_a") < F.col("sym_b"))
-    return joined.groupBy("sym_a", "sym_b").agg(
+    pairs = per_bucket.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("a"),
+                    lambda x: F.transform(
+                        F.filter(F.col("a"), lambda y: y["symbol"] > x["symbol"]),
+                        lambda y: F.struct(
+                            x["symbol"].alias("sym_a"),
+                            y["symbol"].alias("sym_b"),
+                            x["ret"].alias("ret_a"),
+                            y["ret"].alias("ret_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("sym_a", "sym_b").agg(
         F.round(F.corr("ret_a", "ret_b"), 6).alias("ret_corr"),
         F.count(F.lit(1)).alias("n_obs"),
     )

@@ -203,3 +203,31 @@ def test_lm_scores_reuses_bigram_counts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 1
+
+
+def test_quant_indicators_two_exchange_bar_pipelines(spark):
+    # drawdown/bollinger: bar agg + per-symbol window; the final per-symbol
+    # agg reuses the window's symbol partitioning (no third exchange)
+    for name in ("max_drawdown_per_symbol", "bollinger_breach_stats"):
+        df = Q.QUERIES[name](spark, SF)
+        assert P.exchange_count(df) == 2, name
+        assert P.has_partial_aggregation(df), name
+
+
+def test_pairwise_corr_single_scan_no_join(spark):
+    # alignment is collect_list-by-bucket + HOF pair explosion: ONE raw
+    # scan (a self-join would plan the tick-cardinality agg twice) and no
+    # join operator at all; everything past the bar agg is bar-cardinality
+    df = Q.QUERIES["pairwise_return_corr"](spark, SF)
+    assert len(P.read_schemas(df)) == 1
+    assert P.join_strategies(df) == []
+    assert P.exchange_count(df) == 4
+
+
+def test_gapfill_two_exchanges_spine_broadcast(spark):
+    # bar agg + per-symbol window; the per-symbol spine (symbols rows) and
+    # bar relation meet in broadcast joins, never a shuffle join
+    for name in ("gapfill_locf_1m", "gapfill_interpolate_1m"):
+        df = Q.QUERIES[name](spark, SF)
+        assert P.exchange_count(df) == 2, name
+        assert "SortMergeJoin" not in P.join_strategies(df), name
