@@ -101,6 +101,58 @@ def bollinger_stats(bars: DataFrame, n: int = 20, k: float = 2.0) -> DataFrame:
     )
 
 
+def twap(ticks: DataFrame, grain: str = "day") -> DataFrame:
+    """Time-weighted average price per (symbol, bucket) — the TimescaleDB
+    ``time_weight('locf', ...)`` analog: each tick's price holds until the
+    next tick in the same bucket, so it is weighted by that interval; the
+    bucket's last tick contributes no weight (its plateau extends past the
+    bucket edge). Buckets with a single tick fall back to the plain price.
+
+    Determinism: price is rounded to 6 dp then lifted to an exact integer
+    micro-price, weights are exact microsecond integers, and the weighted
+    sum runs in DECIMAL(38,0) — pure integer arithmetic, order-free and
+    engine-identical; only the final ratio is rounded. One
+    tick-cardinality window (per symbol-bucket, never global); the final
+    agg groups on the window's own partitioning attributes, so the whole
+    pipeline is a single exchange."""
+    bucketed = ticks.select(
+        "symbol",
+        F.date_trunc(grain, "event_time").alias("bucket_ts"),
+        "price",
+        "event_time",
+    )
+    # partition by the materialized bucket_ts ATTRIBUTE (not a fresh
+    # date_trunc expression) so the downstream groupBy on the same
+    # attributes reuses this exchange instead of adding a second one
+    w = Window.partitionBy("symbol", "bucket_ts").orderBy("event_time")
+    dt = (
+        F.unix_micros(F.lead("event_time").over(w))
+        - F.unix_micros(F.col("event_time"))
+    ).alias("dt_us")
+    # exact integer micro-price: round(price,6) has <=6 dp, so *1e6 is
+    # within 1e-6 of an integer and the second round recovers it exactly
+    p_micro = F.round(F.round("price", 6) * F.lit(1000000.0), 0).cast(
+        "decimal(19,0)"
+    )
+    weighted = bucketed.select("symbol", "bucket_ts", "price", dt).withColumn(
+        "pw", p_micro * F.col("dt_us").cast("decimal(19,0)")
+    )
+    return weighted.groupBy("symbol", "bucket_ts").agg(
+        F.when(
+            F.sum("dt_us") > 0,
+            F.round(
+                F.sum("pw").cast("double")
+                / F.sum("dt_us")
+                / F.lit(1000000.0),
+                6,
+            ),
+        )
+        .otherwise(F.round(F.max("price"), 6))
+        .alias("twap"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
 def pairwise_return_corr(bars: DataFrame) -> DataFrame:
     """Correlation matrix (upper triangle) of per-bucket log returns across
     symbols: lag-1 log return per symbol (6 dp), inner-join aligned on

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _DEC = "decimal(38,10)"
 
@@ -208,4 +209,109 @@ def gapfill_interpolate(ticks: DataFrame, grain: str = "minute") -> DataFrame:
         )
         .alias("price_interp"),
         F.col("n").isNull().alias("is_gap"),
+    )
+
+
+def counter_agg(
+    events: DataFrame,
+    entity_col: str = "symbol",
+    ts_col: str = "event_time",
+    value_col: str = "price",
+    grain: str = "day",
+) -> DataFrame:
+    """Monotonic-counter aggregation per (entity, bucket) — the TimescaleDB
+    ``counter_agg`` / ``delta`` / ``num_resets`` / ``rate`` hyperfunction
+    family: a sample that is LOWER than its predecessor means the counter
+    reset, and the post-reset value counts from zero (idelta = value, not
+    value − lag). delta = Σ idelta over the bucket, rate = delta divided by
+    the observed timespan. A gauge input simply exercises the reset path on
+    every down-move; semantics follow the counter contract regardless.
+
+    Determinism: per-row ideltas are identical-operand IEEE subtractions,
+    rounded to 6 dp and summed in DECIMAL (order-free); rate rounds the
+    final ratio. The lag() window and the bucket agg share (entity, bucket)
+    partitioning attributes -> ONE exchange, output at bucket cardinality."""
+    bucketed = events.select(
+        F.col(entity_col).alias("entity"),
+        F.date_trunc(grain, ts_col).alias("bucket_ts"),
+        F.col(value_col).alias("v"),
+        F.col(ts_col).alias("t"),
+    )
+    w = Window.partitionBy("entity", "bucket_ts").orderBy("t")
+    d = F.col("v") - F.lag("v").over(w)
+    stepped = bucketed.select(
+        "entity",
+        "bucket_ts",
+        "v",
+        "t",
+        F.when(d < 0, F.lit(1)).otherwise(F.lit(0)).alias("is_reset"),
+        F.round(
+            F.when(d.isNull(), F.lit(0.0)).when(d < 0, F.col("v")).otherwise(d),
+            6,
+        )
+        .cast(_DEC)
+        .alias("idelta"),
+    )
+    span_s = (
+        F.unix_micros(F.max("t")) - F.unix_micros(F.min("t"))
+    ).cast("double") / F.lit(1000000.0)
+    return stepped.groupBy("entity", "bucket_ts").agg(
+        F.round(F.sum("idelta").cast("double"), 6).alias("counter_delta"),
+        F.sum("is_reset").alias("num_resets"),
+        F.when(
+            F.unix_micros(F.max("t")) > F.unix_micros(F.min("t")),
+            F.round(F.sum("idelta").cast("double") / span_s, 6),
+        ).alias("rate_per_s"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def state_agg(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-in-state rollup — the TimescaleDB ``state_agg`` analog: an
+    entity occupies a state from one event until its NEXT event (LOCF),
+    the entity's last event holding no duration. Level 1 charges exact
+    microseconds to (entity, state); level 2 rolls up per state across
+    entities.
+
+    Shuffle shape: the lead() window partitions on entity; the level-1 agg
+    on (entity, state) rides that same hash partitioning (subset rule), so
+    level 1 is ONE exchange at event cardinality and level 2 one more at
+    entities x states cardinality — negligible at any scale."""
+    w = Window.partitionBy("entity").orderBy("t")
+    intervals = events.select(
+        F.col(entity_col).alias("entity"),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("t"),
+    ).select(
+        "entity",
+        "state",
+        (F.unix_micros(F.lead("t").over(w)) - F.unix_micros(F.col("t"))).alias(
+            "dt_us"
+        ),
+    )
+    per_entity = intervals.groupBy("entity", "state").agg(
+        # an entity's final event holds no duration -> null dt; a state
+        # seen only as final events must still roll up as 0, not NULL
+        # (the driver's row sort chokes on nullable leading columns)
+        F.coalesce(F.sum("dt_us"), F.lit(0)).alias("dur_us"),
+        F.count(F.lit(1)).alias("n_entries"),
+    )
+    # level-2 sums in DECIMAL(38,0): entities x timespan microseconds can
+    # exceed int64 at cluster scale
+    total_us = F.sum(F.col("dur_us").cast("decimal(38,0)"))
+    return per_entity.groupBy("state").agg(
+        F.round(total_us.cast("double") / F.lit(1000000.0), 6).alias(
+            "total_time_s"
+        ),
+        F.sum("n_entries").alias("n_entries"),
+        F.count(F.lit(1)).alias("n_entities"),
+        F.round(
+            total_us.cast("double") / F.lit(1000000.0) / F.count(F.lit(1)),
+            6,
+        ).alias("avg_time_per_entity_s"),
     )

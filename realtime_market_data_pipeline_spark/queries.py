@@ -371,6 +371,126 @@ def pairwise_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.pairwise_return_corr(quant.minute_avg_bars(ticks))
 
 
+@query(
+    "twap_1h",
+    oracle=f"""
+WITH {_TICKS_CTE},
+t AS (
+  SELECT symbol,
+         CAST(date_trunc('hour', event_time) AS TIMESTAMP) AS bucket_ts,
+         price,
+         CAST(round(round(price, 6) * 1000000.0, 0) AS DECIMAL(19,0)) AS p_micro,
+         epoch_us(lead(event_time) OVER (
+             PARTITION BY symbol, date_trunc('hour', event_time)
+             ORDER BY event_time)) - epoch_us(event_time) AS dt_us
+  FROM ticks
+)
+SELECT symbol, bucket_ts,
+       CASE WHEN CAST(sum(dt_us) AS BIGINT) > 0
+            THEN round(CAST(sum(p_micro * CAST(dt_us AS DECIMAL(19,0))) AS DOUBLE)
+                       / CAST(sum(dt_us) AS BIGINT) / 1000000.0, 6)
+            ELSE round(max(price), 6) END AS twap,
+       count(*) AS n_ticks
+FROM t GROUP BY 1, 2
+""",
+)
+def twap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average price (operators/quant.twap — the
+    TimescaleDB ``time_weight('locf')`` analog): each tick's 6-dp price is
+    weighted by exact microseconds until the next tick in the same hour;
+    the weighted sum runs in pure integer arithmetic (micro-price ×
+    micro-seconds, DECIMAL(38,0)) so both engines agree bit-for-bit, and
+    only the final ratio is rounded. Single-tick hours fall back to the
+    plain price. One per-symbol-hour window + one map-side-combined agg."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.twap(ticks, grain="hour")
+
+
+@query(
+    "counter_agg_1h",
+    oracle=f"""
+WITH {_TICKS_CTE},
+s AS (
+  SELECT symbol AS entity,
+         CAST(date_trunc('hour', event_time) AS TIMESTAMP) AS bucket_ts,
+         price AS v, event_time AS t,
+         price - lag(price) OVER (
+             PARTITION BY symbol, date_trunc('hour', event_time)
+             ORDER BY event_time) AS d
+  FROM ticks
+),
+st AS (
+  SELECT entity, bucket_ts, v, t,
+         CASE WHEN d < 0 THEN 1 ELSE 0 END AS is_reset,
+         CAST(round(CASE WHEN d IS NULL THEN 0.0
+                         WHEN d < 0 THEN v ELSE d END, 6)
+              AS DECIMAL(38,10)) AS idelta
+  FROM s
+)
+SELECT entity, bucket_ts,
+       round(CAST(sum(idelta) AS DOUBLE), 6) AS counter_delta,
+       CAST(sum(is_reset) AS BIGINT) AS num_resets,
+       CASE WHEN epoch_us(max(t)) > epoch_us(min(t))
+            THEN round(CAST(sum(idelta) AS DOUBLE)
+                 / (CAST(epoch_us(max(t)) - epoch_us(min(t)) AS DOUBLE)
+                    / 1000000.0), 6) END AS rate_per_s,
+       count(*) AS n_samples
+FROM st GROUP BY 1, 2
+""",
+)
+def counter_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counter aggregation (operators/rollup.counter_agg — the
+    TimescaleDB counter_agg/delta/num_resets/rate family): a sample lower
+    than its predecessor is a counter reset and counts from zero. The
+    gauge-ish tick stream exercises the reset path on every down-move;
+    semantics follow the counter contract regardless. Per-row ideltas are
+    identical-operand IEEE subtractions rounded to 6 dp and summed in
+    DECIMAL; lag() window + bucket agg share partitioning -> one exchange."""
+    from realtime_market_data_pipeline_spark.operators import rollup as ro
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return ro.counter_agg(ticks, grain="hour")
+
+
+@query(
+    "state_agg_user_event",
+    oracle="""
+WITH iv AS (
+  SELECT user_id AS entity, event_type AS state,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           - epoch_us(ts) AS dt_us
+  FROM events
+),
+pe AS (
+  SELECT entity, state,
+         COALESCE(CAST(sum(dt_us) AS BIGINT), 0) AS dur_us,
+         count(*) AS n_entries
+  FROM iv GROUP BY 1, 2
+)
+SELECT state,
+       round(CAST(sum(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000.0, 6) AS total_time_s,
+       CAST(sum(n_entries) AS BIGINT) AS n_entries,
+       count(*) AS n_entities,
+       round(CAST(sum(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS avg_time_per_entity_s
+FROM pe GROUP BY 1
+""",
+)
+def state_agg_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state rollup (operators/rollup.state_agg — the TimescaleDB
+    state_agg analog): a user occupies the state named by their latest
+    event_type until their next event (LOCF); exact-microsecond durations
+    charge to (user, state), then roll up per state across users. Level 1
+    rides the lead() window's user_id partitioning (subset rule, one
+    exchange at event cardinality); level 2 shuffles users x states rows."""
+    from realtime_market_data_pipeline_spark.operators import rollup as ro
+
+    return ro.state_agg(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Read-side surface (SURVEY.md §2.3/§2.7: time-range filter, KPIs, pivot,
 # top-k, dedup)

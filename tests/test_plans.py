@@ -214,6 +214,14 @@ def test_quant_indicators_two_exchange_bar_pipelines(spark):
         assert P.has_partial_aggregation(df), name
 
 
+def test_twap_single_exchange(spark):
+    # the lead() window and the bucket agg share (symbol, bucket_ts)
+    # partitioning attributes -> one shuffle for the whole pipeline
+    df = Q.QUERIES["twap_1h"](spark, SF)
+    assert P.exchange_count(df) == 1
+    assert P.has_partial_aggregation(df)
+
+
 def test_pairwise_corr_single_scan_no_join(spark):
     # alignment is collect_list-by-bucket + HOF pair explosion: ONE raw
     # scan (a self-join would plan the tick-cardinality agg twice) and no

@@ -88,3 +88,31 @@ def test_pairwise_corr_alignment_inner_join(spark):
     assert (row.sym_a, row.sym_b, row.n_obs) == ("X", "Z", 1)
     # single-point correlation is undefined -> NULL in both engines
     assert row.ret_corr is None or math.isnan(row.ret_corr)
+
+
+def test_twap_by_hand(spark):
+    from realtime_market_data_pipeline_spark.operators.quant import twap
+
+    ticks = spark.createDataFrame(
+        [
+            # hour 0: price 10 holds 30 min, 20 holds 15 min, 40 unweighted
+            ("A", 10.0, datetime(2026, 1, 1, 0, 0, 0)),
+            ("A", 20.0, datetime(2026, 1, 1, 0, 30, 0)),
+            ("A", 40.0, datetime(2026, 1, 1, 0, 45, 0)),
+            # hour 1: single tick -> plain-price fallback
+            ("A", 99.5, datetime(2026, 1, 1, 1, 10, 0)),
+            # B hour 0: equal weights -> plain midpoint
+            ("B", 1.0, datetime(2026, 1, 1, 0, 0, 0)),
+            ("B", 3.0, datetime(2026, 1, 1, 0, 10, 0)),
+            ("B", 7.0, datetime(2026, 1, 1, 0, 20, 0)),
+        ],
+        "symbol string, price double, event_time timestamp",
+    )
+    out = {
+        (r.symbol, r.bucket_ts.hour): r
+        for r in twap(ticks, grain="hour").collect()
+    }
+    assert out[("A", 0)].twap == round((10 * 30 + 20 * 15) / 45, 6)
+    assert out[("A", 0)].n_ticks == 3
+    assert out[("A", 1)].twap == 99.5 and out[("A", 1)].n_ticks == 1
+    assert out[("B", 0)].twap == (1 + 3) / 2  # 1.0 and 3.0 each hold 10 min
