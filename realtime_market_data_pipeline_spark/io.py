@@ -39,16 +39,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-        # default. Read nanos as long, then integer-divide (`div`, NOT `/`:
-        # double division loses precision at 1e18 ns) down to micros —
-        # identical truncation to DuckDB's ns→µs read of the same file.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _load_events_normalized(spark, path)
     return spark.read.parquet(path)
+
+
+def _load_events_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``events.parquet`` with ``ts`` normalized to TIMESTAMP (LTZ,
+    epoch-based) regardless of the file's physical flavor. The corpus has
+    shipped three flavors across driver rounds:
+
+    1. TIMESTAMP(NANOS) — Spark 4 rejects by default; read nanos as long,
+       then integer-divide (``div``, NOT ``/``: double division loses
+       precision at 1e18 ns) down to micros — identical truncation to
+       DuckDB's ns→µs read of the same file.
+    2. micros without timezone (isAdjustedToUTC=false) — Spark 4 infers
+       TIMESTAMP_NTZ, which breaks ``unix_millis``/``unix_micros``
+       (DATATYPE_MISMATCH). Disabling ``inferTimestampNTZ`` makes Spark
+       read the stored int64 micros directly as epoch micros (LTZ) —
+       exactly how DuckDB's epoch extraction treats the same values, and
+       independent of session timezone.
+    3. plain TIMESTAMP (LTZ) — passes through untouched.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Conf ignored (e.g. a session that pins it): force the read schema —
+        # parquet micros decode as epoch micros under TimestampType.
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType(), f.nullable)
+                if f.name == "ts"
+                else f
+                for f in df.schema.fields
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
+    return df
 
 
 def load_events_range(
@@ -71,6 +101,7 @@ def load_events_range(
     import datetime as _dt
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if not isinstance(df.schema["ts"].dataType, T.LongType):
         # file without nanos quirk: plain typed filter pushes down natively

@@ -85,6 +85,7 @@ def similar_pairs_topn(
     vec_col: str = "embedding",
     block_size: int = 2048,
     candidate_factor: int = 5,
+    n_vec: int | None = None,
 ) -> DataFrame:
     """Top-n most-similar distinct pairs by cosine — exact, in two phases:
 
@@ -109,8 +110,13 @@ def similar_pairs_topn(
 
     At 100 TB: block_size bounds task memory (block_size²·8 B score matrix);
     blocks² tasks fan out across the cluster; for corpora where even that is
-    too many pairs, ``sign_lsh_buckets`` is the subquadratic path."""
-    n_vec = corpus.count()
+    too many pairs, ``sign_lsh_buckets`` is the subquadratic path.
+
+    ``n_vec`` sizes the block grid; pass it (e.g. from parquet footer
+    metadata — free) so constructing the plan stays lazy. The count()
+    fallback is a convenience that costs one extra job."""
+    if n_vec is None:
+        n_vec = corpus.count()
     n_blocks = max(1, -(-n_vec // block_size))
     m = candidate_factor * n
     v = corpus.select(F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v"))
@@ -203,6 +209,7 @@ def threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 2048,
+    n_vec: int | None = None,
 ) -> DataFrame:
     """All distinct pairs with cosine ≥ ``threshold`` — exact (the
     embedding-cosine near-dup primitive). Same blocked-BLAS dataflow as
@@ -216,8 +223,10 @@ def threshold_pairs(
 
     At 100 TB the blocked all-pairs is still quadratic in blocks; past that,
     ``sign_lsh_buckets`` is the subquadratic candidate generator (with
-    recall < 1)."""
-    n_vec = corpus.count()
+    recall < 1). ``n_vec`` sizes the block grid without a job (see
+    ``similar_pairs_topn``)."""
+    if n_vec is None:
+        n_vec = corpus.count()
     n_blocks = max(1, -(-n_vec // block_size))
     n_pairs = n_blocks * (n_blocks + 1) // 2
     cut = threshold - 1e-6
@@ -509,25 +518,56 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket are
-    scored. Recall is tuned by the number of planes (fewer bits → bigger
-    buckets → higher recall, more compute). Multi-probe = union over several
-    plane sets."""
-    cb = sign_lsh_buckets(corpus, planes, id_col, vec_col)
-    qb = sign_lsh_buckets(queries, planes, query_id_col, vec_col).withColumnRenamed(
-        "bucket", "qbucket"
+    """Approximate top-k: only corpus vectors sharing an LSH bucket with the
+    query (in any table) are scored.
+
+    ``planes`` is the concatenated plane list; it is split into ``n_tables``
+    contiguous tables of ``len(planes)//n_tables`` bits each. A single
+    r-bit table finds a θ-angle neighbor with probability (1 − θ/π)ʳ —
+    vanishing for moderate θ — so production sign-LSH unions candidates
+    over L independent tables: recall = 1 − (1 − pʳ)ᴸ, tuned by (r, L).
+    Candidates dedup via (table, bucket) join + distinct before scoring, so
+    each pair is scored once no matter how many tables it collides in.
+
+    At 100 TB: the per-table bucket join shuffles on (table, bucket) — L
+    small shuffles instead of one N² cross; bucket sizes shrink 2ʳ-fold."""
+    if n_tables < 1 or len(planes) % n_tables:
+        raise ValueError("len(planes) must be a positive multiple of n_tables")
+    r = len(planes) // n_tables
+    tables = [planes[t * r : (t + 1) * r] for t in range(n_tables)]
+
+    def _buckets(df: DataFrame, idc: str) -> DataFrame:
+        per_table = [
+            sign_lsh_buckets(df, tables[t], idc, vec_col).select(
+                F.col(idc), F.lit(t).alias("tbl"), F.col("bucket")
+            )
+            for t in range(n_tables)
+        ]
+        out = per_table[0]
+        for p in per_table[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cb = _buckets(corpus, id_col)
+    qb = (
+        _buckets(queries, query_id_col)
+        .withColumnRenamed("bucket", "qbucket")
+        .withColumnRenamed("tbl", "qtbl")
     )
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cvec")).join(
-        cb, id_col
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (F.col("tbl") == F.col("qtbl")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .select(query_id_col, id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .distinct()
     )
-    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qvec")).join(
-        qb, query_id_col
-    )
-    scored = c.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col(query_id_col)),
-    ).select(
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("cvec"))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qvec"))
+    scored = cand.join(F.broadcast(q), query_id_col).join(c, id_col).select(
         query_id_col,
         id_col,
         F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
