@@ -63,6 +63,43 @@ HEADLINE = [
 ]
 
 
+def _bench_features_stream(spark, sf_dir: str) -> float:
+    """Streaming twin of the flagship: the events-as-ticks feed replayed
+    through the Structured Streaming feature plan (watermark + tumbling
+    window + foreach-batch-shaped noop sink), 4 micro-batches via
+    maxFilesPerTrigger. Setup (materializing the tick files) is untimed;
+    the timed span is trigger(availableNow) → awaitTermination — the
+    steady-state per-batch compute a long-running engine pays."""
+    import shutil
+    import tempfile
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators.features import ticks_from_events
+    from realtime_market_data_pipeline_spark.streaming import job
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    tick_dir = os.path.join(root, "ticks")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        ticks_from_events(load_table(spark, sf_dir, "events")).repartition(
+            4
+        ).write.mode("overwrite").parquet(tick_dir)
+        stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
+        feats = job.features_stream(stream, window="1 hour", watermark="1 hour")
+        t0 = time.perf_counter()
+        q = (
+            feats.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -93,6 +130,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["features_stream"] = _bench_features_stream(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -244,18 +244,35 @@ def all_pairs_jaccard_via_shingle_join(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup WITHOUT LSH: explode distinct shingles,
     self-join on shingle to count intersections (only pairs sharing ≥1
     shingle ever materialize), then |A∪B| = |A|+|B|−|A∩B|.
 
-    At 100 TB this is the hot-shingle trap: a shingle shared by f docs emits
-    f² pair rows. Production path = LSH (``lsh_candidate_pairs``); this exact
-    variant is the oracle-checkable ground truth and is fine when shingle
-    frequencies are bounded."""
+    ``max_shingle_df`` bounds the hot-shingle trap: a shingle shared by f
+    docs emits f² pair rows, so one boilerplate shingle detonates the join
+    at scale. With a document-frequency cap, Jaccard is computed over the
+    DF-CAPPED shingle sets (shingles with df > cap dropped from both set
+    sizes and intersections — stop-shingle removal, the standard move): the
+    worst shingle now emits ≤ cap² rows, and the blacklist of dropped
+    shingles is tiny (≤ total_shingle_rows / cap entries, boilerplate in
+    practice) so it rides a broadcast anti-join — no extra wide shuffle.
+    ``None`` keeps the exact uncapped semantics for small ground-truth runs.
+
+    Production path at 100 TB = LSH (``lsh_candidate_pairs``); this variant
+    (capped) is the oracle-checkable exact form."""
     from pyspark.sql.window import Window
 
     sh = shingles_long(df, text_col, id_col, k=shingle_k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # set_size via a count window over the already-shuffled id partition —
     # cheaper than a separate groupBy + re-join
     exploded = sh.withColumn(

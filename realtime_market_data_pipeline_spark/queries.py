@@ -2673,13 +2673,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.5)
 
 
+_NGRAM_MAX_DF = 16
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {_O_NEARDUP_CORPUS},
 toks AS (SELECT doc_id, {_O_TOKS} AS t FROM corpus),
 shs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM toks),
-ex AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS set_size, unnest(sh) AS shingle FROM shs),
+raw AS (SELECT doc_id, unnest(sh) AS shingle FROM shs),
+kept AS (
+  SELECT doc_id, shingle FROM raw
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {_NGRAM_MAX_DF}
+),
+ex AS (
+  SELECT doc_id, shingle,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS INTEGER) AS set_size
+  FROM kept
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          a.set_size AS size_a, b.set_size AS size_b,
@@ -2695,10 +2707,14 @@ WHERE CAST(n_inter AS DOUBLE) / (size_a + size_b - n_inter) >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup via shingle self-join (LSH-free ground
-    truth; see operator docstring for the 100 TB hot-shingle caveat)."""
+    """n-gram Jaccard near-dup via shingle self-join over DF-capped shingle
+    sets (shingles in > {max_df} docs are boilerplate and dropped from both
+    sides before sizing/joining — bounds the self-join at cap² rows per
+    shingle; same cap applied in the oracle)."""
     return dd.all_pairs_jaccard_via_shingle_join(
-        _neardup_corpus(spark, sf_dir), min_jaccard=0.5
+        _neardup_corpus(spark, sf_dir),
+        min_jaccard=0.5,
+        max_shingle_df=_NGRAM_MAX_DF,
     )
 
 
@@ -3341,7 +3357,7 @@ _ANN_K, _ANN_FLOOR = 5, 0.9
 _O_ANN_RECALL = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST({_ANN_K} AS INTEGER) AS k,
-       {_ANN_FLOOR} AS recall_floor,
+       CAST({_ANN_FLOOR} AS DOUBLE) AS recall_floor,
        TRUE AS recall_ge_floor
 FROM embeddings WHERE vec_id < 5
 """

@@ -1,0 +1,66 @@
+"""events.ts must load as epoch-based TIMESTAMP whatever physical flavor the
+corpus ships (it has changed twice across driver rounds: TIMESTAMP(NANOS) →
+int64-nanos quirk in r1, micros-without-timezone → TIMESTAMP_NTZ in r2).
+A flavor regression here broke 14 driver queries + the bench in round 2."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_market_data_pipeline_spark.io import load_events_range, load_table
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_is_epoch_timestamp(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+        f"{sf_dir}: ts loaded as {df.schema['ts'].dataType}, not TIMESTAMP"
+    )
+    # the r2 regression: unix_millis threw DATATYPE_MISMATCH on TIMESTAMP_NTZ
+    row = df.select(
+        F.min(F.unix_millis("ts")).alias("lo"), F.max(F.unix_millis("ts")).alias("hi")
+    ).first()
+    assert row.lo is not None and row.lo <= row.hi
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS[:2])
+def test_events_epoch_values_match_duckdb(spark, sf_dir):
+    """Not just the type — the epoch VALUES must equal DuckDB's read of the
+    same file (the driver oracle), independent of session timezone."""
+    got = load_table(spark, sf_dir, "events").select(
+        F.min(F.unix_millis("ts")).alias("lo"),
+        F.max(F.unix_millis("ts")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    want = duckdb.sql(
+        "SELECT CAST(epoch_ms(min(ts)) AS BIGINT), CAST(epoch_ms(max(ts)) AS BIGINT),"
+        f" count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert (got.lo, got.hi, got.n) == want
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS[:1])
+def test_events_range_filter_matches_load_table(spark, sf_dir):
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    ranged = load_events_range(spark, sf_dir, lo, hi).count()
+    full = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .count()
+    )
+    assert ranged == full

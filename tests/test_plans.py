@@ -239,3 +239,44 @@ def test_gapfill_two_exchanges_spine_broadcast(spark):
         df = Q.QUERIES[name](spark, SF)
         assert P.exchange_count(df) == 2, name
         assert "SortMergeJoin" not in P.join_strategies(df), name
+
+
+def test_ngram_jaccard_df_cap_bounds_self_join(spark):
+    # the registered headline applies the shingle document-frequency cap:
+    # hot shingles leave via a BROADCAST anti-join (tiny blacklist), so the
+    # shingle self-join is bounded at cap² rows per shingle — no unbounded
+    # f² blowup at scale
+    df = Q.QUERIES["dedup_ngram_jaccard"](spark, SF)
+    plan = P.plan_string(df)
+    assert "LeftAnti" in plan, "df-cap anti-join missing from plan"
+    import re as _re
+
+    anti = _re.findall(r"(\w+Join) LeftAnti", plan) or _re.findall(
+        r"Join\s+LeftAnti.*?(Broadcast)", plan
+    )
+    assert any("Broadcast" in a for a in anti), plan[:2000]
+
+
+def test_pair_operators_construct_lazily(spark):
+    # advice r2 #6: constructing the blocked-BLAS pair operators must not
+    # trigger an eager count() job when n_vec is supplied
+    from unittest import mock
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    with mock.patch.object(
+        type(emb), "count", side_effect=AssertionError("eager count() during plan construction")
+    ):
+        sim.similar_pairs_topn(emb, n=5, n_vec=100)
+        sim.threshold_pairs(emb, threshold=0.5, n_vec=100)
+
+
+def test_ann_lsh_multi_table_broadcast_candidates(spark):
+    # candidate generation joins corpus buckets to BROADCAST query buckets
+    # and dedups before scoring — no cartesian, no corpus-side shuffle join
+    df = Q.QUERIES["embedding_ann_lsh"](spark, SF)
+    joins = P.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastHashJoin" in joins
