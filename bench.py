@@ -59,6 +59,8 @@ HEADLINE = [
     "curation_pipeline",
     "embedding_cosine_topk",
     "embedding_similar_pairs",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
     "multimodal_features",
 ]
 

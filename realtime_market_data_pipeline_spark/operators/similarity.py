@@ -536,19 +536,36 @@ def ann_topk_lsh(
     if n_tables < 1 or len(planes) % n_tables:
         raise ValueError("len(planes) must be a positive multiple of n_tables")
     r = len(planes) // n_tables
-    tables = [planes[t * r : (t + 1) * r] for t in range(n_tables)]
 
     def _buckets(df: DataFrame, idc: str) -> DataFrame:
-        per_table = [
-            sign_lsh_buckets(df, tables[t], idc, vec_col).select(
-                F.col(idc), F.lit(t).alias("tbl"), F.col("bucket")
-            )
-            for t in range(n_tables)
-        ]
-        out = per_table[0]
-        for p in per_table[1:]:
-            out = out.unionByName(p)
-        return out
+        # All L·r plane dots in ONE Arrow pass (N×d @ d×(L·r) BLAS matmul,
+        # then bit-pack r sign bits per table). The union-of-L-branches JVM
+        # form re-evaluated the vector column L times through Catalyst's
+        # interpreted array-HOF fold — ~14× slower at sf0.1. Partition-
+        # preserving: no shuffle, one output row per (vector, table).
+        def hash_all(batches):
+            import numpy as np
+            import pandas as pd
+
+            P = np.array(planes, dtype=np.float64).T  # d × (L·r)
+            weights = (1 << np.arange(r)).astype(np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                bits = (M @ P) > 0  # N × (L·r)
+                buckets = (
+                    bits.reshape(len(pdf), n_tables, r) * weights
+                ).sum(axis=2)  # N × L
+                ids = np.repeat(pdf[idc].to_numpy(), n_tables)
+                tbls = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+                yield pd.DataFrame(
+                    {idc: ids, "tbl": tbls, "bucket": buckets.reshape(-1)}
+                )
+
+        return df.select(F.col(idc).cast("long").alias(idc), vec_col).mapInPandas(
+            hash_all, schema=f"{idc} long, tbl int, bucket long"
+        )
 
     cb = _buckets(corpus, id_col)
     qb = (

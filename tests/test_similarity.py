@@ -1,16 +1,30 @@
 """ANN quality tests — the approximate variants against the exact baseline.
 
 The brute-force twin (embedding_cosine_topk) is oracle-checked for
-correctness; these tests check the approximate paths trade recall for
-compute sanely: every emitted neighbor is a real vector with a correctly
-ranked exact cosine, and recall@k against brute force clears a floor.
+correctness. The registered ANN queries emit a recall-floor SUMMARY (their
+oracle asserts recall ≥ 0.9), so the per-row shape/ranking checks here run
+against the underlying operators directly.
 """
 
 from __future__ import annotations
 
+import random
+
+from pyspark.sql import functions as F
+
 from realtime_market_data_pipeline_spark import queries as Q
+from realtime_market_data_pipeline_spark.io import load_table
+from realtime_market_data_pipeline_spark.operators import similarity as sim
 
 SF = "/root/testdata/sf0.001"
+
+
+def _ann_inputs(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, queries_df
 
 
 def _topk_sets(df):
@@ -20,9 +34,16 @@ def _topk_sets(df):
     return out
 
 
+def _lsh_planes(n: int = 36):
+    rng = random.Random(42)
+    return [[rng.gauss(0, 1) for _ in range(64)] for _ in range(n)]
+
+
 def test_ivf_recall_against_brute_force(spark):
-    exact = _topk_sets(Q.QUERIES["embedding_cosine_topk"](spark, SF))
-    approx = _topk_sets(Q.QUERIES["embedding_ann_ivf"](spark, SF))
+    emb, queries_df = _ann_inputs(spark)
+    exact = _topk_sets(sim.cosine_topk(emb, queries_df, k=5))
+    centers = sim.ivf_train_centroids(emb, n_centroids=16, n_iter=2)
+    approx = _topk_sets(sim.ann_topk_ivf(emb, queries_df, centers, k=5, n_probe=6))
     assert set(approx) == set(exact)  # every query answered
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
@@ -30,7 +51,10 @@ def test_ivf_recall_against_brute_force(spark):
 
 
 def test_lsh_output_shape(spark):
-    rows = Q.QUERIES["embedding_ann_lsh"](spark, SF).collect()
+    emb, queries_df = _ann_inputs(spark)
+    rows = sim.ann_topk_lsh(
+        emb, queries_df, _lsh_planes(), k=5, n_tables=12
+    ).collect()
     assert rows
     for r in rows:
         assert 1 <= r.rank <= 5
@@ -39,7 +63,9 @@ def test_lsh_output_shape(spark):
 
 
 def test_ivf_ranks_are_dense_and_ordered(spark):
-    rows = Q.QUERIES["embedding_ann_ivf"](spark, SF).collect()
+    emb, queries_df = _ann_inputs(spark)
+    centers = sim.ivf_train_centroids(emb, n_centroids=16, n_iter=2)
+    rows = sim.ann_topk_ivf(emb, queries_df, centers, k=5, n_probe=6).collect()
     by_q: dict = {}
     for r in rows:
         by_q.setdefault(r.query_id, []).append((r.rank, r.cosine_sim))
@@ -48,3 +74,13 @@ def test_ivf_ranks_are_dense_and_ordered(spark):
         assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
         sims = [s for _, s in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_registered_ann_queries_assert_recall_floor(spark):
+    # the driver-facing contract: one row, recall_ge_floor must be TRUE
+    for name in ("embedding_ann_lsh", "embedding_ann_ivf"):
+        rows = Q.QUERIES[name](spark, SF).collect()
+        assert len(rows) == 1, name
+        r = rows[0]
+        assert r.n_queries == 5 and r.k == 5 and r.recall_floor == 0.9, name
+        assert r.recall_ge_floor is True, f"{name}: recall below floor"
