@@ -593,3 +593,59 @@ def ann_topk_lsh(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_bucket_dedup(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup WITHOUT the all-pairs join: vectors are bucketed by
+    an r-bit sign-LSH signature and only WITHIN-bucket pairs are cosine-
+    compared exactly; a vector is a duplicate iff some lower-id bucket-mate
+    is within cosine ≥ threshold (canonical_id = lowest such id, self when
+    unique). Output contract matches the exact ``dedup_embedding_cosine``
+    reduction: (vec_id, canonical_id, is_dup).
+
+    This is the 100 TB shape of embedding dedup FOR HIGH-SIMILARITY
+    DUPLICATES: the exact variant (``threshold_pairs``) is
+    blocks²-quadratic, while here cost is Σ bucket² ≈ N²/2ʳ, tuned by r.
+    A near-dup pair at angle θ collides with probability (1 − θ/π)ʳ, so
+    the subquadratic win only exists when duplicates are genuinely near
+    (cosine ≳ 0.9, θ ≲ 26° → per-bit p ≈ 0.86) while random pairs sit at
+    θ ≈ 90° (p = 0.5): r buckets apart cleanly. For weakly-similar
+    "duplicates" (cosine ≈ 0.45, p ≈ 0.64) no (r, L) choice beats the
+    all-pairs join — use ``threshold_pairs`` there; the recall/cost math
+    is exercised on a planted high-cosine corpus in
+    tests/test_similarity.py. Every expression (the sign dots, the
+    in-bucket cosine) is the same left-to-right JVM fold DuckDB's
+    list_dot_product uses, so the operator — planes as literals — stays
+    ANSI-SQL-expressible, unlike centroid-trained IVF."""
+    b = sign_lsh_buckets(corpus, planes, id_col, vec_col)
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).join(b, id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("bucket")
+    )
+    bb = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("bucket")
+    )
+    pairs = (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    dup_of = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return corpus.select(id_col).join(dup_of, id_col, "left").select(
+        id_col,
+        F.coalesce("dup_of", F.col(id_col)).alias("canonical_id"),
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )

@@ -84,3 +84,45 @@ def test_registered_ann_queries_assert_recall_floor(spark):
         r = rows[0]
         assert r.n_queries == 5 and r.k == 5 and r.recall_floor == 0.9, name
         assert r.recall_ge_floor is True, f"{name}: recall below floor"
+
+
+def test_lsh_bucket_dedup_on_high_cosine_corpus(spark):
+    # the bucketed dedup operator works in its intended regime: duplicates
+    # at cosine ≳ 0.98 (tiny perturbations of a base vector) collide in the
+    # 6-bit bucket with probability ≈ (1 − θ/π)⁶ ≈ 0.8+ and random vectors
+    # do not; recall must clear 0.8 with ZERO false positives (in-bucket
+    # pairs are exact-cosine verified). On weak-similarity corpora (cosine
+    # ≈ 0.45, like the driver embeddings) the operator docstring says to
+    # use the exact threshold_pairs instead — that regime is covered by
+    # dedup_embedding_cosine's oracle.
+    base_seed = random.Random(123)
+    dim, n_base = 16, 40
+    rows = []
+    vid = 0
+    truth_dups = set()
+    for b in range(n_base):
+        base = [base_seed.gauss(0, 1) for _ in range(dim)]
+        rows.append((vid, base))
+        base_id = vid
+        vid += 1
+        if b % 2 == 0:  # plant one near-dup (tiny perturbation) per even base
+            pert = [x + base_seed.gauss(0, 0.02) for x in base]
+            rows.append((vid, pert))
+            truth_dups.add((base_id, vid))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [
+        [random.Random(1000 + h).gauss(0, 1) for _ in range(dim)] for h in range(6)
+    ]
+    out = {
+        r.vec_id: (r.canonical_id, r.is_dup)
+        for r in sim.lsh_bucket_dedup(df, planes, threshold=0.95).collect()
+    }
+    assert len(out) == vid
+    # no false positives: flagged dups must be genuine planted pairs
+    for v, (canon, is_dup) in out.items():
+        if is_dup:
+            assert (canon, v) in truth_dups, f"false positive: {canon}->{v}"
+    found = sum(1 for (a, b) in truth_dups if out[b][1] and out[b][0] == a)
+    recall = found / len(truth_dups)
+    assert recall >= 0.8, f"bucketed dedup recall too low in-regime: {recall:.2f}"
