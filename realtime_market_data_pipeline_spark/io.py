@@ -65,7 +65,18 @@ def _load_events_normalized(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        unit = _epoch_unit_from_footer(path)
+        if unit == "ns":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif unit == "us":
+            df = df.withColumn("ts", F.timestamp_micros("ts"))
+        elif unit == "ms":
+            df = df.withColumn("ts", F.timestamp_millis("ts"))
+        else:
+            df = df.withColumn("ts", F.timestamp_seconds("ts"))
+    elif isinstance(ts_type, T.StringType):
+        # ISO-8601 strings parse under the (UTC) session zone
+        df = df.withColumn("ts", F.to_timestamp("ts"))
     elif isinstance(ts_type, T.TimestampNTZType):
         # Conf ignored (e.g. a session that pins it): force the read schema —
         # parquet micros decode as epoch micros under TimestampType.
@@ -81,6 +92,36 @@ def _load_events_normalized(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def _epoch_unit_from_footer(path: str) -> str:
+    """Infer the epoch unit of an int64 ``ts`` column from parquet footer
+    statistics — free (no Spark job) and unambiguous across 4 decades of
+    magnitude per unit: 2024 epochs are ~1.7e9 s / 1.7e12 ms / 1.7e15 µs /
+    1.7e18 ns. The r1 corpus shipped TIMESTAMP(NANOS) (read as long via the
+    nanosAsLong escape hatch); a future plain-long flavor must not be
+    silently mis-scaled. Missing stats fall back to ns (the only long
+    flavor observed so far)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index("ts")
+        mx = 0
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or stats.max is None:
+                return "ns"
+            mx = max(mx, int(stats.max))
+        if mx > 10**17:
+            return "ns"
+        if mx > 10**14:
+            return "us"
+        if mx > 10**11:
+            return "ms"
+        return "s"
+    except Exception:  # noqa: BLE001 — footer quirks must not break the read
+        return "ns"
+
+
 def load_events_range(
     spark: SparkSession,
     sf_dir: str,
@@ -90,36 +131,56 @@ def load_events_range(
     """``events`` with a time-range predicate that actually reaches the
     parquet scan.
 
-    The raw file stores ``ts`` as TIMESTAMP(NANOS) (read as int64, see
-    ``load_table``); a filter on the *derived* ``timestamp_micros(ts div
-    1000)`` column is not invertible by Catalyst, so only IsNotNull pushes
-    down and the scan reads everything. Because the ns→timestamp mapping is
-    monotonic, ``ts >= T`` ⇔ ``ts_ns >= micros(T)*1000`` exactly (div
-    truncates non-negative ns), so this helper filters in int64-ns space
-    BEFORE the conversion — the range lands in PushedFilters and prunes
-    row groups / partitions at any scale."""
+    When the file stores ``ts`` as a raw int64 epoch (the r1
+    TIMESTAMP(NANOS) flavor read via the nanosAsLong escape hatch), a
+    filter on the *derived* ``timestamp_micros(ts div 1000)`` column is not
+    invertible by Catalyst, so only IsNotNull pushes down and the scan
+    reads everything. Because the epoch→timestamp mapping is monotonic,
+    ``ts >= T`` ⇔ ``ts_int >= T_in_unit`` exactly (div truncates
+    non-negative values), so this helper filters in int64 space — in the
+    unit the footer says the file uses — BEFORE the conversion: the range
+    lands in PushedFilters and prunes row groups / partitions at any
+    scale. Non-long flavors (LTZ / NTZ-micros / string) get the typed
+    filter on the normalized column, which pushes down natively for
+    native-timestamp files."""
     import datetime as _dt
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    df = spark.read.parquet(path)
     if not isinstance(df.schema["ts"].dataType, T.LongType):
-        # file without nanos quirk: plain typed filter pushes down natively
+        df = _load_events_normalized(spark, path)
         if lower is not None:
             df = df.filter(F.col("ts") >= lower)
         if upper is not None:
             df = df.filter(F.col("ts") < upper)
         return df
 
-    def _ns(bound: str) -> int:
+    unit = _epoch_unit_from_footer(path)
+
+    def _epoch(bound: str) -> int:
+        # exact for any bound precision: with integer ts in unit u and the
+        # bound in µs, ts·k ⋛ B ⇔ ts ⋛ ceil(B/k) for both >= and < (k = µs
+        # per unit; ns scales up instead)
         t = _dt.datetime.fromisoformat(bound).replace(tzinfo=_dt.timezone.utc)
-        return int(t.timestamp() * 1_000_000) * 1000
+        us = int(t.timestamp() * 1_000_000)
+        if unit == "ns":
+            return us * 1000
+        k = {"us": 1, "ms": 1000, "s": 1_000_000}[unit]
+        return -(-us // k)
 
     if lower is not None:
-        df = df.filter(F.col("ts") >= F.lit(_ns(lower)))
+        df = df.filter(F.col("ts") >= F.lit(_epoch(lower)))
     if upper is not None:
-        df = df.filter(F.col("ts") < F.lit(_ns(upper)))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.filter(F.col("ts") < F.lit(_epoch(upper)))
+    if unit == "ns":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "us":
+        return df.withColumn("ts", F.timestamp_micros("ts"))
+    if unit == "ms":
+        return df.withColumn("ts", F.timestamp_millis("ts"))
+    return df.withColumn("ts", F.timestamp_seconds("ts"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -64,3 +64,52 @@ def test_events_range_filter_matches_load_table(spark, sf_dir):
         .count()
     )
     assert ranged == full
+
+
+def test_synthetic_long_and_string_flavors(spark, tmp_path):
+    """Future-proofing: a plain int64 epoch column in ANY unit (s/ms/µs/ns)
+    and an ISO-string column must all normalize to the same instants —
+    the unit is inferred from parquet footer stats, never assumed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    offsets_us = [0, 1_500_000, 86_400_000_000]
+    expect_ms = [(base_us + o) // 1000 for o in offsets_us]
+
+    cases = {
+        "s": [(base_us + o) // 1_000_000 for o in offsets_us],
+        "ms": [(base_us + o) // 1000 for o in offsets_us],
+        "us": [base_us + o for o in offsets_us],
+        "ns": [(base_us + o) * 1000 for o in offsets_us],
+    }
+    for unit, vals in cases.items():
+        d = tmp_path / f"events_{unit}"
+        d.mkdir()
+        p = str(d / "events.parquet")
+        pq.write_table(
+            pa.table({"event_id": [1, 2, 3], "ts": pa.array(vals, pa.int64())}), p
+        )
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), unit
+        got = sorted(r.ms for r in df.select(F.unix_millis("ts").alias("ms")).collect())
+        want = sorted(
+            ms if unit != "s" else (ms // 1000) * 1000 for ms in expect_ms
+        )
+        assert got == want, (unit, got, want)
+
+    d = tmp_path / "events_str"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2],
+                "ts": ["2024-01-01 00:00:00", "2024-01-02 00:00:01.500"],
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    df = load_table(spark, str(d), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = sorted(r.ms for r in df.select(F.unix_millis("ts").alias("ms")).collect())
+    assert got == [1_704_067_200_000, 1_704_153_601_500]
