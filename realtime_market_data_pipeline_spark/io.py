@@ -62,6 +62,11 @@ def _load_events_normalized(spark: SparkSession, path: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The oracle (DuckDB) treats these instants as naive-UTC; wall-clock
+    # derivations on the LTZ column (window(), date_trunc, year()) follow the
+    # session zone, so a non-UTC driver session would bucket differently.
+    # Pin UTC here — the one choke point every events read passes through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
