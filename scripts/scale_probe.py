@@ -1,0 +1,95 @@
+"""Scaling probe: replicate the sf0.1 corpus k× into /tmp and measure how
+headline query runtimes grow. A plan that holds at 100 TB should scale
+~linearly in rows here (scan/partial-agg bound) — superlinear growth exposes
+a quadratic join or a collapsing single-partition stage.
+
+Usage: python scripts/scale_probe.py [k] [query ...]
+Writes one JSON line: {"k": k, "queries": {name: {"t1": s, "tk": s,
+"ratio": tk/t1}}} — ratio ≲ k means at-or-better-than-linear.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_QUERIES = [
+    "features_tumbling_1h",
+    "ohlc_rollup_1m_1h",
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_lm_scores",
+]
+# tables each probe query reads — replicate only what's needed
+TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
+          "part", "supplier", "nation", "region")
+
+
+def replicate(spark, k: int, dst: str) -> None:
+    """k× row replication with key remapping so join/group cardinalities grow
+    like real data (distinct doc_ids/orderkeys), not k duplicate keys."""
+    os.makedirs(dst, exist_ok=True)
+    keys = {
+        "events": "event_id", "lineitem": "l_orderkey", "orders": "o_orderkey",
+        "customer": "c_custkey", "documents": "doc_id", "embeddings": "vec_id",
+    }
+    for t in TABLES:
+        src_path = os.path.join(BASE, f"{t}.parquet")
+        out = os.path.join(dst, f"{t}.parquet")
+        if t in ("part", "supplier", "nation", "region"):
+            shutil.copy(src_path, out)
+            continue
+        from realtime_market_data_pipeline_spark.io import load_table
+
+        df = load_table(spark, BASE, t)
+        key = keys[t]
+        copies = df.crossJoin(
+            spark.range(k).select(F.col("id").alias("_rep"))
+        ).withColumn(key, F.col(key) + F.col("_rep") * F.lit(10_000_000)).drop("_rep")
+        copies.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    from realtime_market_data_pipeline_spark import queries as Q
+    from realtime_market_data_pipeline_spark.session import get_spark
+
+    args = sys.argv[1:]
+    k = int(args[0]) if args else 8
+    names = args[1:] or DEFAULT_QUERIES
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    dst = tempfile.mkdtemp(prefix=f"scale_probe_{k}x_")
+    try:
+        replicate(spark, k, dst)
+
+        def timed(name: str, sf_dir: str) -> float:
+            t0 = time.perf_counter()
+            Q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+
+        # warm both paths once
+        timed(names[0], BASE)
+        out = {}
+        for name in names:
+            t1 = timed(name, BASE)
+            tk = timed(name, dst)
+            out[name] = {"t1": t1, "tk": tk, "ratio": round(tk / t1, 2)}
+        print(json.dumps({"k": k, "queries": out}))
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
