@@ -35,6 +35,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as a DataFrame.
+
+    Side effect (``events`` only): the normalized read pins three session
+    confs — ``spark.sql.legacy.parquet.nanosAsLong=true``,
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` and
+    ``spark.sql.session.timeZone=UTC`` — for the rest of the session (see
+    ``_load_events_normalized``). That is deliberate: every query in this
+    engine assumes epoch-based LTZ timestamps and UTC wall-clock
+    derivations, and a per-read scope would let one un-pinned read diverge.
+    Callers embedding this engine in a session with different timezone
+    expectations should read events first and restore confs after.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -110,12 +122,17 @@ def _epoch_unit_from_footer(path: str) -> str:
 
         md = pq.ParquetFile(path).metadata
         idx = md.schema.names.index("ts")
-        mx = 0
+        # Decide from the max over row groups that HAVE stats; a single
+        # stat-less row group must not discard maxima already observed
+        # (mis-scaling a s/ms/us file to ns would be off by 3-9 orders).
+        mx = None
         for rg in range(md.num_row_groups):
             stats = md.row_group(rg).column(idx).statistics
             if stats is None or stats.max is None:
-                return "ns"
-            mx = max(mx, int(stats.max))
+                continue
+            mx = int(stats.max) if mx is None else max(mx, int(stats.max))
+        if mx is None:
+            return "ns"
         if mx > 10**17:
             return "ns"
         if mx > 10**14:
@@ -152,6 +169,10 @@ def load_events_range(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Same UTC guarantee as _load_events_normalized: the int64 fast path
+    # below never reaches that function, but downstream wall-clock
+    # derivations (window(), date_trunc) must bucket identically.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     df = spark.read.parquet(path)
     if not isinstance(df.schema["ts"].dataType, T.LongType):

@@ -39,6 +39,16 @@ _TICKS_CTE = (
     " epoch_ms(ts) AS event_time_ms FROM events)"
 )
 
+# Oracle-side twin of operators.text.split_bucket: bucket in [0,256) from the
+# first two hex digits of an md5 column named ``hx`` (pure hex-digit
+# arithmetic so the identical expression runs on both engines).
+_O_BUCKET = """
+         (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1)) - 87
+               ELSE ascii(substr(hx,1,1)) - 48 END) * 16
+         + (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1)) - 87
+                 ELSE ascii(substr(hx,2,1)) - 48 END)
+"""
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -1015,9 +1025,9 @@ def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trailing_7d_revenue",
     oracle=f"""
 SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
          OVER (PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
-               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_7d
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS revenue_7d
 FROM lineitem
 WHERE l_suppkey <= 3
 """,
@@ -1039,7 +1049,9 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double").alias("revenue_7d"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double"), 6
+        ).alias("revenue_7d"),
     )
 
 
@@ -1069,17 +1081,43 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_sample_events",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         md5('strat:v1' || CAST(event_id AS VARCHAR)) AS hx
+  FROM events
+),
+b AS (SELECT event_type, {_O_BUCKET} AS bucket FROM h)
+SELECT event_type, count(*) AS n_sampled
+FROM b
+WHERE bucket < CASE event_type WHEN 'click' THEN 26 WHEN 'view' THEN 51 ELSE 256 END
+GROUP BY event_type
+""",
+)
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (rows-only: Bernoulli draws are engine-specific):
-    sampleBy event_type with per-stratum fractions, seeded — the
-    class-balancing primitive for training-data curation."""
-    ev = load_table(spark, sf_dir, "events")
-    fractions = {"click": 0.1, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
-    sample = ev.sampleBy("event_type", fractions, seed=42)
-    return sample.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+    """Stratified sampling, deterministic: the class-balancing primitive for
+    training-data curation, but membership is a pure function of the row id
+    (bucket = first two md5 hex digits of 'strat:v1'||event_id, keep iff
+    bucket < 256·fraction) instead of ``sampleBy``'s engine-specific
+    Bernoulli draws — so the sample is reproducible across runs, engines
+    and repartitionings, new rows never perturb old membership, and the
+    DuckDB oracle can replay the exact same selection. Per-stratum
+    fractions: click 26/256, view 51/256, others keep-all. Shuffle-free
+    until the final keyed count."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
 
-
-QUERIES["stratified_sample_events"] = stratified_sample_events
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    bucket = tx.split_bucket("event_id", salt="strat:v1")
+    thr = F.when(F.col("event_type") == "click", F.lit(26)).when(
+        F.col("event_type") == "view", F.lit(51)
+    ).otherwise(F.lit(256))
+    return (
+        ev.filter(bucket < thr)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
 
 
 @query(
@@ -1207,9 +1245,9 @@ def props_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_revenue_per_supplier",
     oracle=f"""
 SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
          OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_revenue
 FROM lineitem
 WHERE l_suppkey <= 3
 """,
@@ -1231,7 +1269,9 @@ def running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double").alias("running_revenue"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double"), 6
+        ).alias("running_revenue"),
     )
 
 
@@ -2203,11 +2243,11 @@ checked AS (
   FROM payloads
 )
 SELECT count(*) AS n_total,
-       sum(ok) AS n_valid,
-       sum(1 - ok) AS n_invalid,
-       sum(1 - ok) AS n_missing_symbol,
-       sum(1 - ok) AS n_missing_price,
-       sum(1 - ok) AS n_missing_event_time
+       CAST(sum(ok) AS BIGINT) AS n_valid,
+       CAST(sum(1 - ok) AS BIGINT) AS n_invalid,
+       CAST(sum(1 - ok) AS BIGINT) AS n_missing_symbol,
+       CAST(sum(1 - ok) AS BIGINT) AS n_missing_price,
+       CAST(sum(1 - ok) AS BIGINT) AS n_missing_event_time
 FROM checked
 """,
 )
@@ -2784,14 +2824,6 @@ _O_SHINGLES_8 = (
     f"list_distinct(list_transform(range(0, greatest(len(t) - {_DECON_K - 1}, 0)),"
     " i -> " + " || ' ' || ".join(f"t[i+{j}]" for j in range(1, _DECON_K + 1)) + "))"
 )
-_O_BUCKET = """
-         (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1)) - 87
-               ELSE ascii(substr(hx,1,1)) - 48 END) * 16
-         + (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1)) - 87
-                 ELSE ascii(substr(hx,2,1)) - 48 END)
-"""
-
-
 @query(
     "mixture_weights_by_source",
     oracle=r"""
