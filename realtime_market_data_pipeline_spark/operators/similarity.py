@@ -112,11 +112,16 @@ def similar_pairs_topn(
     blocks² tasks fan out across the cluster; for corpora where even that is
     too many pairs, ``sign_lsh_buckets`` is the subquadratic path.
 
-    ``n_vec`` sizes the block grid; pass it (e.g. from parquet footer
-    metadata — free) so constructing the plan stays lazy. The count()
-    fallback is a convenience that costs one extra job."""
+    ``n_vec`` (required) sizes the block grid; get it from parquet footer
+    metadata (free, e.g. queries._parquet_rows) so constructing the plan
+    stays lazy — no count() job ever fires at construction time."""
     if n_vec is None:
-        n_vec = corpus.count()
+        raise ValueError(
+            "n_vec is required: pass the corpus row count (free from parquet "
+            "footer metadata, e.g. queries._parquet_rows) so plan "
+            "construction stays lazy — an implicit count() here would "
+            "launch a Spark job as a side effect of building the plan"
+        )
     n_blocks = max(1, -(-n_vec // block_size))
     m = candidate_factor * n
     v = corpus.select(F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v"))
@@ -223,10 +228,15 @@ def threshold_pairs(
 
     At 100 TB the blocked all-pairs is still quadratic in blocks; past that,
     ``sign_lsh_buckets`` is the subquadratic candidate generator (with
-    recall < 1). ``n_vec`` sizes the block grid without a job (see
-    ``similar_pairs_topn``)."""
+    recall < 1). ``n_vec`` (required) sizes the block grid without a job
+    (see ``similar_pairs_topn``)."""
     if n_vec is None:
-        n_vec = corpus.count()
+        raise ValueError(
+            "n_vec is required: pass the corpus row count (free from parquet "
+            "footer metadata, e.g. queries._parquet_rows) so plan "
+            "construction stays lazy — an implicit count() here would "
+            "launch a Spark job as a side effect of building the plan"
+        )
     n_blocks = max(1, -(-n_vec // block_size))
     n_pairs = n_blocks * (n_blocks + 1) // 2
     cut = threshold - 1e-6
@@ -601,6 +611,7 @@ def lsh_bucket_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding near-dup WITHOUT the all-pairs join: vectors are bucketed by
     an r-bit sign-LSH signature and only WITHIN-bucket pairs are cosine-
@@ -622,18 +633,51 @@ def lsh_bucket_dedup(
     tests/test_similarity.py. Every expression (the sign dots, the
     in-bucket cosine) is the same left-to-right JVM fold DuckDB's
     list_dot_product uses, so the operator — planes as literals — stays
-    ANSI-SQL-expressible, unlike centroid-trained IVF."""
-    b = sign_lsh_buckets(corpus, planes, id_col, vec_col)
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).join(b, id_col)
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("bucket")
-    )
-    bb = v.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("bucket")
-    )
-    pairs = (
-        a.join(bb, "bucket")
+    ANSI-SQL-expressible, unlike centroid-trained IVF.
+
+    ``n_tables`` > 1 unions candidates over L independent tables of
+    r = len(planes)//L bits each (recall 1 − (1 − pʳ)ᴸ, the production
+    sign-LSH shape, same banding math as MinHash-LSH); candidate pairs are
+    ``distinct``-ed before the exact verify so each pair is cosine-scored
+    once no matter how many tables it collides in."""
+    if n_tables <= 1:
+        b = sign_lsh_buckets(corpus, planes, id_col, vec_col).select(
+            id_col, F.lit(0).alias("tbl"), "bucket"
+        )
+    else:
+        r = len(planes) // n_tables
+        v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        per_tbl = []
+        for t in range(n_tables):
+            sig = F.lit(0).cast("long")
+            for h, plane in enumerate(planes[t * r : (t + 1) * r]):
+                lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+                sig = sig + F.when(
+                    dot(F.col("v"), lit_plane) > 0, F.lit(2**h).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            per_tbl.append(sig.alias(f"b{t}"))
+        wide = v.select(id_col, *per_tbl)
+        b = wide.select(
+            id_col,
+            F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
+                "tbl", "bucket"
+            ),
+        )
+    # ids-only candidate pairs, dedup'd across tables BEFORE vectors attach
+    a = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    bb = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(bb, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if n_tables > 1:  # single table cannot emit a pair twice
+        cand = cand.distinct()
+    va = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

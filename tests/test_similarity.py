@@ -126,3 +126,59 @@ def test_lsh_bucket_dedup_on_high_cosine_corpus(spark):
     found = sum(1 for (a, b) in truth_dups if out[b][1] and out[b][0] == a)
     recall = found / len(truth_dups)
     assert recall >= 0.8, f"bucketed dedup recall too low in-regime: {recall:.2f}"
+
+
+def test_lsh_bucket_dedup_multi_table_beats_single(spark):
+    # multi-table candidate union: recall = 1 - (1 - p^r)^L must dominate
+    # the single-table p^(r*L) at equal total bits, and the distinct'd
+    # candidate set must keep the zero-false-positive property (in-bucket
+    # pairs stay exact-cosine verified).
+    base_seed = random.Random(321)
+    dim, n_base = 16, 60
+    rows, truth_dups, vid = [], set(), 0
+    for b in range(n_base):
+        base = [base_seed.gauss(0, 1) for _ in range(dim)]
+        rows.append((vid, base))
+        base_id = vid
+        vid += 1
+        if b % 2 == 0:
+            pert = [x + base_seed.gauss(0, 0.03) for x in base]
+            rows.append((vid, pert))
+            truth_dups.add((base_id, vid))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [
+        [random.Random(2000 + h).gauss(0, 1) for _ in range(dim)] for h in range(12)
+    ]
+
+    def run(n_tables):
+        out = {
+            r.vec_id: (r.canonical_id, r.is_dup)
+            for r in sim.lsh_bucket_dedup(
+                df, planes, threshold=0.95, n_tables=n_tables
+            ).collect()
+        }
+        assert len(out) == vid
+        for v, (canon, is_dup) in out.items():
+            if is_dup:
+                assert (canon, v) in truth_dups, f"false positive: {canon}->{v}"
+        found = sum(1 for (a, b) in truth_dups if out[b][1] and out[b][0] == a)
+        return found / len(truth_dups)
+
+    r1, r4 = run(1), run(4)  # 1×12 bits vs 4×3 bits, same plane budget
+    assert r4 >= r1, f"multi-table recall {r4:.2f} < single-table {r1:.2f}"
+    assert r4 >= 0.9, f"4-table recall too low in-regime: {r4:.2f}"
+
+
+def test_registered_lsh_dedup_contract(spark):
+    # the driver-facing contract row: planted twins recovered above the
+    # floor, zero natural vectors flagged, corpus count genuine.
+    rows = Q.QUERIES["dedup_embedding_lsh"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_nat = load_table(spark, SF, "embeddings").count()
+    assert r.n_corpus == n_nat
+    assert r.n_planted == 50
+    assert r.recall_floor == 0.9
+    assert r.recall_ge_floor is True
+    assert r.n_false_dups == 0
