@@ -54,11 +54,12 @@ HEADLINE = [
     "doc_lm_scores",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine",  # ground-truth form (blocks²-quadratic, small-sf certificate)
+    "dedup_embedding_lsh",  # production form (bucketed, subquadratic, recall-contracted)
     "decontamination_8gram",
     "curation_pipeline",
     "embedding_cosine_topk",
-    "embedding_similar_pairs",
+    "embedding_similar_pairs",  # ground-truth form (exact all-pairs)
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "multimodal_features",
@@ -68,10 +69,12 @@ HEADLINE = [
 def _bench_features_stream(spark, sf_dir: str) -> float:
     """Streaming twin of the flagship: the events-as-ticks feed replayed
     through the Structured Streaming feature plan (watermark + tumbling
-    window + foreach-batch-shaped noop sink), 4 micro-batches via
-    maxFilesPerTrigger. Setup (materializing the tick files) is untimed;
-    the timed span is trigger(availableNow) → awaitTermination — the
-    steady-state per-batch compute a long-running engine pays."""
+    window + foreach-batch-shaped noop sink), 2 micro-batches via
+    maxFilesPerTrigger — the minimum that still exercises cross-batch
+    state handoff (r3 used 4; the 2 extra batches only re-measured
+    micro-batch overhead). Setup (materializing the tick files) is
+    untimed; the timed span is trigger(availableNow) → awaitTermination —
+    the steady-state per-batch compute a long-running engine pays."""
     import shutil
     import tempfile
 
@@ -84,7 +87,7 @@ def _bench_features_stream(spark, sf_dir: str) -> float:
     ckpt = os.path.join(root, "ckpt")
     try:
         ticks_from_events(load_table(spark, sf_dir, "events")).repartition(
-            4
+            2
         ).write.mode("overwrite").parquet(tick_dir)
         stream = job.read_parquet_ticks_stream(spark, tick_dir, max_files_per_trigger=1)
         feats = job.features_stream(stream, window="1 hour", watermark="1 hour")

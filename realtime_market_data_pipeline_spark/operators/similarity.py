@@ -520,6 +520,48 @@ def sign_lsh_buckets(
     return v.select(id_col, sig.alias("bucket"))
 
 
+def lsh_bucket_rows(
+    df: DataFrame,
+    planes: list[list[float]],
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bucket) rows for L tables of r = len(planes)//L sign bits:
+    all L·r plane dots in ONE Arrow pass (N×d @ d×(L·r) BLAS matmul, then
+    bit-pack r sign bits per table). The union-of-L-branches JVM form
+    re-evaluated the vector column L times through Catalyst's interpreted
+    array-HOF fold — ~14× slower at sf0.1. Partition-preserving: no
+    shuffle, one output row per (vector, table)."""
+    if n_tables < 1 or len(planes) % n_tables:
+        raise ValueError("len(planes) must be a positive multiple of n_tables")
+    r = len(planes) // n_tables
+
+    def hash_all(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64).T  # d × (L·r)
+        weights = (1 << np.arange(r)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            bits = (M @ P) > 0  # N × (L·r)
+            buckets = (bits.reshape(len(pdf), n_tables, r) * weights).sum(
+                axis=2
+            )  # N × L
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tbls = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame(
+                {id_col: ids, "tbl": tbls, "bucket": buckets.reshape(-1)}
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), vec_col).mapInPandas(
+        hash_all, schema=f"{id_col} long, tbl int, bucket long"
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -543,43 +585,9 @@ def ann_topk_lsh(
 
     At 100 TB: the per-table bucket join shuffles on (table, bucket) — L
     small shuffles instead of one N² cross; bucket sizes shrink 2ʳ-fold."""
-    if n_tables < 1 or len(planes) % n_tables:
-        raise ValueError("len(planes) must be a positive multiple of n_tables")
-    r = len(planes) // n_tables
-
-    def _buckets(df: DataFrame, idc: str) -> DataFrame:
-        # All L·r plane dots in ONE Arrow pass (N×d @ d×(L·r) BLAS matmul,
-        # then bit-pack r sign bits per table). The union-of-L-branches JVM
-        # form re-evaluated the vector column L times through Catalyst's
-        # interpreted array-HOF fold — ~14× slower at sf0.1. Partition-
-        # preserving: no shuffle, one output row per (vector, table).
-        def hash_all(batches):
-            import numpy as np
-            import pandas as pd
-
-            P = np.array(planes, dtype=np.float64).T  # d × (L·r)
-            weights = (1 << np.arange(r)).astype(np.int64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-                bits = (M @ P) > 0  # N × (L·r)
-                buckets = (
-                    bits.reshape(len(pdf), n_tables, r) * weights
-                ).sum(axis=2)  # N × L
-                ids = np.repeat(pdf[idc].to_numpy(), n_tables)
-                tbls = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
-                yield pd.DataFrame(
-                    {idc: ids, "tbl": tbls, "bucket": buckets.reshape(-1)}
-                )
-
-        return df.select(F.col(idc).cast("long").alias(idc), vec_col).mapInPandas(
-            hash_all, schema=f"{idc} long, tbl int, bucket long"
-        )
-
-    cb = _buckets(corpus, id_col)
+    cb = lsh_bucket_rows(corpus, planes, n_tables, id_col, vec_col)
     qb = (
-        _buckets(queries, query_id_col)
+        lsh_bucket_rows(queries, planes, n_tables, query_id_col, vec_col)
         .withColumnRenamed("bucket", "qbucket")
         .withColumnRenamed("tbl", "qtbl")
     )
@@ -641,28 +649,13 @@ def lsh_bucket_dedup(
     ``distinct``-ed before the exact verify so each pair is cosine-scored
     once no matter how many tables it collides in."""
     if n_tables <= 1:
+        # single-table JVM form: ANSI-SQL-expressible (the docstring's
+        # oracle-replay property) — keep the codegen sign folds
         b = sign_lsh_buckets(corpus, planes, id_col, vec_col).select(
             id_col, F.lit(0).alias("tbl"), "bucket"
         )
     else:
-        r = len(planes) // n_tables
-        v = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        per_tbl = []
-        for t in range(n_tables):
-            sig = F.lit(0).cast("long")
-            for h, plane in enumerate(planes[t * r : (t + 1) * r]):
-                lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-                sig = sig + F.when(
-                    dot(F.col("v"), lit_plane) > 0, F.lit(2**h).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            per_tbl.append(sig.alias(f"b{t}"))
-        wide = v.select(id_col, *per_tbl)
-        b = wide.select(
-            id_col,
-            F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
-                "tbl", "bucket"
-            ),
-        )
+        b = lsh_bucket_rows(corpus, planes, n_tables, id_col, vec_col)
     # ids-only candidate pairs, dedup'd across tables BEFORE vectors attach
     a = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     bb = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")

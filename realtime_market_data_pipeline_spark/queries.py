@@ -3479,17 +3479,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract plants its own ground truth: the first {_LSH_DEDUP_PLANT}
     vectors get a deterministically perturbed twin (id + {_LSH_DEDUP_OFFSET},
     cosine ≈ 0.9996 to its source — the genuine near-dup regime). The
-    bucketed dedup (4 tables × 8 sign-bits, candidates unioned + distinct'd,
+    bucketed dedup (4 tables × 12 sign-bits, candidates unioned + distinct'd,
     in-bucket pairs exact-cosine verified at τ = 0.98) must then (a) recover
     ≥ {_LSH_DEDUP_FLOOR:.0%} of the planted twins with canonical_id = the true
     source, and (b) flag ZERO natural vectors — exact in-bucket verification
     makes false positives structurally impossible, and the driver row hashes
-    that both ways. Cost is Σ bucket² ≈ N²/2⁸ per table — subquadratic,
-    vs the blocks²-quadratic ground-truth form (``dedup_embedding_cosine``)."""
+    that both ways. Cost is Σ bucket² ≈ N²/2¹² per table — subquadratic,
+    vs the blocks²-quadratic ground-truth form (``dedup_embedding_cosine``);
+    per-twin recall is 1 − (1 − p¹²)⁴ ≈ 0.9999 at p = cos-angle bit
+    probability ≈ 0.991."""
     import random
 
     rng = random.Random(7)
-    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(32)]
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(48)]
     emb = load_table(spark, sf_dir, "embeddings")
     natural = emb.select("vec_id", sim.as_double("embedding").alias("embedding"))
     planted = emb.filter(F.col("vec_id") < _LSH_DEDUP_PLANT).select(
