@@ -30,6 +30,7 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "doc_lm_scores",
+    "dedup_embedding_lsh",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
@@ -56,7 +57,21 @@ def replicate(spark, k: int, dst: str) -> None:
         key = keys[t]
         copies = df.crossJoin(
             spark.range(k).select(F.col("id").alias("_rep"))
-        ).withColumn(key, F.col(key) + F.col("_rep") * F.lit(10_000_000)).drop("_rep")
+        ).withColumn(key, F.col(key) + F.col("_rep") * F.lit(10_000_000))
+        if t == "embeddings":
+            # replicas get FRESH random vectors: exact-dup replica vectors
+            # would put k cosine-1.0 copies of every signature in the same
+            # LSH bucket (Σ bucket² grows k², guaranteed-pair verify grows
+            # k²) — a growth pattern no real corpus has. Real growth is new
+            # content; iid gaussians are exactly the null (far-apart) case.
+            dim = 64
+            fresh = F.array(*[F.randn(seed=7000 + i) for i in range(dim)])
+            copies = copies.withColumn(
+                "embedding",
+                F.when(F.col("_rep") == 0, F.col("embedding").cast("array<double>"))
+                .otherwise(fresh),
+            )
+        copies = copies.drop("_rep")
         copies.write.mode("overwrite").parquet(out)
 
 

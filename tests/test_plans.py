@@ -287,6 +287,17 @@ def test_pair_operators_construct_lazily(spark):
     assert before == after, "plan construction launched a Spark job"
 
 
+def test_lsh_dedup_no_cartesian_and_distinct_before_verify(spark):
+    # the bucketed dedup must never cross-join: candidates come from the
+    # (tbl, bucket) equi-join, are distinct'd, and only then attach vectors
+    df = Q.QUERIES["dedup_embedding_lsh"](spark, SF)
+    joins = P.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+    plan = P.plan_string(df)
+    assert "HashAggregate" in plan  # the distinct + the contract agg
+
+
 def test_ann_lsh_multi_table_broadcast_candidates(spark):
     # candidate generation joins corpus buckets to BROADCAST query buckets
     # and dedups before scoring — no cartesian, no corpus-side shuffle join
