@@ -159,18 +159,22 @@ def jaccard_from_sets(
     )
 
 
-def lsh_candidate_pairs(
+def band_key_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     band_size: int = 4,
 ) -> DataFrame:
-    """Band the signature (``num_hashes/band_size`` bands); docs sharing any
-    full band become a candidate pair (id_a < id_b, distinct)."""
+    """(id, band_id, band_key) rows: the signature banded into
+    ``num_hashes/band_size`` bands, each band's minhashes concatenated into a
+    join key. One scan: explodes an array of (band_id, band_key) structs
+    rather than unioning n_bands re-scans of the signature relation. The
+    shared candidate-generation primitive for batch LSH pairing
+    (``lsh_candidate_pairs``) and the streaming dedup filter
+    (streaming/dedup.py), which joins new docs' band keys against a
+    persistent store of accepted docs' keys."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    # one scan: explode an array of (band_id, band_key) structs rather than
-    # unioning n_bands re-scans of the signature relation
     band_structs = F.array(
         *[
             F.struct(
@@ -182,9 +186,24 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(band_structs).alias("band")
-    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    ).select(
+        id_col,
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signature (``num_hashes/band_size`` bands); docs sharing any
+    full band become a candidate pair (id_a < id_b, distinct)."""
+    exploded = band_key_rows(signatures, id_col, num_hashes, band_size)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (

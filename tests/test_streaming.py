@@ -890,3 +890,86 @@ def test_streaming_ohlc_bars_match_batch(spark, gbm_ticks, tick_dir, tmp_path):
     }
     got = {tuple(v[c] for c in cols) for v in state.values()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
+    """Streaming near-dup filter: new docs are checked against the
+    persistent signature store of previously ACCEPTED docs (and lower-id
+    in-batch docs); survivors' rows and signatures land partitioned by
+    batch_id; a replayed batch rewrites itself (exactly-once landing)."""
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    d = str(tmp_path / "docs_in")
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the patient cat "
+        "watches carefully from the warm windowsill every single day of the "
+        "long quiet summer without ever moving much at all"
+    )
+    near = base_text.replace("summer", "winter")  # 3 of ~33 shingles differ
+    uniq2 = (
+        "completely different second document describing distributed query "
+        "engines adaptive execution and shuffle partitioning strategies for "
+        "large analytical workloads running on many machines"
+    )
+    uniq3 = (
+        "a third unrelated text regarding minhash signatures banding "
+        "thresholds and candidate generation trade offs for web scale "
+        "corpora with heavy tailed duplication patterns"
+    )
+
+    writer = sdedup.minhash_dedup_writer(store, out, threshold=0.6)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    def accepted():
+        return {r.doc_id for r in sdedup.accepted_docs(spark, out).collect()}
+
+    # batch 0: doc 3 is an in-batch near-dup of doc 1 (lower id wins)
+    write_file([(1, base_text), (2, uniq2), (3, near)])
+    run()
+    assert accepted() == {1, 2}
+
+    # batch 1: doc 4 duplicates ACCEPTED history (doc 1, exact text);
+    # doc 5 is genuinely new
+    write_file([(4, base_text), (5, uniq3)])
+    run()
+    assert accepted() == {1, 2, 5}
+
+    # store holds signatures only for survivors, partitioned by batch
+    st = spark.read.parquet(store)
+    assert {r.doc_id for r in st.select("doc_id").collect()} == {1, 2, 5}
+    assert {r.batch_id for r in st.select("batch_id").collect()} == {0, 1}
+
+    # replay of the last batch (same batch_id) must not change the outcome:
+    # the store read excludes partitions >= the replayed id, and the
+    # dynamic overwrite rewrites rather than appends
+    writer(
+        spark.createDataFrame(
+            [(4, base_text), (5, uniq3)], "doc_id long, text string"
+        ),
+        1,
+    )
+    assert accepted() == {1, 2, 5}
+    st2 = spark.read.parquet(store)
+    assert {r.doc_id for r in st2.select("doc_id").collect()} == {1, 2, 5}
