@@ -182,3 +182,88 @@ def minhash_dedup_writer(
 def accepted_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     """All documents accepted so far (the deduped output table)."""
     return spark.read.parquet(out_dir).drop("batch_id")
+
+
+def embedding_dedup_writer(
+    store_dir: str,
+    out_dir: str,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    threshold: float = 0.98,
+) -> BatchWriter:
+    """foreachBatch writer: the embedding-space sibling of
+    ``minhash_dedup_writer`` (online semantic dedup — SemDeDup-style
+    ingestion filtering). New vectors' sign-LSH buckets
+    (``lsh_bucket_rows``, L tables × r bits, same geometry as the batch
+    ``lsh_bucket_dedup``) join the persistent store of accepted vectors;
+    candidates are verified by EXACT cosine — unlike the minhash filter the
+    store must keep the vectors anyway (it doubles as the retrieval index),
+    so verification is exact and false positives are structurally
+    impossible. In-batch, the lower id wins; across batches, first accepted
+    wins. Store/out partitioning, replay guard and idempotent overwrite are
+    identical to ``minhash_dedup_writer``."""
+    from realtime_market_data_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+        lsh_bucket_rows,
+    )
+
+    def _dups(new_v: DataFrame, old_v: DataFrame, in_batch: bool) -> DataFrame:
+        nb = lsh_bucket_rows(new_v, planes, n_tables, id_col, vec_col).select(
+            F.col(id_col).alias("new_id"), "tbl", "bucket"
+        )
+        ob = lsh_bucket_rows(old_v, planes, n_tables, id_col, vec_col).select(
+            F.col(id_col).alias("old_id"), "tbl", "bucket"
+        )
+        cand = nb.join(ob, ["tbl", "bucket"]).select("new_id", "old_id")
+        if in_batch:
+            cand = cand.filter(F.col("old_id") < F.col("new_id"))
+        cand = cand.distinct()
+        nv = new_v.select(
+            F.col(id_col).alias("new_id"), as_double(vec_col).alias("nv")
+        )
+        ov = old_v.select(
+            F.col(id_col).alias("old_id"), as_double(vec_col).alias("ov")
+        )
+        verified = (
+            cand.join(nv, "new_id")
+            .join(ov, "old_id")
+            .filter(cosine(F.col("nv"), F.col("ov")) >= F.lit(threshold))
+        )
+        return verified.select(F.col("new_id").alias(id_col)).distinct()
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vecs = batch_df.select(id_col, vec_col)
+        dup_hist = None
+        store = read_store(spark, store_dir, before_batch=batch_id)
+        if store is not None:
+            dup_hist = _dups(vecs, store.select(id_col, vec_col), in_batch=False)
+        dups = _dups(vecs, vecs, in_batch=True)
+        if dup_hist is not None:
+            dups = dups.unionByName(dup_hist)
+        dups = dups.distinct()
+        survivors = batch_df.join(dups, id_col, "left_anti")
+
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                survivors.select(id_col, vec_col)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write

@@ -973,3 +973,73 @@ def test_streaming_minhash_dedup_across_batches(spark, tmp_path):
     assert accepted() == {1, 2, 5}
     st2 = spark.read.parquet(store)
     assert {r.doc_id for r in st2.select("doc_id").collect()} == {1, 2, 5}
+
+
+def test_streaming_embedding_dedup_across_batches(spark, tmp_path):
+    """Online semantic dedup: vectors near-identical (cosine >= threshold)
+    to previously accepted vectors — or to lower-id vectors in the same
+    batch — are dropped; the store doubles as the vector index."""
+    import random as _random
+
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    d = str(tmp_path / "vec_in")
+    store = str(tmp_path / "vec_store")
+    out = str(tmp_path / "vec_accepted")
+    ckpt = str(tmp_path / "vec_ckpt")
+
+    rng = _random.Random(11)
+    dim = 16
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    def perturb(v):
+        return [x + rng.gauss(0, 0.005) for x in v]
+
+    v1, v2, v3 = vec(), vec(), vec()
+    planes = [[_random.Random(9000 + h).gauss(0, 1) for _ in range(dim)] for h in range(16)]
+    writer = sdedup.embedding_dedup_writer(store, out, planes, n_tables=4, threshold=0.98)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    def accepted():
+        return {r.vec_id for r in sdedup.accepted_docs(spark, out).collect()}
+
+    # batch 0: id 3 is an in-batch near-copy of id 1
+    write_file([(1, v1), (2, v2), (3, perturb(v1))])
+    run()
+    assert accepted() == {1, 2}
+
+    # batch 1: id 4 near-copies ACCEPTED id 2; id 5 is new content
+    write_file([(4, perturb(v2)), (5, v3)])
+    run()
+    assert accepted() == {1, 2, 5}
+
+    # store = surviving vectors only; replay of batch 1 changes nothing
+    st = {r.vec_id for r in spark.read.parquet(store).select("vec_id").collect()}
+    assert st == {1, 2, 5}
+    writer(
+        spark.createDataFrame(
+            [(4, perturb(v2)), (5, v3)], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    assert accepted() == {1, 2, 5}
