@@ -2317,18 +2317,37 @@ def sql_frontend_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_FRONTEND_STMT)
 
 
+@query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS n_exact_users,
+       TRUE AS within_10pct
+FROM events
+GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (rows-only: sketch estimates are
-    engine-specific, so no cross-engine value oracle; the exact twin is
-    distinct_counts). The sketch is mergeable ⇒ one tiny shuffle at 100 TB."""
+    """HyperLogLog++ approximate distinct with an oracle-checkable ERROR
+    CONTRACT (the sketch estimate itself is engine-specific, so — like the
+    ANN queries — the driver-hashable surface is the bound, not the value):
+    per event_type the row carries the exact count(DISTINCT) both engines
+    agree on, plus a boolean asserting the HLL estimate (default rsd = 5%
+    standard error) landed within 10% (~2σ) of it. A broken sketch or a
+    regressed default flips the boolean and fails the hash. The exact twin
+    is distinct_counts; the sketch is mergeable ⇒ one tiny shuffle at
+    100 TB where countDistinct needs a full re-shuffle of the keys."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id") - F.countDistinct("user_id")
+            ).cast("double")
+            <= 0.10 * F.countDistinct("user_id")
+        ).alias("within_10pct"),
     )
-
-
-QUERIES["approx_distinct_users"] = approx_distinct_users
 
 
 @query(
@@ -3611,23 +3630,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Source surface (SURVEY.md §2.1 S7 / §2.2 K3): synthetic GBM generator and
 # the Kafka payload codec. The GBM draw comes from xxhash64 (no DuckDB twin),
-# so these are rows-only checks; the streaming tests in tests/test_streaming.py
-# carry the equivalence evidence.
+# so the driver-hashable surface is the STRUCTURAL contract: tick pacing and
+# windowing are pure config arithmetic (event_ms = start + idx·62 ms ⇒ 2000
+# ticks span 124 s ⇒ 13 tumbling-10s windows × 3 symbols), and GBM prices
+# are exp() of something ⇒ positive, with finite log returns. None of these
+# depend on the random draw. Full path-equivalence evidence lives in
+# tests/test_streaming.py + test_gbm_datasource.py.
 # ---------------------------------------------------------------------------
 
 from realtime_market_data_pipeline_spark.operators.features import parse_ticks
 from realtime_market_data_pipeline_spark.sources import ticks as srcticks
 
 
+@query(
+    "synthetic_gbm_features",
+    oracle="""
+SELECT CAST(39 AS BIGINT) AS n_windows,
+       CAST(3 AS BIGINT) AS n_symbols,
+       CAST(6000 AS BIGINT) AS total_ticks,
+       TRUE AS all_prices_positive,
+       TRUE AS no_nan_returns
+""",
+)
 def synthetic_gbm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Producer→consumer chain, broker-free: GBM ticks → Kafka JSON payload →
-    parse_ticks → windowed features (rows-only; deterministic by seed)."""
+    parse_ticks → windowed features, reduced to the draw-independent
+    contract row (window/tick counts from config arithmetic; positivity and
+    finiteness by GBM construction — see block comment above)."""
     ticks = srcticks.synthetic_ticks_batch(spark, n_per_symbol=2000, seed=42)
     parsed = parse_ticks(srcticks.to_kafka_payload(ticks))
-    return feat.compute_features(parsed, window="10 seconds")
-
-
-QUERIES["synthetic_gbm_features"] = synthetic_gbm_features
+    featured = feat.compute_features(parsed, window="10 seconds")
+    return featured.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("symbol").alias("n_symbols"),
+        F.sum("num_ticks").alias("total_ticks"),
+        (
+            (F.min("first_price") > 0) & (F.min("last_price") > 0)
+        ).alias("all_prices_positive"),
+        (
+            F.max(F.isnan("log_return").cast("int")) == 0
+        ).alias("no_nan_returns"),
+    )
 
 
 # ---------------------------------------------------------------------------
