@@ -62,6 +62,7 @@ HEADLINE = [
     "embedding_similar_pairs",  # ground-truth form (exact all-pairs)
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "hybrid_search_rrf",
     "multimodal_features",
 ]
 

@@ -49,6 +49,13 @@ _O_BUCKET = """
                  ELSE ascii(substr(hx,2,1)) - 48 END)
 """
 
+# Oracle-side cosine: embedding oracles share the explicit dot/(|a||b|)
+# formula so both engines fold the same IEEE doubles in the same order.
+_O_COS = (
+    "round(list_dot_product(qv, cv) /"
+    " (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -2961,6 +2968,89 @@ def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=rf"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+       WHERE word IN {_BM25_TERMS!r} GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+s AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 *
+                  (CAST(dl.dl * st.n_docs AS DOUBLE) / st.total))), 9) AS ps
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc AS (SELECT doc_id, sum(CAST(ps AS DECIMAL(38,10))) AS sd FROM s GROUP BY 1),
+bm AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY sd DESC, doc_id ASC) AS INTEGER) AS rank_bm25
+       FROM sc ORDER BY sd DESC, doc_id ASC LIMIT 20),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> 0),
+cosr AS (SELECT vec_id AS doc_id,
+                CAST(row_number() OVER (ORDER BY {_O_COS} DESC, vec_id ASC) AS INTEGER) AS rank_cos
+         FROM q CROSS JOIN c
+         ORDER BY {_O_COS} DESC, vec_id ASC LIMIT 20),
+f AS (
+  SELECT COALESCE(bm.doc_id, cosr.doc_id) AS doc_id,
+         round(COALESCE(1.0::DOUBLE / ({_RRF_K} + rank_bm25), 0)
+               + COALESCE(1.0::DOUBLE / ({_RRF_K} + rank_cos), 0), 9) AS rrf_score,
+         rank_bm25, rank_cos
+  FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id
+)
+SELECT doc_id, rrf_score, rank_bm25, rank_cos
+FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 (fixed term query, same scoring as
+    ``bm25_top20``) and dense cosine (query = embedding of vec_id 0, same
+    ranking as ``embedding_cosine_topk``) fused by reciprocal-rank fusion —
+    rrf = Σ 1/(60 + rank) over the lists a doc appears in, top-10 by fused
+    score. The synthetic corpus has no aligned text↔vector semantics, so
+    what this query certifies is the FUSION dataflow: two independent
+    20-row rank lists (each deterministic by exact-decimal / 6-dp-rounded
+    ordering with doc_id tie-breaks), a full-outer join on doc_id
+    (documents and embeddings are 1:1 by id), and rank-only arithmetic —
+    RRF reads nothing but integer ranks, so fusion can never diverge on
+    score ulps. At 100 TB both branches are top-k-bounded (20 rows each)
+    before the join, which is therefore a broadcast of two tiny relations
+    no matter the corpus size."""
+    from pyspark.sql.window import Window
+
+    bm = bm25_top20(spark, sf_dir)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm_r = bm.select("doc_id", F.row_number().over(wb).alias("rank_bm25"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos = sim.cosine_topk(emb, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rank_cos")
+    )
+    one = F.lit(1.0)
+    fused = bm_r.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(one / (_RRF_K + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(one / (_RRF_K + F.col("rank_cos")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+        "rank_bm25",
+        "rank_cos",
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
 @query(
     "sequence_packing_256",
     oracle="""
@@ -3311,14 +3401,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("dup_of", "vec_id").alias("canonical_id"),
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
-
-
-# embedding oracles share the explicit dot/(|a||b|) formula so both engines
-# fold the same IEEE doubles in the same order
-_O_COS = (
-    "round(list_dot_product(qv, cv) /"
-    " (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
-)
 
 
 @query(
@@ -3738,10 +3820,11 @@ _REGISTRY_PRIORITY = [
     # (1d) rows-only contracts — never adjudicated (weaker check, still a row)
     "approx_distinct_users",
     "synthetic_gbm_features",
-    # (2) changed this round — need fresh rows
+    # (2) changed or new this round — need fresh rows
     "tick_validation_counts",
     "stratified_sample_events",
     "dedup_embedding_lsh",
+    "hybrid_search_rrf",
     "trailing_7d_revenue",
     "running_revenue_per_supplier",
     # (3) r2-green refresh fills the window to 50
@@ -3757,7 +3840,8 @@ _REGISTRY_PRIORITY = [
     "q17_small_quantity_revenue",
     "q22_idle_customers",
     "regex_extract_brands",
-    "stats_price_quantity",
+    # stats_price_quantity rotated back out (r2-green, code unchanged) to
+    # keep the adjudicated window at exactly 50
 ]
 
 

@@ -332,7 +332,7 @@ def test_registry_priority_window():
     }
     changed_r4 = {
         "tick_validation_counts", "stratified_sample_events",
-        "dedup_embedding_lsh", "trailing_7d_revenue",
+        "dedup_embedding_lsh", "hybrid_search_rrf", "trailing_7d_revenue",
         "running_revenue_per_supplier",
     }
     assert never_adjudicated <= window, never_adjudicated - window
