@@ -3557,6 +3557,70 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(exact, ann)
 
 
+# Single-table sign-LSH with the planes embedded as SQL literals: the one
+# ANN-family form that is fully ANSI-expressible, so the bucketed dataflow
+# (sign folds → bucket equi-join → in-bucket exact cosine) gets an
+# EXACT-value oracle, not just a recall contract. repr() floats round-trip
+# bit-exactly through both engines' double parsers; both sides fold the dot
+# products left-to-right, so the sign — and hence the bucket — is identical.
+def _ebp_planes(n_planes: int = 8, dim: int = 64, seed: int = 5) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+_EBP_PLANES = _ebp_planes()
+_EBP_TAU = 0.2
+_EBP_BUCKET_SQL = " + ".join(
+    "(CASE WHEN list_dot_product(e, ["
+    + ", ".join(repr(x) for x in p)
+    + "]::DOUBLE[]) > 0 THEN "
+    + str(2**h)
+    + " ELSE 0 END)"
+    for h, p in enumerate(_EBP_PLANES)
+)
+
+
+@query(
+    "embedding_bucket_pairs",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, {_EBP_BUCKET_SQL} AS bucket, e FROM v),
+p AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         round(list_dot_product(a.e, bb.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(bb.e, bb.e))), 6) AS cosine_sim
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= {_EBP_TAU}
+""",
+)
+def embedding_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed similarity dataflow, EXACT-oracle-verified: single-table
+    8-bit sign-LSH buckets (planes as literals — see block comment), within-
+    bucket pairs scored by exact cosine, thresholded at {tau}. Certifies
+    value-exactly the machinery the contract queries (dedup_embedding_lsh,
+    embedding_ann_lsh) build on: the sign folds, the bucket equi-join, and
+    the in-bucket rescore. Cost Σ bucket² — the same subquadratic shape as
+    the production multi-table form.""".format(tau=_EBP_TAU)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", sim.as_double("embedding").alias("v"))
+    b = sim.sign_lsh_buckets(v, _EBP_PLANES, vec_col="v").join(v, "vec_id")
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    bb = b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim.cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _EBP_TAU)
+    )
+
+
 _LSH_DEDUP_PLANT, _LSH_DEDUP_OFFSET, _LSH_DEDUP_FLOOR = 50, 1_000_000, 0.9
 
 
@@ -3825,6 +3889,7 @@ _REGISTRY_PRIORITY = [
     "stratified_sample_events",
     "dedup_embedding_lsh",
     "hybrid_search_rrf",
+    "embedding_bucket_pairs",
     "trailing_7d_revenue",
     "running_revenue_per_supplier",
     # (3) r2-green refresh fills the window to 50
@@ -3839,9 +3904,8 @@ _REGISTRY_PRIORITY = [
     "q16_brand_size_suppliers",
     "q17_small_quantity_revenue",
     "q22_idle_customers",
-    "regex_extract_brands",
-    # stats_price_quantity rotated back out (r2-green, code unchanged) to
-    # keep the adjudicated window at exactly 50
+    # regex_extract_brands / stats_price_quantity rotated back out
+    # (r2-green, code unchanged) to keep the adjudicated window at 50
 ]
 
 

@@ -332,8 +332,8 @@ def test_registry_priority_window():
     }
     changed_r4 = {
         "tick_validation_counts", "stratified_sample_events",
-        "dedup_embedding_lsh", "hybrid_search_rrf", "trailing_7d_revenue",
-        "running_revenue_per_supplier",
+        "dedup_embedding_lsh", "hybrid_search_rrf", "embedding_bucket_pairs",
+        "trailing_7d_revenue", "running_revenue_per_supplier",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window
