@@ -2927,20 +2927,45 @@ def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_top3_terms. tf/df/dl are exact integer relations; each per-term
     score is 9-dp-rounded and summed in DECIMAL(38,10), and the top-20 cut
     orders by that EXACT decimal sum (ties by doc_id), so the ranking can
-    never diverge between engines on float ulps. The term filter lands in
-    the token explode (predicate pushdown before the tf aggregation); corpus
-    stats are a broadcast scalar; at scale the only big exchanges are the
-    two keyed aggregations."""
+    never diverge between engines on float ulps. The query terms are a
+    FIXED set, so tf-per-term and dl fuse into one keyed-aggregation SHAPE
+    (conditional sums per term, unpivoted at per-doc cardinality) — r4:
+    this removes the former tf⋈dl join and its exchange. Catalyst still
+    prunes the three consumers (tf, df, corpus stats) into separate narrow
+    scans rather than reusing one exchange (their pruned subplans differ,
+    so ReuseExchange can't fire); at 100 TB the move is to persist the
+    per-doc relation (doc-cardinality, ~40 B/doc — MEMORY_AND_DISK) making
+    it literally one corpus scan. Left uncached here so the driver-run
+    plan stays stateless. Corpus stats are a broadcast scalar."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("word"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
     tf = (
-        tok.filter(F.col("word").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("word"), F.col(f"_tf{i}").alias("tf")
+                        )
+                        for i, t in enumerate(_BM25_TERMS)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "dl", F.col("x.word").alias("word"), F.col("x.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    st = dl.agg(
+    st = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("total")
     )
     idf = F.log(
@@ -2954,7 +2979,6 @@ def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = F.round(idf * F.col("tf") * 2.2 / denom, 9)
     s = (
         tf.join(dfr, "word")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
         .select("doc_id", ps.alias("ps"))
     )
