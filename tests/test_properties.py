@@ -141,3 +141,60 @@ def test_lm_scores_bounds_and_counts(spark, texts):
         else:
             assert out[i].n_bigrams == n - 1
             assert 0.0 <= out[i].known_bigram_ratio <= 1.0
+
+
+vec_lists = st.lists(
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vecs=vec_lists, n_tables=st.sampled_from([1, 2, 4]))
+@settings(**_SETTINGS)
+def test_lsh_bucket_dedup_invariants(spark, vecs, n_tables):
+    # on ANY corpus: exactly one output row per input id; canonical_id is
+    # always <= vec_id (dup of a LOWER id or self); is_dup iff canonical
+    # differs; uniques are self-canonical. Holds for every table count.
+    from realtime_market_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    planes = [
+        [(0.7 * h - 1.1) * (j + 1) % 1.7 - 0.8 for j in range(4)]
+        for h in range(8)
+    ]
+    out = sim.lsh_bucket_dedup(
+        df, planes, threshold=0.999, n_tables=n_tables
+    ).collect()
+    assert len(out) == len(vecs)
+    assert {r.vec_id for r in out} == set(range(len(vecs)))
+    for r in out:
+        assert r.canonical_id <= r.vec_id
+        assert r.is_dup == (r.canonical_id != r.vec_id)
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30, unique=True))
+@settings(**_SETTINGS)
+def test_stratified_bucket_is_pure_function_of_id(spark, ids):
+    # the md5 bucket behind stratified_sample_events: stable in [0,256),
+    # independent of row order and partitioning — the property that makes
+    # the sample reproducible and oracle-replayable
+    from realtime_market_data_pipeline_spark.operators.text import split_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    one = {
+        r.event_id: r.b
+        for r in df.coalesce(1).select("event_id", split_bucket("event_id", "strat:v1").alias("b")).collect()
+    }
+    many = {
+        r.event_id: r.b
+        for r in df.repartition(7).select("event_id", split_bucket("event_id", "strat:v1").alias("b")).collect()
+    }
+    assert one == many
+    assert all(0 <= b < 256 for b in one.values())
