@@ -1971,6 +1971,54 @@ def user_sessions_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_STMT = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ordered
+),
+versions AS (
+  SELECT user_id, island, event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM islands
+  GROUP BY user_id, island, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+       n_events,
+       CAST(island AS BIGINT) AS version_no
+FROM versions
+"""
+
+
+@query("scd2_event_type_intervals", oracle=_SCD2_STMT)
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval construction: per
+    user, collapse consecutive events with the same event_type into validity
+    versions [valid_from, valid_to) — valid_to = next version's start, NULL
+    for the current version. The temporal-warehouse primitive that turns an
+    event log into a versioned dimension an ``asof_join`` can probe;
+    value-CHANGE islands, where user_sessions_12h's islands are time-GAP
+    based. One statement runs verbatim on both engines (spark.sql):
+    change-flag lag → island cumsum → per-island agg → lead. Ties broken by
+    event_id so island numbering is engine-independent. One exchange at
+    100 TB: every window and the aggregation share the user_id clustering
+    (HashPartitioning(user_id) satisfies the (user_id, island) grouping)."""
+    from realtime_market_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(_SCD2_STMT)
+
+
 @query(
     "asof_last_purchase",
     oracle="""
@@ -3914,6 +3962,7 @@ _REGISTRY_PRIORITY = [
     "dedup_embedding_lsh",
     "hybrid_search_rrf",
     "embedding_bucket_pairs",
+    "scd2_event_type_intervals",
     "trailing_7d_revenue",
     "running_revenue_per_supplier",
     # (3) r2-green refresh fills the window to 50
@@ -3927,9 +3976,8 @@ _REGISTRY_PRIORITY = [
     "q14_promo_revenue_ratio",
     "q16_brand_size_suppliers",
     "q17_small_quantity_revenue",
-    "q22_idle_customers",
-    # regex_extract_brands / stats_price_quantity rotated back out
-    # (r2-green, code unchanged) to keep the adjudicated window at 50
+    # q22_idle_customers / regex_extract_brands / stats_price_quantity
+    # rotated back out (r2-green, code unchanged) to keep the window at 50
 ]
 
 

@@ -298,6 +298,20 @@ def test_lsh_dedup_no_cartesian_and_distinct_before_verify(spark):
     assert "HashAggregate" in plan  # the distinct + the contract agg
 
 
+def test_scd2_single_exchange(spark):
+    # SCD2 interval construction: the change-flag window, the island
+    # cumsum, the per-island agg and the lead() must all share the user_id
+    # clustering — exactly ONE hash exchange end-to-end
+    import re
+
+    with P.aqe_disabled(spark):
+        plan = P.plan_string(
+            Q.QUERIES["scd2_event_type_intervals"](spark, SF), mode="simple"
+        )
+    ex = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert len(ex) == 1 and ex[0].startswith("user_id"), ex
+
+
 def test_ann_lsh_multi_table_broadcast_candidates(spark):
     # candidate generation joins corpus buckets to BROADCAST query buckets
     # and dedups before scoring — no cartesian, no corpus-side shuffle join
@@ -333,7 +347,8 @@ def test_registry_priority_window():
     changed_r4 = {
         "tick_validation_counts", "stratified_sample_events",
         "dedup_embedding_lsh", "hybrid_search_rrf", "embedding_bucket_pairs",
-        "trailing_7d_revenue", "running_revenue_per_supplier",
+        "scd2_event_type_intervals", "trailing_7d_revenue",
+        "running_revenue_per_supplier",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window
