@@ -49,6 +49,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # UTC for EVERY table read, not just events: wall-clock derivations on
+    # orders/lineitem timestamps (year(), date_trunc, window()) follow the
+    # session zone, and the DuckDB oracle treats the same instants as
+    # naive-UTC. (Timestamps COLLECTED to python additionally assume a UTC
+    # process TZ — true in this container; a non-UTC process would shift
+    # their repr, which no session conf can prevent.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events_normalized(spark, path)

@@ -113,3 +113,17 @@ def test_synthetic_long_and_string_flavors(spark, tmp_path):
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     got = sorted(r.ms for r in df.select(F.unix_millis("ts").alias("ms")).collect())
     assert got == [1_704_067_200_000, 1_704_153_601_500]
+
+
+def test_load_table_pins_utc_for_every_table(spark):
+    """A session whose timeZone drifted (embedding app, notebook) must be
+    re-pinned to UTC by ANY load_table call — wall-clock derivations
+    (year(), window(), date_trunc) on any table's timestamps follow the
+    session zone, and the oracle treats the same instants as naive-UTC."""
+    for table in ("orders", "events", "documents"):
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            load_table(spark, "/root/testdata/sf0.001", table)
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC", table
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
