@@ -153,6 +153,119 @@ def twap(ticks: DataFrame, grain: str = "day") -> DataFrame:
     )
 
 
+def daily_close_bars(ticks: DataFrame) -> DataFrame:
+    """(symbol, day_ts, close, day_idx): per-symbol daily close — the price
+    of the day's last tick (event-time ``max_by``, matching the feature
+    engine's last_price semantics) — plus a 1-based day index for the
+    recursive indicators. One shuffle (map-side combined tick→day agg); the
+    row_number window runs at daily-bar cardinality on the same symbol
+    partitioning. close is a picked stored double — exact, no rounding
+    needed."""
+    bars = ticks.groupBy(
+        "symbol", F.date_trunc("day", "event_time").alias("day_ts")
+    ).agg(F.max_by("price", "event_time").alias("close"))
+    w = Window.partitionBy("symbol").orderBy("day_ts")
+    return bars.withColumn("day_idx", F.row_number().over(w))
+
+
+def ema_macd(
+    bars: DataFrame, fast: int = 12, slow: int = 26, signal: int = 9
+) -> DataFrame:
+    """MACD over the daily-close series: EMA(fast) − EMA(slow), plus the
+    EMA(signal) line of the MACD itself. Each EMA is the standard
+    α·xₜ + (1−α)·emaₜ₋₁ recursion, α = 2/(n+1), seeded at the series'
+    first observation (MACD's signal seeds at the first MACD value, 0).
+
+    The recursion is inherently sequential per symbol — the one shape the
+    DataFrame algebra cannot express — so it runs as an Arrow-batched
+    ``applyInPandas`` over the per-symbol group, ordered by day. Scale
+    shape: the input is DAILY-BAR cardinality (≈ 2.5k rows per symbol per
+    decade), so a group is always small no matter how many ticks fed it;
+    the tick→bar aggregation upstream is the only heavy stage and the
+    groupBy(symbol) here reuses its shuffle key family. Determinism: the
+    fold multiplies/adds the same IEEE doubles in the same order as the
+    oracle's recursive CTE, so the raw values are bit-identical; outputs
+    are rounded to 6 dp on both sides anyway."""
+    import pandas as pd
+
+    a_f, a_s, a_g = (2.0 / (n + 1.0) for n in (fast, slow, signal))
+    out_schema = (
+        "symbol string, day_ts timestamp, close double, "
+        "ema_fast double, ema_slow double, macd double, macd_signal double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_idx").reset_index(drop=True)
+        closes = pdf["close"].to_numpy()
+        ef = es = eg = None
+        rows_f, rows_s, rows_g = [], [], []
+        for c in closes:
+            c = float(c)
+            ef = c if ef is None else a_f * c + (1.0 - a_f) * ef
+            es = c if es is None else a_s * c + (1.0 - a_s) * es
+            m = ef - es
+            eg = m if eg is None else a_g * m + (1.0 - a_g) * eg
+            rows_f.append(ef)
+            rows_s.append(es)
+            rows_g.append(eg)
+        pdf = pdf[["symbol", "day_ts", "close"]].copy()
+        pdf["ema_fast"] = rows_f
+        pdf["ema_slow"] = rows_s
+        pdf["macd"] = [f - s for f, s in zip(rows_f, rows_s)]
+        pdf["macd_signal"] = rows_g
+        return pdf
+
+    folded = bars.groupBy("symbol").applyInPandas(fold, schema=out_schema)
+    return folded.select(
+        "symbol",
+        "day_ts",
+        "close",
+        F.round("ema_fast", 6).alias("ema_fast"),
+        F.round("ema_slow", 6).alias("ema_slow"),
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+    )
+
+
+def rsi(bars: DataFrame, n: int = 14) -> DataFrame:
+    """Relative Strength Index over the daily-close series, Wilder's
+    smoothing as a running recursion: per-symbol day-over-day deltas split
+    into gain/loss, RMAₜ = (RMAₜ₋₁·(n−1) + xₜ)/n seeded at the FIRST delta
+    (the uniform-seed variant — every day from the second onward gets a
+    value; the classic 14-bar-average seed only changes the first 14 rows'
+    warmup). RSI = 100 − 100/(1 + RMA_gain/RMA_loss); all-loss-free series
+    pin to 100.
+
+    Same execution shape and determinism argument as ``ema_macd``: a
+    per-symbol Arrow fold at daily-bar cardinality, arithmetic written in
+    the exact association the oracle's recursive CTE uses
+    ((prev·(n−1) + x)/n), output rounded to 6 dp both sides."""
+    import pandas as pd
+
+    nf = float(n)
+    out_schema = "symbol string, day_ts timestamp, close double, rsi double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_idx").reset_index(drop=True)
+        closes = [float(c) for c in pdf["close"].to_numpy()]
+        rg = rl = None
+        out = [None]
+        for prev, cur in zip(closes, closes[1:]):
+            g = cur - prev if cur > prev else 0.0
+            loss = prev - cur if prev > cur else 0.0
+            rg = g if rg is None else (rg * (nf - 1.0) + g) / nf
+            rl = loss if rl is None else (rl * (nf - 1.0) + loss) / nf
+            out.append(100.0 if rl == 0.0 else 100.0 - 100.0 / (1.0 + rg / rl))
+        pdf = pdf[["symbol", "day_ts", "close"]].copy()
+        pdf["rsi"] = out
+        return pdf
+
+    folded = bars.groupBy("symbol").applyInPandas(fold, schema=out_schema)
+    return folded.where(F.col("rsi").isNotNull()).select(
+        "symbol", "day_ts", "close", F.round("rsi", 6).alias("rsi")
+    )
+
+
 def pairwise_return_corr(bars: DataFrame) -> DataFrame:
     """Correlation matrix (upper triangle) of per-bucket log returns across
     symbols: lag-1 log return per symbol (6 dp), inner-join aligned on

@@ -3892,6 +3892,192 @@ def synthetic_gbm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive quant indicators (EMA/MACD, RSI) — per-symbol sequential folds
+# the DataFrame algebra cannot express; Arrow applyInPandas at daily-bar
+# cardinality, oracled by recursive CTEs that run the IDENTICAL float
+# recursion (same association, same constants → bit-identical doubles).
+# ---------------------------------------------------------------------------
+
+# Daily close bars + 1-based per-symbol day index, shared by both oracles.
+_DAILY_BARS_CTE = """
+b0 AS (
+  SELECT symbol, CAST(date_trunc('day', event_time) AS TIMESTAMP) AS day_ts,
+         arg_max(price, event_time) AS close
+  FROM ticks GROUP BY 1, 2
+),
+b AS (
+  SELECT symbol, day_ts, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY day_ts) AS day_idx
+  FROM b0
+)"""
+
+# EMA step expressions, written with the exact constants and association the
+# pandas fold uses: a*close + (1.0 - a)*prev, a = 2.0/(n+1).
+_EMA_F = "(2.0/13.0) * b.close + (1.0 - 2.0/13.0) * e.ef"
+_EMA_S = "(2.0/27.0) * b.close + (1.0 - 2.0/27.0) * e.es"
+
+
+@query(
+    "ema_macd_daily",
+    oracle=f"""
+WITH RECURSIVE {_TICKS_CTE},
+{_DAILY_BARS_CTE},
+e AS (
+  SELECT symbol, day_ts, close, day_idx,
+         close AS ef, close AS es, close - close AS eg
+  FROM b WHERE day_idx = 1
+  UNION ALL
+  SELECT b.symbol, b.day_ts, b.close, b.day_idx,
+         {_EMA_F} AS ef,
+         {_EMA_S} AS es,
+         (2.0/10.0) * (({_EMA_F}) - ({_EMA_S}))
+           + (1.0 - 2.0/10.0) * e.eg AS eg
+  FROM b JOIN e ON b.symbol = e.symbol AND b.day_idx = e.day_idx + 1
+)
+SELECT symbol, day_ts, close,
+       round(ef, 6) AS ema_fast, round(es, 6) AS ema_slow,
+       round(ef - es, 6) AS macd, round(eg, 6) AS macd_signal
+FROM e
+""",
+)
+def ema_macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) over per-symbol daily closes
+    (operators/quant.ema_macd): seeded-at-first-observation EMA recursions
+    folded per symbol in one Arrow batch. The oracle replays the identical
+    recursion as a recursive CTE — the raw doubles are bit-identical because
+    both engines multiply/add the same IEEE values in the same order."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.ema_macd(quant.daily_close_bars(ticks), fast=12, slow=26, signal=9)
+
+
+@query(
+    "rsi_14_daily",
+    oracle=f"""
+WITH RECURSIVE {_TICKS_CTE},
+{_DAILY_BARS_CTE},
+d AS (
+  SELECT symbol, day_ts, close, day_idx,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY day_idx) AS delta
+  FROM b
+),
+g AS (
+  SELECT symbol, day_ts, close, day_idx,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+  FROM d WHERE delta IS NOT NULL
+),
+r AS (
+  SELECT symbol, day_ts, close, day_idx, gain AS rg, loss AS rl
+  FROM g WHERE day_idx = 2
+  UNION ALL
+  SELECT g.symbol, g.day_ts, g.close, g.day_idx,
+         (r.rg * (14.0 - 1.0) + g.gain) / 14.0 AS rg,
+         (r.rl * (14.0 - 1.0) + g.loss) / 14.0 AS rl
+  FROM g JOIN r ON g.symbol = r.symbol AND g.day_idx = r.day_idx + 1
+)
+SELECT symbol, day_ts, close,
+       round(CASE WHEN rl = 0.0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + rg / rl) END, 6) AS rsi
+FROM r
+""",
+)
+def rsi_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI(14) over per-symbol daily closes (operators/quant.rsi):
+    gain/loss RMA recursion seeded at the first day-over-day delta, so every
+    day from the second onward carries a value. Negation exactness:
+    -(cur−prev) ≡ prev−cur in IEEE, so the oracle's -delta loss matches the
+    fold's prev−cur bit-for-bit."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.rsi(quant.daily_close_bars(ticks), n=14)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics over the event log — ordered funnel, cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH e1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t_s1
+  FROM events
+),
+e2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_s1 THEN ts END)
+            OVER (PARTITION BY user_id) AS t_s2
+  FROM e1
+),
+e3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_s2 THEN ts END)
+            OVER (PARTITION BY user_id) AS t_s3
+  FROM e2
+),
+a AS (
+  SELECT count(DISTINCT CASE WHEN t_s1 IS NOT NULL THEN user_id END) AS n_stage1,
+         count(DISTINCT CASE WHEN t_s2 IS NOT NULL THEN user_id END) AS n_stage2,
+         count(DISTINCT CASE WHEN t_s3 IS NOT NULL THEN user_id END) AS n_stage3
+  FROM e3
+)
+SELECT n_stage1, n_stage2, n_stage3,
+       round(CAST(n_stage2 AS DOUBLE) / n_stage1, 6) AS conv_1_2,
+       round(CAST(n_stage3 AS DOUBLE) / n_stage2, 6) AS conv_2_3,
+       round(CAST(n_stage3 AS DOUBLE) / n_stage1, 6) AS conv_overall
+FROM a
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel
+    (operators/behavior.funnel): per-user first-conversion times via three
+    stacked whole-partition window mins (one Exchange — same partitioning,
+    no frame sort), rolled up to stage counts + 6-dp conversion ratios."""
+    from realtime_market_data_pipeline_spark.operators import behavior
+
+    return behavior.funnel(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "retention_cohorts_weekly",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+),
+p AS (
+  SELECT cohort_week, active_week, count(DISTINCT a.user_id) AS n_active
+  FROM a JOIN c USING (user_id) GROUP BY 1, 2
+),
+s AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM c GROUP BY 1
+)
+SELECT p.cohort_week, active_week,
+       CAST(date_diff('day', p.cohort_week, active_week) / 7 AS INT) AS week_offset,
+       n_active, cohort_size,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM p JOIN s ON p.cohort_week = s.cohort_week
+WHERE active_week >= p.cohort_week
+""",
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/behavior.retention_cohorts): users
+    bucketed by first-event ISO week, distinct-counted per active week,
+    normalized by broadcast-joined cohort sizes."""
+    from realtime_market_data_pipeline_spark.operators import behavior
+
+    return behavior.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Entry points used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
@@ -3965,6 +4151,10 @@ _REGISTRY_PRIORITY = [
     "scd2_event_type_intervals",
     "trailing_7d_revenue",
     "running_revenue_per_supplier",
+    "ema_macd_daily",
+    "rsi_14_daily",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
     # (3) r2-green refresh fills the window to 50
     "events_time_range",
     "kpi_summary",

@@ -1,0 +1,80 @@
+"""Hand-computed checks for operators/behavior.py (ordered funnel, weekly
+retention cohorts)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from realtime_market_data_pipeline_spark.operators.behavior import (
+    funnel,
+    retention_cohorts,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_requires_stage_order(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 converts fully in order
+            (1, 1, 9, "view"),
+            (1, 1, 10, "click"),
+            (1, 1, 11, "purchase"),
+            # u2: purchase BEFORE any click -> stops at stage 2
+            (2, 1, 9, "view"),
+            (2, 1, 10, "purchase"),
+            (2, 1, 11, "click"),
+            # u3: click before view -> that click must not count; a later
+            # click does
+            (3, 1, 8, "click"),
+            (3, 1, 9, "view"),
+            (3, 1, 12, "click"),
+            # u4: never views -> enters no stage
+            (4, 1, 9, "click"),
+            (4, 1, 10, "purchase"),
+        ],
+    )
+    r = funnel(ev).collect()[0]
+    assert (r.n_stage1, r.n_stage2, r.n_stage3) == (3, 3, 1)
+    assert r.conv_1_2 == 1.0
+    assert r.conv_overall == round(1 / 3, 6)
+
+
+def test_funnel_equal_timestamps_count(spark):
+    # ts >= t_prev: a click at exactly the first-view instant converts
+    ev = _events(spark, [(1, 1, 9, "view"), (1, 1, 9, "click")])
+    r = funnel(ev).collect()[0]
+    assert (r.n_stage1, r.n_stage2, r.n_stage3) == (1, 1, 0)
+
+
+def test_retention_cohorts_by_hand(spark):
+    # 2024-01-01 is a Monday: days 1-7 week A, 8-14 week B
+    ev = _events(
+        spark,
+        [
+            # u1, u2 first seen week A; u1 returns week B
+            (1, 2, 9, "view"),
+            (1, 9, 9, "view"),
+            (2, 3, 9, "view"),
+            # u3 first seen week B
+            (3, 10, 9, "view"),
+        ],
+    )
+    out = {
+        (r.cohort_week.day, r.active_week.day): r
+        for r in retention_cohorts(ev).collect()
+    }
+    a, b = 1, 8  # Monday day-of-month of each week
+    assert out[(a, a)].n_active == 2 and out[(a, a)].cohort_size == 2
+    assert out[(a, a)].week_offset == 0 and out[(a, a)].retention == 1.0
+    assert out[(a, b)].n_active == 1 and out[(a, b)].retention == 0.5
+    assert out[(a, b)].week_offset == 1
+    assert out[(b, b)].n_active == 1 and out[(b, b)].cohort_size == 1
+    # no row may precede its cohort
+    assert all(k[1] >= k[0] for k in out)

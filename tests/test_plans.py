@@ -348,7 +348,8 @@ def test_registry_priority_window():
         "tick_validation_counts", "stratified_sample_events",
         "dedup_embedding_lsh", "hybrid_search_rrf", "embedding_bucket_pairs",
         "scd2_event_type_intervals", "trailing_7d_revenue",
-        "running_revenue_per_supplier",
+        "running_revenue_per_supplier", "ema_macd_daily", "rsi_14_daily",
+        "funnel_view_click_purchase", "retention_cohorts_weekly",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window

@@ -116,3 +116,73 @@ def test_twap_by_hand(spark):
     assert out[("A", 0)].n_ticks == 3
     assert out[("A", 1)].twap == 99.5 and out[("A", 1)].n_ticks == 1
     assert out[("B", 0)].twap == (1 + 3) / 2  # 1.0 and 3.0 each hold 10 min
+
+
+def _daily(spark, closes, sym="A"):
+    from datetime import datetime as dt
+
+    rows = [
+        (sym, dt(2026, 1, 1 + i), float(c), i + 1) for i, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, day_ts timestamp, close double, day_idx int"
+    )
+
+
+def test_daily_close_bars_picks_last_tick(spark):
+    from datetime import datetime as dt
+
+    from realtime_market_data_pipeline_spark.operators.quant import daily_close_bars
+
+    ticks = spark.createDataFrame(
+        [
+            ("A", 10.0, dt(2026, 1, 1, 9, 0)),
+            ("A", 99.0, dt(2026, 1, 1, 16, 0)),  # last tick of day 1
+            ("A", 50.0, dt(2026, 1, 2, 9, 0)),
+        ],
+        "symbol string, price double, event_time timestamp",
+    )
+    out = {r.day_idx: r for r in daily_close_bars(ticks).collect()}
+    assert out[1].close == 99.0 and out[2].close == 50.0
+
+
+def test_ema_macd_matches_python_fold(spark):
+    from realtime_market_data_pipeline_spark.operators.quant import ema_macd
+
+    closes = [10.0, 11.0, 9.5, 12.0, 13.0, 12.5, 14.0]
+    out = sorted(
+        ema_macd(_daily(spark, closes), fast=3, slow=5, signal=2).collect(),
+        key=lambda r: r.day_ts,
+    )
+    af, as_, ag = 2.0 / 4.0, 2.0 / 6.0, 2.0 / 3.0
+    ef = es = eg = None
+    for r, c in zip(out, closes):
+        ef = c if ef is None else af * c + (1.0 - af) * ef
+        es = c if es is None else as_ * c + (1.0 - as_) * es
+        m = ef - es
+        eg = m if eg is None else ag * m + (1.0 - ag) * eg
+        assert r.ema_fast == round(ef, 6), (r, ef)
+        assert r.ema_slow == round(es, 6)
+        assert r.macd == round(ef - es, 6)
+        assert r.macd_signal == round(eg, 6)
+
+
+def test_rsi_all_gains_is_100_and_drops_after_loss(spark):
+    from realtime_market_data_pipeline_spark.operators.quant import rsi
+
+    out = sorted(
+        rsi(_daily(spark, [10.0, 11.0, 12.0, 13.0, 12.0]), n=14).collect(),
+        key=lambda r: r.day_ts,
+    )
+    # days 2-4: monotone gains -> RSI pinned at 100
+    assert [r.rsi for r in out[:3]] == [100.0, 100.0, 100.0]
+    # day 5 takes a loss: RSI must fall strictly below 100
+    assert 0.0 < out[3].rsi < 100.0
+
+
+def test_rsi_constant_series_emits_100(spark):
+    # zero gains AND zero losses -> rl == 0 pins to 100 (documented edge)
+    from realtime_market_data_pipeline_spark.operators.quant import rsi
+
+    out = rsi(_daily(spark, [5.0, 5.0, 5.0]), n=14).collect()
+    assert [r.rsi for r in out] == [100.0, 100.0]
