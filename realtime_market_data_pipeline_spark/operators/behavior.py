@@ -51,16 +51,19 @@ def funnel(
         "t_s3",
         F.min(F.when((typ == s3) & (t >= F.col("t_s2")), t)).over(w),
     )
-    agg = with_3.groupBy().agg(
-        F.count_distinct(F.when(F.col("t_s1").isNotNull(), F.col(user_col))).alias(
-            "n_stage1"
-        ),
-        F.count_distinct(F.when(F.col("t_s2").isNotNull(), F.col(user_col))).alias(
-            "n_stage2"
-        ),
-        F.count_distinct(F.when(F.col("t_s3").isNotNull(), F.col(user_col))).alias(
-            "n_stage3"
-        ),
+    # Collapse to one row per user FIRST: the groupBy key equals the window
+    # partitioning, so this adds no exchange, and the global roll-up then
+    # needs only plain non-null counts — no multi-distinct Expand, and the
+    # partial aggregate ships one row per user-partition to the driver side.
+    per_user = with_3.groupBy(user_col).agg(
+        F.first("t_s1").alias("t_s1"),
+        F.first("t_s2").alias("t_s2"),
+        F.first("t_s3").alias("t_s3"),
+    )
+    agg = per_user.groupBy().agg(
+        F.count("t_s1").alias("n_stage1"),
+        F.count("t_s2").alias("n_stage2"),
+        F.count("t_s3").alias("n_stage3"),
     )
     return agg.select(
         "n_stage1",

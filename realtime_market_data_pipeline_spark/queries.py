@@ -2406,6 +2406,59 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_percentiles_contract",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.50), 6) AS p50_exact,
+       round(quantile_cont(value, 0.90), 6) AS p90_exact,
+       TRUE AS rank_ok_p50, TRUE AS rank_ok_p90
+FROM events
+GROUP BY event_type
+""",
+)
+def approx_percentiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles with an oracle-checkable
+    RANK-ERROR contract (same pattern as approx_distinct_users: the sketch
+    value is engine-specific, the driver-hashable surface is the bound plus
+    the exact twin both engines agree on). accuracy=100 ⇒ guaranteed rank
+    error ≤ 1/100 of the group's mass; the booleans recompute each approx
+    value's empirical rank (count(value ≤ approx)/n) and assert it within
+    q ± 2/accuracy. At 100 TB the sketch is the only viable path — it
+    partial-aggregates and merges map-side where exact percentile
+    materializes per-group sorted buffers; the verification join broadcasts
+    one row per group."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(100)
+        ).alias("ap")
+    )
+    j = ev.join(F.broadcast(approx), "event_type")
+    eps = 2.0 / 100.0
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90_exact"),
+        (
+            F.abs(
+                F.sum((F.col("value") <= F.element_at("ap", 1)).cast("long"))
+                / F.count(F.lit(1))
+                - 0.50
+            )
+            <= eps
+        ).alias("rank_ok_p50"),
+        (
+            F.abs(
+                F.sum((F.col("value") <= F.element_at("ap", 2)).cast("long"))
+                / F.count(F.lit(1))
+                - 0.90
+            )
+            <= eps
+        ).alias("rank_ok_p90"),
+    )
+
+
+@query(
     "top_orders_global",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -4155,6 +4208,7 @@ _REGISTRY_PRIORITY = [
     "rsi_14_daily",
     "funnel_view_click_purchase",
     "retention_cohorts_weekly",
+    "approx_percentiles_contract",
     # (3) r2-green refresh fills the window to 50
     "events_time_range",
     "kpi_summary",

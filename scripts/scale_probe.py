@@ -31,6 +31,11 @@ DEFAULT_QUERIES = [
     "dedup_ngram_jaccard",
     "doc_lm_scores",
     "dedup_embedding_lsh",
+    # r4 additions: recursive-indicator fold (per-symbol, bar cardinality),
+    # single-exchange funnel windows, user-keyed retention aggs
+    "ema_macd_daily",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",

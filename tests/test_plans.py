@@ -350,8 +350,41 @@ def test_registry_priority_window():
         "scd2_event_type_intervals", "trailing_7d_revenue",
         "running_revenue_per_supplier", "ema_macd_daily", "rsi_14_daily",
         "funnel_view_click_purchase", "retention_cohorts_weekly",
+        "approx_percentiles_contract",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
+
+
+def test_funnel_single_user_exchange(spark):
+    # three stacked whole-partition window mins share one user_id Exchange;
+    # the global roll-up adds its own single-partition exchange pair at
+    # most — the heavy data moves across the wire exactly once
+    df = Q.QUERIES["funnel_view_click_purchase"](spark, SF)
+    plan = P.plan_string(df)
+    assert plan.count("Window") >= 3
+    # one keyed exchange over events + the final global agg exchange
+    assert P.exchange_count(df) <= 2
+    assert len(P.read_schemas(df)) == 1  # events scanned once
+
+
+def test_retention_broadcasts_cohort_sizes(spark):
+    df = Q.QUERIES["retention_cohorts_weekly"](spark, SF)
+    assert "BroadcastHashJoin" in P.plan_string(df)
+
+
+def test_recursive_indicators_single_bar_exchange(spark):
+    # tick→daily-bar agg is the only tick-cardinality exchange; the
+    # row_number window and the applyInPandas fold both group on symbol
+    for name in ("ema_macd_daily", "rsi_14_daily"):
+        df = Q.QUERIES[name](spark, SF)
+        assert P.has_partial_aggregation(df), name
+        assert len(P.read_schemas(df)) == 1, name
+
+
+def test_approx_percentiles_broadcasts_sketch_row(spark):
+    # the rank-verification join broadcasts the 1-row-per-group sketch side
+    df = Q.QUERIES["approx_percentiles_contract"](spark, SF)
+    assert "BroadcastHashJoin" in P.plan_string(df)
