@@ -19,23 +19,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def funnel(
+def funnel_user_stages(
     events: DataFrame,
     stages: tuple[str, str, str] = ("view", "click", "purchase"),
     type_col: str = "event_type",
     user_col: str = "user_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Strictly-ordered three-stage funnel: a user converts stage k only if
-    an event of that stage's type occurs AT/after their first stage-(k−1)
-    conversion time (first matching event wins, ties allowed at equal
-    timestamps). Returns one row: users entering each stage plus 6-dp
-    conversion ratios.
+    """Per-user funnel state: (user, t_s1, t_s2, t_s3) — the first
+    conversion time of each stage under the strict ordering rule (stage k
+    counts only at/after the user's stage-(k−1) time). One row per user;
+    NULL marks a stage not reached. This is the relation the streaming twin
+    (streaming/stateful.funnel_stream) maintains incrementally.
 
     Each stage's first-conversion time is a conditional ``min`` over the
     user's whole partition; stage k's predicate references stage k−1's
     window value, so the three windows stack in one Exchange (same
-    partitioning, no frame sort)."""
+    partitioning, no frame sort), and the per-user collapse reuses that
+    partitioning (no second exchange)."""
     s1, s2, s3 = stages
     w = Window.partitionBy(user_col)
     t = F.col(ts_col)
@@ -51,15 +52,28 @@ def funnel(
         "t_s3",
         F.min(F.when((typ == s3) & (t >= F.col("t_s2")), t)).over(w),
     )
-    # Collapse to one row per user FIRST: the groupBy key equals the window
-    # partitioning, so this adds no exchange, and the global roll-up then
-    # needs only plain non-null counts — no multi-distinct Expand, and the
-    # partial aggregate ships one row per user-partition to the driver side.
-    per_user = with_3.groupBy(user_col).agg(
+    # Collapse to one row per user: the groupBy key equals the window
+    # partitioning, so this adds no exchange.
+    return with_3.groupBy(user_col).agg(
         F.first("t_s1").alias("t_s1"),
         F.first("t_s2").alias("t_s2"),
         F.first("t_s3").alias("t_s3"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered three-stage funnel roll-up: one row with the users
+    entering each stage plus 6-dp conversion ratios. Built on
+    ``funnel_user_stages`` — the global roll-up needs only plain non-null
+    counts (no multi-distinct Expand), and the partial aggregate ships one
+    row per user-partition."""
+    per_user = funnel_user_stages(events, stages, type_col, user_col, ts_col)
     agg = per_user.groupBy().agg(
         F.count("t_s1").alias("n_stage1"),
         F.count("t_s2").alias("n_stage2"),

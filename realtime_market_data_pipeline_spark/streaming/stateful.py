@@ -306,3 +306,82 @@ def ewma_batch(ticks: DataFrame, half_life: str = "30 seconds") -> DataFrame:
         )
 
     return ticks.groupBy("symbol").applyInPandas(compute, EWMA_OUTPUT_SCHEMA)
+
+
+# --- streaming ordered funnel ------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, stage_reached int, t_s1_ms long, t_s2_ms long, t_s3_ms long"
+)
+# -1 sentinel = stage not reached (Arrow-stable fixed-width state row)
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming twin of ``operators.behavior.funnel_user_stages``: the
+    per-user ordered-funnel state machine maintained incrementally across
+    micro-batches via ``applyInPandasWithState``. Input schema:
+    (user_id long, event_type string, ts_ms long). Emits the user's current
+    (stage_reached, first-conversion times) whenever a batch touches them —
+    update semantics, so a live dashboard folds rows by user with
+    last-write-wins.
+
+    State is THREE longs per user — O(distinct users), independent of event
+    volume, in RocksDB off-heap at scale. A stage transition consults only
+    the running state and the current event, so the operator never re-reads
+    history — the property that makes funnels feasible over unbounded
+    streams where the batch window-min plan would need the full log.
+
+    Ordering contract (same as the other stateful ops): per-user arrival is
+    event-time ordered across micro-batches; within a batch rows are sorted
+    by (ts_ms, stage rank) so a view and a click sharing one timestamp
+    convert in stage order, matching the batch operator's ``ts >= t_prev``
+    tie rule."""
+    s1, s2, s3 = stages
+    rank = {s1: 0, s2: 1, s3: 2}
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (user,) = key
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        for pdf in pdf_iter:
+            pdf = pdf.assign(_rank=pdf["event_type"].map(rank)).dropna(
+                subset=["_rank"]
+            )
+            pdf = pdf.sort_values(["ts_ms", "_rank"])
+            for typ, t in zip(pdf["event_type"], pdf["ts_ms"].astype("int64")):
+                t = int(t)
+                if typ == s1 and t1 < 0:
+                    t1 = t
+                elif typ == s2 and t1 >= 0 and t2 < 0 and t >= t1:
+                    t2 = t
+                elif typ == s3 and t2 >= 0 and t3 < 0 and t >= t2:
+                    t3 = t
+        state.update((t1, t2, t3))
+        reached = (t1 >= 0) + (t2 >= 0) + (t3 >= 0)
+        yield pd.DataFrame(
+            [
+                (
+                    user,
+                    reached,
+                    t1 if t1 >= 0 else None,
+                    t2 if t2 >= 0 else None,
+                    t3 if t3 >= 0 else None,
+                )
+            ],
+            columns=["user_id", "stage_reached", "t_s1_ms", "t_s2_ms", "t_s3_ms"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

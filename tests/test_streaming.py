@@ -1043,3 +1043,78 @@ def test_streaming_embedding_dedup_across_batches(spark, tmp_path):
         1,
     )
     assert accepted() == {1, 2, 5}
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """The per-user funnel state machine must reach the same per-user stage
+    times as the batch window-min plan, with conversions crossing micro-batch
+    boundaries (u1's purchase arrives two batches after their view) and the
+    strict ordering rule enforced across batches (u2's early purchase, before
+    any click, never counts)."""
+    import time as _time
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "funnel_in")
+    files = [
+        [(1, "view", base), (2, "view", base), (2, "purchase", base + 1000)],
+        [(1, "click", base + 2000), (2, "click", base + 3000)],
+        [(1, "purchase", base + 4000), (3, "click", base + 5000)],
+    ]
+    for data in files:
+        spark.createDataFrame(
+            data, "user_id long, event_type string, ts_ms long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    from realtime_market_data_pipeline_spark.streaming.stateful import funnel_stream
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    emitted: list = []
+    q = (
+        funnel_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    # last emission per user = the stream's final state
+    got = {}
+    for r in emitted:
+        got[r.user_id] = (r.stage_reached, r.t_s1_ms, r.t_s2_ms, r.t_s3_ms)
+
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        funnel_user_stages,
+    )
+
+    all_rows = [r for f in files for r in f]
+    batch = (
+        spark.createDataFrame(all_rows, "user_id long, event_type string, ts_ms long")
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    import datetime as _dt
+
+    ms = lambda t: (
+        None
+        if t is None
+        else int(t.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+    )
+    expected = {
+        r.user_id: (
+            sum(x is not None for x in (r.t_s1, r.t_s2, r.t_s3)),
+            ms(r.t_s1), ms(r.t_s2), ms(r.t_s3),
+        )
+        for r in funnel_user_stages(batch).collect()
+    }
+    assert got == expected
+    # the cross-batch conversion actually happened
+    assert got[1][0] == 3
+    # u2's pre-click purchase correctly did NOT convert stage 3
+    assert got[2][0] == 2
+    # u3 never viewed -> stage 0
+    assert got[3][0] == 0
