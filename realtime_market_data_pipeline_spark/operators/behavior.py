@@ -139,3 +139,67 @@ def retention_cohorts(
             ),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream:
+    (from_type, to_type, n, prob) where prob row-normalizes over from_type.
+    The lead() window orders by (ts, tiebreak) so equal-timestamp neighbors
+    are engine-independent.
+
+    Scale shape: one user-keyed exchange for the lead() window (in-partition
+    sort), then the pair counts partial-aggregate map-side down to
+    |types|² rows; the row normalization is a window over that tiny
+    aggregate — cardinality |types|², never data-sized."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("prob"),
+    )
+
+
+def funnel_conversion_times(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    **kwargs,
+) -> DataFrame:
+    """Latency profile of the ordered funnel: over converted users, the
+    mean and median milliseconds from first stage-1 to first stage-2 and to
+    first stage-3. Built on ``funnel_user_stages`` (USER-cardinality input);
+    deltas are exact epoch-ms integers, means are decimal-summed then
+    rounded, medians are type-7 interpolated percentiles — all
+    engine-identical."""
+    per_user = funnel_user_stages(events, stages, **kwargs)
+    d = per_user.select(
+        (F.unix_millis("t_s2") - F.unix_millis("t_s1")).alias("ms_1_2"),
+        (F.unix_millis("t_s3") - F.unix_millis("t_s1")).alias("ms_1_3"),
+    )
+    dec = "decimal(38,10)"
+    return d.groupBy().agg(
+        F.count("ms_1_2").alias("n_converted_2"),
+        F.count("ms_1_3").alias("n_converted_3"),
+        F.round(
+            F.sum(F.col("ms_1_2").cast(dec)).cast("double") / F.count("ms_1_2"), 6
+        ).alias("avg_ms_1_2"),
+        F.round(
+            F.sum(F.col("ms_1_3").cast(dec)).cast("double") / F.count("ms_1_3"), 6
+        ).alias("avg_ms_1_3"),
+        F.round(F.percentile("ms_1_2", F.lit(0.5)), 6).alias("median_ms_1_2"),
+        F.round(F.percentile("ms_1_3", F.lit(0.5)), 6).alias("median_ms_1_3"),
+    )

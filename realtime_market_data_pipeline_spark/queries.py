@@ -4130,6 +4130,84 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+@query(
+    "event_transitions",
+    oracle="""
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM c
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream
+    (operators/behavior.event_transitions): lead() over (ts, event_id) —
+    deterministic under equal timestamps — then |types|² pair counts with
+    row-normalized probabilities."""
+    from realtime_market_data_pipeline_spark.operators import behavior
+
+    return behavior.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH e1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t_s1
+  FROM events
+),
+e2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_s1 THEN ts END)
+            OVER (PARTITION BY user_id) AS t_s2
+  FROM e1
+),
+e3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_s2 THEN ts END)
+            OVER (PARTITION BY user_id) AS t_s3
+  FROM e2
+),
+u AS (
+  SELECT user_id, max(t_s1) AS t1, max(t_s2) AS t2, max(t_s3) AS t3
+  FROM e3 GROUP BY user_id
+),
+d AS (
+  SELECT epoch_ms(t2) - epoch_ms(t1) AS ms_1_2,
+         epoch_ms(t3) - epoch_ms(t1) AS ms_1_3
+  FROM u
+)
+SELECT count(ms_1_2) AS n_converted_2,
+       count(ms_1_3) AS n_converted_3,
+       round(CAST(sum(CAST(ms_1_2 AS DECIMAL(38,10))) AS DOUBLE)
+             / count(ms_1_2), 6) AS avg_ms_1_2,
+       round(CAST(sum(CAST(ms_1_3 AS DECIMAL(38,10))) AS DOUBLE)
+             / count(ms_1_3), 6) AS avg_ms_1_3,
+       round(quantile_cont(ms_1_2, 0.5), 6) AS median_ms_1_2,
+       round(quantile_cont(ms_1_3, 0.5), 6) AS median_ms_1_3
+FROM d
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency profile (operators/behavior.funnel_conversion_times):
+    mean and median epoch-ms deltas from first view to first ordered click /
+    purchase over converted users. Deltas are exact integers; the mean is
+    decimal-summed and the median is type-7 interpolation on exactly-
+    representable ints — engine-identical before the shared 6-dp round."""
+    from realtime_market_data_pipeline_spark.operators import behavior
+
+    return behavior.funnel_conversion_times(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Entry points used by __spark_entry__.py
 # ---------------------------------------------------------------------------
@@ -4209,6 +4287,8 @@ _REGISTRY_PRIORITY = [
     "funnel_view_click_purchase",
     "retention_cohorts_weekly",
     "approx_percentiles_contract",
+    "event_transitions",
+    "funnel_time_to_convert",
     # (3) r2-green refresh fills the window to 50
     "events_time_range",
     "kpi_summary",

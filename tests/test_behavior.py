@@ -78,3 +78,63 @@ def test_retention_cohorts_by_hand(spark):
     assert out[(b, b)].n_active == 1 and out[(b, b)].cohort_size == 1
     # no row may precede its cohort
     assert all(k[1] >= k[0] for k in out)
+
+
+def test_event_transitions_by_hand(spark):
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    rows = [
+        # u1: view -> click -> view ; u2: view -> click
+        (1, 1, datetime(2024, 1, 1, 9), "view"),
+        (2, 1, datetime(2024, 1, 1, 10), "click"),
+        (3, 1, datetime(2024, 1, 1, 11), "view"),
+        (4, 2, datetime(2024, 1, 1, 9), "view"),
+        (5, 2, datetime(2024, 1, 1, 10), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {(r.from_type, r.to_type): r for r in event_transitions(ev).collect()}
+    assert out[("view", "click")].n == 2
+    assert out[("view", "click")].prob == 1.0
+    assert out[("click", "view")].n == 1
+    assert out[("click", "view")].prob == 1.0
+    assert set(out) == {("view", "click"), ("click", "view")}
+
+
+def test_event_transitions_tiebreak_by_event_id(spark):
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    t = datetime(2024, 1, 1, 9)
+    ev = spark.createDataFrame(
+        [(1, 1, t, "view"), (2, 1, t, "click"), (3, 1, t, "purchase")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {(r.from_type, r.to_type) for r in event_transitions(ev).collect()}
+    # equal timestamps order by event_id: view->click->purchase
+    assert out == {("view", "click"), ("click", "purchase")}
+
+
+def test_funnel_conversion_times_by_hand(spark):
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        funnel_conversion_times,
+    )
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 9, "view"), (1, 1, 10, "click"), (1, 1, 12, "purchase"),
+            (2, 1, 9, "view"), (2, 1, 11, "click"),
+            (3, 1, 9, "view"),
+        ],
+    )
+    r = funnel_conversion_times(ev).collect()[0]
+    h = 3_600_000
+    assert (r.n_converted_2, r.n_converted_3) == (2, 1)
+    assert r.avg_ms_1_2 == (1 * h + 2 * h) / 2
+    assert r.median_ms_1_2 == 1.5 * h
+    assert r.avg_ms_1_3 == 3 * h and r.median_ms_1_3 == 3 * h

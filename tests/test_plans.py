@@ -350,7 +350,8 @@ def test_registry_priority_window():
         "scd2_event_type_intervals", "trailing_7d_revenue",
         "running_revenue_per_supplier", "ema_macd_daily", "rsi_14_daily",
         "funnel_view_click_purchase", "retention_cohorts_weekly",
-        "approx_percentiles_contract",
+        "approx_percentiles_contract", "event_transitions",
+        "funnel_time_to_convert",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window
