@@ -79,13 +79,20 @@ def funnel(
         F.count("t_s2").alias("n_stage2"),
         F.count("t_s3").alias("n_stage3"),
     )
+    # guarded ratios: ANSI mode makes x/0 an ERROR, not NULL — an empty
+    # funnel stage must yield a NULL rate, not a failed job
+    def ratio(num, den, name):
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num) / F.col(den), 6)
+        ).alias(name)
+
     return agg.select(
         "n_stage1",
         "n_stage2",
         "n_stage3",
-        F.round(F.col("n_stage2") / F.col("n_stage1"), 6).alias("conv_1_2"),
-        F.round(F.col("n_stage3") / F.col("n_stage2"), 6).alias("conv_2_3"),
-        F.round(F.col("n_stage3") / F.col("n_stage1"), 6).alias("conv_overall"),
+        ratio("n_stage2", "n_stage1", "conv_1_2"),
+        ratio("n_stage3", "n_stage2", "conv_2_3"),
+        ratio("n_stage3", "n_stage1", "conv_overall"),
     )
 
 
@@ -191,15 +198,20 @@ def funnel_conversion_times(
         (F.unix_millis("t_s3") - F.unix_millis("t_s1")).alias("ms_1_3"),
     )
     dec = "decimal(38,10)"
+
+    # zero-converter guard: ANSI x/0 errors, so an unconverted funnel must
+    # emit NULL means (the count/median aggregates already NULL out)
+    def avg_of(col, name):
+        return F.when(
+            F.count(col) > 0,
+            F.round(F.sum(F.col(col).cast(dec)).cast("double") / F.count(col), 6),
+        ).alias(name)
+
     return d.groupBy().agg(
         F.count("ms_1_2").alias("n_converted_2"),
         F.count("ms_1_3").alias("n_converted_3"),
-        F.round(
-            F.sum(F.col("ms_1_2").cast(dec)).cast("double") / F.count("ms_1_2"), 6
-        ).alias("avg_ms_1_2"),
-        F.round(
-            F.sum(F.col("ms_1_3").cast(dec)).cast("double") / F.count("ms_1_3"), 6
-        ).alias("avg_ms_1_3"),
+        avg_of("ms_1_2", "avg_ms_1_2"),
+        avg_of("ms_1_3", "avg_ms_1_3"),
         F.round(F.percentile("ms_1_2", F.lit(0.5)), 6).alias("median_ms_1_2"),
         F.round(F.percentile("ms_1_3", F.lit(0.5)), 6).alias("median_ms_1_3"),
     )

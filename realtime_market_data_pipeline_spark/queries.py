@@ -4079,9 +4079,12 @@ a AS (
   FROM e3
 )
 SELECT n_stage1, n_stage2, n_stage3,
-       round(CAST(n_stage2 AS DOUBLE) / n_stage1, 6) AS conv_1_2,
-       round(CAST(n_stage3 AS DOUBLE) / n_stage2, 6) AS conv_2_3,
-       round(CAST(n_stage3 AS DOUBLE) / n_stage1, 6) AS conv_overall
+       CASE WHEN n_stage1 > 0
+            THEN round(CAST(n_stage2 AS DOUBLE) / n_stage1, 6) END AS conv_1_2,
+       CASE WHEN n_stage2 > 0
+            THEN round(CAST(n_stage3 AS DOUBLE) / n_stage2, 6) END AS conv_2_3,
+       CASE WHEN n_stage1 > 0
+            THEN round(CAST(n_stage3 AS DOUBLE) / n_stage1, 6) END AS conv_overall
 FROM a
 """,
 )
@@ -4188,10 +4191,12 @@ d AS (
 )
 SELECT count(ms_1_2) AS n_converted_2,
        count(ms_1_3) AS n_converted_3,
-       round(CAST(sum(CAST(ms_1_2 AS DECIMAL(38,10))) AS DOUBLE)
-             / count(ms_1_2), 6) AS avg_ms_1_2,
-       round(CAST(sum(CAST(ms_1_3 AS DECIMAL(38,10))) AS DOUBLE)
-             / count(ms_1_3), 6) AS avg_ms_1_3,
+       CASE WHEN count(ms_1_2) > 0
+            THEN round(CAST(sum(CAST(ms_1_2 AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(ms_1_2), 6) END AS avg_ms_1_2,
+       CASE WHEN count(ms_1_3) > 0
+            THEN round(CAST(sum(CAST(ms_1_3 AS DECIMAL(38,10))) AS DOUBLE)
+                       / count(ms_1_3), 6) END AS avg_ms_1_3,
        round(quantile_cont(ms_1_2, 0.5), 6) AS median_ms_1_2,
        round(quantile_cont(ms_1_3, 0.5), 6) AS median_ms_1_3
 FROM d

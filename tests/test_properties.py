@@ -198,3 +198,115 @@ def test_stratified_bucket_is_pure_function_of_id(spark, ids):
     }
     assert one == many
     assert all(0 <= b < 256 for b in one.values())
+
+
+event_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=10**6),  # ts ms
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=event_lists)
+@settings(**_SETTINGS)
+def test_funnel_matches_python_model(spark, events):
+    """funnel_user_stages ≡ a direct python fold of the strict-order rule,
+    on arbitrary event soups (noise types, duplicate timestamps, any user
+    interleaving)."""
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        funnel,
+        funnel_user_stages,
+    )
+
+    rows = [
+        (eid, u, typ, t) for eid, (u, typ, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ms long"
+    ).withColumn("ts", F.timestamp_millis("ts_ms"))
+
+    def model(user):
+        ts_of = lambda typ, lo: min(
+            (t for u, ty, t in events if u == user and ty == typ and t >= lo),
+            default=None,
+        )
+        t1 = ts_of("view", -1)
+        t2 = ts_of("click", t1) if t1 is not None else None
+        t3 = ts_of("purchase", t2) if t2 is not None else None
+        return t1, t2, t3
+
+    ms = lambda ts: None if ts is None else int(
+        ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1000
+    )
+    got = {
+        r.user_id: (ms(r.t_s1), ms(r.t_s2), ms(r.t_s3))
+        for r in funnel_user_stages(df).collect()
+    }
+    users = {u for u, _, _ in events}
+    assert got == {u: model(u) for u in users}
+    # roll-up monotonicity
+    r = funnel(df).collect()[0]
+    assert r.n_stage1 >= r.n_stage2 >= r.n_stage3
+
+
+@given(events=event_lists)
+@settings(**_SETTINGS)
+def test_event_transitions_mass_conservation(spark, events):
+    """Per-user chains of length n contribute exactly n−1 transitions, and
+    probabilities row-normalize to 1 over each from_type."""
+    from collections import Counter
+
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    rows = [(eid, u, typ, t) for eid, (u, typ, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_ms long"
+    ).withColumn("ts", F.timestamp_millis("ts_ms"))
+    out = event_transitions(df).collect()
+    per_user = Counter(u for u, _, _ in events)
+    assert sum(r.n for r in out) == sum(n - 1 for n in per_user.values())
+    by_from = Counter()
+    for r in out:
+        by_from[r.from_type] += r.prob
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4  # 6-dp rounding per cell
+
+
+price_series = st.lists(
+    st.floats(min_value=0.5, max_value=1000.0, allow_nan=False),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(closes=price_series)
+@settings(**_SETTINGS)
+def test_ema_rsi_bounds(spark, closes):
+    """EMAs stay inside the running [min, max] envelope of the series
+    (convex-combination recursion); MACD equals the EMA difference; RSI is
+    pinned to [0, 100]."""
+    from datetime import datetime, timedelta
+
+    from realtime_market_data_pipeline_spark.operators.quant import ema_macd, rsi
+
+    bars = spark.createDataFrame(
+        [
+            ("A", datetime(2026, 1, 1) + timedelta(days=i), float(c), i + 1)
+            for i, c in enumerate(closes)
+        ],
+        "symbol string, day_ts timestamp, close double, day_idx int",
+    )
+    out = sorted(ema_macd(bars).collect(), key=lambda r: r.day_ts)
+    for i, r in enumerate(out):
+        lo, hi = min(closes[: i + 1]), max(closes[: i + 1])
+        assert lo - 1e-6 <= r.ema_fast <= hi + 1e-6
+        assert lo - 1e-6 <= r.ema_slow <= hi + 1e-6
+        assert abs(r.macd - (r.ema_fast - r.ema_slow)) <= 2e-6
+    for r in rsi(bars).collect():
+        assert 0.0 <= r.rsi <= 100.0
