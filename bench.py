@@ -64,6 +64,12 @@ HEADLINE = [
     "embedding_ann_ivf",
     "hybrid_search_rrf",
     "multimodal_features",
+    # r4 behavioral / indicator additions
+    "ema_macd_daily",
+    "rsi_14_daily",
+    "funnel_view_click_purchase",
+    "event_transitions",
+    "retention_cohorts_weekly",
 ]
 
 

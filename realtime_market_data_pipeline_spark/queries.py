@@ -4133,6 +4133,81 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+_O_QTIER = """CASE WHEN qs < 0.25 THEN 1 WHEN qs < 0.5 THEN 2
+                   WHEN qs < 0.75 THEN 3 ELSE 4 END"""
+_O_QTHR = """CASE WHEN qs < 0.25 THEN 16 WHEN qs < 0.5 THEN 64
+                  WHEN qs < 0.75 THEN 160 ELSE 256 END"""
+
+
+@query(
+    "quality_stratified_sample",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, text, {_O_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n,
+         CAST(len(list_filter(t, x -> x IN {_O_STOP_IN})) AS INTEGER) AS stop_hits,
+         CAST(len(list_distinct(t)) AS INTEGER) AS uniq
+  FROM toks
+),
+q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN CAST(stop_hits AS DOUBLE) / n > 0.01 THEN 1.0 ELSE 0.8 END)
+           * (CAST(uniq AS DOUBLE) / n), 6) AS qs
+  FROM m
+),
+b AS (
+  SELECT qs, md5('qsample:v1' || CAST(doc_id AS VARCHAR)) AS hx FROM q
+),
+t AS (
+  SELECT {_O_QTIER} AS tier, {_O_QTHR} AS thr, {_O_BUCKET} AS bucket FROM b
+)
+SELECT tier, count(*) AS n_docs,
+       CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS kept_frac,
+       max(thr) / 256.0 AS target_rate
+FROM t GROUP BY tier
+""",
+)
+def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling — the curation move that
+    keeps high-quality text at full rate and thins low tiers (kept fractions
+    6.25% / 25% / 62.5% / 100% by quality band): membership =
+    md5-bucket(doc_id) < tier threshold, a pure per-row function of the id
+    (text.split_bucket machinery), so the sample is reproducible across
+    runs, partitionings and engines — never Bernoulli rand(). Shuffle-free
+    until the tier roll-up (|tiers| rows)."""
+    q = tx.quality_score()
+    tier = (
+        F.when(q < 0.25, F.lit(1))
+        .when(q < 0.5, F.lit(2))
+        .when(q < 0.75, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    thr = (
+        F.when(q < 0.25, F.lit(16))
+        .when(q < 0.5, F.lit(64))
+        .when(q < 0.75, F.lit(160))
+        .otherwise(F.lit(256))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        tier.alias("tier"),
+        thr.alias("thr"),
+        (tx.split_bucket("doc_id", salt="qsample:v1") < thr).alias("kept"),
+    )
+    return docs.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("kept").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("kept_frac"),
+        (F.max("thr") / F.lit(256.0)).alias("target_rate"),
+    )
+
+
 @query(
     "event_transitions",
     oracle="""
@@ -4294,6 +4369,7 @@ _REGISTRY_PRIORITY = [
     "approx_percentiles_contract",
     "event_transitions",
     "funnel_time_to_convert",
+    "quality_stratified_sample",
     # (3) r2-green refresh fills the window to 50
     "events_time_range",
     "kpi_summary",

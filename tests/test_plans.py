@@ -351,7 +351,7 @@ def test_registry_priority_window():
         "running_revenue_per_supplier", "ema_macd_daily", "rsi_14_daily",
         "funnel_view_click_purchase", "retention_cohorts_weekly",
         "approx_percentiles_contract", "event_transitions",
-        "funnel_time_to_convert",
+        "funnel_time_to_convert", "quality_stratified_sample",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window
