@@ -385,3 +385,57 @@ def funnel_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming event-transition counts ---------------------------------------
+
+TRANSITIONS_OUTPUT_SCHEMA = "from_type string, to_type string, n long"
+TRANSITIONS_STATE_SCHEMA = "last_type string, last_ts long"
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.behavior.event_transitions`` (counts
+    side): per-user last-event state turns each arriving event into one
+    (last_type → type) transition increment, emitted as per-batch partial
+    counts. A downstream consumer folds them by (from_type, to_type) sum —
+    the mergeable-delta shape that lets a dashboard keep a live Markov
+    matrix without ever rescanning the log. Input schema: (user_id long,
+    event_type string, ts_ms long).
+
+    State is (last_type, last_ts) per user — two fields, O(distinct users).
+    Same cross-batch ordering contract as the other stateful ops; within a
+    batch rows sort by (ts_ms, event_type) — using event_type as a stable
+    tiebreak mirrors nothing in the batch op (which orders by event_id), so
+    feed event-id-ordered or distinct-ts streams when exact batch parity
+    under ties matters."""
+
+    def update(key, pdf_iter, state):
+        from collections import Counter
+
+        import pandas as pd
+
+        last_type, _last_ts = state.get if state.exists else (None, None)
+        deltas: Counter = Counter()
+        t = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ms", "event_type"])
+            for typ, t in zip(pdf["event_type"], pdf["ts_ms"].astype("int64")):
+                if last_type is not None:
+                    deltas[(last_type, typ)] += 1
+                last_type = typ
+        if last_type is not None:
+            state.update((last_type, int(t) if t is not None else 0))
+        yield pd.DataFrame(
+            [(a, b, n) for (a, b), n in sorted(deltas.items())],
+            columns=["from_type", "to_type", "n"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        TRANSITIONS_OUTPUT_SCHEMA,
+        TRANSITIONS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1118,3 +1118,65 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     assert got[2][0] == 2
     # u3 never viewed -> stage 0
     assert got[3][0] == 0
+
+
+def test_transitions_stream_matches_batch(spark, tmp_path):
+    """Summing the streaming per-batch transition deltas must equal the
+    batch Markov counts, including transitions whose two events arrive in
+    DIFFERENT micro-batches (u1: click in file 1 -> view in file 2)."""
+    import time as _time
+    from collections import Counter
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "trans_in")
+    files = [
+        [(1, "view", base), (1, "click", base + 1000), (2, "view", base + 500)],
+        [(1, "view", base + 2000), (2, "click", base + 3000)],
+        [(2, "purchase", base + 4000), (3, "error", base + 5000)],
+    ]
+    for data in files:
+        spark.createDataFrame(
+            data, "user_id long, event_type string, ts_ms long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    from realtime_market_data_pipeline_spark.streaming.stateful import (
+        transitions_stream,
+    )
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    emitted: list = []
+    q = (
+        transitions_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    folded = Counter()
+    for r in emitted:
+        folded[(r.from_type, r.to_type)] += r.n
+
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    all_rows = [
+        (eid, u, typ, t)
+        for eid, (u, typ, t) in enumerate(r for f in files for r in f)
+    ]
+    batch = spark.createDataFrame(
+        all_rows, "event_id long, user_id long, event_type string, ts_ms long"
+    ).withColumn("ts", F.timestamp_millis("ts_ms"))
+    expected = {
+        (r.from_type, r.to_type): r.n for r in event_transitions(batch).collect()
+    }
+    assert dict(folded) == expected
+    # the cross-batch edge exists: u1 click(batch1) -> view(batch2)
+    assert folded[("click", "view")] == 1
