@@ -352,6 +352,7 @@ def test_registry_priority_window():
         "funnel_view_click_purchase", "retention_cohorts_weekly",
         "approx_percentiles_contract", "event_transitions",
         "funnel_time_to_convert", "quality_stratified_sample",
+        "dedup_edit_distance",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window
