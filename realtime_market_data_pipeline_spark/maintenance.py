@@ -51,7 +51,16 @@ def compact_parquet_dir(
     grows — at 100 TB the same call emits thousands of 128 MB files, never
     one giant partition. The rewrite is one wide job: scan → round-robin
     repartition (+ optional in-partition sort) → write to a sibling temp
-    dir → atomic directory swap."""
+    dir → atomic directory swap.
+
+    CAVEAT: if the directory was written by Spark's streaming FILE sink it
+    contains a ``_spark_metadata`` transaction log; the rewrite drops it
+    (the output is a plain parquet dir), which is correct for downstream
+    batch readers but means the ORIGINAL streaming query must not keep
+    appending here afterwards — rotate the sink path (e.g. daily dirs, the
+    parquet_append_writer partition_by_date_of layout) and compact only
+    sealed directories. Table formats with a manifest commit (Delta/
+    Iceberg) are the general solution; out of scope for a plain-FS sink."""
     files_before, total = parquet_dir_stats(path)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path).repartition(n_out)

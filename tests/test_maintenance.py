@@ -88,3 +88,49 @@ def test_clustered_write_enables_file_pruning(spark, tmp_path):
     # and the data is intact
     got = spark.read.parquet(d).where((F.col("k") >= lo) & (F.col("k") <= hi))
     assert got.count() == 1000
+
+
+def test_compaction_after_streaming_sink(spark, tmp_path):
+    """Operational loop: a micro-batched file sink accumulates small files;
+    periodic compaction shrinks the file count while readers keep seeing
+    exactly the sunk rows."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sink")
+    for i in range(4):
+        spark.range(i * 100, (i + 1) * 100).withColumn(
+            "v", F.col("id") * 3
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    from realtime_market_data_pipeline_spark.maintenance import (
+        compact_parquet_dir,
+        parquet_dir_stats,
+    )
+
+    n_before, _ = parquet_dir_stats(sink_dir)
+    assert n_before >= 4  # one file set per micro-batch
+    fb, fa = compact_parquet_dir(spark, sink_dir, target_file_bytes=10**12)
+    assert fa == 1
+    got = spark.read.parquet(sink_dir)
+    assert got.count() == 400
+    assert set(r.id for r in got.collect()) == set(range(400))
