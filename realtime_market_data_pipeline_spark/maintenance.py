@@ -97,3 +97,59 @@ def clustered_write(
         else df.repartitionByRange(*cluster_by)
     )
     parted.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(path)
+
+
+def zorder_value(
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 16,
+):
+    """Z-order (Morton) key as a pure Column expression: each column is
+    min-max scaled to a ``bits``-bit integer rank, then ranks are
+    bit-interleaved. Sorting by this key clusters rows so that a range
+    predicate on ANY prefix-balanced subset of the columns touches few
+    files — the multi-column layout a single-column range sort cannot give.
+
+    Bounds are passed in (typically from footer stats or domain knowledge)
+    so the expression stays a pure per-row function — no statistics job,
+    and the key is stable as data grows. The interleave is ~``bits×|cols|``
+    shift/or ops — all whole-stage-codegen arithmetic."""
+    from pyspark.sql import functions as F
+
+    maxrank = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span))
+        clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+        ranks.append(F.round(clamped * F.lit(float(maxrank))).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(ranks) + j))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the Morton
+    key of ``cols``, so footer min/max stats prune files for predicates on
+    EITHER column (or both) — the flat-file analog of OPTIMIZE ... ZORDER
+    BY. One wide job, same shape as ``clustered_write``."""
+    z = zorder_value(cols, bounds, bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -134,3 +134,43 @@ def test_compaction_after_streaming_sink(spark, tmp_path):
     got = spark.read.parquet(sink_dir)
     assert got.count() == 400
     assert set(r.id for r in got.collect()) == set(range(400))
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Morton layout: with a 2-D uniform grid z-ordered into 16 files, a
+    quarter-range predicate on EITHER dimension must exclude at least half
+    the files by footer stats — the property a single-column sort only has
+    for its leading column."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.maintenance import zorder_write
+
+    d = str(tmp_path / "z")
+    n = 128
+    grid = (
+        spark.range(n * n)
+        .select((F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+    )
+    zorder_write(
+        grid, d, cols=["x", "y"], bounds={"x": (0, n - 1), "y": (0, n - 1)}, n_files=16
+    )
+    files = _parquet_files(d)
+    assert len(files) == 16
+
+    def files_hit(col, lo, hi):
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            ci = md.schema.names.index(col)
+            mins = [md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups)]
+            maxs = [md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups)]
+            if min(mins) <= hi and max(maxs) >= lo:
+                hits += 1
+        return hits
+
+    q = n // 4
+    assert files_hit("x", 0, q - 1) <= 8
+    assert files_hit("y", 0, q - 1) <= 8
+    # data intact under a box predicate
+    got = spark.read.parquet(d).where((F.col("x") < q) & (F.col("y") < q))
+    assert got.count() == q * q
