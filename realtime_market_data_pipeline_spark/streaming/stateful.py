@@ -439,3 +439,86 @@ def transitions_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming LOCF gap-fill -------------------------------------------------
+
+GAPFILL_OUTPUT_SCHEMA = (
+    "symbol string, bucket_ms long, n_ticks long, price_locf double, "
+    "is_gap boolean"
+)
+# exact decimal bucket-sum rides as a string; floats would drift off the
+# batch twin's DECIMAL(38,10) accumulation
+GAPFILL_STATE_SCHEMA = "cur_bucket long, sum_dec string, n long"
+
+
+def gapfill_locf_stream(ticks: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
+    """Streaming twin of ``operators.rollup.gapfill_locf``: per-symbol dense
+    LOCF bars maintained incrementally. Because per-symbol arrival is
+    event-time ordered (the module's standing contract), a bucket is FINAL
+    the moment a tick lands in a later bucket — so each batch emits (1) any
+    buckets finalized by its ticks, (2) the gap rows between them carrying
+    the last finalized average forward, and (3) a running snapshot of the
+    still-open bucket. Folding emissions by (symbol, bucket_ms) with
+    last-write-wins reproduces the batch gap-fill exactly — update-mode
+    semantics, same as the feature stream.
+
+    Exactness: the bucket average must equal the batch twin's
+    DECIMAL(38,10)-accumulated mean bit-for-bit, so prices are quantized to
+    10 dp half-up (≡ Spark's double→decimal cast) and summed as exact
+    ``decimal.Decimal`` carried in state as a string; float(sum)/n then
+    matches cast(sum AS DOUBLE)/count (both correctly-rounded conversions
+    of the same decimal). Emit raw; the caller rounds (6 dp) so finalized
+    and carried values round identically.
+
+    State per symbol is (open bucket, exact sum, count) — three scalars,
+    O(symbols), regardless of stream length or gap width."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    Q10 = Decimal("1e-10")
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (symbol,) = key
+        if state.exists:
+            cur, sum_str, n = state.get
+            s = Decimal(sum_str)
+        else:
+            cur, s, n = None, Decimal(0), 0
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("event_time_ms")
+            for price, t in zip(
+                pdf["price"].astype(float), pdf["event_time_ms"].astype("int64")
+            ):
+                b = (int(t) // bucket_ms) * bucket_ms
+                if cur is None:
+                    cur = b
+                elif b > cur:
+                    a = float(s) / n
+                    rows.append((symbol, cur, n, a, False))
+                    g = cur + bucket_ms
+                    while g < b:
+                        rows.append((symbol, g, 0, a, True))
+                        g += bucket_ms
+                    cur, s, n = b, Decimal(0), 0
+                s += Decimal(price).quantize(Q10, rounding=ROUND_HALF_UP)
+                n += 1
+        if cur is not None:
+            rows.append((symbol, cur, n, float(s) / n, False))  # open snapshot
+            state.update((int(cur), str(s), int(n)))
+        yield pd.DataFrame(
+            rows,
+            columns=["symbol", "bucket_ms", "n_ticks", "price_locf", "is_gap"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        GAPFILL_OUTPUT_SCHEMA,
+        GAPFILL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1180,3 +1180,69 @@ def test_transitions_stream_matches_batch(spark, tmp_path):
     assert dict(folded) == expected
     # the cross-batch edge exists: u1 click(batch1) -> view(batch2)
     assert folded[("click", "view")] == 1
+
+
+def test_gapfill_locf_stream_matches_batch(spark, tmp_path):
+    """LWW-folding the streaming LOCF emissions must equal the batch
+    gapfill_locf bars exactly (6-dp rounded), with a bucket ACCUMULATING
+    ACROSS micro-batches (minute 0 has ticks in files 1 and 2) and a gap
+    spanning a batch boundary (minutes 2-3 empty, next tick in file 3)."""
+    import time as _time
+
+    base = 1_704_067_200_000
+    m = 60_000
+    d = str(tmp_path / "locf_in")
+    files = [
+        [("A", 10.0, base + 1_000), ("A", 11.0, base + 2_000),
+         ("B", 5.0, base + 500)],
+        [("A", 13.0, base + 50_000),          # still minute 0
+         ("A", 20.0, base + m + 1_000)],      # minute 1 -> finalizes m0
+        [("A", 30.0, base + 4 * m + 1_000),   # minute 4 -> gaps 2,3
+         ("B", 6.0, base + 2 * m)],           # minute 2 -> gap 1 for B
+    ]
+    for data in files:
+        spark.createDataFrame(
+            data, "symbol string, price double, event_time_ms long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    from realtime_market_data_pipeline_spark.streaming.stateful import (
+        gapfill_locf_stream,
+    )
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    emitted: list = []
+    q = (
+        gapfill_locf_stream(stream, bucket_ms=m)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_locf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = {}
+    for r in emitted:  # last write wins per (symbol, bucket)
+        got[(r.symbol, r.bucket_ms)] = (r.n_ticks, round(r.price_locf, 6), r.is_gap)
+
+    from realtime_market_data_pipeline_spark.operators.rollup import gapfill_locf
+
+    all_rows = [r for f in files for r in f]
+    batch_ticks = spark.createDataFrame(
+        all_rows, "symbol string, price double, event_time_ms long"
+    ).withColumn("event_time", F.timestamp_millis("event_time_ms"))
+    expected = {
+        (r.symbol, int(r.bucket_ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1000)):
+            (r.n_ticks, r.price_locf, r.is_gap)
+        for r in gapfill_locf(batch_ticks, grain="minute").collect()
+    }
+    assert got == expected
+    # the cross-batch bucket really accumulated: A minute 0 has 3 ticks
+    assert got[("A", base // m * m)][0] == 3
+    # the gap rows exist and carry the finalized average forward
+    assert got[("A", base // m * m + 2 * m)] == (0, 20.0, True)
+    assert got[("A", base // m * m + 3 * m)] == (0, 20.0, True)
