@@ -310,3 +310,103 @@ def pairwise_return_corr(bars: DataFrame) -> DataFrame:
         F.round(F.corr("ret_a", "ret_b"), 6).alias("ret_corr"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+def daily_ohlc(ticks: DataFrame) -> DataFrame:
+    """(symbol, day_ts, open, high, low, close, day_idx): per-symbol daily
+    OHLC via event-time min_by/max_by picks plus extrema — all exact stored
+    doubles — and a 1-based day index for the recursive indicators. Same
+    single-exchange shape as ``daily_close_bars``."""
+    bars = ticks.groupBy(
+        "symbol", F.date_trunc("day", "event_time").alias("day_ts")
+    ).agg(
+        F.min_by("price", "event_time").alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", "event_time").alias("close"),
+    )
+    w = Window.partitionBy("symbol").orderBy("day_ts")
+    return bars.withColumn("day_idx", F.row_number().over(w))
+
+
+def stochastic(bars: DataFrame, n: int = 14, d: int = 3) -> DataFrame:
+    """Stochastic oscillator %K/%D over daily OHLC: %K = 100·(close −
+    lowₙ)/(highₙ − lowₙ) on full n-day windows (flat windows yield NULL —
+    guarded division), %D = the d-day mean of %K accumulated in DECIMAL so
+    both engines agree in any order. Two stacked per-symbol windows over
+    one bar-cardinality exchange."""
+    win = (
+        Window.partitionBy("symbol").orderBy("day_ts").rowsBetween(-(n - 1), 0)
+    )
+    w = bars.select(
+        "symbol",
+        "day_ts",
+        "close",
+        F.min("low").over(win).alias("low_n"),
+        F.max("high").over(win).alias("high_n"),
+        F.count(F.lit(1)).over(win).alias("w_n"),
+    ).where(F.col("w_n") == n)
+    k = w.select(
+        "symbol",
+        "day_ts",
+        F.when(
+            F.col("high_n") > F.col("low_n"),
+            F.round(
+                F.lit(100.0)
+                * (F.col("close") - F.col("low_n"))
+                / (F.col("high_n") - F.col("low_n")),
+                6,
+            ),
+        ).alias("pct_k"),
+    )
+    win2 = (
+        Window.partitionBy("symbol").orderBy("day_ts").rowsBetween(-(d - 1), 0)
+    )
+    return k.select(
+        "symbol",
+        "day_ts",
+        "pct_k",
+        F.when(
+            F.count(F.lit(1)).over(win2) == d,
+            F.round(
+                F.sum(F.col("pct_k").cast(_DEC)).over(win2).cast("double")
+                / F.lit(float(d)),
+                6,
+            ),
+        ).alias("pct_d"),
+    )
+
+
+def atr(bars: DataFrame, n: int = 14) -> DataFrame:
+    """Average True Range (Wilder): TR = max(high−low, |high−prev_close|,
+    |low−prev_close|) from day 2, smoothed by the same seeded RMA recursion
+    as ``rsi`` ((prev·(n−1) + tr)/n, seeded at the first TR). Arrow fold per
+    symbol at daily-bar cardinality; the oracle's recursive CTE replays the
+    identical float arithmetic."""
+    import pandas as pd
+
+    nf = float(n)
+    out_schema = "symbol string, day_ts timestamp, tr double, atr double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_idx").reset_index(drop=True)
+        h = [float(x) for x in pdf["high"]]
+        lo = [float(x) for x in pdf["low"]]
+        c = [float(x) for x in pdf["close"]]
+        a = None
+        trs, atrs = [None], [None]
+        for i in range(1, len(c)):
+            pc = c[i - 1]
+            tr = max(h[i] - lo[i], abs(h[i] - pc), abs(lo[i] - pc))
+            a = tr if a is None else (a * (nf - 1.0) + tr) / nf
+            trs.append(tr)
+            atrs.append(a)
+        pdf = pdf[["symbol", "day_ts"]].copy()
+        pdf["tr"] = trs
+        pdf["atr"] = atrs
+        return pdf
+
+    folded = bars.groupBy("symbol").applyInPandas(fold, schema=out_schema)
+    return folded.where(F.col("atr").isNotNull()).select(
+        "symbol", "day_ts", "tr", F.round("atr", 6).alias("atr")
+    )

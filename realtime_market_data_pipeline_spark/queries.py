@@ -4119,6 +4119,101 @@ def rsi_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.rsi(quant.daily_close_bars(ticks), n=14)
 
 
+# Daily OHLC bars + day index, shared by the stochastic and ATR oracles
+# (open is unused by both, so the CTE carries only high/low/close).
+_DAILY_OHLC_CTE = """
+ob0 AS (
+  SELECT symbol, CAST(date_trunc('day', event_time) AS TIMESTAMP) AS day_ts,
+         max(price) AS high, min(price) AS low,
+         arg_max(price, event_time) AS close
+  FROM ticks GROUP BY 1, 2
+),
+ob AS (
+  SELECT symbol, day_ts, high, low, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY day_ts) AS day_idx
+  FROM ob0
+)"""
+
+
+@query(
+    "stochastic_14_3",
+    oracle=f"""
+WITH {_TICKS_CTE},
+{_DAILY_OHLC_CTE},
+w AS (
+  SELECT symbol, day_ts, close,
+         min(low) OVER win AS low_n, max(high) OVER win AS high_n,
+         count(*) OVER win AS w_n
+  FROM ob
+  WINDOW win AS (PARTITION BY symbol ORDER BY day_ts
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT symbol, day_ts,
+         CASE WHEN high_n > low_n
+              THEN round(100.0 * (close - low_n) / (high_n - low_n), 6)
+         END AS pct_k
+  FROM w WHERE w_n = 14
+)
+SELECT symbol, day_ts, pct_k,
+       CASE WHEN count(*) OVER win2 = 3
+            THEN round(CAST(sum(CAST(pct_k AS DECIMAL(38,10))) OVER win2
+                            AS DOUBLE) / 3.0, 6)
+       END AS pct_d
+FROM k
+WINDOW win2 AS (PARTITION BY symbol ORDER BY day_ts
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def stochastic_14_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K(14)/%D(3) over per-symbol daily OHLC
+    (operators/quant.stochastic): %K on full 14-day high/low windows (flat
+    windows NULL — guarded division under ANSI), %D the decimal-summed
+    3-day mean of the 6-dp %K values. Two stacked per-symbol windows over
+    the one tick-cardinality exchange."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.stochastic(quant.daily_ohlc(ticks), n=14, d=3)
+
+
+@query(
+    "atr_14_daily",
+    oracle=f"""
+WITH RECURSIVE {_TICKS_CTE},
+{_DAILY_OHLC_CTE},
+d AS (
+  SELECT symbol, day_ts, day_idx, high, low,
+         lag(close) OVER (PARTITION BY symbol ORDER BY day_idx) AS pc
+  FROM ob
+),
+tr AS (
+  SELECT symbol, day_ts, day_idx,
+         greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+  FROM d WHERE pc IS NOT NULL
+),
+r AS (
+  SELECT symbol, day_ts, day_idx, tr, tr AS atr FROM tr WHERE day_idx = 2
+  UNION ALL
+  SELECT t.symbol, t.day_ts, t.day_idx, t.tr,
+         (r.atr * (14.0 - 1.0) + t.tr) / 14.0 AS atr
+  FROM tr t JOIN r ON t.symbol = r.symbol AND t.day_idx = r.day_idx + 1
+)
+SELECT symbol, day_ts, tr, round(atr, 6) AS atr FROM r
+""",
+)
+def atr_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder ATR(14) over per-symbol daily OHLC (operators/quant.atr):
+    true range from day 2 (picked-double arithmetic, identical IEEE ops),
+    smoothed by the seeded RMA recursion the rsi/ema family uses — Arrow
+    fold on the Spark side, recursive CTE on the oracle side, bit-identical
+    before the shared 6-dp round."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.atr(quant.daily_ohlc(ticks), n=14)
+
+
 # ---------------------------------------------------------------------------
 # Behavioral analytics over the event log — ordered funnel, cohort retention
 # ---------------------------------------------------------------------------
@@ -4442,7 +4537,10 @@ _REGISTRY_PRIORITY = [
     "funnel_time_to_convert",
     "quality_stratified_sample",
     "dedup_edit_distance",
-    # (3) r2-green refresh fills the window to 50
+    "stochastic_14_3",
+    "atr_14_daily",
+    # (3) r2-green refresh fills the window to 50 (everything below slot 50
+    # already holds a green row from r1-r3)
     "events_time_range",
     "kpi_summary",
     "dedup_last_write_wins",

@@ -352,10 +352,13 @@ def test_registry_priority_window():
         "funnel_view_click_purchase", "retention_cohorts_weekly",
         "approx_percentiles_contract", "event_transitions",
         "funnel_time_to_convert", "quality_stratified_sample",
-        "dedup_edit_distance",
+        "dedup_edit_distance", "stochastic_14_3",
     }
     assert never_adjudicated <= window, never_adjudicated - window
     assert changed_r4 <= window, changed_r4 - window
+    # the window is saturated with must-adjudicate queries; atr_14_daily is
+    # pinned at slot 51 as the r5 rotation's head (green in local parity)
+    assert names[50] == "atr_14_daily"
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 

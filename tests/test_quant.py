@@ -186,3 +186,56 @@ def test_rsi_constant_series_emits_100(spark):
 
     out = rsi(_daily(spark, [5.0, 5.0, 5.0]), n=14).collect()
     assert [r.rsi for r in out] == [100.0, 100.0]
+
+
+def _ohlc(spark, rows, sym="A"):
+    # rows: [(high, low, close)]
+    from datetime import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (sym, dt(2026, 1, 1 + i), float(h), float(lo), float(c), i + 1)
+            for i, (h, lo, c) in enumerate(rows)
+        ],
+        "symbol string, day_ts timestamp, high double, low double, close double, day_idx int",
+    )
+
+
+def test_stochastic_by_hand(spark):
+    from realtime_market_data_pipeline_spark.operators.quant import stochastic
+
+    # n=2, d=2 for hand arithmetic
+    bars = _ohlc(spark, [(10, 8, 9), (12, 9, 11), (11, 10, 10.5), (11, 10.5, 10.5)])
+    out = sorted(
+        stochastic(bars, n=2, d=2).collect(), key=lambda r: r.day_ts
+    )
+    # day2: low2=8, high2=12 -> K = 100*(11-8)/4 = 75
+    assert out[0].pct_k == 75.0 and out[0].pct_d is None
+    # day3: low2=9, high2=12 -> K = 100*(10.5-9)/3 = 50; D = (75+50)/2
+    assert out[1].pct_k == 50.0 and out[1].pct_d == 62.5
+    # day4: low2=10, high2=11 -> K = 100*0.5/1 = 50; D = 50
+    assert out[2].pct_k == 50.0 and out[2].pct_d == 50.0
+
+
+def test_stochastic_flat_window_is_null(spark):
+    from realtime_market_data_pipeline_spark.operators.quant import stochastic
+
+    bars = _ohlc(spark, [(5, 5, 5), (5, 5, 5)])
+    out = stochastic(bars, n=2, d=2).collect()
+    assert [r.pct_k for r in out] == [None]
+
+
+def test_atr_matches_python_fold(spark):
+    from realtime_market_data_pipeline_spark.operators.quant import atr
+
+    rows = [(10, 8, 9), (12, 9, 11), (11, 10, 10.5), (14, 11, 13)]
+    out = sorted(atr(_ohlc(spark, rows), n=3).collect(), key=lambda r: r.day_ts)
+    a = None
+    exp = []
+    for i in range(1, len(rows)):
+        h, lo, c = rows[i]
+        pc = rows[i - 1][2]
+        tr = max(h - lo, abs(h - pc), abs(lo - pc))
+        a = tr if a is None else (a * 2.0 + tr) / 3.0
+        exp.append((tr, round(a, 6)))
+    assert [(r.tr, r.atr) for r in out] == exp
