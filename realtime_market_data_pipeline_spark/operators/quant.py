@@ -410,3 +410,72 @@ def atr(bars: DataFrame, n: int = 14) -> DataFrame:
     return folded.where(F.col("atr").isNotNull()).select(
         "symbol", "day_ts", "tr", F.round("atr", 6).alias("atr")
     )
+
+
+def beta_vs_market(bars: DataFrame) -> DataFrame:
+    """Market-model OLS per symbol: regress each symbol's daily log return
+    on the equal-weight market return (the mean return of all symbols that
+    day) — beta/alpha/R², the factor-exposure readout a market-data
+    pipeline's risk consumers run over the feature store.
+
+    Cross-engine exactness: returns are 6-dp-rounded doubles lifted to
+    exact integer micro-returns (×10⁶), so every regression sum
+    (Σx, Σy, Σxy, Σx², Σy²) is integer arithmetic in DECIMAL(38,0) —
+    associative, shuffle-order-independent, and bit-identical in any
+    engine. Only the final beta/alpha/R² divisions run in doubles (identical
+    operands → identical IEEE results, 6-dp rounded). The market mean is
+    itself snapped to an integer micro-return so both engines join on the
+    same y.
+
+    Scale shape: the tick→daily-bar aggregation upstream is the only
+    row-linear stage. The lag window reuses the bars' symbol partitioning,
+    the per-day market mean aggregates ≤ symbols rows per group, the join
+    back is a broadcast (days-cardinality right side), and the final
+    regression aggregate map-side-combines to one row per symbol."""
+    lw = Window.partitionBy("symbol").orderBy("day_ts")
+    rets = (
+        bars.select(
+            "symbol",
+            "day_ts",
+            F.round(F.log(F.col("close") / F.lag("close").over(lw)), 6).alias("ret"),
+        )
+        .where(F.col("ret").isNotNull())
+        .select(
+            "symbol",
+            "day_ts",
+            F.round(F.col("ret") * F.lit(1000000.0), 0).cast("long").alias("xi"),
+        )
+    )
+    mkt = rets.groupBy("day_ts").agg(
+        F.round(F.sum("xi").cast("double") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("yi")
+    )
+    d0 = "decimal(38,0)"
+    j = rets.join(F.broadcast(mkt), "day_ts").select(
+        "symbol", F.col("xi").cast(d0).alias("x"), F.col("yi").cast(d0).alias("y")
+    )
+    s = j.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_obs").cast(d0)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("syy") - F.col("sy") * F.col("sy")
+    denx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.round(num.cast("double") / den.cast("double"), 6)
+    mean_x = F.col("sx").cast("double") / F.col("n_obs") / F.lit(1000000.0)
+    mean_y = F.col("sy").cast("double") / F.col("n_obs") / F.lit(1000000.0)
+    return s.select(
+        "symbol",
+        "n_obs",
+        beta.alias("beta"),
+        F.round(mean_x - beta * mean_y, 6).alias("alpha"),
+        F.round(
+            num.cast("double") * num.cast("double") / (den * denx).cast("double"), 6
+        ).alias("r2"),
+    )

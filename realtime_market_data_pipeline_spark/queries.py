@@ -4214,6 +4214,67 @@ def atr_14_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.atr(quant.daily_ohlc(ticks), n=14)
 
 
+@query(
+    "beta_vs_market_daily",
+    oracle=f"""
+WITH {_TICKS_CTE},
+{_DAILY_BARS_CTE},
+r0 AS (
+  SELECT symbol, day_ts,
+         round(ln(close / lag(close)
+                  OVER (PARTITION BY symbol ORDER BY day_ts)), 6) AS ret
+  FROM b
+),
+r AS (
+  SELECT symbol, day_ts,
+         CAST(round(ret * 1000000.0) AS BIGINT) AS xi
+  FROM r0 WHERE ret IS NOT NULL
+),
+m AS (
+  SELECT day_ts,
+         CAST(round(CAST(sum(xi) AS DOUBLE) / count(*)) AS BIGINT) AS yi
+  FROM r GROUP BY day_ts
+),
+j AS (
+  SELECT r.symbol, CAST(r.xi AS HUGEINT) AS x, CAST(m.yi AS HUGEINT) AS y
+  FROM r JOIN m USING (day_ts)
+),
+s AS (
+  SELECT symbol, count(*) AS n_obs,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY symbol
+),
+f AS (
+  SELECT symbol, n_obs,
+         n_obs * sxy - sx * sy AS num,
+         n_obs * syy - sy * sy AS den,
+         n_obs * sxx - sx * sx AS denx,
+         sx, sy
+  FROM s
+)
+SELECT symbol, n_obs,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS beta,
+       round(CAST(sx AS DOUBLE) / n_obs / 1000000.0
+             - round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               * (CAST(sy AS DOUBLE) / n_obs / 1000000.0), 6) AS alpha,
+       round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+             / CAST(den * denx AS DOUBLE), 6) AS r2
+FROM f
+""",
+)
+def beta_vs_market_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-model OLS (operators/quant.beta_vs_market): each symbol's
+    daily log return regressed on the equal-weight market return. Returns
+    snap to integer micro-returns so every regression sum is exact integer
+    arithmetic (DECIMAL(38,0) vs HUGEINT); only the final beta/alpha/R²
+    divisions are doubles — identical operands, 6-dp rounded."""
+    from realtime_market_data_pipeline_spark.operators import quant
+
+    ticks = feat.ticks_from_events(load_table(spark, sf_dir, "events"))
+    return quant.beta_vs_market(quant.daily_close_bars(ticks))
+
+
 # ---------------------------------------------------------------------------
 # Behavioral analytics over the event log — ordered funnel, cohort retention
 # ---------------------------------------------------------------------------

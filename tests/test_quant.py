@@ -239,3 +239,66 @@ def test_atr_matches_python_fold(spark):
         a = tr if a is None else (a * 2.0 + tr) / 3.0
         exp.append((tr, round(a, 6)))
     assert [(r.tr, r.atr) for r in out] == exp
+
+
+def test_beta_vs_market_two_symbol_identity(spark):
+    # Two symbols, A's returns exactly 2x B's in micro-units. Market = mean,
+    # so x_A = 2u, x_B = u, y = 1.5u for daily shocks u — beta_A = 4/3,
+    # beta_B = 2/3, alphas follow from the means, r2 = 1 (exact collinearity).
+    from realtime_market_data_pipeline_spark.operators.quant import (
+        beta_vs_market,
+        daily_close_bars,
+    )
+
+    rows = []
+    prices = {"A": 100.0, "B": 50.0}
+    shocks = [0.02, -0.01, 0.03, 0.005]
+    closes = {"A": [], "B": []}
+    for d, u in enumerate(shocks):
+        prices["A"] *= math.exp(2 * u)
+        prices["B"] *= math.exp(u)
+        for sym in ("A", "B"):
+            rows.append(
+                (sym, prices[sym], datetime(2026, 1, 1 + d, 12, 0, 0))
+            )
+            closes[sym].append(prices[sym])
+    ticks = spark.createDataFrame(
+        rows, "symbol string, price double, event_time timestamp"
+    )
+    out = {r.symbol: r for r in beta_vs_market(daily_close_bars(ticks)).collect()}
+
+    # replicate the operator's integer-micro-return arithmetic in python
+    def micro(sym):
+        cs = closes[sym]
+        return [
+            round(round(math.log(cs[i] / cs[i - 1]), 6) * 1e6)
+            for i in range(1, len(cs))
+        ]
+
+    def _r0(v):  # round half away from zero, matching Spark/DuckDB round()
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    xa, xb = micro("A"), micro("B")
+    ys = [_r0((a + b) / 2) for a, b in zip(xa, xb)]
+
+    def ols(xs):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        num, den, denx = n * sxy - sx * sy, n * syy - sy * sy, n * sxx - sx * sx
+        beta = round(num / den, 6)
+        alpha = round(sx / n / 1e6 - beta * (sy / n / 1e6), 6)
+        r2 = round(num * num / (den * denx), 6)
+        return beta, alpha, r2
+
+    for sym, xs in (("A", xa), ("B", xb)):
+        eb, ea, er2 = ols(xs)
+        assert out[sym].n_obs == 3
+        assert abs(out[sym].beta - eb) < 1e-9, (sym, out[sym].beta, eb)
+        assert abs(out[sym].alpha - ea) < 1e-9
+        assert abs(out[sym].r2 - er2) < 1e-9
+    # collinear by construction: betas average to 1 and r2 = 1
+    assert abs(out["A"].beta + out["B"].beta - 2.0) < 1e-4
+    assert out["A"].r2 > 0.9999 and out["B"].r2 > 0.9999
