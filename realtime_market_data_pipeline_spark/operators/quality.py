@@ -79,3 +79,58 @@ def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    by: str = "event_type",
+    nbins: int = 20,
+) -> DataFrame:
+    """Per-group equi-width histogram: ``nbins`` buckets spanning each
+    group's [min, max], top bucket closed (the max lands in bin nbins-1).
+    The distribution readout of the profiling family (``profile_numeric``
+    gives moments; this gives shape).
+
+    Determinism: bin assignment is pure IEEE double arithmetic on identical
+    operands — (max−min)/nbins then floor((v−min)/width) — so both engines
+    compute bit-identical bins; counts are integers and edges are 6-dp
+    rounded. A constant-valued group (width 0) collapses to bin 0 rather
+    than dividing by zero.
+
+    Scale shape: two scans (stats, histogram — Catalyst does not share
+    scans across the broadcast), both fully partial-aggregated map-side;
+    the per-group stats relation is |groups| rows and broadcast. Empty bins
+    are not emitted (identically on both engines)."""
+    stats = df.groupBy(by).agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    )
+    j = (
+        df.select(by, value_col)
+        .where(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats), by)
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    bin_ = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("mn")) / width),
+                F.lit(nbins - 1),
+            )
+        )
+        .cast("int")
+    )
+    h = j.groupBy(F.col(by), bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("mn").alias("mn"),
+        F.min("mx").alias("mx"),
+    )
+    w2 = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    return h.select(
+        by,
+        "bin",
+        F.round(F.col("mn") + F.col("bin") * w2, 6).alias("bin_lo"),
+        F.round(F.col("mn") + (F.col("bin") + F.lit(1)) * w2, 6).alias("bin_hi"),
+        "n_rows",
+    )

@@ -2353,6 +2353,42 @@ def profile_events_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_histogram",
+    oracle="""
+WITH st AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+h AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN st.mx = st.mn THEN 0
+              ELSE least(floor((e.value - st.mn) / ((st.mx - st.mn) / 20.0)), 19)
+              END AS INTEGER) AS bin,
+         st.mn AS mn, st.mx AS mx
+  FROM events e JOIN st USING (event_type)
+  WHERE e.value IS NOT NULL
+)
+SELECT event_type, bin,
+       round(mn + bin * ((mx - mn) / 20.0), 6) AS bin_lo,
+       round(mn + (bin + 1) * ((mx - mn) / 20.0), 6) AS bin_hi,
+       count(*) AS n_rows
+FROM h GROUP BY event_type, bin, mn, mx
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-width value histogram
+    (operators/quality.value_histogram, 20 bins): the distribution-shape
+    readout of the profiling family. Bin assignment is identical-operand
+    IEEE double arithmetic (bit-equal across engines); counts are integers,
+    edges 6-dp rounded."""
+    from realtime_market_data_pipeline_spark.operators import quality as ql
+
+    return ql.value_histogram(
+        load_table(spark, sf_dir, "events"), value_col="value", by="event_type"
+    )
+
+
 # The read-side clients speak SQL strings (DuckDB SQL in the Streamlit UI /
 # notebook, SURVEY.md §3.3) — this query IS that surface: one ANSI statement
 # executed verbatim by both engines (spark.sql over registered temp views vs
