@@ -268,6 +268,59 @@ def split_bucket(id_col: str = "doc_id", salt: str = "split:v1") -> Column:
     return hexval(1) * 16 + hexval(2)
 
 
+def sample_key48(id_col: str = "doc_id", salt: str = "wsample:v1") -> Column:
+    """48-bit uniform key from the first 12 hex digits of md5(salt || id) —
+    the wide sibling of ``split_bucket`` for sampling decisions that need
+    finer than 1/256 resolution. A pure per-row function of the id (stable
+    across runs, partitionings, engines); fits a BIGINT, and the hex-digit
+    arithmetic is replayable in ANSI SQL for the oracles."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def weighted_sample_pps(
+    df: DataFrame,
+    weight_col: str,
+    n_target: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample:v1",
+) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling: row i is kept with
+    p_i = min(1, n_target · w_i / Σw) — e.g. sample documents proportional
+    to token count so the kept set is token-budget-weighted (the epoch-
+    weighting primitive of LLM data curation). Membership is deterministic:
+    keep iff u48_i · Σw < n_target · w_i · 2⁴⁸, evaluated in exact integer
+    arithmetic (DECIMAL(38,0) — no float threshold, no Bernoulli rand()),
+    so new rows never perturb old membership and any engine that can md5
+    reproduces the sample bit-for-bit.
+
+    Scale shape: one map-side-combined 1-row total (broadcast back via
+    crossJoin); membership is then per-row and shuffle-free. Rows with
+    w ≥ Σw / n_target are always kept (the min(1, ·) cap falls out of the
+    strict inequality); zero-weight rows are never kept."""
+    d0 = "decimal(38,0)"
+    tot = df.agg(F.sum(F.col(weight_col).cast("long")).alias("tot"))
+    j = df.crossJoin(F.broadcast(tot))
+    keep = j.where(
+        sample_key48(id_col, salt).cast(d0) * F.col("tot").cast(d0)
+        < F.lit(n_target).cast(d0)
+        * F.col(weight_col).cast(d0)
+        * F.lit(2**48).cast(d0)
+    )
+    return keep.select(
+        id_col,
+        weight_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(n_target)) * F.col(weight_col))
+                / F.col("tot").cast("double"),
+            ),
+            6,
+        ).alias("p_inclusion"),
+    )
+
+
 def with_split_assignment(
     df: DataFrame,
     train_pct: int = 80,

@@ -4471,6 +4471,58 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_hexdig(p: int) -> str:
+    return (
+        f"(CASE WHEN ascii(substr(hx,{p},1)) >= 97 THEN ascii(substr(hx,{p},1)) - 87"
+        f" ELSE ascii(substr(hx,{p},1)) - 48 END)"
+    )
+
+
+# 48-bit integer from the first 12 hex digits of md5 column ``hx`` — the
+# oracle twin of operators.text.sample_key48 (pure hex-digit arithmetic).
+_O_U48 = " + ".join(
+    f"CAST({_o_hexdig(p)} AS BIGINT) * {16 ** (12 - p)}" for p in range(1, 13)
+)
+
+
+@query(
+    "token_weighted_sample",
+    oracle=rf"""
+WITH h AS (
+  SELECT doc_id, text,
+         md5('wsample:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+         ({_O_U48}) AS u48
+  FROM h
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM w)
+SELECT doc_id, n_tokens,
+       round(least(1.0, (100.0 * n_tokens) / CAST(tot AS DOUBLE)), 6)
+           AS p_inclusion
+FROM w, t
+WHERE CAST(u48 AS HUGEINT) * tot
+      < CAST(100 AS HUGEINT) * n_tokens * 281474976710656
+""",
+)
+def token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted PPS document sampling
+    (operators/text.weighted_sample_pps, n_target=100): keep each doc with
+    probability ∝ its token count — the epoch-weighting primitive of LLM
+    data curation. Membership is exact integer arithmetic on an md5-derived
+    48-bit key (never Bernoulli rand()), so the oracle replays the sample
+    bit-for-bit; 2⁴⁸ = 281474976710656."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count("text").alias("n_tokens")
+    )
+    return tx.weighted_sample_pps(
+        docs, weight_col="n_tokens", n_target=100, id_col="doc_id"
+    )
+
+
 @query(
     "event_transitions",
     oracle="""
