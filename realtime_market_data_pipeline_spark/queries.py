@@ -4311,6 +4311,41 @@ def beta_vs_market_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.beta_vs_market(quant.daily_close_bars(ticks))
 
 
+@query(
+    "vwap_brand_month",
+    oracle=f"""
+SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)
+           AS vwap,
+       {_osum('l_quantity')} AS sum_qty,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, date_trunc('month', l_shipdate)
+""",
+)
+def vwap_brand_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (brand, ship month):
+    Σ notional / Σ quantity — the quant aggregate TWAP's sibling, keyed by
+    the part dimension. Both sums accumulate in exact DECIMAL (order-free),
+    the ratio is finalized in doubles and 6-dp rounded; the part dim is
+    broadcast so the fact table shuffles once, on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy(
+        "p_brand", F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
+            6,
+        ).alias("vwap"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Behavioral analytics over the event log — ordered funnel, cohort retention
 # ---------------------------------------------------------------------------
