@@ -70,6 +70,11 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "event_transitions",
     "retention_cohorts_weekly",
+    # r4 late additions: regression / profiling / sampling / vwap
+    "beta_vs_market_daily",
+    "events_value_histogram",
+    "token_weighted_sample",
+    "vwap_brand_month",
 ]
 
 

@@ -4723,6 +4723,12 @@ _REGISTRY_PRIORITY = [
     "dedup_edit_distance",
     "stochastic_14_3",
     "atr_14_daily",
+    # (2b) late-r4 additions — slots 52+, outside this round's window;
+    # rotation head for r5 together with atr_14_daily (slot 51)
+    "beta_vs_market_daily",
+    "events_value_histogram",
+    "token_weighted_sample",
+    "vwap_brand_month",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",
