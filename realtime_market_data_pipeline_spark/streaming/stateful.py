@@ -522,3 +522,81 @@ def gapfill_locf_stream(ticks: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming heavy hitters (space-saving sketch) ---------------------------
+
+HH_OUTPUT_SCHEMA = (
+    "event_type string, user_id long, est_count long, err long, n_total long"
+)
+HH_STATE_SCHEMA = (
+    "ids array<long>, counts array<long>, errs array<long>, n long"
+)
+
+
+def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming heavy hitters per event_type: a space-saving sketch of at
+    most ``k`` counters per key, emitted as a full snapshot each micro-batch
+    — the bounded-state answer to "top users right now" that an exact
+    streaming count (state ∝ distinct users) cannot give at 100 TB.
+
+    Guarantees (classic space-saving, checked in
+    ``test_heavy_hitters_stream_contract``): every user whose true count
+    exceeds n/k is in the table, and for each tracked user
+    est − err ≤ true count ≤ est. State per event_type is three length-≤k
+    arrays + a counter — O(k · |event types|) total, independent of both
+    row count and user cardinality.
+
+    Determinism: rows fold in (ts_ms, user_id) order within a batch and
+    ties for the eviction victim break by (count, user_id), so replays
+    produce identical tables. Input schema:
+    (event_type string, user_id long, ts_ms long)."""
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, counts, errs, n = state.get
+            table = {
+                int(i): [int(c), int(e)] for i, c, e in zip(ids, counts, errs)
+            }
+            n = int(n)
+        else:
+            table, n = {}, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ms", "user_id"])
+            for uid in pdf["user_id"].astype("int64"):
+                uid = int(uid)
+                n += 1
+                if uid in table:
+                    table[uid][0] += 1
+                elif len(table) < k:
+                    table[uid] = [1, 0]
+                else:
+                    victim = min(table, key=lambda u: (table[u][0], u))
+                    m = table[victim][0]
+                    del table[victim]
+                    table[uid] = [m + 1, m]
+        items = sorted(table.items())
+        state.update(
+            (
+                [u for u, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            [(key[0], u, c, e, n) for u, (c, e) in items],
+            columns=["event_type", "user_id", "est_count", "err", "n_total"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        HH_OUTPUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

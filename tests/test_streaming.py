@@ -1246,3 +1246,69 @@ def test_gapfill_locf_stream_matches_batch(spark, tmp_path):
     # the gap rows exist and carry the finalized average forward
     assert got[("A", base // m * m + 2 * m)] == (0, 20.0, True)
     assert got[("A", base // m * m + 3 * m)] == (0, 20.0, True)
+
+
+def test_heavy_hitters_stream_contract(spark, tmp_path):
+    """Space-saving sketch across micro-batches: every user whose exact
+    count exceeds n/k must be in the final table, with
+    est - err <= exact <= est, and the state stays bounded at k rows."""
+    import time as _time
+    from collections import Counter
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "hh_in")
+    # skewed stream: u1 dominates 'view', u2 is a moderate hitter, a long
+    # tail of one-off users forces constant eviction with k=4
+    files = [
+        [("view", 1, base + i) for i in range(20)]
+        + [("view", 2, base + 100 + i) for i in range(8)]
+        + [("view", 100 + i, base + 200 + i) for i in range(6)],
+        [("view", 1, base + 1000 + i) for i in range(15)]
+        + [("view", 200 + i, base + 1200 + i) for i in range(7)],
+        [("view", 2, base + 2000 + i) for i in range(9)]
+        + [("view", 300 + i, base + 2200 + i) for i in range(5)],
+    ]
+    for data in files:
+        spark.createDataFrame(
+            data, "event_type string, user_id long, ts_ms long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    from realtime_market_data_pipeline_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    k = 4
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    snapshots: dict = {}
+    q = (
+        heavy_hitters_stream(stream, k=k)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: snapshots.__setitem__(bid, df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    final = snapshots[max(snapshots)]
+    assert 0 < len(final) <= k  # bounded state
+    exact = Counter(u for f in files for _, u, _ in f)
+    n = sum(exact.values())
+    assert all(r.n_total == n for r in final)
+    table = {r.user_id: r for r in final}
+    # completeness: all true heavy hitters (> n/k) survive eviction churn
+    for uid, c in exact.items():
+        if c > n / k:
+            assert uid in table, (uid, c, n / k)
+    # soundness: est brackets the true count for every tracked user
+    for uid, r in table.items():
+        assert r.est_count - r.err <= exact[uid] <= r.est_count, (uid, r)
+    # the two planted hitters are the top-2 by estimate
+    top2 = {r.user_id for r in sorted(final, key=lambda r: -r.est_count)[:2]}
+    assert top2 == {1, 2}
