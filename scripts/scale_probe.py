@@ -36,6 +36,12 @@ DEFAULT_QUERIES = [
     "ema_macd_daily",
     "funnel_view_click_purchase",
     "retention_cohorts_weekly",
+    # late-r4 additions: bar-cardinality OLS, broadcast-stats histogram,
+    # shuffle-free PPS sampling, broadcast-dim VWAP
+    "beta_vs_market_daily",
+    "events_value_histogram",
+    "token_weighted_sample",
+    "vwap_brand_month",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",

@@ -393,3 +393,32 @@ def test_approx_percentiles_broadcasts_sketch_row(spark):
     # the rank-verification join broadcasts the 1-row-per-group sketch side
     df = Q.QUERIES["approx_percentiles_contract"](spark, SF)
     assert "BroadcastHashJoin" in P.plan_string(df)
+
+
+def test_beta_vs_market_broadcasts_market_and_partial_aggs(spark):
+    df = Q.QUERIES["beta_vs_market_daily"](spark, SF)
+    # the per-day market-return relation joins back broadcast — the fact
+    # side never reshuffles on day_ts
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+    assert P.has_partial_aggregation(df)
+
+
+def test_histogram_broadcasts_stats_relation(spark):
+    df = Q.QUERIES["events_value_histogram"](spark, SF)
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+    assert P.has_partial_aggregation(df)
+
+
+def test_token_weighted_sample_broadcast_total_no_extra_exchange(spark):
+    df = Q.QUERIES["token_weighted_sample"](spark, SF)
+    s = P.join_strategies(df)
+    # the 1-row total arrives via broadcast nested loop (cross join);
+    # membership itself is per-row — no keyed exchange at row cardinality
+    assert "BroadcastNestedLoopJoin" in s, s
+    assert P.exchange_count(df) <= 1  # only the 1-row total's partial agg
+
+
+def test_vwap_broadcasts_part_dim(spark):
+    df = Q.QUERIES["vwap_brand_month"](spark, SF)
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+    assert P.has_partial_aggregation(df)
