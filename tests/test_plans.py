@@ -422,3 +422,37 @@ def test_vwap_broadcasts_part_dim(spark):
     df = Q.QUERIES["vwap_brand_month"](spark, SF)
     assert "BroadcastHashJoin" in P.join_strategies(df)
     assert P.has_partial_aggregation(df)
+
+
+def test_runtime_bloom_filter_injects_for_selective_fact_fact_join(spark):
+    """Spark's runtime row-level filtering (bloom filter on the join key,
+    on by default) prunes the probe side of a shuffle join when the build
+    side is selective — at 100 TB this is the difference between scanning
+    the full fact table and skipping most of it before the shuffle. The
+    application-side scan must look big enough; locally the corpus is tiny,
+    so drop that threshold to demonstrate the production plan."""
+    sf01 = "/root/testdata/sf0.01"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        from realtime_market_data_pipeline_spark.io import load_table
+
+        li = load_table(spark, sf01, "lineitem")
+        o = load_table(spark, sf01, "orders").where("o_totalprice > 500000")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderkey").count()
+        assert "might_contain" in P.plan_string(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            old_thr,
+        )
