@@ -600,3 +600,75 @@ def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming SCD2 interval construction ------------------------------------
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, valid_from_ms long, valid_to_ms long, "
+    "n_events long, version_no long, is_open boolean"
+)
+SCD2_STATE_SCHEMA = (
+    "cur_type string, valid_from_ms long, n_events long, version_no long"
+)
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch SCD2 query
+    (queries.scd2_event_type_intervals): per-user value-change versioning
+    under continuous ingestion. Each arriving event either extends the
+    user's open version (same event_type) or closes it — the closed row
+    [valid_from, valid_to) is FINAL the moment it is emitted — and opens
+    the next one. Every micro-batch also emits the current open version as
+    an is_open=true snapshot (valid_to NULL), an upsert keyed
+    (user_id, version_no): a live versioned dimension without rescanning
+    the log.
+
+    State per user is one open version (4 fields) — O(distinct users),
+    independent of history length. Same ordered-arrival contract as
+    ``gapfill_locf_stream``: events must arrive in (ts_ms, event_id) order
+    across batches for exact batch parity (within a batch they are
+    sorted). Input schema: (user_id long, event_type string, ts_ms long,
+    event_id long)."""
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            cur_type, vfrom, n, ver = state.get
+            cur_type, vfrom, n, ver = cur_type, int(vfrom), int(n), int(ver)
+        else:
+            cur_type, vfrom, n, ver = None, 0, 0, 0
+        uid = key[0]
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ms", "event_id"])
+            for typ, t in zip(pdf["event_type"], pdf["ts_ms"].astype("int64")):
+                t = int(t)
+                if cur_type is None:
+                    cur_type, vfrom, n, ver = typ, t, 1, 1
+                elif typ == cur_type:
+                    n += 1
+                else:
+                    out.append((uid, cur_type, vfrom, t, n, ver, False))
+                    cur_type, vfrom, n, ver = typ, t, 1, ver + 1
+        if cur_type is not None:
+            state.update((cur_type, vfrom, n, ver))
+            out.append((uid, cur_type, vfrom, None, n, ver, True))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_type", "valid_from_ms", "valid_to_ms",
+                "n_events", "version_no", "is_open",
+            ],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        SCD2_OUTPUT_SCHEMA,
+        SCD2_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1312,3 +1312,75 @@ def test_heavy_hitters_stream_contract(spark, tmp_path):
     # the two planted hitters are the top-2 by estimate
     top2 = {r.user_id for r in sorted(final, key=lambda r: -r.est_count)[:2]}
     assert top2 == {1, 2}
+
+
+def test_scd2_stream_matches_batch(spark, tmp_path):
+    """Folding the streaming SCD2 emissions (closed finals + last open
+    snapshot per (user, version)) must reproduce the batch SCD2 intervals,
+    including a version that OPENS in one micro-batch and CLOSES in a
+    later one (u1 stays 'view' across files 1-2, flips in file 3)."""
+    import time as _time
+
+    base = 1_704_067_200_000
+    d = str(tmp_path / "scd2_in")
+    files = [
+        [(1, 1, "view", base), (2, 2, "click", base + 100)],
+        [(3, 1, "view", base + 1000), (4, 2, "view", base + 1100)],
+        [(5, 1, "click", base + 2000), (6, 2, "view", base + 2100),
+         (7, 1, "view", base + 3000)],
+    ]
+    for data in files:
+        spark.createDataFrame(
+            data, "event_id long, user_id long, event_type string, ts_ms long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    from realtime_market_data_pipeline_spark.streaming.stateful import scd2_stream
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    emitted: list = []
+    q = (
+        scd2_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    # fold: closed rows are final; open snapshots upsert by (user, version)
+    folded: dict = {}
+    for r in emitted:
+        k = (r.user_id, r.version_no)
+        if k not in folded or folded[k].is_open:
+            folded[k] = r
+
+    # batch truth via the registered SCD2 statement over the same rows
+    all_rows = [r for f in files for r in f]
+    spark.createDataFrame(
+        all_rows, "event_id long, user_id long, event_type string, ts_ms long"
+    ).withColumn("ts", F.timestamp_millis("ts_ms")).createOrReplaceTempView(
+        "events"
+    )
+    from realtime_market_data_pipeline_spark.queries import _SCD2_STMT
+
+    batch = {
+        (r.user_id, r.version_no): r for r in spark.sql(_SCD2_STMT).collect()
+    }
+    spark.catalog.dropTempView("events")
+
+    assert set(folded) == set(batch)
+    for k, b in batch.items():
+        s = folded[k]
+        assert s.event_type == b.event_type, k
+        assert s.valid_from_ms == int(b.valid_from.timestamp() * 1000), k
+        bt = None if b.valid_to is None else int(b.valid_to.timestamp() * 1000)
+        assert s.valid_to_ms == bt, k
+        assert s.n_events == b.n_events, k
+        assert s.is_open == (b.valid_to is None), k
+    # the cross-batch version: u1's 'view' v1 spans files 1-2, closed in 3
+    assert folded[(1, 1)].n_events == 2 and not folded[(1, 1)].is_open
