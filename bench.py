@@ -75,6 +75,7 @@ HEADLINE = [
     "events_value_histogram",
     "token_weighted_sample",
     "vwap_brand_month",
+    "kmv_distinct_users",
 ]
 
 

@@ -49,6 +49,21 @@ _O_BUCKET = """
                  ELSE ascii(substr(hx,2,1)) - 48 END)
 """
 
+def _o_hexdig(p: int) -> str:
+    return (
+        f"(CASE WHEN ascii(substr(hx,{p},1)) >= 97 THEN ascii(substr(hx,{p},1)) - 87"
+        f" ELSE ascii(substr(hx,{p},1)) - 48 END)"
+    )
+
+
+# 48-bit integer from the first 12 hex digits of md5 column ``hx`` — the
+# oracle twin of operators.text.sample_key48 (pure hex-digit arithmetic).
+_O_U48 = " + ".join(
+    f"CAST({_o_hexdig(p)} AS BIGINT) * {16 ** (12 - p)}" for p in range(1, 13)
+)
+
+
+
 # Oracle-side cosine: embedding oracles share the explicit dot/(|a||b|)
 # formula so both engines fold the same IEEE doubles in the same order.
 _O_COS = (
@@ -2442,6 +2457,53 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_distinct_users",
+    oracle="""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h0 AS (
+  SELECT event_type, user_id,
+         md5('kmv:v1' || CAST(user_id AS VARCHAR)) AS hx
+  FROM d
+),
+h AS (SELECT event_type, user_id, ({u48}) AS h48 FROM h0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY h48, user_id) AS rk
+  FROM h
+),
+t AS (
+  SELECT event_type, count(*) AS k_used, max(h48) AS u_k
+  FROM r WHERE rk <= 64 GROUP BY event_type
+),
+x AS (
+  SELECT event_type, count(*) AS exact_distinct FROM d GROUP BY event_type
+)
+SELECT t.event_type, t.k_used, t.u_k,
+       CASE WHEN t.k_used < 64 THEN CAST(t.k_used AS DOUBLE)
+            ELSE round(17732923532771328.0 / t.u_k, 6) END AS est_distinct,
+       x.exact_distinct,
+       (abs(CASE WHEN t.k_used < 64 THEN CAST(t.k_used AS DOUBLE)
+                 ELSE round(17732923532771328.0 / t.u_k, 6) END
+            - x.exact_distinct) <= 0.5 * x.exact_distinct) AS within_bound
+FROM t JOIN x USING (event_type)
+""".replace("{u48}", _O_U48),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (operators/sketches): distinct users per
+    event_type estimated from the 64 smallest md5 keys of the user-id set.
+    Unlike the HLL contract row (approx_distinct_users), the KMV sketch is
+    a PURE FUNCTION of the data — the k-th smallest key, the estimate, and
+    the accuracy bool all replay exactly in SQL, so this row is strict
+    value-hashed, not contract-only. 17732923532771328 = 63·2⁴⁸ (6
+    significant bits — double-exact)."""
+    from realtime_market_data_pipeline_spark.operators import sketches
+
+    return sketches.kmv_distinct_estimate(
+        load_table(spark, sf_dir, "events"), by="event_type", id_col="user_id"
+    )
+
+
+@query(
     "approx_percentiles_contract",
     oracle="""
 SELECT event_type, count(*) AS n,
@@ -4506,20 +4568,6 @@ def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_hexdig(p: int) -> str:
-    return (
-        f"(CASE WHEN ascii(substr(hx,{p},1)) >= 97 THEN ascii(substr(hx,{p},1)) - 87"
-        f" ELSE ascii(substr(hx,{p},1)) - 48 END)"
-    )
-
-
-# 48-bit integer from the first 12 hex digits of md5 column ``hx`` — the
-# oracle twin of operators.text.sample_key48 (pure hex-digit arithmetic).
-_O_U48 = " + ".join(
-    f"CAST({_o_hexdig(p)} AS BIGINT) * {16 ** (12 - p)}" for p in range(1, 13)
-)
-
-
 @query(
     "token_weighted_sample",
     oracle=rf"""
@@ -4729,6 +4777,7 @@ _REGISTRY_PRIORITY = [
     "events_value_histogram",
     "token_weighted_sample",
     "vwap_brand_month",
+    "kmv_distinct_users",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

@@ -672,3 +672,63 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming KMV bottom-k distinct sketch ----------------------------------
+
+KMV_OUTPUT_SCHEMA = (
+    "event_type string, k_used long, u_k long, est_distinct double"
+)
+KMV_STATE_SCHEMA = "ids array<long>, hs array<long>"
+
+
+def kmv_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming twin of ``operators.sketches.kmv_distinct_estimate``: a
+    live distinct-users-per-event-type estimate folded across micro-batches
+    on the bottom-k merge law — bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — so the snapshot after batch N is
+    BIT-IDENTICAL to the batch sketch over all rows seen so far
+    (``test_kmv_stream_matches_batch``), not merely approximately equal.
+    State per event_type is two length-≤k arrays; hashes come from the
+    same md5 key as the batch side (``text.sample_key48``, KMV_SALT).
+    Input schema: (event_type string, user_id long)."""
+    from realtime_market_data_pipeline_spark.operators.sketches import KMV_SALT
+
+    def update(key, pdf_iter, state):
+        import hashlib
+
+        import pandas as pd
+
+        table: dict[int, int] = {}
+        if state.exists:
+            ids, hs = state.get
+            table = {int(i): int(h) for i, h in zip(ids, hs)}
+        for pdf in pdf_iter:
+            for uid in pdf["user_id"].astype("int64"):
+                uid = int(uid)
+                if uid not in table:
+                    hx = hashlib.md5(f"{KMV_SALT}{uid}".encode()).hexdigest()
+                    table[uid] = int(hx[:12], 16)
+        bottom = sorted(table.items(), key=lambda t: (t[1], t[0]))[:k]
+        state.update(([u for u, _ in bottom], [h for _, h in bottom]))
+        k_used = len(bottom)
+        u_k = bottom[-1][1] if bottom else 0
+        est = (
+            float(k_used)
+            if k_used < k
+            else round(float((k - 1) * (1 << 48)) / u_k, 6)
+        )
+        yield pd.DataFrame(
+            [(key[0], k_used, u_k, est)],
+            columns=["event_type", "k_used", "u_k", "est_distinct"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        KMV_OUTPUT_SCHEMA,
+        KMV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1384,3 +1384,66 @@ def test_scd2_stream_matches_batch(spark, tmp_path):
         assert s.is_open == (b.valid_to is None), k
     # the cross-batch version: u1's 'view' v1 spans files 1-2, closed in 3
     assert folded[(1, 1)].n_events == 2 and not folded[(1, 1)].is_open
+
+
+def test_kmv_stream_matches_batch(spark, tmp_path):
+    """The streamed bottom-k sketch after the final micro-batch must be
+    bit-identical to the batch sketch over the union of all batches
+    (bottom-k merge law), including a type whose distinct users exceed k
+    (estimation branch) and one that stays below k (exact branch)."""
+    import time as _time
+
+    d = str(tmp_path / "kmv_in")
+    files = [
+        [("view", u) for u in range(30)] + [("click", 1), ("click", 2)],
+        [("view", u) for u in range(20, 50)] + [("click", 2), ("click", 3)],
+        [("view", u) for u in range(40, 70)] + [("click", 1)],
+    ]
+    for data in files:
+        spark.createDataFrame(
+            data, "event_type string, user_id long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.2)
+
+    from realtime_market_data_pipeline_spark.streaming.stateful import kmv_stream
+
+    k = 8
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    snapshots: dict = {}
+    q = (
+        kmv_stream(stream, k=k)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: snapshots.__setitem__(bid, df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    final = {r.event_type: r for r in snapshots[max(snapshots)]}
+
+    from realtime_market_data_pipeline_spark.operators.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    union = spark.createDataFrame(
+        [r for f in files for r in f], "event_type string, user_id long"
+    )
+    batch = {
+        r.event_type: r
+        for r in kmv_distinct_estimate(
+            union, by="event_type", id_col="user_id", k=k
+        ).collect()
+    }
+    assert set(final) == set(batch) == {"view", "click"}
+    for t in batch:
+        assert final[t].k_used == batch[t].k_used, t
+        assert final[t].u_k == batch[t].u_k, t
+        assert final[t].est_distinct == batch[t].est_distinct, t
+    # 'click' stayed under k -> exact branch; 'view' is estimating 70
+    assert final["click"].k_used == 3 and final["click"].est_distinct == 3.0
+    assert final["view"].k_used == k
+    assert batch["view"].within_bound
