@@ -76,6 +76,7 @@ HEADLINE = [
     "token_weighted_sample",
     "vwap_brand_month",
     "kmv_distinct_users",
+    "kmv_jaccard_pairs",
 ]
 
 

@@ -83,3 +83,83 @@ def kmv_distinct_estimate(
             <= F.lit(0.5) * F.col("exact_distinct")
         ).alias("within_bound"),
     )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    by: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Audience-overlap estimation between every pair of groups: Jaccard of
+    the groups' distinct-id sets, estimated from their bottom-k signatures
+    — est = |bottom-k(Sa ∪ Sb) ∩ Sa ∩ Sb| / |bottom-k(Sa ∪ Sb)| — with the
+    exact Jaccard riding alongside as certificate plus a ±0.25 absolute
+    contract bool (k=64 ⇒ σ ≈ √(J(1−J)/k) ≤ 0.0625, so 0.25 is ≈4σ).
+
+    Everything after the two keyed sketch aggregations runs at
+    |groups|-signature cardinality (arrays of ≤k longs, pair expansion
+    |groups|²/2 rows) — built-in array HOFs, no shuffle. The sketch is
+    deterministic (md5 order), so estimate AND signature replay exactly in
+    SQL. The exact twin self-joins the distinct (by, id) relation on id —
+    per-key blowup ≤ |groups|², fine at any id cardinality."""
+    sk = bottomk_user_hashes(df, by=by, id_col=id_col, k=k)
+    sigs = sk.groupBy(by).agg(F.array_sort(F.collect_list("h48")).alias("sig"))
+    a = sigs.select(
+        F.col(by).alias("type_a"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col(by).alias("type_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("sig_a"), F.col("sig_b"))), 1, k
+    )
+    inter = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains(F.col("sig_a"), x)
+            & F.array_contains(F.col("sig_b"), x),
+        )
+    )
+    est = F.round(inter.cast("double") / F.size(u), 6)
+
+    d = df.select(by, id_col).distinct()
+    da = d.select(F.col(by).alias("type_a"), F.col(id_col).alias("i"))
+    db = d.select(F.col(by).alias("type_b"), F.col(id_col).alias("i"))
+    both = (
+        da.join(db, "i")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    totals = d.groupBy(by).agg(F.count(F.lit(1)).alias("n"))
+    ta = totals.select(F.col(by).alias("type_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col(by).alias("type_b"), F.col("n").alias("n_b"))
+    # pair spine from the totals cross (zero-overlap pairs must not vanish)
+    exact = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(both), ["type_a", "type_b"], "left")
+        .withColumn("n_both", F.coalesce(F.col("n_both"), F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    out = pairs.select("type_a", "type_b", est.alias("jaccard_est")).join(
+        F.broadcast(exact), ["type_a", "type_b"]
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "jaccard_est",
+        "jaccard_exact",
+        (
+            F.abs(F.col("jaccard_est") - F.col("jaccard_exact")) <= F.lit(0.25)
+        ).alias("within_bound"),
+    )

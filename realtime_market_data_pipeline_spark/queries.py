@@ -2504,6 +2504,73 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_jaccard_pairs",
+    oracle="""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h0 AS (
+  SELECT event_type, user_id,
+         md5('kmv:v1' || CAST(user_id AS VARCHAR)) AS hx
+  FROM d
+),
+h AS (SELECT event_type, user_id, ({u48}) AS h48 FROM h0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY h48, user_id) AS rk
+  FROM h
+),
+sig AS (
+  SELECT event_type, list_sort(list(h48)) AS sg
+  FROM r WHERE rk <= 64 GROUP BY event_type
+),
+m AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.sg AS sig_a, b.sg AS sig_b,
+         list_slice(list_sort(list_distinct(list_concat(a.sg, b.sg))), 1, 64)
+             AS u
+  FROM sig a JOIN sig b ON a.event_type < b.event_type
+),
+est AS (
+  SELECT type_a, type_b,
+         round(CAST(len(list_filter(u, x -> list_contains(sig_a, x)
+                                         AND list_contains(sig_b, x)))
+                    AS DOUBLE) / len(u), 6) AS jaccard_est
+  FROM m
+),
+e1 AS (
+  SELECT da.event_type AS type_a, db.event_type AS type_b,
+         count(*) AS n_both
+  FROM d da JOIN d db
+    ON da.user_id = db.user_id AND da.event_type < db.event_type
+  GROUP BY 1, 2
+),
+tot AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+ex AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         round(CAST(COALESCE(e1.n_both, 0) AS DOUBLE)
+               / (ta.n + tb.n - COALESCE(e1.n_both, 0)), 6) AS jaccard_exact
+  FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+  LEFT JOIN e1 ON e1.type_a = ta.event_type AND e1.type_b = tb.event_type
+)
+SELECT est.type_a, est.type_b, est.jaccard_est, ex.jaccard_exact,
+       (abs(est.jaccard_est - ex.jaccard_exact) <= 0.25) AS within_bound
+FROM est JOIN ex ON est.type_a = ex.type_a AND est.type_b = ex.type_b
+""".replace("{u48}", _O_U48),
+)
+def kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types
+    (operators/sketches.kmv_jaccard_pairs): pairwise Jaccard of distinct
+    user sets estimated from bottom-k signatures (array-HOF merge, no
+    shuffle past the sketch aggs), exact Jaccard as certificate, ±0.25
+    (≈4σ at k=64) contract bool. Sketch is md5-deterministic, so estimate
+    and signatures replay exactly in SQL."""
+    from realtime_market_data_pipeline_spark.operators import sketches
+
+    return sketches.kmv_jaccard_pairs(
+        load_table(spark, sf_dir, "events"), by="event_type", id_col="user_id"
+    )
+
+
+@query(
     "approx_percentiles_contract",
     oracle="""
 SELECT event_type, count(*) AS n,
@@ -4778,6 +4845,7 @@ _REGISTRY_PRIORITY = [
     "token_weighted_sample",
     "vwap_brand_month",
     "kmv_distinct_users",
+    "kmv_jaccard_pairs",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

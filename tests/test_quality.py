@@ -85,3 +85,28 @@ def test_weighted_sample_pps_membership_rules(spark):
         i for i, w in rows if keys[i] * tot < 20 * w * (1 << 48)
     }
     assert ids == expect
+
+
+def test_kmv_jaccard_pairs_exact_and_zero_overlap(spark):
+    from realtime_market_data_pipeline_spark.operators.sketches import (
+        kmv_jaccard_pairs,
+    )
+
+    # A and B share half their users; C is disjoint from both. k=64 > all
+    # set sizes, so the "estimate" degenerates to the exact Jaccard.
+    rows = (
+        [("A", u) for u in range(40)]
+        + [("B", u) for u in range(20, 60)]
+        + [("C", u) for u in range(1000, 1020)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = {(r.type_a, r.type_b): r for r in kmv_jaccard_pairs(df, k=64).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab.jaccard_exact == round(20 / 60, 6)
+    assert ab.jaccard_est == ab.jaccard_exact  # sketch holds the full sets
+    assert ab.within_bound
+    # zero-overlap pairs survive with jaccard 0, not a dropped row
+    for k2 in (("A", "C"), ("B", "C")):
+        assert out[k2].jaccard_exact == 0.0 and out[k2].jaccard_est == 0.0
+        assert out[k2].within_bound
