@@ -77,6 +77,7 @@ HEADLINE = [
     "vwap_brand_month",
     "kmv_distinct_users",
     "kmv_jaccard_pairs",
+    "sequence_pattern_counts",
 ]
 
 

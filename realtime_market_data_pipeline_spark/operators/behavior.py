@@ -215,3 +215,61 @@ def funnel_conversion_times(
         F.round(F.percentile("ms_1_2", F.lit(0.5)), 6).alias("median_ms_1_2"),
         F.round(F.percentile("ms_1_3", F.lit(0.5)), 6).alias("median_ms_1_3"),
     )
+
+
+def sequence_pattern_match(
+    events: DataFrame,
+    patterns: dict[str, str],
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching by composition: each
+    user's event history becomes an ordered initial-letter string (one char
+    per event — types here start with distinct letters), and every pattern
+    is a regex over that string — 'v.*c.*p' is the ordered funnel, '^s'
+    is signup-first. Output: one row per pattern with matched-user count
+    and fraction.
+
+    Determinism: the sequence string orders by (ts, event_id) via
+    array_sort over structs — collect_list alone has no order guarantee.
+    Regexes must stay in the Java∩RE2 subset (same discipline as the PII
+    chain) so the oracle replays them. Scale shape: ONE user_id exchange;
+    per-user strings are history-bounded, the flag aggregate collapses
+    map-side to a single row, and the pattern fan-out is a stack() over
+    that one row."""
+    keys = list(patterns)
+    seqs = events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    flags = seqs.agg(
+        F.count(F.lit(1)).alias("n_total_users"),
+        *[
+            F.sum(F.col("seq").rlike(patterns[k]).cast("long")).alias(f"m{i}")
+            for i, k in enumerate(keys)
+        ],
+    )
+    stack_args = ", ".join(f"'{k}', m{i}" for i, k in enumerate(keys))
+    long = flags.select(
+        F.expr(f"stack({len(keys)}, {stack_args}) as (pattern, n_users)"),
+        "n_total_users",
+    )
+    return long.select(
+        "pattern",
+        "n_users",
+        "n_total_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("n_total_users"), 6
+        ).alias("frac"),
+    )

@@ -4702,6 +4702,55 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_pattern_counts",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT count(*) AS n_total_users,
+         CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+              AS BIGINT) AS m0,
+         CAST(sum(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END)
+              AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN regexp_matches(seq, 'e') THEN 1 ELSE 0 END)
+              AS BIGINT) AS m2,
+         CAST(sum(CASE WHEN regexp_matches(seq, 'p[^e]*p') THEN 1 ELSE 0 END)
+              AS BIGINT) AS m3
+  FROM s
+)
+SELECT p.pattern, p.n_users, f.n_total_users,
+       round(CAST(p.n_users AS DOUBLE) / f.n_total_users, 6) AS frac
+FROM f, (
+  SELECT 'funnel_vcp' AS pattern, m0 AS n_users FROM f
+  UNION ALL SELECT 'signup_first', m1 FROM f
+  UNION ALL SELECT 'any_error', m2 FROM f
+  UNION ALL SELECT 'repeat_purchase_no_error', m3 FROM f
+) p
+""",
+)
+def sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern CEP (operators/behavior.sequence_pattern_match):
+    each user's (ts, event_id)-ordered event-type initials become a string;
+    patterns are Java∩RE2 regexes over it — ordered funnel, signup-first,
+    any-error, repeat-purchase-without-intervening-error. One user_id
+    exchange; the flag aggregate collapses to a single row."""
+    from realtime_market_data_pipeline_spark.operators import behavior
+
+    return behavior.sequence_pattern_match(
+        load_table(spark, sf_dir, "events"),
+        patterns={
+            "funnel_vcp": "v.*c.*p",
+            "signup_first": "^s",
+            "any_error": "e",
+            "repeat_purchase_no_error": "p[^e]*p",
+        },
+    )
+
+
+@query(
     "funnel_time_to_convert",
     oracle="""
 WITH e1 AS (
@@ -4846,6 +4895,7 @@ _REGISTRY_PRIORITY = [
     "vwap_brand_month",
     "kmv_distinct_users",
     "kmv_jaccard_pairs",
+    "sequence_pattern_counts",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

@@ -138,3 +138,68 @@ def test_funnel_conversion_times_by_hand(spark):
     assert r.avg_ms_1_2 == (1 * h + 2 * h) / 2
     assert r.median_ms_1_2 == 1.5 * h
     assert r.avg_ms_1_3 == 3 * h and r.median_ms_1_3 == 3 * h
+
+
+def test_sequence_pattern_match_by_hand(spark):
+    """Hand-built histories: u1 v->c->p (funnel), u2 s->v (signup-first),
+    u3 p->e->p (repeat purchase WITH error between — must NOT match the
+    no-error variant), u4 p->v->p (matches it)."""
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        sequence_pattern_match,
+    )
+
+    rows, eid = [], 0
+    hist = {
+        1: ["view", "click", "purchase"],
+        2: ["signup", "view"],
+        3: ["purchase", "error", "purchase"],
+        4: ["purchase", "view", "purchase"],
+    }
+    for u, types in hist.items():
+        for i, t in enumerate(types):
+            rows.append((eid, u, t, datetime(2026, 1, 1, 0, i)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.pattern: r
+        for r in sequence_pattern_match(
+            df,
+            patterns={
+                "funnel_vcp": "v.*c.*p",
+                "signup_first": "^s",
+                "any_error": "e",
+                "repeat_purchase_no_error": "p[^e]*p",
+            },
+        ).collect()
+    }
+    assert all(r.n_total_users == 4 for r in out.values())
+    assert out["funnel_vcp"].n_users == 1
+    assert out["signup_first"].n_users == 1
+    assert out["any_error"].n_users == 1
+    assert out["repeat_purchase_no_error"].n_users == 1  # u4 only, not u3
+    assert out["funnel_vcp"].frac == 0.25
+
+
+def test_sequence_pattern_match_orders_by_ts_then_event_id(spark):
+    """Two events share a timestamp: event_id must break the tie, so u1's
+    sequence is 'vp' (view first), matching 'v.*p'."""
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        sequence_pattern_match,
+    )
+
+    t = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, "view", t), (2, 1, "purchase", t)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r.pattern: r
+        for r in sequence_pattern_match(df, patterns={"vp": "^vp$"}).collect()
+    }
+    assert out["vp"].n_users == 1
