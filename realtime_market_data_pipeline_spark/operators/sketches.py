@@ -29,15 +29,32 @@ def bottomk_user_hashes(
     k: int = 64,
 ) -> DataFrame:
     """Per-group bottom-k of the distinct ids' 48-bit md5 keys:
-    (by, id, h48, rk ≤ k). One distinct exchange on (by, id), then a
-    per-group window at distinct-key cardinality — the window never sees
-    raw rows. Ties cannot occur (h48 collisions aside, rk breaks by id)."""
+    (by, id, h48, rk ≤ k). Two-phase so no task ever sorts a group's full
+    key set: after the (by, id) distinct, each partition keeps its own
+    local bottom-k (array_sort over a partition-bounded collect_list),
+    and the final per-group window ranks only the ≤ k·P surviving
+    candidates — the classic scalable top-k shape. The result is invariant
+    to partitioning (bottom-k merge law), so the local phase's
+    spark_partition_id grouping never leaks into the output. Ties cannot
+    occur (h48 collisions aside, rank breaks by id)."""
     d = df.select(by, id_col).distinct()
     h = d.select(
         by, id_col, sample_key48(id_col, salt=KMV_SALT).alias("h48")
     )
+    local = h.groupBy(by, F.spark_partition_id().alias("_pid")).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("h48", F.col(id_col)))),
+            1,
+            k,
+        ).alias("cand")
+    )
+    ex = local.select(by, F.explode("cand").alias("s")).select(
+        by,
+        F.col("s.h48").alias("h48"),
+        F.col(f"s.{id_col}").alias(id_col),
+    )
     w = Window.partitionBy(by).orderBy("h48", id_col)
-    return h.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return ex.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def kmv_distinct_estimate(
