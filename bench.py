@@ -78,6 +78,7 @@ HEADLINE = [
     "kmv_distinct_users",
     "kmv_jaccard_pairs",
     "sequence_pattern_counts",
+    "events_value_drift_psi",
 ]
 
 

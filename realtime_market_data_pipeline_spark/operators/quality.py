@@ -134,3 +134,90 @@ def value_histogram(
         F.round(F.col("mn") + (F.col("bin") + F.lit(1)) * w2, 6).alias("bin_hi"),
         "n_rows",
     )
+
+
+def value_drift_psi(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    by: str = "event_type",
+    nbins: int = 10,
+) -> DataFrame:
+    """Population stability index per group between the corpus's earlier
+    half (reference) and later half (current) — the drift monitor a
+    training pipeline runs before trusting new data. Split point is the
+    integer midpoint of [min ts, max ts] (epoch-µs floor-division —
+    engine-exact); bins are equi-width over the REFERENCE window's
+    [min, max] with out-of-range current values clamped into the edge
+    bins; PSI = Σ (q−p)·ln(q/p) over bins populated on BOTH sides
+    (zero-on-either-side bins are counted, not epsilon-fudged).
+
+    Cross-engine exactness: bin assignment is identical-operand IEEE
+    arithmetic; each bin's term is 9-dp-rounded then summed in exact
+    DECIMAL (the bigram-LM pattern), so shuffle order can't move the sum;
+    final PSI is 6-dp.
+
+    Scale shape: three row-linear scans (global ts extent, per-group
+    reference stats, binned conditional counts — a drift check is a
+    maintenance job, not a hot path), each fully partial-aggregated;
+    everything after runs at |groups|·nbins cardinality."""
+    mid = df.agg(
+        F.floor(
+            (
+                F.unix_micros(F.min(ts_col)) + F.unix_micros(F.max(ts_col))
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    j0 = (
+        df.select(by, value_col, F.unix_micros(F.col(ts_col)).alias("t_us"))
+        .where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(mid))
+    )
+    is_ref = F.col("t_us") < F.col("mid_us")
+    stats = (
+        j0.where(is_ref)
+        .groupBy(by)
+        .agg(
+            F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+        )
+    )
+    j = j0.join(F.broadcast(stats), by)
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    bin_ = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col(value_col) - F.col("mn")) / width), F.lit(0)
+                ),
+                F.lit(nbins - 1),
+            )
+        )
+        .cast("int")
+    )
+    counts = j.groupBy(F.col(by), bin_.alias("bin")).agg(
+        F.sum(is_ref.cast("long")).alias("ref_cnt"),
+        F.sum((~is_ref).cast("long")).alias("cur_cnt"),
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy(by)
+    totals = counts.withColumn("ref_n", F.sum("ref_cnt").over(wt)).withColumn(
+        "cur_n", F.sum("cur_cnt").over(wt)
+    )
+    p = F.col("ref_cnt").cast("double") / F.col("ref_n")
+    q = F.col("cur_cnt").cast("double") / F.col("cur_n")
+    both = (F.col("ref_cnt") > 0) & (F.col("cur_cnt") > 0)
+    term = F.when(both, F.round((q - p) * F.log(q / p), 9)).otherwise(F.lit(0.0))
+    return totals.groupBy(by).agg(
+        F.max("ref_n").alias("ref_n"),
+        F.max("cur_n").alias("cur_n"),
+        F.sum(both.cast("long")).alias("n_bins_used"),
+        F.sum((~both).cast("long")).alias("n_bins_skipped"),
+        F.round(
+            F.sum(term.cast("decimal(38,10)")).cast("double"), 6
+        ).alias("psi"),
+    )

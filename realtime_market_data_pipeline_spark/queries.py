@@ -2457,6 +2457,76 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_drift_psi",
+    oracle="""
+WITH m AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
+),
+e AS (
+  SELECT event_type, value, epoch_us(ts) AS t_us, m.mid_us
+  FROM events, m WHERE value IS NOT NULL
+),
+st AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM e WHERE t_us < mid_us GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN st.mx = st.mn THEN 0
+              ELSE least(greatest(floor((e.value - st.mn)
+                                        / ((st.mx - st.mn) / 10.0)), 0), 9)
+              END AS INTEGER) AS bin,
+         CASE WHEN e.t_us < e.mid_us THEN 1 ELSE 0 END AS isref
+  FROM e JOIN st USING (event_type)
+),
+c AS (
+  SELECT event_type, bin,
+         CAST(sum(isref) AS BIGINT) AS ref_cnt,
+         CAST(sum(1 - isref) AS BIGINT) AS cur_cnt
+  FROM b GROUP BY event_type, bin
+),
+t AS (
+  SELECT *, sum(ref_cnt) OVER (PARTITION BY event_type) AS ref_n,
+            sum(cur_cnt) OVER (PARTITION BY event_type) AS cur_n
+  FROM c
+),
+terms AS (
+  SELECT event_type, ref_n, cur_n,
+         CASE WHEN ref_cnt > 0 AND cur_cnt > 0 THEN 1 ELSE 0 END AS used,
+         CASE WHEN ref_cnt > 0 AND cur_cnt > 0
+              THEN round((CAST(cur_cnt AS DOUBLE) / cur_n
+                          - CAST(ref_cnt AS DOUBLE) / ref_n)
+                         * ln((CAST(cur_cnt AS DOUBLE) / cur_n)
+                              / (CAST(ref_cnt AS DOUBLE) / ref_n)), 9)
+              ELSE 0.0 END AS term
+  FROM t
+)
+SELECT event_type,
+       CAST(max(ref_n) AS BIGINT) AS ref_n,
+       CAST(max(cur_n) AS BIGINT) AS cur_n,
+       CAST(sum(used) AS BIGINT) AS n_bins_used,
+       CAST(sum(1 - used) AS BIGINT) AS n_bins_skipped,
+       round(CAST(sum(CAST(term AS DECIMAL(38,10))) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY event_type
+""",
+)
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor (operators/quality.value_drift_psi): per-type PSI
+    between the corpus's earlier and later time halves — reference-binned,
+    9-dp-rounded terms summed in exact DECIMAL (bigram-LM pattern), zero
+    bins counted not epsilon-fudged."""
+    from realtime_market_data_pipeline_spark.operators import quality as ql
+
+    return ql.value_drift_psi(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        ts_col="ts",
+        by="event_type",
+        nbins=10,
+    )
+
+
+@query(
     "kmv_distinct_users",
     oracle="""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -4896,6 +4966,7 @@ _REGISTRY_PRIORITY = [
     "kmv_distinct_users",
     "kmv_jaccard_pairs",
     "sequence_pattern_counts",
+    "events_value_drift_psi",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

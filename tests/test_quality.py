@@ -110,3 +110,38 @@ def test_kmv_jaccard_pairs_exact_and_zero_overlap(spark):
     for k2 in (("A", "C"), ("B", "C")):
         assert out[k2].jaccard_exact == 0.0 and out[k2].jaccard_est == 0.0
         assert out[k2].within_bound
+
+
+def test_value_drift_psi_by_hand(spark):
+    import math
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark.operators.quality import (
+        value_drift_psi,
+    )
+
+    early, late = datetime(2026, 1, 1, 0), datetime(2026, 1, 1, 10)
+    rows = [("X", float(v), early) for v in (0, 1, 2, 3)] + [
+        ("X", float(v), late) for v in (0, 1)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    (r,) = value_drift_psi(df, nbins=2).collect()
+    # ref bins over [0,3], width 1.5: ref [2,2]; cur values 0,1 both bin 0
+    assert (r.ref_n, r.cur_n) == (4, 2)
+    assert (r.n_bins_used, r.n_bins_skipped) == (1, 1)
+    expected = round(round((1.0 - 0.5) * math.log(1.0 / 0.5), 9), 6)
+    assert r.psi == expected
+
+
+def test_value_drift_psi_identical_halves_is_zero(spark):
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark.operators.quality import (
+        value_drift_psi,
+    )
+
+    early, late = datetime(2026, 1, 1, 0), datetime(2026, 1, 1, 10)
+    rows = [("X", float(v), t) for t in (early, late) for v in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
+    (r,) = value_drift_psi(df, nbins=5).collect()
+    assert r.psi == 0.0 and r.n_bins_skipped == 0
