@@ -79,6 +79,7 @@ HEADLINE = [
     "kmv_jaccard_pairs",
     "sequence_pattern_counts",
     "events_value_drift_psi",
+    "seasonal_baseline_backtest",
 ]
 
 

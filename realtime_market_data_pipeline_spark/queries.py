@@ -2527,6 +2527,105 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seasonal_baseline_backtest",
+    oracle="""
+WITH m AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
+),
+e AS (
+  SELECT event_type, value, epoch_us(ts) AS t_us,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hod, m.mid_us
+  FROM events, m WHERE value IS NOT NULL
+),
+f AS (
+  SELECT event_type, hod,
+         round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*), 6) AS fc,
+         count(*) AS n_train
+  FROM e WHERE t_us < mid_us GROUP BY event_type, hod
+),
+s AS (
+  SELECT e.event_type,
+         round(abs(e.value - f.fc), 6) AS abs_err,
+         round(e.value - f.fc, 6) AS err,
+         f.n_train
+  FROM e JOIN f ON e.event_type = f.event_type AND e.hod = f.hod
+  WHERE e.t_us >= e.mid_us
+)
+SELECT event_type,
+       CAST(sum(n_train) // count(*) AS BIGINT) AS avg_train_rows,
+       count(*) AS n_test_scored,
+       round(CAST(sum(CAST(abs_err AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 6) AS mae,
+       round(CAST(sum(CAST(err AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 6) AS bias
+FROM s GROUP BY event_type
+""",
+)
+def seasonal_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest of a seasonal-naive forecast: train on the corpus's
+    earlier time half (per-(type, hour-of-day) decimal-exact mean value),
+    score MAE and signed bias on the later half — the
+    train-on-past/evaluate-on-future primitive every forecasting pipeline
+    needs, with the same integer-µs midpoint split as the PSI monitor.
+    Forecast relation is |types|·24 rows (broadcast back); errors are
+    6-dp-rounded identical-operand doubles summed in exact DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.floor(
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    e = (
+        ev.select(
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("t_us"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .where(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mid))
+    )
+    train = (
+        e.where(F.col("t_us") < F.col("mid_us"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("fc"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    scored = (
+        e.where(F.col("t_us") >= F.col("mid_us"))
+        .join(F.broadcast(train), ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("value") - F.col("fc")), 6).alias("abs_err"),
+            F.round(F.col("value") - F.col("fc"), 6).alias("err"),
+            "n_train",
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.floor(F.sum("n_train") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_train_rows"),
+        F.count(F.lit(1)).alias("n_test_scored"),
+        F.round(
+            F.sum(F.col("abs_err").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.col("err").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bias"),
+    )
+
+
+@query(
     "kmv_distinct_users",
     oracle="""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -4967,6 +5066,7 @@ _REGISTRY_PRIORITY = [
     "kmv_jaccard_pairs",
     "sequence_pattern_counts",
     "events_value_drift_psi",
+    "seasonal_baseline_backtest",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",
