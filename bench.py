@@ -80,6 +80,7 @@ HEADLINE = [
     "sequence_pattern_counts",
     "events_value_drift_psi",
     "seasonal_baseline_backtest",
+    "inverted_index_postings",
 ]
 
 

@@ -2626,6 +2626,70 @@ def seasonal_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inverted_index_postings",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+top AS (
+  SELECT term, df_docs,
+         row_number() OVER (ORDER BY df_docs DESC, term) AS trk
+  FROM d QUALIFY trk <= 50
+),
+p AS (
+  SELECT tf.term, tf.doc_id, CAST(tf.tf AS BIGINT) AS tf,
+         row_number() OVER (PARTITION BY tf.term
+                            ORDER BY tf.tf DESC, tf.doc_id) AS rk
+  FROM tf JOIN top USING (term)
+)
+SELECT p.term, top.df_docs, p.rk, p.doc_id, p.tf
+FROM p JOIN top USING (term) WHERE p.rk <= 10
+""",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered inverted-index construction (the retrieval-infra twin
+    of the BM25 query): for the 50 highest-document-frequency terms (ties
+    by term), the top-10 postings by (tf desc, doc_id). Postings use the
+    same two-phase top-k shape as the KMV sketch — per-partition local
+    top-10 via a bounded array sort, then a final window over ≤ 10·P
+    candidates per term — so no task ever sorts a stopword term's full
+    posting list. All-integer output, engine-exact ordering."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tx.tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    top = dfr.orderBy(F.col("df_docs").desc(), "term").limit(50)
+    cand_src = tf.join(F.broadcast(top.select("term")), "term")
+    local = cand_src.groupBy("term", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("tf")).alias("ntf"), "doc_id")
+                )
+            ),
+            1,
+            10,
+        ).alias("cand")
+    )
+    from pyspark.sql.window import Window as W
+
+    ex = local.select("term", F.explode("cand").alias("s")).select(
+        "term", (-F.col("s.ntf")).alias("tf"), F.col("s.doc_id").alias("doc_id")
+    )
+    w = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    post = (
+        ex.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    )
+    return post.join(F.broadcast(top), "term").select(
+        "term", "df_docs", "rk", "doc_id", "tf"
+    )
+
+
+@query(
     "kmv_distinct_users",
     oracle="""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -5067,6 +5131,7 @@ _REGISTRY_PRIORITY = [
     "sequence_pattern_counts",
     "events_value_drift_psi",
     "seasonal_baseline_backtest",
+    "inverted_index_postings",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",
