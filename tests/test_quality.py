@@ -145,3 +145,65 @@ def test_value_drift_psi_identical_halves_is_zero(spark):
     df = spark.createDataFrame(rows, "event_type string, value double, ts timestamp")
     (r,) = value_drift_psi(df, nbins=5).collect()
     assert r.psi == 0.0 and r.n_bins_skipped == 0
+
+
+def test_seasonal_backtest_by_hand(spark, tmp_path):
+    """Train half: hour-0 mean 10, hour-1 mean 20. Test half: hour-0 value
+    13 (err +3), hour-1 value 14 (err -6) -> MAE 4.5, bias -1.5."""
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark import queries as Q
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 0), 7, "view", 8.0, "{}"),
+        (2, datetime(2026, 1, 1, 0, 30), 7, "view", 12.0, "{}"),
+        (3, datetime(2026, 1, 1, 1, 0), 7, "view", 20.0, "{}"),
+        (4, datetime(2026, 1, 3, 0, 0), 7, "view", 13.0, "{}"),
+        (5, datetime(2026, 1, 3, 1, 0), 7, "view", 14.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf_toy")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.event_type: r for r in Q.QUERIES["seasonal_baseline_backtest"](spark, d).collect()}
+    r = out["view"]
+    # midpoint of [Jan1 00:00, Jan3 01:00] = Jan2 00:30 -> train rows 1-3
+    assert r.n_test_scored == 2
+    assert r.mae == 4.5 and r.bias == -1.5
+    assert r.avg_train_rows == 1  # (2 + 1) // 2 train rows per scored point
+
+
+def test_inverted_index_postings_by_hand(spark, tmp_path):
+    """'the' appears in 3 docs (df top), 'cat' in 2; postings rank by
+    tf desc then doc_id — doc 2 ('the the the') leads 'the'."""
+    import os
+
+    from realtime_market_data_pipeline_spark import queries as Q
+
+    rows = [
+        (1, "the cat sat", "en", "s", 11),
+        (2, "the the the", "en", "s", 11),
+        (3, "the cat", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf_toy2")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = Q.QUERIES["inverted_index_postings"](spark, d).collect()
+    the = sorted(
+        [(r.rk, r.doc_id, r.tf) for r in out if r.term == "the"]
+    )
+    assert the == [(1, 2, 3), (2, 1, 1), (3, 3, 1)]
+    assert all(r.df_docs == 3 for r in out if r.term == "the")
+    cat = sorted([(r.rk, r.doc_id, r.tf) for r in out if r.term == "cat"])
+    assert cat == [(1, 1, 1), (2, 3, 1)]
