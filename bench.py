@@ -81,6 +81,7 @@ HEADLINE = [
     "events_value_drift_psi",
     "seasonal_baseline_backtest",
     "inverted_index_postings",
+    "zscore_outlier_events",
 ]
 
 

@@ -2690,6 +2690,71 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zscore_outlier_events",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 1000000.0) AS BIGINT) AS xi
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(xi AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT)) AS HUGEINT) AS sxx
+  FROM e GROUP BY event_type
+),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (s.n * CAST(e.xi AS HUGEINT) - s.sx) AS dev,
+         (s.n * s.sxx - s.sx * s.sx) AS nvar
+  FROM e JOIN s USING (event_type)
+)
+SELECT event_id, event_type, value,
+       round(CASE WHEN dev < 0 THEN -1.0 ELSE 1.0 END
+             * sqrt(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+                    / CAST(nvar AS DOUBLE)), 4) AS z
+FROM z
+WHERE nvar > 0 AND dev * dev > 16 * nvar
+""",
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection with EXACT membership: events whose value sits
+    more than 4σ from their type's mean. The z² > 16 test runs entirely in
+    integer arithmetic on micro-values (z² = (n·x−Σx)²/(n·Σx²−(Σx)²), all
+    DECIMAL(38,0)/HUGEINT-exact), so no float-boundary row can flip between
+    engines — the reported z itself is identical-operand doubles, 4-dp.
+    One stats aggregate (|types| rows, broadcast back), then a shuffle-free
+    row filter. At ~10¹² rows/group the integer squares approach the
+    38-digit ceiling — shard the group sums first at that scale."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d0 = "decimal(38,0)"
+    e = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("xi"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d0).alias("n"),
+        F.sum(F.col("xi").cast(d0)).alias("sx"),
+        F.sum(F.col("xi").cast(d0) * F.col("xi").cast(d0)).alias("sxx"),
+    )
+    j = e.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("xi").cast(d0) - F.col("sx")
+    nvar = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    zcol = F.round(
+        F.when(dev < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.sqrt(
+            dev.cast("double") * dev.cast("double") / nvar.cast("double")
+        ),
+        4,
+    )
+    return j.where((nvar > 0) & (dev * dev > F.lit(16).cast(d0) * nvar)).select(
+        "event_id", "event_type", "value", zcol.alias("z")
+    )
+
+
+@query(
     "kmv_distinct_users",
     oracle="""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -5132,6 +5197,7 @@ _REGISTRY_PRIORITY = [
     "events_value_drift_psi",
     "seasonal_baseline_backtest",
     "inverted_index_postings",
+    "zscore_outlier_events",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

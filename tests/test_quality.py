@@ -207,3 +207,29 @@ def test_inverted_index_postings_by_hand(spark, tmp_path):
     assert all(r.df_docs == 3 for r in out if r.term == "the")
     cat = sorted([(r.rk, r.doc_id, r.tf) for r in out if r.term == "cat"])
     assert cat == [(1, 1, 1), (2, 3, 1)]
+
+
+def test_zscore_outliers_exact_membership(spark, tmp_path):
+    """49 values at 0, one at 100: the spike is the only >4-sigma row
+    (z = sqrt(49) = 7 by the population formula); a constant-valued type
+    (nvar = 0) must emit nothing rather than divide by zero."""
+    import os
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark import queries as Q
+
+    t = datetime(2026, 1, 1)
+    rows = [(i, t, 1, "view", 0.0, "{}") for i in range(49)] + [
+        (99, t, 1, "view", 100.0, "{}")
+    ] + [(200 + i, t, 1, "click", 5.0, "{}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf_toy3")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = Q.QUERIES["zscore_outlier_events"](spark, d).collect()
+    assert [(r.event_id, r.event_type) for r in out] == [(99, "view")]
+    assert out[0].z == 7.0
