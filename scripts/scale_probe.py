@@ -37,11 +37,19 @@ DEFAULT_QUERIES = [
     "funnel_view_click_purchase",
     "retention_cohorts_weekly",
     # late-r4 additions: bar-cardinality OLS, broadcast-stats histogram,
-    # shuffle-free PPS sampling, broadcast-dim VWAP
+    # shuffle-free PPS sampling, broadcast-dim VWAP, flat-sketch KMV,
+    # one-exchange CEP, drift/backtest scans, two-phase postings top-k
     "beta_vs_market_daily",
     "events_value_histogram",
     "token_weighted_sample",
     "vwap_brand_month",
+    "kmv_distinct_users",
+    "kmv_jaccard_pairs",
+    "sequence_pattern_counts",
+    "events_value_drift_psi",
+    "seasonal_baseline_backtest",
+    "inverted_index_postings",
+    "zscore_outlier_events",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
