@@ -456,3 +456,32 @@ def test_runtime_bloom_filter_injects_for_selective_fact_fact_join(spark):
             "applicationSideScanSizeThreshold",
             old_thr,
         )
+
+
+def test_kmv_sketch_partial_aggs_and_broadcast_exact_twin(spark):
+    df = Q.QUERIES["kmv_distinct_users"](spark, SF)
+    assert P.has_partial_aggregation(df)
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+
+
+def test_sequence_pattern_single_user_exchange(spark):
+    df = Q.QUERIES["sequence_pattern_counts"](spark, SF)
+    # one user_id exchange for the sequence agg; the flag aggregate and
+    # stack() run on a single row (SinglePartition, not a keyed shuffle)
+    assert P.exchange_count(df) <= 2
+    assert P.has_partial_aggregation(df)
+
+
+def test_drift_psi_broadcasts_stats_and_midpoint(spark):
+    df = Q.QUERIES["events_value_drift_psi"](spark, SF)
+    s = P.join_strategies(df)
+    assert "BroadcastHashJoin" in s  # reference stats relation
+    assert "BroadcastNestedLoopJoin" in s  # 1-row midpoint
+    assert P.has_partial_aggregation(df)
+
+
+def test_zscore_outliers_broadcast_stats_no_row_shuffle(spark):
+    df = Q.QUERIES["zscore_outlier_events"](spark, SF)
+    assert "BroadcastHashJoin" in P.join_strategies(df)
+    # only the |types|-row stats aggregate shuffles; rows never do
+    assert P.exchange_count(df) == 1
