@@ -82,6 +82,9 @@ HEADLINE = [
     "seasonal_baseline_backtest",
     "inverted_index_postings",
     "zscore_outlier_events",
+    "pagerank_trade_graph",
+    "dedup_sorted_neighborhood",
+    "copurchase_brand_pairs",
 ]
 
 

@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_market_data_pipeline_spark.io import load_table
+from realtime_market_data_pipeline_spark.operators import dedup as dedup_ops
 from realtime_market_data_pipeline_spark.operators import features as feat
+from realtime_market_data_pipeline_spark.operators import graph as graph_ops
 from realtime_market_data_pipeline_spark.operators import readside
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2754,6 +2756,157 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_EDGES_CTE = """
+SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@query(
+    "pagerank_trade_graph",
+    oracle=graph_ops.pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iterations=5, top_k=20),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the bipartite customer↔supplier trade
+    graph (edge: the customer ordered from the supplier; symmetrized).
+    The iterative-distributed-algorithm class — per-iteration edge⋈rank
+    join + keyed partial-agg shuffle, canonical Spark PageRank shape — but
+    in BIGINT fixed-point (scale 1e12) so ranks are bit-exact regardless
+    of shuffle order and the unrolled DuckDB replay matches EXACTLY (float
+    PageRank is non-associative and engine-divergent). 5 iterations,
+    top-20 nodes. Scale: edges keep one partitioning across iterations;
+    rank vector is |V| rows, shuffled, never collected."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("supp"),
+        )
+        .distinct()
+    )
+    edges = graph_ops.undirected_edges(pairs, "cust", "supp")
+    ranks = graph_ops.pagerank_fixed_point(edges, iterations=5)
+    return (
+        ranks.orderBy(F.col("rank_fp").desc(), "node")
+        .limit(20)
+        .select("node", (F.col("node") % 2 == 1).alias("is_supplier"), "rank_fp")
+    )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm
+  FROM documents
+),
+b2 AS (
+  SELECT id,
+         substr(replace(norm, ' ', ''), 1, 40) AS snm_key,
+         substr(replace(norm, ' ', ''), 1, 2) AS blk,
+         list_filter(list_distinct(string_split_regex(norm, ' +')),
+                     t -> t <> '') AS toks
+  FROM base
+),
+n AS (
+  SELECT id, toks,
+         lead(id, 1) OVER w AS nid1, lead(toks, 1) OVER w AS ntoks1,
+         lead(id, 2) OVER w AS nid2, lead(toks, 2) OVER w AS ntoks2,
+         lead(id, 3) OVER w AS nid3, lead(toks, 3) OVER w AS ntoks3
+  FROM b2 WINDOW w AS (PARTITION BY blk ORDER BY snm_key, id)
+),
+p AS (
+  SELECT least(id, nid) AS a_id, greatest(id, nid) AS b_id,
+         CAST(len(list_intersect(toks, ntoks)) AS BIGINT) AS inter_tokens,
+         CAST(len(list_distinct(list_concat(toks, ntoks))) AS BIGINT) AS union_tokens
+  FROM (
+    SELECT id, toks, nid1 AS nid, ntoks1 AS ntoks FROM n WHERE nid1 IS NOT NULL
+    UNION ALL
+    SELECT id, toks, nid2, ntoks2 FROM n WHERE nid2 IS NOT NULL
+    UNION ALL
+    SELECT id, toks, nid3, ntoks3 FROM n WHERE nid3 IS NOT NULL
+  )
+)
+SELECT DISTINCT a_id, b_id, inter_tokens, union_tokens
+FROM p
+WHERE union_tokens > 0 AND inter_tokens * 10 >= union_tokens * 6
+""",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (SNM with prefix blocking): sort by a
+    normalized key, compare each doc with its next 3 neighbors only —
+    exactly 3 candidates per row, linear at any scale, zero bucket skew.
+    Integer token-overlap certificate (inter*10 >= uni*6 ⇔ Jaccard ≥ 0.6),
+    floats nowhere, so the DuckDB window-lead replay matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.sorted_neighborhood_pairs(
+        docs, text_col="text", id_col="doc_id", window=3
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.col("inter_tokens").cast("long").alias("inter_tokens"),
+        F.col("union_tokens").cast("long").alias("union_tokens"),
+    )
+
+
+@query(
+    "copurchase_brand_pairs",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+p AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+)
+SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS support
+FROM p
+GROUP BY brand_a, brand_b
+ORDER BY support DESC, brand_a, brand_b
+LIMIT 25
+""",
+)
+def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket 2-itemset mining: brand pairs co-occurring in one
+    order, top-25 by support. The frequent-itemset class without MLlib.
+    The oracle states it as a self-join; the Spark plan avoids the second
+    fact scan entirely: collect_set per order (bounded ≤ 7 lines/order),
+    then an array-HOF combinations expansion (sort_array ⇒ a < b) — ONE
+    fact scan, one orderkey shuffle, one 300-group pair agg, TakeOrdered.
+    Expansion ≤ C(7,2) per order keeps output linear in orders at 100 TB.
+    Deterministic total order (support DESC, brand_a, brand_b) makes
+    LIMIT exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_order = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i + 2, size(brands)),"
+                " y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.brand_a", "pr.brand_b")
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
 @query(
     "kmv_distinct_users",
     oracle="""
@@ -5198,6 +5351,9 @@ _REGISTRY_PRIORITY = [
     "seasonal_baseline_backtest",
     "inverted_index_postings",
     "zscore_outlier_events",
+    "pagerank_trade_graph",
+    "dedup_sorted_neighborhood",
+    "copurchase_brand_pairs",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

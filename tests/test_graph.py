@@ -1,0 +1,83 @@
+"""Fixed-point PageRank and sorted-neighborhood dedup semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark.operators import dedup as D
+from realtime_market_data_pipeline_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star: 1 is linked by 2..6 (symmetrized) — center must rank highest
+    pairs = [(1, k) for k in range(2, 7)]
+    e = G.undirected_edges(
+        spark.createDataFrame(pairs, "a: long, b: long"), "a", "b"
+    )
+    rows = {
+        r["node"]: r["rank_fp"]
+        for r in G.pagerank_fixed_point(e, iterations=5).collect()
+    }
+    assert len(rows) == 6
+    assert rows[1] > max(v for k, v in rows.items() if k != 1)
+    # leaves are symmetric → identical fixed-point ranks, bit-exact
+    assert len({v for k, v in rows.items() if k != 1}) == 1
+
+
+def test_pagerank_mass_conserved_up_to_truncation(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    e = G.undirected_edges(
+        spark.createDataFrame(pairs, "a: long, b: long"), "a", "b"
+    )
+    total = (
+        G.pagerank_fixed_point(e, iterations=5)
+        .agg(F.sum("rank_fp").alias("t"))
+        .collect()[0]["t"]
+    )
+    # integer truncation only ever loses mass, never creates it
+    assert 0.99 * G.SCALE < total <= G.SCALE
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # integer arithmetic ⇒ identical ranks under any partitioning
+    pairs = [(i, (i * 7) % 23 + 100) for i in range(1, 60)]
+    base = spark.createDataFrame(pairs, "a: long, b: long")
+    e1 = G.undirected_edges(base, "a", "b")
+    e32 = G.undirected_edges(base.repartition(32), "a", "b")
+    r1 = sorted(map(tuple, G.pagerank_fixed_point(e1, iterations=4).collect()))
+    r2 = sorted(map(tuple, G.pagerank_fixed_point(e32, iterations=4).collect()))
+    assert r1 == r2
+
+
+def test_snm_finds_adjacent_near_dups_within_block(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),  # 4/6 overlap with 1
+            (3, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (4, "zz totally unrelated words here"),  # different block
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in D.sorted_neighborhood_pairs(docs, window=3).collect()
+    }
+    assert (1, 3) in pairs  # exact dup: jaccard 1.0
+    assert (1, 2) in pairs and (2, 3) in pairs  # 4/6 = 0.67 >= 0.6
+    assert not any(4 in p for p in pairs)  # other block, never compared
+
+
+def test_snm_window_bounds_candidates(spark):
+    # 10 identical docs, window=2 → each doc pairs with <= 2 successors;
+    # SNM candidate generation must stay linear, not all-pairs
+    docs = spark.createDataFrame(
+        [(i, "same tokens every time") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    got = D.sorted_neighborhood_pairs(docs, window=2).count()
+    assert got == 2 * 10 - 3  # n*w - w*(w+1)/2 pairs, not C(10,2)=45

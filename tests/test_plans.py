@@ -485,3 +485,34 @@ def test_zscore_outliers_broadcast_stats_no_row_shuffle(spark):
     assert "BroadcastHashJoin" in P.join_strategies(df)
     # only the |types|-row stats aggregate shuffles; rows never do
     assert P.exchange_count(df) == 1
+
+
+def test_pagerank_persists_edges_and_takeordered(spark):
+    df = Q.QUERIES["pagerank_trade_graph"](spark, SF)
+    s = P.plan_string(df)
+    # the edge list must be persisted: without InMemoryTableScan every
+    # iteration re-derives the orders⋈lineitem edge build from source
+    assert "InMemoryTableScan" in s
+    assert "TakeOrderedAndProject" in s  # top-20 never globally sorts
+    assert P.has_partial_aggregation(df)
+
+
+def test_copurchase_single_fact_scan_broadcast_dim(spark):
+    df = Q.QUERIES["copurchase_brand_pairs"](spark, SF)
+    # the self-join form would scan lineitem twice; the array-combinations
+    # form scans it once and broadcasts the part dim
+    assert len(P.scan_columns(df)) == 2  # lineitem + part, once each
+    js = P.join_strategies(df)
+    assert set(js) == {"BroadcastHashJoin"}
+    # orderkey agg + pair agg, nothing else
+    assert P.exchange_count(df) == 2
+    assert "TakeOrderedAndProject" in P.plan_string(df)
+
+
+def test_sorted_neighborhood_no_joins_pruned_scan(spark):
+    df = Q.QUERIES["dedup_sorted_neighborhood"](spark, SF)
+    # SNM is the no-join dedup: one blocked sort window + final distinct
+    assert P.join_strategies(df) == []
+    assert P.exchange_count(df) == 2
+    (cols,) = P.scan_columns(df)
+    assert cols == {"doc_id", "text"}
