@@ -85,6 +85,7 @@ HEADLINE = [
     "pagerank_trade_graph",
     "dedup_sorted_neighborhood",
     "copurchase_brand_pairs",
+    "triangle_count_supplier_graph",
 ]
 
 

@@ -64,19 +64,33 @@ def replicate(spark, k: int, dst: str) -> None:
         "events": "event_id", "lineitem": "l_orderkey", "orders": "o_orderkey",
         "customer": "c_custkey", "documents": "doc_id", "embeddings": "vec_id",
     }
+    # FK columns shifted alongside their PK so fact→dim joins and derived
+    # graphs GROW with k instead of densifying: without this, k× the
+    # lineitems over a fixed supplier set inflates co-order supports k×
+    # and drives the thresholded co-supplier graph toward complete — a
+    # density artifact no real corpus has (same class as the fresh-vector
+    # rule for embeddings below).
+    fks = {
+        "orders": ["o_custkey"],
+        "lineitem": ["l_suppkey"],
+    }
     for t in TABLES:
         src_path = os.path.join(BASE, f"{t}.parquet")
         out = os.path.join(dst, f"{t}.parquet")
-        if t in ("part", "supplier", "nation", "region"):
+        if t in ("part", "nation", "region"):
             shutil.copy(src_path, out)
             continue
         from realtime_market_data_pipeline_spark.io import load_table
 
         df = load_table(spark, BASE, t)
-        key = keys[t]
+        key = keys.get(t, "s_suppkey" if t == "supplier" else None)
         copies = df.crossJoin(
             spark.range(k).select(F.col("id").alias("_rep"))
         ).withColumn(key, F.col(key) + F.col("_rep") * F.lit(10_000_000))
+        for fk in fks.get(t, []):
+            copies = copies.withColumn(
+                fk, F.col(fk) + F.col("_rep") * F.lit(10_000_000)
+            )
         if t == "embeddings":
             # replicas get FRESH random vectors: exact-dup replica vectors
             # would put k cosine-1.0 copies of every signature in the same

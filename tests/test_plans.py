@@ -516,3 +516,12 @@ def test_sorted_neighborhood_no_joins_pruned_scan(spark):
     assert P.exchange_count(df) == 2
     (cols,) = P.scan_columns(df)
     assert cols == {"doc_id", "text"}
+
+
+def test_triangle_count_persists_edges_single_fact_scan(spark):
+    df = Q.QUERIES["triangle_count_supplier_graph"](spark, SF)
+    s = P.plan_string(df)
+    # the thresholded edge set feeds degree, orientation, wedge-closing and
+    # the edge count — it must be persisted, not re-derived from lineitem
+    assert "InMemoryTableScan" in s
+    assert P.has_partial_aggregation(df)
