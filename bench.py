@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "copurchase_brand_pairs",
     "triangle_count_supplier_graph",
+    "entity_resolution_clusters",
 ]
 
 

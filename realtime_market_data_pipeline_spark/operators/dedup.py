@@ -335,10 +335,20 @@ def cluster_near_dups(
 
     Iterative join dataflow (labels ⟕ edges → min per node) with a driver
     convergence loop — the standard Spark connected-components shape (driver
-    holds only the changed-label count per round; k-means-style). Near-dup
-    graphs are forests of tiny star/chain clusters, so convergence is
-    ~O(cluster diameter) rounds, not O(log N) of a giant component. Each
-    round caches the new labels and unpersists the old — bounded memory."""
+    holds only the changed-label count per round; k-means-style), plus
+    POINTER JUMPING each round (a node also adopts its label's label), so
+    convergence is O(log diameter) rounds even on the long SNM-sorted
+    chains entity resolution produces — plain propagation would pay a
+    round per hop.
+
+    Each round eagerly ``localCheckpoint``s the new labels: the join plan
+    embeds the previous round's plan TWICE (once via neighbor_min, once via
+    the label update), so without lineage truncation the logical plan grows
+    2^rounds — at ~15 rounds merely *stringifying* the plan for the cache
+    name OOMs the driver (observed in the k=8 scale probe). Checkpointing
+    bounds the plan at one round's depth; on a real cluster swap
+    localCheckpoint for a reliable ``checkpoint()`` dir to survive executor
+    loss."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -347,9 +357,14 @@ def cluster_near_dups(
         .distinct()
         .persist()
     )
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).persist()
+    # The loop runs over ACTIVE nodes only (edge endpoints): a singleton's
+    # label can never change, so shuffling the full corpus every round is
+    # pure waste — at production scale the active set (docs with at least
+    # one near-dup candidate) is orders of magnitude smaller than the
+    # corpus. Singletons are attached once, after convergence.
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -360,23 +375,52 @@ def cluster_near_dups(
             # change detection rides the SAME join that updates labels (a
             # node changed iff a neighbor label undercut its own) — one
             # action per round, not a second labels-vs-labels join
+            stepped = labels.join(
+                neighbor_min, labels.node == neighbor_min.src, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+            # pointer jumping: adopt the label's own label. Plain neighbor
+            # propagation needs O(component diameter) rounds — SNM-style
+            # chains make that linear in chain length; the jump halves every
+            # chain per round, so convergence is O(log diameter). The
+            # fixpoint is unchanged (labels descend monotonically within the
+            # component and stop at its min; the stopping condition is still
+            # "no neighbor undercut anywhere").
+            parent = stepped.select(
+                F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
+            )
             new_labels = (
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                stepped.join(parent, stepped.label == parent._pnode, "left")
                 .select(
                     "node",
                     F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                        F.col("label"),
+                        F.coalesce(F.col("_plabel"), F.col("label")),
                     ).alias("label"),
-                    (F.col("nbr_label") < F.col("label")).alias("_chg"),
+                    (
+                        F.col("_chg")
+                        | (F.col("_plabel") < F.col("label"))
+                    ).alias("_chg"),
                 )
-                .persist()
+                .localCheckpoint()  # eager: truncates lineage, see docstring
             )
             changed = new_labels.filter(F.col("_chg")).count()
-            labels.unpersist()
             labels = new_labels.drop("_chg")
             if changed == 0:
                 break
-        return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+        # attach singletons: nodes with no edges keep their own id
+        out = ids.join(
+            labels, ids[id_col] == labels["node"], "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+        return out
     finally:
         edges.unpersist()
 
@@ -494,3 +538,61 @@ def sorted_neighborhood_pairs(
         (F.col("union_tokens") > 0)
         & (F.col("inter_tokens") * 10 >= F.col("union_tokens") * 6)
     ).distinct()
+
+
+def snm_candidate_payload_pairs(
+    df: DataFrame,
+    payload: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    block_chars: int = 2,
+    key_chars: int = 40,
+) -> DataFrame:
+    """Generic sorted-neighborhood candidate generation: same blocked-sort
+    lead() dataflow as :func:`sorted_neighborhood_pairs`, but the per-row
+    payload carried to the comparison is caller-chosen (normalized text for
+    an edit-distance matcher, token sets for Jaccard, an embedding for
+    cosine). Returns (a_id, b_id, pa, pb) — one row per candidate pair,
+    a_id < b_id, exactly ``window`` candidates per row."""
+    from pyspark.sql.window import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", "")
+    )
+    key = F.substring(F.regexp_replace(norm, " ", ""), 1, key_chars)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        key.alias("snm_key"),
+        F.substring(key, 1, block_chars).alias("blk"),
+        payload.alias("pay"),
+    )
+    w = Window.partitionBy("blk").orderBy("snm_key", "id")
+    nbrs = base.select(
+        "id",
+        "pay",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("id", j).over(w).alias("nid"),
+                    F.lead("pay", j).over(w).alias("npay"),
+                )
+                for j in range(1, window + 1)
+            ]
+        ).alias("nbrs"),
+    )
+    return (
+        nbrs.select("id", "pay", F.explode("nbrs").alias("nb"))
+        .filter(F.col("nb.nid").isNotNull())
+        .select(
+            F.least("id", F.col("nb.nid")).alias("a_id"),
+            F.greatest("id", F.col("nb.nid")).alias("b_id"),
+            F.when(F.col("id") < F.col("nb.nid"), F.col("pay"))
+            .otherwise(F.col("nb.npay"))
+            .alias("pa"),
+            F.when(F.col("id") < F.col("nb.nid"), F.col("nb.npay"))
+            .otherwise(F.col("pay"))
+            .alias("pb"),
+        )
+        .distinct()
+    )

@@ -81,3 +81,36 @@ def test_snm_window_bounds_candidates(spark):
     )
     got = D.sorted_neighborhood_pairs(docs, window=2).count()
     assert got == 2 * 10 - 3  # n*w - w*(w+1)/2 pairs, not C(10,2)=45
+
+
+def test_entity_resolution_merges_edit_variants(spark):
+    from realtime_market_data_pipeline_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "acme corporation global headquarters new york"),
+            (2, "acme corporatian global headquarters new york"),  # 1 edit
+            (3, "acme corporation global headquarters new yorc"),  # 1 edit
+            (4, "completely different text about something else"),
+        ],
+        "doc_id: long, text: string",
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""))
+    cands = DD.snm_candidate_payload_pairs(docs, payload=norm, window=3)
+    verified = (
+        cands.filter(
+            (F.length("pa") > 0)
+            & (F.lit(5) * F.levenshtein("pa", "pb")
+               <= F.greatest(F.length("pa"), F.length("pb")))
+        )
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+        .distinct()
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.cluster_near_dups(docs.select("doc_id"), verified).collect()
+    }
+    # 1,2,3 are one entity (transitively); 4 stays a singleton
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == 4
