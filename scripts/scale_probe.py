@@ -50,6 +50,13 @@ DEFAULT_QUERIES = [
     "seasonal_baseline_backtest",
     "inverted_index_postings",
     "zscore_outlier_events",
+    # graph / ER family (needs the FK-shifted replication below: fixed-dim
+    # replicas densify derived graphs instead of growing them)
+    "pagerank_trade_graph",
+    "triangle_count_supplier_graph",
+    "copurchase_brand_pairs",
+    "dedup_sorted_neighborhood",
+    "entity_resolution_clusters",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
