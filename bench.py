@@ -87,6 +87,7 @@ HEADLINE = [
     "copurchase_brand_pairs",
     "triangle_count_supplier_graph",
     "entity_resolution_clusters",
+    "equidepth_bins_value",
 ]
 
 

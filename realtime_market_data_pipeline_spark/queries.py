@@ -3107,6 +3107,65 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "equidepth_bins_value",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS xi
+  FROM events WHERE value IS NOT NULL
+),
+c AS (
+  SELECT event_type, xi, CAST(count(*) AS BIGINT) AS c
+  FROM e GROUP BY event_type, xi
+),
+cu AS (
+  SELECT event_type, xi, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY xi) AS BIGINT) AS cum
+  FROM c
+),
+t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total FROM c GROUP BY event_type)
+SELECT event_type,
+       least(9, (cum - c) * 10 // total) AS bin,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       min(xi) AS lo_micro, max(xi) AS hi_micro
+FROM cu JOIN t USING (event_type)
+GROUP BY event_type, least(9, (cum - c) * 10 // total)
+""",
+)
+def equidepth_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (quantile) binning, the scale-correct way: naive
+    per-row ntile() serializes every group through ONE reducer sorting all
+    its rows; here ranking happens at DISTINCT-VALUE granularity —
+    count per (type, micro-value) first (parallel keyed agg), then the
+    running-sum window sorts only the distinct values (≪ rows; bounded by
+    value precision), then bin = floor(10·rows_before/total) in pure
+    BIGINT. Whole distinct values land in one bin, so ties can't straddle
+    engines; totals relation broadcasts back. Same micro-grid rounding as
+    zscore_outlier_events (proven engine-exact)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("xi"),
+    )
+    c = e.groupBy("event_type", "xi").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("xi")
+    cu = c.withColumn("cum", F.sum("c").over(w))
+    t = c.groupBy("event_type").agg(F.sum("c").alias("total"))
+    j = cu.join(F.broadcast(t), "event_type")
+    bin_col = F.least(F.lit(9), F.expr("((cum - c) * 10) div total"))
+    return (
+        j.select("event_type", bin_col.alias("bin"), "c", "xi")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.min("xi").alias("lo_micro"),
+            F.max("xi").alias("hi_micro"),
+        )
+    )
+
+
+@query(
     "kmv_distinct_users",
     oracle="""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -5555,6 +5614,7 @@ _REGISTRY_PRIORITY = [
     "copurchase_brand_pairs",
     "triangle_count_supplier_graph",
     "entity_resolution_clusters",
+    "equidepth_bins_value",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

@@ -525,3 +525,12 @@ def test_triangle_count_persists_edges_single_fact_scan(spark):
     # the edge count — it must be persisted, not re-derived from lineitem
     assert "InMemoryTableScan" in s
     assert P.has_partial_aggregation(df)
+
+
+def test_equidepth_bins_broadcast_totals_partial_aggs(spark):
+    df = Q.QUERIES["equidepth_bins_value"](spark, SF)
+    # totals relation broadcasts; counts/window/final aggs all partial-agg'd
+    assert set(P.join_strategies(df)) == {"BroadcastHashJoin"}
+    assert P.has_partial_aggregation(df)
+    # (type,xi) count + per-type window + totals + (type,bin) agg
+    assert P.exchange_count(df) <= 4
