@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "copurchase_brand_pairs",
     "dedup_sorted_neighborhood",
     "entity_resolution_clusters",
+    "equidepth_bins_value",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
