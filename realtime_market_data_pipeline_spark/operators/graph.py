@@ -141,3 +141,124 @@ ORDER BY rank_fp DESC, node
 LIMIT {top_k}
 """
     )
+
+
+HITS_SCALE = 1_000_000  # 1e6: keeps v * scale <= 1e18 inside BIGINT headroom
+
+
+def hits_fixed_point(
+    edges: DataFrame, *, iterations: int = 3, scale: int = HITS_SCALE
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs/authorities over a DIRECTED bipartite edge list
+    (src = hub side, dst = authority side), in fixed-point BIGINT with L1
+    normalization after every half-step::
+
+        h0(c)    = scale div |hubs|
+        a_raw(s) = Σ h(src) over in-edges       ; a = a_raw·scale div Σa_raw
+        h_raw(c) = Σ a(dst) over out-edges      ; h = h_raw·scale div Σh_raw
+
+    All integer ops ⇒ bit-exact under any partitioning, replayable in SQL.
+    scale=1e6 (not 1e12) so v·scale stays inside BIGINT even with large
+    per-node sums; at ~1e9-node graphs move the product into DECIMAL(38,0).
+    Returns (hubs, authorities) DataFrames of (node, score_fp).
+
+    Scale notes: same shape as PageRank — the persisted edge list keeps one
+    partitioning; each half-step shuffles only the score vector; the L1
+    totals are 1-row aggregates broadcast back into the normalization."""
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    hubs0 = edges.select("src").distinct()
+    n_df = hubs0.agg(F.count(F.lit(1)).alias("n"))
+    h = hubs0.crossJoin(F.broadcast(n_df)).select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST({scale} AS BIGINT) div n").alias("v"),
+    )
+    a = None
+    for _ in range(iterations):
+        # Each half-step's raw sums are eagerly localCheckpoint'd: the
+        # relation is consumed twice (the 1-row L1 total and the
+        # normalization itself) and the final vectors feed two top-k
+        # branches — lazy lineage would re-derive the whole chain once per
+        # consumer (2^(2·iters) blowup: a 2 s job took 50 s at sf0.01), and
+        # mere persist() keeps the exponentially nested LOGICAL plan, which
+        # overflows the stack when Spark stringifies it. Checkpointing
+        # truncates the plan to the materialized partitions — same move as
+        # cluster_near_dups; use a reliable checkpoint dir on a real
+        # cluster.
+        a_raw = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum("v").alias("vr"))
+            .localCheckpoint()
+        )
+        a_tot = a_raw.agg(F.sum("vr").alias("t"))
+        a = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                "node", F.expr(f"vr * CAST({scale} AS BIGINT) div t").alias("v")
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy(edges["src"].alias("node"))
+            .agg(F.sum("v").alias("vr"))
+            .localCheckpoint()
+        )
+        h_tot = h_raw.agg(F.sum("vr").alias("t"))
+        h = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                "node", F.expr(f"vr * CAST({scale} AS BIGINT) div t").alias("v")
+            )
+            .localCheckpoint()
+        )
+    return h.select("node", F.col("v").alias("score_fp")), a.select(
+        "node", F.col("v").alias("score_fp")
+    )
+
+
+def hits_oracle_sql(
+    edges_cte: str, *, iterations: int = 3, scale: int = HITS_SCALE, top_k: int = 10
+) -> str:
+    """Unrolled DuckDB replay of :func:`hits_fixed_point` (sums cast back
+    to BIGINT — DuckDB widens to HUGEINT)."""
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        "nc AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e)",
+        f"h0 AS (SELECT s.src AS node, CAST({scale} // n AS BIGINT) AS v"
+        " FROM (SELECT DISTINCT src FROM e) s CROSS JOIN nc)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"a{i}r AS (SELECT e.dst AS node, CAST(sum(h.v) AS BIGINT) AS vr"
+            f" FROM e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(f"a{i}t AS (SELECT CAST(sum(vr) AS BIGINT) AS t FROM a{i}r)")
+        parts.append(
+            f"a{i} AS (SELECT node, CAST(vr * {scale} // t AS BIGINT) AS v"
+            f" FROM a{i}r CROSS JOIN a{i}t)"
+        )
+        parts.append(
+            f"h{i}r AS (SELECT e.src AS node, CAST(sum(a.v) AS BIGINT) AS vr"
+            f" FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(f"h{i}t AS (SELECT CAST(sum(vr) AS BIGINT) AS t FROM h{i}r)")
+        parts.append(
+            f"h{i} AS (SELECT node, CAST(vr * {scale} // t AS BIGINT) AS v"
+            f" FROM h{i}r CROSS JOIN h{i}t)"
+        )
+    last = iterations
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT kind, node, score_fp FROM (
+  (SELECT 'authority' AS kind, node, v AS score_fp FROM a{last}
+   ORDER BY v DESC, node LIMIT {top_k})
+  UNION ALL
+  (SELECT 'hub' AS kind, node, v AS score_fp FROM h{last}
+   ORDER BY v DESC, node LIMIT {top_k})
+)
+"""
+    )

@@ -58,6 +58,7 @@ DEFAULT_QUERIES = [
     "dedup_sorted_neighborhood",
     "entity_resolution_clusters",
     "equidepth_bins_value",
+    "hits_trade_authorities",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",

@@ -114,3 +114,25 @@ def test_entity_resolution_merges_edit_variants(spark):
     # 1,2,3 are one entity (transitively); 4 stays a singleton
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[4] == 4
+
+
+def test_hits_bipartite_shared_supplier_dominates(spark):
+    # customers 1,2,3 all buy from supplier 10; only 3 also buys from 11
+    e = _edges(spark, [(1, 10), (2, 10), (3, 10), (3, 11)])
+    hubs, auths = G.hits_fixed_point(e, iterations=3)
+    a = {r["node"]: r["score_fp"] for r in auths.collect()}
+    h = {r["node"]: r["score_fp"] for r in hubs.collect()}
+    assert a[10] > a[11]  # shared supplier is the authority
+    assert h[3] > h[1] == h[2]  # 3 buys from both → best hub; 1,2 symmetric
+    # L1 normalization: totals bounded by scale (truncation only loses)
+    assert 0.99 * G.HITS_SCALE < sum(a.values()) <= G.HITS_SCALE
+    assert 0.99 * G.HITS_SCALE < sum(h.values()) <= G.HITS_SCALE
+
+
+def test_hits_partitioning_invariant(spark):
+    pairs = [(i, 100 + (i * 3) % 7) for i in range(1, 40)]
+    e1 = _edges(spark, pairs)
+    e2 = _edges(spark, pairs).repartition(32)
+    r1 = sorted(map(tuple, G.hits_fixed_point(e1, iterations=3)[1].collect()))
+    r2 = sorted(map(tuple, G.hits_fixed_point(e2, iterations=3)[1].collect()))
+    assert r1 == r2

@@ -534,3 +534,10 @@ def test_equidepth_bins_broadcast_totals_partial_aggs(spark):
     assert P.has_partial_aggregation(df)
     # (type,xi) count + per-type window + totals + (type,bin) agg
     assert P.exchange_count(df) <= 4
+
+
+def test_hits_takeordered_both_sides(spark):
+    df = Q.QUERIES["hits_trade_authorities"](spark, SF)
+    s = P.plan_string(df)
+    # two top-k branches over checkpointed score vectors — never global sorts
+    assert s.count("TakeOrderedAndProject") >= 2
