@@ -89,6 +89,7 @@ HEADLINE = [
     "entity_resolution_clusters",
     "equidepth_bins_value",
     "hits_trade_authorities",
+    "point_in_time_enrich",
 ]
 
 

@@ -2036,6 +2036,67 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCD2_STMT)
 
 
+_PIT_STMT = """
+WITH src AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ordered
+),
+versions AS (
+  SELECT user_id, island, event_type, min(ts) AS valid_from
+  FROM islands
+  GROUP BY user_id, island, event_type
+),
+dim AS (
+  SELECT user_id, event_type AS regime, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+         CAST(island AS BIGINT) AS version_no
+  FROM versions
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       d.regime, d.version_no, d.valid_from
+FROM p LEFT JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+"""
+
+
+@query("point_in_time_enrich", oracle=_PIT_STMT)
+def point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment — the feature-store join that
+    prevents label leakage: every purchase is joined to the dimension
+    VERSION that was valid at its timestamp (valid_from ≤ ts < valid_to),
+    never a later one. Dimension = SCD2 activity-regime versions built
+    from the user's non-purchase events (`_SCD2_STMT` islands); probes =
+    purchases; versions tile time contiguously per user, so each probe
+    matches exactly one version (or none before the first — LEFT JOIN
+    keeps it). One statement runs verbatim on both engines. Scale: the
+    join has an equi-key (user_id) so it hash-partitions; the interval
+    predicate filters the bounded per-user version fanout — no interval
+    explosion. For a many-TB dimension, swap the validity filter for
+    `operators.temporal.asof_join` on valid_from (equivalent here by
+    contiguity) to keep it one forward-fill window."""
+    from realtime_market_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(_PIT_STMT)
+
+
 @query(
     "asof_last_purchase",
     oracle="""
@@ -5660,6 +5721,7 @@ _REGISTRY_PRIORITY = [
     "entity_resolution_clusters",
     "equidepth_bins_value",
     "hits_trade_authorities",
+    "point_in_time_enrich",
     # (3) r2-green refresh fills the window to 50 (everything below slot 50
     # already holds a green row from r1-r3)
     "events_time_range",

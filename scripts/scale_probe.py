@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     "entity_resolution_clusters",
     "equidepth_bins_value",
     "hits_trade_authorities",
+    "point_in_time_enrich",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
