@@ -161,6 +161,7 @@ def main() -> None:
             "pagerank_trade_graph",
             "triangle_count_supplier_graph",
             "entity_resolution_clusters",
+            "hits_trade_authorities",
         ):
             Q.QUERIES[warm_q](spark, tiny).write.mode("overwrite").format(
                 "noop"

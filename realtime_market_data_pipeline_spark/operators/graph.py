@@ -143,7 +143,8 @@ LIMIT {top_k}
     )
 
 
-HITS_SCALE = 1_000_000  # 1e6: keeps v * scale <= 1e18 inside BIGINT headroom
+HITS_SCALE = 1_000_000_000  # 1e9: L1-normalized v <= scale, so v*scale <= 1e18
+# stays inside BIGINT, while scale div n seeds stay nonzero up to ~1e9 hubs
 
 
 def hits_fixed_point(
@@ -158,8 +159,10 @@ def hits_fixed_point(
         h_raw(c) = Σ a(dst) over out-edges      ; h = h_raw·scale div Σh_raw
 
     All integer ops ⇒ bit-exact under any partitioning, replayable in SQL.
-    scale=1e6 (not 1e12) so v·scale stays inside BIGINT even with large
-    per-node sums; at ~1e9-node graphs move the product into DECIMAL(38,0).
+    scale=1e9: L1 normalization bounds every score by scale, so v·scale
+    ≤ 1e18 stays inside BIGINT, and the seed scale div |hubs| stays
+    nonzero up to ~1e9 hub nodes (beyond that, move the product into
+    DECIMAL(38,0)). Requires iterations ≥ 1.
     Returns (hubs, authorities) DataFrames of (node, score_fp).
 
     Scale notes: same shape as PageRank — the persisted edge list keeps one
@@ -167,6 +170,8 @@ def hits_fixed_point(
     totals are 1-row aggregates broadcast back into the normalization."""
     from pyspark import StorageLevel
 
+    if iterations < 1:
+        raise ValueError("hits_fixed_point requires iterations >= 1")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     hubs0 = edges.select("src").distinct()
     n_df = hubs0.agg(F.count(F.lit(1)).alias("n"))

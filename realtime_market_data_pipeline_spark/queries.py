@@ -1988,13 +1988,16 @@ def user_sessions_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_STMT = """
-WITH ordered AS (
+# Shared SCD2 island-construction CTE chain (lag change flag → island
+# cumsum → per-island agg), parameterized by the source relation — used by
+# BOTH scd2_event_type_intervals and point_in_time_enrich so the
+# tie-breaking / frame spec can never drift between them.
+_SCD2_ISLANDS_TMPL = """ordered AS (
   SELECT user_id, event_id, ts, event_type,
          CASE WHEN lag(event_type) OVER w IS NULL
                    OR lag(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS chg
-  FROM events
+  FROM {src}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 islands AS (
@@ -2008,7 +2011,10 @@ versions AS (
          min(ts) AS valid_from, count(*) AS n_events
   FROM islands
   GROUP BY user_id, island, event_type
-)
+)"""
+
+_SCD2_STMT = f"""
+WITH {_SCD2_ISLANDS_TMPL.format(src="events")}
 SELECT user_id, event_type, valid_from,
        lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
        n_events,
@@ -2036,27 +2042,9 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCD2_STMT)
 
 
-_PIT_STMT = """
+_PIT_STMT = f"""
 WITH src AS (SELECT * FROM events WHERE event_type <> 'purchase'),
-ordered AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN lag(event_type) OVER w IS NULL
-                   OR lag(event_type) OVER w <> event_type
-              THEN 1 ELSE 0 END AS chg
-  FROM src
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-islands AS (
-  SELECT user_id, ts, event_type,
-         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM ordered
-),
-versions AS (
-  SELECT user_id, island, event_type, min(ts) AS valid_from
-  FROM islands
-  GROUP BY user_id, island, event_type
-),
+{_SCD2_ISLANDS_TMPL.format(src="src")},
 dim AS (
   SELECT user_id, event_type AS regime, valid_from,
          lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
