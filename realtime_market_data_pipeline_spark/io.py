@@ -132,23 +132,38 @@ def _epoch_unit_from_footer(path: str) -> str:
         # Decide from the max over row groups that HAVE stats; a single
         # stat-less row group must not discard maxima already observed
         # (mis-scaling a s/ms/us file to ns would be off by 3-9 orders).
-        mx = None
+        maxima = []
         for rg in range(md.num_row_groups):
             stats = md.row_group(rg).column(idx).statistics
-            if stats is None or stats.max is None:
-                continue
-            mx = int(stats.max) if mx is None else max(mx, int(stats.max))
-        if mx is None:
-            return "ns"
-        if mx > 10**17:
-            return "ns"
-        if mx > 10**14:
-            return "us"
-        if mx > 10**11:
-            return "ms"
-        return "s"
+            maxima.append(
+                None if stats is None or stats.max is None else int(stats.max)
+            )
     except Exception:  # noqa: BLE001 — footer quirks must not break the read
         return "ns"
+    return _epoch_unit_from_maxima(maxima, path)
+
+
+def _epoch_unit_from_maxima(maxima: list[int | None], path: str) -> str:
+    """Pure decision half of ``_epoch_unit_from_footer``: pick the unit from
+    per-row-group ``ts`` maxima (None = that row group has no stats). A file
+    where NO row group has statistics fails loudly — guessing a unit risks a
+    silent 10³–10⁹× timestamp mis-scale, the worst failure mode a scan can
+    have."""
+    known = [m for m in maxima if m is not None]
+    if not known:
+        raise ValueError(
+            f"cannot infer epoch unit of int64 'ts' in {path}: no row group "
+            "carries statistics — rewrite the file with stats or load with "
+            "an explicit unit"
+        )
+    mx = max(known)
+    if mx > 10**17:
+        return "ns"
+    if mx > 10**14:
+        return "us"
+    if mx > 10**11:
+        return "ms"
+    return "s"
 
 
 def load_events_range(

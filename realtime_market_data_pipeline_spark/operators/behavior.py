@@ -260,7 +260,13 @@ def sequence_pattern_match(
             for i, k in enumerate(keys)
         ],
     )
-    stack_args = ", ".join(f"'{k}', m{i}" for i, k in enumerate(keys))
+    # Pattern names are caller-supplied and land inside an F.expr string —
+    # escape quote/backslash so a key like "view'n'buy" can't produce a
+    # malformed (or injectable) stack() expression.
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    stack_args = ", ".join(f"{_sql_str(k)}, m{i}" for i, k in enumerate(keys))
     long = flags.select(
         F.expr(f"stack({len(keys)}, {stack_args}) as (pattern, n_users)"),
         "n_total_users",

@@ -19,6 +19,8 @@ Scale notes (100 TB of embeddings):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -78,12 +80,26 @@ def cosine_topk(
     )
 
 
+def adaptive_block_size(n_vec: int, cores: int) -> int:
+    """Blocked-BLAS grid sizing: pick block_size so the block-pair grid
+    yields at least ``cores`` tasks whenever the corpus doesn't fit one
+    block — ``ceil(n_vec / ceil(sqrt(2·cores)))`` blocks of ~equal size give
+    n_blocks·(n_blocks+1)/2 ≥ cores pairs. A fixed block_size=2048 made the
+    sf0.1 bench (2,000 vectors) a SINGLE-task stage: one Python worker did
+    the whole 2000×2000 matmul while 31 cores idled (the r4 perf
+    regression). Clamped to [64, 2048]: the floor keeps per-pair numpy
+    overhead amortized; the cap bounds task memory (block² · 8 B scores) so
+    at 100 TB the grid fans out to blocks² tasks, each a bounded matmul."""
+    n_blocks = max(1, math.ceil(math.sqrt(2 * max(1, cores))))
+    return max(64, min(2048, -(-n_vec // n_blocks)))
+
+
 def similar_pairs_topn(
     corpus: DataFrame,
     n: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_size: int = 2048,
+    block_size: int | None = None,
     candidate_factor: int = 5,
     n_vec: int | None = None,
 ) -> DataFrame:
@@ -121,6 +137,10 @@ def similar_pairs_topn(
             "footer metadata, e.g. queries._parquet_rows) so plan "
             "construction stays lazy — an implicit count() here would "
             "launch a Spark job as a side effect of building the plan"
+        )
+    if block_size is None:
+        block_size = adaptive_block_size(
+            n_vec, corpus.sparkSession.sparkContext.defaultParallelism
         )
     n_blocks = max(1, -(-n_vec // block_size))
     m = candidate_factor * n
@@ -213,7 +233,7 @@ def threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_size: int = 2048,
+    block_size: int | None = None,
     n_vec: int | None = None,
 ) -> DataFrame:
     """All distinct pairs with cosine ≥ ``threshold`` — exact (the
@@ -236,6 +256,10 @@ def threshold_pairs(
             "footer metadata, e.g. queries._parquet_rows) so plan "
             "construction stays lazy — an implicit count() here would "
             "launch a Spark job as a side effect of building the plan"
+        )
+    if block_size is None:
+        block_size = adaptive_block_size(
+            n_vec, corpus.sparkSession.sparkContext.defaultParallelism
         )
     n_blocks = max(1, -(-n_vec // block_size))
     n_pairs = n_blocks * (n_blocks + 1) // 2

@@ -180,3 +180,81 @@ def kmv_jaccard_pairs(
             F.abs(F.col("jaccard_est") - F.col("jaccard_exact")) <= F.lit(0.25)
         ).alias("within_bound"),
     )
+
+
+# --- space-saving heavy hitters (batch certification twin) -------------------
+
+
+def make_space_saving_fold(k: int):
+    """Returns fold(table, n, uids) -> n for a k-counter space-saving
+    sketch — the ONE update implementation shared by the streaming op
+    (streaming/stateful.heavy_hitters_stream) and the batch certification
+    twin below, so the driver-checked batch contract certifies the exact
+    fold the stream runs. ``table`` maps user_id -> [est_count, err] and is
+    mutated in place; its size never exceeds k (eviction replaces the
+    (count, user_id)-min victim, deterministic under ties).
+    Guarantees (Metwally et al., 2005): any id with true count > n/k is
+    tracked, and est − err ≤ true ≤ est for every tracked id."""
+
+    def fold(table: dict, n: int, uids) -> int:
+        for uid in uids:
+            uid = int(uid)
+            n += 1
+            if uid in table:
+                table[uid][0] += 1
+            elif len(table) < k:
+                table[uid] = [1, 0]
+            else:
+                victim = min(table, key=lambda u: (table[u][0], u))
+                m = table[victim][0]
+                del table[victim]
+                table[uid] = [m + 1, m]
+        return n
+
+    return fold
+
+
+def heavy_hitters_topk_sketch(
+    events: DataFrame,
+    k: int = 8,
+    by: str = "event_type",
+    id_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Batch twin of ``streaming/stateful.heavy_hitters_stream``: the same
+    k-counter space-saving fold (shared via ``make_space_saving_fold``)
+    applied to each group's rows in (ts, id) order — deterministic, so the
+    sketch contents replay exactly across engines and partitionings.
+
+    Output: (by, id_col, est_count, err, n_total) — one row per tracked id.
+
+    Scale shape: this is the CERTIFICATION form — one applyInPandas task
+    folds each group sequentially (determinism requires a single total
+    order). State is O(k); time is linear in the group. At 100 TB the
+    production paths are the streaming op (bounded state per key, folds as
+    data arrives) or a merge of per-partition sketches (space-saving
+    merges with additive error — but the merged table is then
+    partition-order-dependent, which is why the oracle-checked twin folds
+    in one task instead)."""
+    fold = make_space_saving_fold(k)
+
+    def per_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col, id_col])
+        table: dict = {}
+        n = fold(table, 0, pdf[id_col].astype("int64"))
+        items = sorted(table.items())
+        return pd.DataFrame(
+            [(pdf[by].iloc[0], u, c, e, n) for u, (c, e) in items],
+            columns=[by, id_col, "est_count", "err", "n_total"],
+        )
+
+    schema = (
+        f"{by} string, {id_col} long, est_count long, err long, n_total long"
+    )
+    return (
+        events.select(by, id_col, ts_col)
+        .groupBy(by)
+        .applyInPandas(per_group, schema)
+    )

@@ -297,7 +297,22 @@ def weighted_sample_pps(
     Scale shape: one map-side-combined 1-row total (broadcast back via
     crossJoin); membership is then per-row and shuffle-free. Rows with
     w ≥ Σw / n_target are always kept (the min(1, ·) cap falls out of the
-    strict inequality); zero-weight rows are never kept."""
+    strict inequality); zero-weight rows are never kept.
+
+    Contract: the weight column must be an integral type. The exact-integer
+    membership test casts w to DECIMAL(38,0) (which ROUNDS fractional
+    values) while the total would truncate via cast('long') — fractional
+    weights would silently break the claimed p_i = n·w/Σw semantics and
+    oracle parity, so they are rejected loudly instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"weighted_sample_pps requires an integral weight column; "
+            f"{weight_col} is {wtype.simpleString()} — pre-scale fractional "
+            "weights to integers (e.g. micro-units) before sampling"
+        )
     d0 = "decimal(38,0)"
     tot = df.agg(F.sum(F.col(weight_col).cast("long")).alias("tot"))
     j = df.crossJoin(F.broadcast(tot))

@@ -2662,9 +2662,10 @@ def seasonal_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.groupBy("event_type").agg(
-        F.floor(F.sum("n_train") / F.count(F.lit(1)))
-        .cast("long")
-        .alias("avg_train_rows"),
+        # BIGINT `div`, not floor(double /): a quotient within half-ulp of an
+        # integer (or sums past 2^53) would flip the double floor vs the
+        # oracle's exact integer `//`.
+        F.expr("sum(n_train) div count(1)").alias("avg_train_rows"),
         F.count(F.lit(1)).alias("n_test_scored"),
         F.round(
             F.sum(F.col("abs_err").cast(DEC)).cast("double") / F.count(F.lit(1)),
@@ -2793,6 +2794,19 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = e.join(F.broadcast(s), "event_type")
     dev = F.col("n") * F.col("xi").cast(d0) - F.col("sx")
     nvar = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dev2 = dev * dev
+    thr = F.lit(16).cast(d0) * nvar
+    # Non-ANSI decimal overflow yields NULL, which would silently DROP
+    # outlier rows near the ~1e12-rows/group DECIMAL(38,0) ceiling while
+    # the DuckDB oracle's HUGEINT keeps them. Fail loudly instead: inputs
+    # non-null but a square/product null ⇒ overflow ⇒ raise.
+    overflow_guard = F.when(
+        dev.isNotNull() & nvar.isNotNull() & (dev2.isNull() | thr.isNull()),
+        F.raise_error(
+            "zscore_outlier_events: DECIMAL(38,0) overflow in z^2 test — "
+            "shard the group sums before squaring at this scale"
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     zcol = F.round(
         F.when(dev < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
         * F.sqrt(
@@ -2800,7 +2814,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    return j.where((nvar > 0) & (dev * dev > F.lit(16).cast(d0) * nvar)).select(
+    return j.where(overflow_guard & (nvar > 0) & (dev2 > thr)).select(
         "event_id", "event_type", "value", zcol.alias("z")
     )
 
@@ -3426,6 +3440,115 @@ def approx_percentiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitters_topk",
+    oracle="""
+WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_total,
+             CAST(least(8, count(*)) AS BIGINT) AS n_tracked
+      FROM c GROUP BY 1),
+r AS (SELECT event_type, user_id, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rk
+      FROM c)
+SELECT t.event_type, t.n_total, t.n_tracked,
+       TRUE AS completeness_ok, TRUE AS bounds_ok,
+       r.user_id AS top1_user, CAST(r.cnt AS BIGINT) AS top1_count
+FROM t JOIN r ON r.event_type = t.event_type AND r.rk = 1
+""",
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-saving heavy hitters, batch certification twin of
+    ``streaming/stateful.heavy_hitters_stream`` (SAME fold via
+    operators/sketches.make_space_saving_fold) with an oracle-checkable
+    contract: per event_type the k=8-counter sketch must (a) track every
+    user whose true count exceeds n/k — completeness, (b) bound every
+    tracked user's true count by est − err ≤ true ≤ est — soundness. The
+    driver-hashable surface is the two contract booleans plus exact values
+    both engines recompute independently (n_total, sketch size
+    min(k, distinct), exact top-1 user). Sketch state is O(k) per group —
+    the bounded-memory answer to "top users right now" that an exact count
+    (state ∝ distinct users) cannot give at 100 TB; the verification joins
+    are |sketch| = 8·|types| rows, broadcast."""
+    from pyspark.sql.window import Window as W
+
+    from realtime_market_data_pipeline_spark.operators import sketches
+
+    K = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    sk = sketches.heavy_hitters_topk_sketch(ev, k=K)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = exact.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_total"),
+        F.least(F.lit(K).cast("long"), F.count(F.lit(1))).alias("n_tracked_expect"),
+    )
+    # completeness: no user with cnt·k > n missing from the sketch
+    heavy = exact.join(tot.select("event_type", "n_total"), "event_type").where(
+        F.col("cnt") * K > F.col("n_total")
+    )
+    missing = (
+        heavy.join(
+            sk.select("event_type", "user_id"),
+            ["event_type", "user_id"],
+            "left_anti",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    # soundness: every tracked user's true count within [est-err, est]
+    snd = (
+        sk.join(exact, ["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_tracked"),
+            F.sum(
+                (
+                    (F.col("est_count") - F.col("err") <= F.col("cnt"))
+                    & (F.col("cnt") <= F.col("est_count"))
+                ).cast("long")
+            ).alias("n_bounds_ok"),
+        )
+    )
+    top1 = exact.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.col("cnt").desc(), F.col("user_id").asc()
+            )
+        ),
+    ).where(F.col("rk") == 1)
+    return (
+        tot.join(F.broadcast(snd), "event_type")
+        .join(F.broadcast(missing), "event_type", "left")
+        .join(
+            top1.select(
+                "event_type",
+                F.col("user_id").alias("top1_user"),
+                F.col("cnt").alias("top1_count"),
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_tracked",
+            (F.coalesce(F.col("n_missing"), F.lit(0)) == 0).alias(
+                "completeness_ok"
+            ),
+            (
+                (F.col("n_bounds_ok") == F.col("n_tracked"))
+                & (F.col("n_tracked") == F.col("n_tracked_expect"))
+            ).alias("bounds_ok"),
+            "top1_user",
+            "top1_count",
+        )
+    )
+
+
+@query(
     "top_orders_global",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -3966,7 +4089,7 @@ b AS (
                  ELSE ascii(substr(hx,2,1)) - 48 END) AS bucket
   FROM h
 )
-SELECT split, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
 FROM (SELECT CASE WHEN bucket < 204 THEN 'train' ELSE 'eval' END AS split, n_chars FROM b)
 GROUP BY split
 """,
@@ -4878,41 +5001,65 @@ def doc_text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_l2_normalized",
     oracle="""
+WITH n AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+              THEN list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> round(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                        CAST(embedding AS DOUBLE[]))), 6))
+         END AS embedding_norm
+  FROM embeddings
+)
 SELECT vec_id,
-       CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
-            THEN list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> round(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                                      CAST(embedding AS DOUBLE[]))), 6))
-       END AS embedding_norm
-FROM embeddings
+       CAST(unnest(range(0, len(embedding_norm))) AS INTEGER) AS pos,
+       unnest(embedding_norm) AS val
+FROM n
 """,
 )
 def embedding_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-norm preprocessing for cosine indexes; both engines fold the
-    same doubles in the same order, rounded 6dp elementwise."""
+    same doubles in the same order, rounded 6dp elementwise. Output is
+    posexploded to (vec_id, pos, val) scalar rows — the driver's pandas
+    canonicalizer cannot hash array columns (r4 artifact-red), and the
+    long form hashes every element anyway."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.l2_normalize(emb, round_dp=6).select("vec_id", "embedding_norm")
+    normed = sim.l2_normalize(emb, round_dp=6)
+    return normed.select(
+        "vec_id", F.posexplode("embedding_norm").alias("pos", "val")
+    )
 
 
 @query(
     "embedding_quantized_int8",
     oracle="""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
-SELECT vec_id,
-       round(CASE WHEN amax > 0 THEN 127.0 / amax END, 6) AS scale,
-       CASE WHEN amax > 0
-            THEN list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS INTEGER))
-       END AS q
-FROM m
+m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+q AS (
+  SELECT vec_id,
+         round(CASE WHEN amax > 0 THEN 127.0 / amax END, 6) AS scale,
+         CASE WHEN amax > 0
+              THEN list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS INTEGER))
+         END AS q
+  FROM m
+)
+SELECT vec_id, scale,
+       CAST(unnest(range(0, len(q))) AS INTEGER) AS pos,
+       unnest(q) AS q_val
+FROM q
 """,
 )
 def embedding_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (4× storage cut for ANN indexes): scale
-    rounded 6dp; integer codes compare exactly."""
+    rounded 6dp; integer codes compare exactly. Posexploded to
+    (vec_id, scale, pos, q_val) scalar rows so the driver canonicalizer
+    can hash the output (r4 artifact-red was the raw array column)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = sim.quantize_int8(emb)
-    return out.select("vec_id", F.round("scale", 6).alias("scale"), "q")
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("q").alias("pos", "q_val"),
+    )
 
 
 @query(
@@ -5633,68 +5780,15 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # (1a) embedding / ANN family — never adjudicated
-    "embedding_cosine_topk",
-    "embedding_similar_pairs",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
-    "embedding_centroids",
-    "embedding_l2_normalized",
-    "embedding_quantized_int8",
-    "embedding_component_stats",
-    "dedup_embedding_cosine",
-    "doc_embed_hash16",
-    # (1b) text / docs — never adjudicated
-    "tfidf_top3_terms",
-    "word_counts_top100",
-    "doc_repetition_scores",
-    "doc_chunks_40t_stride30",
-    "doc_train_eval_split",
-    "doc_text_normalized",
-    "mixture_weights_by_source",
-    "multimodal_features",
-    # (1c) relational / events — never adjudicated
-    "user_sessions_12h",
-    "range_join_event_sessions",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "sql_frontend_scan",
-    "top_orders_global",
-    "union_backfill_counts",
-    "profile_events_numeric",
-    "value_percentiles_by_type",
-    "moving_avg_value_5",
-    "events_lag_lead_rank",
-    "events_distribution_ranks",
-    # (1d) rows-only contracts — never adjudicated (weaker check, still a row)
-    "approx_distinct_users",
-    "synthetic_gbm_features",
-    # (2) changed or new this round — need fresh rows
-    "tick_validation_counts",
-    "stratified_sample_events",
-    "dedup_embedding_lsh",
-    "hybrid_search_rrf",
-    "embedding_bucket_pairs",
-    "scd2_event_type_intervals",
-    "trailing_7d_revenue",
-    "running_revenue_per_supplier",
-    "ema_macd_daily",
-    "rsi_14_daily",
-    "funnel_view_click_purchase",
-    "retention_cohorts_weekly",
-    "approx_percentiles_contract",
-    "event_transitions",
-    "funnel_time_to_convert",
-    "quality_stratified_sample",
-    "dedup_edit_distance",
-    "stochastic_14_3",
-    "atr_14_daily",
-    # (2b) late-r4 additions — slots 52+, outside this round's window;
-    # rotation head for r5 together with atr_14_daily (slot 51)
-    "beta_vs_market_daily",
-    "events_value_histogram",
-    "token_weighted_sample",
-    "vwap_brand_month",
+    # (1) the 20 late-r4 queries that have never held a driver row — after
+    # this rotation every registered query will have been driver-adjudicated
+    "pagerank_trade_graph",
+    "hits_trade_authorities",
+    "triangle_count_supplier_graph",
+    "entity_resolution_clusters",
+    "dedup_sorted_neighborhood",
+    "copurchase_brand_pairs",
+    "equidepth_bins_value",
     "kmv_distinct_users",
     "kmv_jaccard_pairs",
     "sequence_pattern_counts",
@@ -5702,28 +5796,49 @@ _REGISTRY_PRIORITY = [
     "seasonal_baseline_backtest",
     "inverted_index_postings",
     "zscore_outlier_events",
-    "pagerank_trade_graph",
-    "dedup_sorted_neighborhood",
-    "copurchase_brand_pairs",
-    "triangle_count_supplier_graph",
-    "entity_resolution_clusters",
-    "equidepth_bins_value",
-    "hits_trade_authorities",
+    "beta_vs_market_daily",
+    "events_value_histogram",
+    "token_weighted_sample",
+    "vwap_brand_month",
     "point_in_time_enrich",
-    # (3) r2-green refresh fills the window to 50 (everything below slot 50
-    # already holds a green row from r1-r3)
+    "atr_14_daily",
+    # (2) the 3 r4 artifact-reds, fixed this round (BIGINT-cast oracle;
+    # posexplode'd array outputs) — need fresh green rows
+    "doc_train_eval_split",
+    "embedding_l2_normalized",
+    "embedding_quantized_int8",
+    # (3) new or code-changed this round — need fresh rows
+    "heavy_hitters_topk",  # new: space-saving batch twin (r5)
+    "embedding_similar_pairs",  # adaptive blocked-BLAS grid (r5 perf fix)
+    "dedup_embedding_cosine",  # adaptive blocked-BLAS grid (r5 perf fix)
+    # (4) r1/r2-green refresh fills the window to 50 (code unchanged —
+    # re-certifies the oldest rows on the current corpus flavor)
     "events_time_range",
     "kpi_summary",
     "dedup_last_write_wins",
     "topk_per_type",
     "anti_join_customers",
     "semi_join_customers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
     "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q10_returned_item_customers",
     "q14_promo_revenue_ratio",
+    "q15_top_suppliers",
     "q16_brand_size_suppliers",
     "q17_small_quantity_revenue",
-    # q22_idle_customers / regex_extract_brands / stats_price_quantity
-    # rotated back out (r2-green, code unchanged) to keep the window at 50
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "regex_extract_brands",
+    "stats_price_quantity",
+    "asof_last_purchase",
+    # Everything below slot 50 holds a green row from an earlier round on
+    # unchanged code.
 ]
 
 

@@ -552,6 +552,12 @@ def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
     produce identical tables. Input schema:
     (event_type string, user_id long, ts_ms long)."""
 
+    from realtime_market_data_pipeline_spark.operators.sketches import (
+        make_space_saving_fold,
+    )
+
+    fold = make_space_saving_fold(k)
+
     def update(key, pdf_iter, state):
         import pandas as pd
 
@@ -565,18 +571,7 @@ def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
             table, n = {}, 0
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts_ms", "user_id"])
-            for uid in pdf["user_id"].astype("int64"):
-                uid = int(uid)
-                n += 1
-                if uid in table:
-                    table[uid][0] += 1
-                elif len(table) < k:
-                    table[uid] = [1, 0]
-                else:
-                    victim = min(table, key=lambda u: (table[u][0], u))
-                    m = table[victim][0]
-                    del table[victim]
-                    table[uid] = [m + 1, m]
+            n = fold(table, n, pdf["user_id"].astype("int64"))
         items = sorted(table.items())
         state.update(
             (

@@ -60,6 +60,11 @@ DEFAULT_QUERIES = [
     "equidepth_bins_value",
     "hits_trade_authorities",
     "point_in_time_enrich",
+    # r5: remaining bench-top-10 families (curation end-to-end, IVF ANN) and
+    # the new heavy-hitters batch twin
+    "curation_pipeline",
+    "embedding_ann_ivf",
+    "heavy_hitters_topk",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",

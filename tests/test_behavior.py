@@ -203,3 +203,25 @@ def test_sequence_pattern_match_orders_by_ts_then_event_id(spark):
         for r in sequence_pattern_match(df, patterns={"vp": "^vp$"}).collect()
     }
     assert out["vp"].n_users == 1
+
+
+def test_sequence_pattern_match_escapes_quoted_keys(spark):
+    """Caller-supplied pattern names land inside an F.expr stack() string;
+    quotes/backslashes in a key must round-trip, not break the SQL."""
+    from datetime import datetime
+
+    from realtime_market_data_pipeline_spark.operators.behavior import (
+        sequence_pattern_match,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, "view", datetime(2026, 1, 1)), (1, 1, "purchase", datetime(2026, 1, 1, 1))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r.pattern: r.n_users
+        for r in sequence_pattern_match(
+            df, patterns={"view'n'buy": "v.*p", "back\\slash": "^x"}
+        ).collect()
+    }
+    assert out == {"view'n'buy": 1, "back\\slash": 0}

@@ -127,3 +127,36 @@ def test_load_table_pins_utc_for_every_table(spark):
             assert spark.conf.get("spark.sql.session.timeZone") == "UTC", table
         finally:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_epoch_unit_decision_mixed_and_missing_stats(tmp_path):
+    """Unit inference must decide from the row groups that HAVE stats
+    (a stats-less group must not discard observed maxima) and fail loudly
+    when NO group has stats — guessing risks a 10^3-10^9x mis-scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from realtime_market_data_pipeline_spark.io import (
+        _epoch_unit_from_footer,
+        _epoch_unit_from_maxima,
+    )
+
+    # pure decision: mixed stats/stats-less row groups
+    assert _epoch_unit_from_maxima([None, 1_700_000_000_000_000], "p") == "us"
+    assert _epoch_unit_from_maxima([1_700_000_000_000, None], "p") == "ms"
+    assert _epoch_unit_from_maxima([1_700_000_000], "p") == "s"
+    assert _epoch_unit_from_maxima([None, 1_700_000_000_000_000_000], "p") == "ns"
+    with pytest.raises(ValueError, match="no row group carries statistics"):
+        _epoch_unit_from_maxima([None, None], "p")
+
+    # file-level: all-stats file infers; all-stats-less file raises
+    tbl = pa.table({"ts": pa.array([1_700_000_000_000_000], pa.int64())})
+    with_stats = str(tmp_path / "with_stats.parquet")
+    pq.write_table(tbl, with_stats)
+    assert _epoch_unit_from_footer(with_stats) == "us"
+
+    no_stats = str(tmp_path / "no_stats.parquet")
+    pq.write_table(tbl, no_stats, write_statistics=False)
+    with pytest.raises(ValueError, match="no row group carries statistics"):
+        _epoch_unit_from_footer(no_stats)

@@ -12,7 +12,17 @@ from tests.oracle_utils import compare
 
 @pytest.mark.parametrize("name", sorted(Q.ORACLES))
 def test_query_matches_oracle(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = Q.QUERIES[name](spark, SF_SMALL)
+    # Nested output columns crash the driver's pandas canonicalizer
+    # (r4: unhashable type 'list') — oracle-checked queries must emit scalars.
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, f"driver-unhashable nested output columns: {nested}"
     compare(df, Q.ORACLES[name], SF_SMALL)
 
 

@@ -233,3 +233,18 @@ def test_zscore_outliers_exact_membership(spark, tmp_path):
     out = Q.QUERIES["zscore_outlier_events"](spark, d).collect()
     assert [(r.event_id, r.event_type) for r in out] == [(99, "view")]
     assert out[0].z == 7.0
+
+
+def test_weighted_sample_pps_rejects_fractional_weights(spark):
+    import pytest
+
+    from realtime_market_data_pipeline_spark.operators.text import (
+        weighted_sample_pps,
+    )
+
+    # Exact-integer membership casts w to DECIMAL(38,0) (rounds) while the
+    # total casts to long (truncates) — fractional weights would silently
+    # break p_i = n*w/Σw, so the contract rejects them loudly.
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "doc_id long, w double")
+    with pytest.raises(TypeError, match="integral weight column"):
+        weighted_sample_pps(df, "w", n_target=1, id_col="doc_id")

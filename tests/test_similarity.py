@@ -182,3 +182,50 @@ def test_registered_lsh_dedup_contract(spark):
     assert r.recall_floor == 0.9
     assert r.recall_ge_floor is True
     assert r.n_false_dups == 0
+
+
+def test_adaptive_block_size_grid_covers_cores():
+    """r4 perf regression: fixed block_size=2048 made the sf0.1 bench a
+    single-task stage. The adaptive grid must yield ≥ cores block-pairs
+    whenever the corpus spans more than one block, and stay clamped."""
+    import math
+
+    from realtime_market_data_pipeline_spark.operators.similarity import (
+        adaptive_block_size,
+    )
+
+    for cores in (2, 8, 32, 128):
+        for n_vec in (100, 2_000, 20_000, 10_000_000):
+            bs = adaptive_block_size(n_vec, cores)
+            assert 64 <= bs <= 2048
+            unclamped = -(-n_vec // math.ceil(math.sqrt(2 * cores)))
+            n_blocks = -(-n_vec // bs)
+            n_pairs = n_blocks * (n_blocks + 1) // 2
+            if 64 <= unclamped <= 2048:  # neither clamp active
+                assert n_pairs >= cores, (cores, n_vec, bs, n_pairs)
+    # cap holds for huge corpora (memory bound beats task-count bound)
+    assert adaptive_block_size(10_000_000, 32) == 2048
+    # tiny corpora stay a single cheap block
+    assert adaptive_block_size(100, 32) == 64
+
+
+def test_blocked_blas_stage_fans_out(spark):
+    """Plan pin: the mapInPandas candidate stage runs on ≥ min(cores,
+    n_pairs) partitions — never a one-task funnel at bench scale."""
+    from realtime_market_data_pipeline_spark.operators.similarity import (
+        adaptive_block_size,
+        similar_pairs_topn,
+    )
+    from realtime_market_data_pipeline_spark.queries import _parquet_rows
+
+    n_vec = _parquet_rows(SF, "embeddings")
+    cores = spark.sparkContext.defaultParallelism
+    bs = adaptive_block_size(n_vec, cores)
+    n_blocks = -(-n_vec // bs)
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    df = similar_pairs_topn(
+        load_table(spark, SF, "embeddings"), n=20, n_vec=n_vec
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"RoundRobinPartitioning({n_pairs})" in plan, plan[:2000]
+    assert n_pairs >= min(cores, n_pairs)
