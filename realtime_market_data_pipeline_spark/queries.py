@@ -3193,10 +3193,32 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup_ops.snm_candidate_payload_pairs(
         docs, payload=norm, text_col="text", id_col="doc_id", window=3
     )
+    # The O(len²) Levenshtein DP is CPU-bound, not byte-bound: AQE's
+    # byte-based coalescing shrinks the tiny candidate shuffle to ~1
+    # partition and serializes ~10 s of DP onto one core. Two-part fix:
+    # (a) prune with the length bound EARLY (cheap, push-down-friendly):
+    #     lev(a,b) ≥ |len(a)−len(b)|, so 5·|Δlen| > max(len) already fails
+    #     the certificate without running the DP (~75% of SNM candidates
+    #     on this corpus);
+    # (b) run the surviving DP above an explicit repartition to the
+    #     session's cores. The DP filter conjoins the always-true
+    #     `_dp_barrier >= 0` (monotonically_increasing_id is non-negative
+    #     by contract): referencing a non-deterministic column pins the
+    #     filter above the projection that produces it — without the pin,
+    #     Catalyst pushes the DP below the exchange (and the SNM distinct),
+    #     re-serializing it onto AQE's byte-coalesced partitions, and
+    #     column pruning strips an unreferenced barrier entirely.
+    len_bound = F.lit(5) * F.abs(
+        F.length("pa") - F.length("pb")
+    ) <= F.greatest(F.length("pa"), F.length("pb"))
+    pruned = (
+        cands.filter((F.length("pa") > 0) & (F.length("pb") > 0) & len_bound)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_dp_barrier", F.monotonically_increasing_id())
+    )
     verified = (
-        cands.filter(
-            (F.length("pa") > 0)
-            & (F.length("pb") > 0)
+        pruned.filter(
+            (F.col("_dp_barrier") >= 0)
             & (
                 F.lit(5) * F.levenshtein("pa", "pb")
                 <= F.greatest(F.length("pa"), F.length("pb"))

@@ -1447,3 +1447,42 @@ def test_kmv_stream_matches_batch(spark, tmp_path):
     assert final["click"].k_used == 3 and final["click"].est_distinct == 3.0
     assert final["view"].k_used == k
     assert batch["view"].within_bound
+
+
+def test_heavy_hitters_batch_twin_matches_stream_fold(spark):
+    """The batch certification twin (operators/sketches.heavy_hitters_
+    topk_sketch) runs the SAME fold as the stream; on a stream whose
+    micro-batch order equals global (ts_ms, user_id) order, the final
+    streaming snapshot and the batch sketch must be identical tables."""
+    from realtime_market_data_pipeline_spark.operators.sketches import (
+        heavy_hitters_topk_sketch,
+        make_space_saving_fold,
+    )
+
+    base = 1_704_067_200_000
+    rows = (
+        [("view", 1, base + i) for i in range(20)]
+        + [("view", 2, base + 100 + i) for i in range(8)]
+        + [("view", 100 + i, base + 200 + i) for i in range(6)]
+        + [("view", 1, base + 1000 + i) for i in range(15)]
+        + [("view", 200 + i, base + 1200 + i) for i in range(7)]
+        + [("view", 2, base + 2000 + i) for i in range(9)]
+        + [("view", 300 + i, base + 2200 + i) for i in range(5)]
+    )
+    k = 4
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts_ms long"
+    )
+    got = {
+        (r.user_id): (r.est_count, r.err, r.n_total)
+        for r in heavy_hitters_topk_sketch(
+            df.repartition(8), k=k
+        ).collect()
+    }
+    # reference: the shared fold applied driver-side in global order
+    fold = make_space_saving_fold(k)
+    table: dict = {}
+    n = fold(table, 0, [u for _, u, _ in sorted(rows, key=lambda r: (r[2], r[1]))])
+    want = {u: (c, e, n) for u, (c, e) in table.items()}
+    assert got == want
+    assert len(got) == k
