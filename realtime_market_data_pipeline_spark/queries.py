@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_market_data_pipeline_spark.io import load_table
@@ -2741,6 +2741,24 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decimal_overflow_guard(
+    dev: Column, nvar: Column, dev2: Column, thr: Column, msg: str
+) -> Column:
+    """Loud-failure guard for exact-decimal comparisons near the
+    DECIMAL(38,0) ceiling. Under Spark's ANSI mode (the Spark 4 default,
+    and what every session here runs) an overflowing decimal product
+    already raises NUMERIC_VALUE_OUT_OF_RANGE; under ``ansi.enabled=false``
+    the product silently becomes NULL, which would DROP rows from a
+    filter while the DuckDB oracle's HUGEINT keeps them — the worst kind
+    of divergence. This guard turns that NULL into an explicit
+    raise_error, so the query is loud in BOTH modes
+    (test: ``test_zscore_overflow_guard_fails_loudly``)."""
+    return F.when(
+        dev.isNotNull() & nvar.isNotNull() & (dev2.isNull() | thr.isNull()),
+        F.raise_error(msg).cast("boolean"),
+    ).otherwise(F.lit(True))
+
+
 @query(
     "zscore_outlier_events",
     oracle="""
@@ -2796,17 +2814,11 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nvar = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     dev2 = dev * dev
     thr = F.lit(16).cast(d0) * nvar
-    # Non-ANSI decimal overflow yields NULL, which would silently DROP
-    # outlier rows near the ~1e12-rows/group DECIMAL(38,0) ceiling while
-    # the DuckDB oracle's HUGEINT keeps them. Fail loudly instead: inputs
-    # non-null but a square/product null ⇒ overflow ⇒ raise.
-    overflow_guard = F.when(
-        dev.isNotNull() & nvar.isNotNull() & (dev2.isNull() | thr.isNull()),
-        F.raise_error(
-            "zscore_outlier_events: DECIMAL(38,0) overflow in z^2 test — "
-            "shard the group sums before squaring at this scale"
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
+    overflow_guard = _decimal_overflow_guard(
+        dev, nvar, dev2, thr,
+        "zscore_outlier_events: DECIMAL(38,0) overflow in z^2 test — "
+        "shard the group sums before squaring at this scale",
+    )
     zcol = F.round(
         F.when(dev < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
         * F.sqrt(

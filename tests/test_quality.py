@@ -248,3 +248,41 @@ def test_weighted_sample_pps_rejects_fractional_weights(spark):
     df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "doc_id long, w double")
     with pytest.raises(TypeError, match="integral weight column"):
         weighted_sample_pps(df, "w", n_target=1, id_col="doc_id")
+
+
+def test_zscore_overflow_guard_fails_loudly(spark):
+    """Decimal overflow in the z² certificate must raise, never silently
+    drop rows: natively under ANSI (the session default), via the
+    raise_error guard when a session disables ANSI (overflow -> NULL)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.queries import (
+        _decimal_overflow_guard,
+    )
+
+    d0 = "decimal(38,0)"
+    big = "9" * 25  # (10^25)^2 has ~50 digits: overflows DECIMAL(38,0)
+
+    def build():
+        # ANSI-vs-NULL overflow behavior is captured at ANALYSIS time, so
+        # the plan must be constructed under the conf being tested
+        df = spark.createDataFrame([(big,)], "x string").select(
+            F.col("x").cast(d0).alias("dev"), F.col("x").cast(d0).alias("nvar")
+        )
+        dev, nvar = F.col("dev"), F.col("nvar")
+        dev2 = dev * dev
+        thr = F.lit(16).cast(d0) * nvar
+        guard = _decimal_overflow_guard(dev, nvar, dev2, thr, "GUARD-FIRED")
+        return df.where(guard & (nvar > 0) & (dev2 > thr))
+
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+            build().collect()
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="GUARD-FIRED"):
+            build().collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
