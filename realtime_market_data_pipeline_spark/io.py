@@ -122,12 +122,16 @@ def _epoch_unit_from_footer(path: str) -> str:
     magnitude per unit: 2024 epochs are ~1.7e9 s / 1.7e12 ms / 1.7e15 µs /
     1.7e18 ns. The r1 corpus shipped TIMESTAMP(NANOS) (read as long via the
     nanosAsLong escape hatch); a future plain-long flavor must not be
-    silently mis-scaled. Missing stats fall back to ns (the only long
-    flavor observed so far)."""
+    silently mis-scaled. A non-empty file whose row groups ALL lack
+    statistics raises (``_epoch_unit_from_maxima``) rather than guessing;
+    an unreadable footer or an empty file falls back to ns (zero rows make
+    the unit irrelevant)."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            return "ns"  # no rows to mis-scale; any unit reads identically
         idx = md.schema.names.index("ts")
         # Decide from the max over row groups that HAVE stats; a single
         # stat-less row group must not discard maxima already observed
@@ -145,10 +149,11 @@ def _epoch_unit_from_footer(path: str) -> str:
 
 def _epoch_unit_from_maxima(maxima: list[int | None], path: str) -> str:
     """Pure decision half of ``_epoch_unit_from_footer``: pick the unit from
-    per-row-group ``ts`` maxima (None = that row group has no stats). A file
-    where NO row group has statistics fails loudly — guessing a unit risks a
-    silent 10³–10⁹× timestamp mis-scale, the worst failure mode a scan can
-    have."""
+    per-row-group ``ts`` maxima (None = that row group has no stats). A
+    non-empty file where NO row group has statistics fails loudly — guessing
+    a unit risks a silent 10³–10⁹× timestamp mis-scale, the worst failure
+    mode a scan can have. (Empty files never reach here — the caller
+    returns ns for zero rows.)"""
     known = [m for m in maxima if m is not None]
     if not known:
         raise ValueError(

@@ -260,15 +260,27 @@ def sequence_pattern_match(
             for i, k in enumerate(keys)
         ],
     )
-    # Pattern names are caller-supplied and land inside an F.expr string —
-    # escape quote/backslash so a key like "view'n'buy" can't produce a
-    # malformed (or injectable) stack() expression.
-    def _sql_str(s: str) -> str:
-        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-    stack_args = ", ".join(f"{_sql_str(k)}, m{i}" for i, k in enumerate(keys))
+    # Pattern names are caller-supplied: build the long form through the
+    # Column API (explode over struct literals), never by interpolating the
+    # keys into an F.expr string — a quoted/backslashed key would otherwise
+    # produce a malformed (or injectable) stack() expression, and escaping
+    # by hand is parser-conf-dependent (escapedStringLiterals).
     long = flags.select(
-        F.expr(f"stack({len(keys)}, {stack_args}) as (pattern, n_users)"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("pattern"),
+                        F.col(f"m{i}").alias("n_users"),
+                    )
+                    for i, k in enumerate(keys)
+                ]
+            )
+        ).alias("pn"),
+        "n_total_users",
+    ).select(
+        F.col("pn.pattern").alias("pattern"),
+        F.col("pn.n_users").alias("n_users"),
         "n_total_users",
     )
     return long.select(

@@ -2741,21 +2741,24 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decimal_overflow_guard(
-    dev: Column, nvar: Column, dev2: Column, thr: Column, msg: str
-) -> Column:
+def _decimal_overflow_guard(*cols: Column, msg: str) -> Column:
     """Loud-failure guard for exact-decimal comparisons near the
     DECIMAL(38,0) ceiling. Under Spark's ANSI mode (the Spark 4 default,
     and what every session here runs) an overflowing decimal product
     already raises NUMERIC_VALUE_OUT_OF_RANGE; under ``ansi.enabled=false``
-    the product silently becomes NULL, which would DROP rows from a
-    filter while the DuckDB oracle's HUGEINT keeps them — the worst kind
-    of divergence. This guard turns that NULL into an explicit
-    raise_error, so the query is loud in BOTH modes
+    overflow silently becomes NULL, which would DROP rows from a filter
+    while the DuckDB oracle's HUGEINT keeps them — the worst kind of
+    divergence. The caller passes every derived decimal column whose
+    inputs are non-null by construction (so NULL can only mean overflow,
+    at ANY level of the expression tree — the first-level sums/products
+    like n·Σx² or (Σx)² typically overflow before their squares do); NULL
+    in any of them raises instead of filtering
     (test: ``test_zscore_overflow_guard_fails_loudly``)."""
+    any_null = None
+    for c in cols:
+        any_null = c.isNull() if any_null is None else (any_null | c.isNull())
     return F.when(
-        dev.isNotNull() & nvar.isNotNull() & (dev2.isNull() | thr.isNull()),
-        F.raise_error(msg).cast("boolean"),
+        any_null, F.raise_error(msg).cast("boolean")
     ).otherwise(F.lit(True))
 
 
@@ -2815,9 +2818,14 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev2 = dev * dev
     thr = F.lit(16).cast(d0) * nvar
     overflow_guard = _decimal_overflow_guard(
-        dev, nvar, dev2, thr,
-        "zscore_outlier_events: DECIMAL(38,0) overflow in z^2 test — "
-        "shard the group sums before squaring at this scale",
+        dev,
+        nvar,
+        dev2,
+        thr,
+        msg=(
+            "zscore_outlier_events: DECIMAL(38,0) overflow in z^2 test — "
+            "shard the group sums before squaring at this scale"
+        ),
     )
     zcol = F.round(
         F.when(dev < 0, F.lit(-1.0)).otherwise(F.lit(1.0))

@@ -160,3 +160,18 @@ def test_epoch_unit_decision_mixed_and_missing_stats(tmp_path):
     pq.write_table(tbl, no_stats, write_statistics=False)
     with pytest.raises(ValueError, match="no row group carries statistics"):
         _epoch_unit_from_footer(no_stats)
+
+
+def test_epoch_unit_empty_file_reads_fine(tmp_path):
+    """Zero-row files must NOT trip the no-stats loud failure: pyarrow
+    writes an empty file with no usable max statistic, and with no rows
+    there is nothing to mis-scale — the unit defaults harmlessly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime_market_data_pipeline_spark.io import _epoch_unit_from_footer
+
+    tbl = pa.table({"ts": pa.array([], pa.int64())})
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(tbl, empty)
+    assert _epoch_unit_from_footer(empty) == "ns"

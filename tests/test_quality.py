@@ -264,25 +264,36 @@ def test_zscore_overflow_guard_fails_loudly(spark):
     d0 = "decimal(38,0)"
     big = "9" * 25  # (10^25)^2 has ~50 digits: overflows DECIMAL(38,0)
 
-    def build():
+    def build(level):
         # ANSI-vs-NULL overflow behavior is captured at ANALYSIS time, so
-        # the plan must be constructed under the conf being tested
+        # the plan must be constructed under the conf being tested.
+        # level="second": dev/nvar fit, their squares overflow.
+        # level="first": nvar itself is an overflowing product — the guard
+        # must catch NULL at ANY level, not only the final squares.
         df = spark.createDataFrame([(big,)], "x string").select(
-            F.col("x").cast(d0).alias("dev"), F.col("x").cast(d0).alias("nvar")
+            F.col("x").cast(d0).alias("dev"), F.col("x").cast(d0).alias("raw")
         )
-        dev, nvar = F.col("dev"), F.col("nvar")
+        dev = F.col("dev")
+        nvar = (
+            F.col("raw")
+            if level == "second"
+            else F.col("raw") * F.col("raw") * F.col("raw")
+        )
         dev2 = dev * dev
         thr = F.lit(16).cast(d0) * nvar
-        guard = _decimal_overflow_guard(dev, nvar, dev2, thr, "GUARD-FIRED")
+        guard = _decimal_overflow_guard(
+            dev, nvar, dev2, thr, msg="GUARD-FIRED"
+        )
         return df.where(guard & (nvar > 0) & (dev2 > thr))
 
     ansi_before = spark.conf.get("spark.sql.ansi.enabled")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
-            build().collect()
+            build("second").collect()
         spark.conf.set("spark.sql.ansi.enabled", "false")
-        with pytest.raises(Exception, match="GUARD-FIRED"):
-            build().collect()
+        for level in ("second", "first"):
+            with pytest.raises(Exception, match="GUARD-FIRED"):
+                build(level).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_before)
