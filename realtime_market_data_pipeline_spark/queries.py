@@ -85,14 +85,23 @@ def query(name: str, oracle: str | None = None):
 
 
 def _parquet_rows(sf_dir: str, name: str) -> int:
-    """Exact row count from the parquet footer — no Spark job (keeps plan
+    """Exact row count from parquet footers — no Spark job (keeps plan
     construction lazy where an operator needs the corpus size, e.g. to size
-    the blocked-BLAS grid)."""
+    the blocked-BLAS grid). Handles both a single file (the driver's
+    testdata layout) and a Spark-written directory of part files (e.g. the
+    scale probe's replicated corpus) by summing part footers."""
     import os
 
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _round6(df: DataFrame, *cols: str) -> DataFrame:
