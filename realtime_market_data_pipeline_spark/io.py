@@ -127,21 +127,39 @@ def _epoch_unit_from_footer(path: str) -> str:
     an unreadable footer or an empty file falls back to ns (zero rows make
     the unit irrelevant)."""
     try:
+        import os
+
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
-        if md.num_rows == 0:
-            return "ns"  # no rows to mis-scale; any unit reads identically
-        idx = md.schema.names.index("ts")
-        # Decide from the max over row groups that HAVE stats; a single
-        # stat-less row group must not discard maxima already observed
-        # (mis-scaling a s/ms/us file to ns would be off by 3-9 orders).
-        maxima = []
-        for rg in range(md.num_row_groups):
-            stats = md.row_group(rg).column(idx).statistics
-            maxima.append(
-                None if stats is None or stats.max is None else int(stats.max)
+        # A Spark-written dataset is a DIRECTORY of part files — aggregate
+        # their footers; treating the directory as a file would throw into
+        # the quirk fallback and silently mis-scale an int64-ts dataset.
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
             )
+            if os.path.isdir(path)
+            else [path]
+        )
+        total_rows, maxima = 0, []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            total_rows += md.num_rows
+            idx = md.schema.names.index("ts")
+            # Decide from the max over row groups that HAVE stats; a single
+            # stat-less row group must not discard maxima already observed
+            # (mis-scaling a s/ms/us file to ns would be off by 3-9 orders).
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                maxima.append(
+                    None
+                    if stats is None or stats.max is None
+                    else int(stats.max)
+                )
+        if total_rows == 0:
+            return "ns"  # no rows to mis-scale; any unit reads identically
     except Exception:  # noqa: BLE001 — footer quirks must not break the read
         return "ns"
     return _epoch_unit_from_maxima(maxima, path)

@@ -2750,25 +2750,36 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decimal_overflow_guard(*cols: Column, msg: str) -> Column:
-    """Loud-failure guard for exact-decimal comparisons near the
-    DECIMAL(38,0) ceiling. Under Spark's ANSI mode (the Spark 4 default,
-    and what every session here runs) an overflowing decimal product
-    already raises NUMERIC_VALUE_OUT_OF_RANGE; under ``ansi.enabled=false``
-    overflow silently becomes NULL, which would DROP rows from a filter
-    while the DuckDB oracle's HUGEINT keeps them — the worst kind of
-    divergence. The caller passes every derived decimal column whose
-    inputs are non-null by construction (so NULL can only mean overflow,
-    at ANY level of the expression tree — the first-level sums/products
-    like n·Σx² or (Σx)² typically overflow before their squares do); NULL
-    in any of them raises instead of filtering
-    (test: ``test_zscore_overflow_guard_fails_loudly``)."""
+def _overflow_guarded_predicate(
+    pred: Column, *cols: Column, msg: str
+) -> Column:
+    """Loud-failure form of a filter predicate over exact-decimal columns
+    near the DECIMAL(38,0) ceiling. Under Spark's ANSI mode (the Spark 4
+    default, and what every session here runs) an overflowing decimal
+    product already raises NUMERIC_VALUE_OUT_OF_RANGE; under
+    ``ansi.enabled=false`` overflow silently becomes NULL, which would
+    DROP rows from a filter while the DuckDB oracle's HUGEINT keeps them —
+    the worst kind of divergence. The caller passes the predicate plus
+    every derived decimal column whose inputs are non-null by construction
+    (so NULL can only mean overflow, at ANY level of the expression tree —
+    first-level sums/products like n·Σx² or (Σx)² typically overflow
+    before their squares do); NULL in any of them raises instead of
+    filtering.
+
+    The null-raise and the predicate MUST be one fused expression, not
+    separate conjuncts of the same Filter: Catalyst splits a Filter's
+    conjuncts and pushes single-side ones (e.g. ``nvar > 0``) below the
+    join, where a NULL-from-overflow group would be silently dropped
+    BEFORE a standalone guard conjunct ever evaluated. A single When
+    expression cannot be split, and it checks null before comparing
+    (test: ``test_zscore_overflow_guard_fails_loudly``, including the
+    join-shaped pushdown reproduction)."""
     any_null = None
     for c in cols:
         any_null = c.isNull() if any_null is None else (any_null | c.isNull())
     return F.when(
         any_null, F.raise_error(msg).cast("boolean")
-    ).otherwise(F.lit(True))
+    ).otherwise(pred)
 
 
 @query(
@@ -2826,7 +2837,8 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nvar = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     dev2 = dev * dev
     thr = F.lit(16).cast(d0) * nvar
-    overflow_guard = _decimal_overflow_guard(
+    keep = _overflow_guarded_predicate(
+        (nvar > 0) & (dev2 > thr),
         dev,
         nvar,
         dev2,
@@ -2843,7 +2855,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    return j.where(overflow_guard & (nvar > 0) & (dev2 > thr)).select(
+    return j.where(keep).select(
         "event_id", "event_type", "value", zcol.alias("z")
     )
 
@@ -3154,6 +3166,56 @@ def triangle_count_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _er_verified_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """SNM blocking → edit-distance certificate for entity resolution —
+    shared by the query and its plan test (`test_er_levenshtein_runs_
+    above_repartition`) so a regression in the plan shape below cannot
+    hide behind a test-local copy.
+
+    The O(len²) Levenshtein DP is CPU-bound, not byte-bound: AQE's
+    byte-based coalescing shrinks the tiny candidate shuffle to ~1
+    partition and serializes ~10 s of DP onto one core (and at replicated
+    scale the pushed-down filter lands on the skewed 2-char SNM block
+    partitioning). Two-part fix:
+    (a) prune with the length bound EARLY (cheap, push-down-friendly):
+        lev(a,b) ≥ |len(a)−len(b)|, so 5·|Δlen| > max(len) already fails
+        the certificate without running the DP (~75% of SNM candidates on
+        this corpus);
+    (b) run the surviving DP above an explicit repartition to the
+        session's cores. The DP filter conjoins the always-true
+        `_dp_barrier >= 0` (monotonically_increasing_id is non-negative
+        by contract): referencing a non-deterministic column pins the
+        filter above the projection that produces it — without the pin,
+        Catalyst pushes the DP below the exchange (and the SNM distinct),
+        re-serializing it onto AQE's byte-coalesced partitions, and
+        column pruning strips an unreferenced barrier entirely."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
+    )
+    cands = dedup_ops.snm_candidate_payload_pairs(
+        docs, payload=norm, text_col="text", id_col="doc_id", window=3
+    )
+    len_bound = F.lit(5) * F.abs(
+        F.length("pa") - F.length("pb")
+    ) <= F.greatest(F.length("pa"), F.length("pb"))
+    pruned = (
+        cands.filter((F.length("pa") > 0) & (F.length("pb") > 0) & len_bound)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_dp_barrier", F.monotonically_increasing_id())
+    )
+    return (
+        pruned.filter(
+            (F.col("_dp_barrier") >= 0)
+            & (
+                F.lit(5) * F.levenshtein("pa", "pb")
+                <= F.greatest(F.length("pa"), F.length("pb"))
+            )
+        )
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+        .distinct()
+    )
+
+
 @query(
     "entity_resolution_clusters",
     oracle="""
@@ -3216,46 +3278,7 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear except the component loop, which converges in O(cluster
     diameter) rounds — tiny stars/chains in practice."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
-    )
-    cands = dedup_ops.snm_candidate_payload_pairs(
-        docs, payload=norm, text_col="text", id_col="doc_id", window=3
-    )
-    # The O(len²) Levenshtein DP is CPU-bound, not byte-bound: AQE's
-    # byte-based coalescing shrinks the tiny candidate shuffle to ~1
-    # partition and serializes ~10 s of DP onto one core. Two-part fix:
-    # (a) prune with the length bound EARLY (cheap, push-down-friendly):
-    #     lev(a,b) ≥ |len(a)−len(b)|, so 5·|Δlen| > max(len) already fails
-    #     the certificate without running the DP (~75% of SNM candidates
-    #     on this corpus);
-    # (b) run the surviving DP above an explicit repartition to the
-    #     session's cores. The DP filter conjoins the always-true
-    #     `_dp_barrier >= 0` (monotonically_increasing_id is non-negative
-    #     by contract): referencing a non-deterministic column pins the
-    #     filter above the projection that produces it — without the pin,
-    #     Catalyst pushes the DP below the exchange (and the SNM distinct),
-    #     re-serializing it onto AQE's byte-coalesced partitions, and
-    #     column pruning strips an unreferenced barrier entirely.
-    len_bound = F.lit(5) * F.abs(
-        F.length("pa") - F.length("pb")
-    ) <= F.greatest(F.length("pa"), F.length("pb"))
-    pruned = (
-        cands.filter((F.length("pa") > 0) & (F.length("pb") > 0) & len_bound)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("_dp_barrier", F.monotonically_increasing_id())
-    )
-    verified = (
-        pruned.filter(
-            (F.col("_dp_barrier") >= 0)
-            & (
-                F.lit(5) * F.levenshtein("pa", "pb")
-                <= F.greatest(F.length("pa"), F.length("pb"))
-            )
-        )
-        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
-        .distinct()
-    )
+    verified = _er_verified_pairs(spark, docs)
     labels = dedup_ops.cluster_near_dups(docs.select("doc_id"), verified)
     return (
         labels.groupBy(F.col("cluster_id").alias("entity_id"))

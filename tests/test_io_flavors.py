@@ -175,3 +175,18 @@ def test_epoch_unit_empty_file_reads_fine(tmp_path):
     empty = str(tmp_path / "empty.parquet")
     pq.write_table(tbl, empty)
     assert _epoch_unit_from_footer(empty) == "ns"
+
+
+def test_epoch_unit_directory_layout(spark, tmp_path):
+    """Spark writes datasets as DIRECTORIES of part files; unit inference
+    must aggregate part footers, not fall through the quirk fallback to
+    'ns' and silently mis-scale an int64-ms dataset by 10^6."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import _epoch_unit_from_footer
+
+    d = str(tmp_path / "events_dir.parquet")
+    spark.range(4).select(
+        (F.lit(1_700_000_000_000) + F.col("id")).alias("ts")
+    ).repartition(2).write.mode("overwrite").parquet(d)
+    assert _epoch_unit_from_footer(d) == "ms"

@@ -540,34 +540,12 @@ def test_er_levenshtein_runs_above_repartition(spark):
     round-robin repartition (CPU-bound work spread over cores), not be
     predicate-pushed below it onto AQE's byte-coalesced partitions — the
     `_dp_barrier >= 0` conjunct pins it there (r5 fix, 11.7s -> 3.6s at
-    sf0.1)."""
-    # the query's final labels frame is checkpointed, which hides the
-    # upstream plan; rebuild the verified stage exactly as the query does
-    from pyspark.sql import functions as F
-
+    sf0.1). Exercises the SAME construction the query runs
+    (queries._er_verified_pairs) — the query's final labels frame is
+    checkpointed, which hides this upstream plan from its own explain."""
     from realtime_market_data_pipeline_spark.io import load_table
-    from realtime_market_data_pipeline_spark.operators import dedup as dedup_ops
 
-    docs = load_table(spark, SF, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""))
-    cands = dedup_ops.snm_candidate_payload_pairs(
-        docs, payload=norm, text_col="text", id_col="doc_id", window=3
-    )
-    len_bound = F.lit(5) * F.abs(
-        F.length("pa") - F.length("pb")
-    ) <= F.greatest(F.length("pa"), F.length("pb"))
-    pruned = (
-        cands.filter((F.length("pa") > 0) & (F.length("pb") > 0) & len_bound)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("_dp_barrier", F.monotonically_increasing_id())
-    )
-    verified = pruned.filter(
-        (F.col("_dp_barrier") >= 0)
-        & (
-            F.lit(5) * F.levenshtein("pa", "pb")
-            <= F.greatest(F.length("pa"), F.length("pb"))
-        )
-    )
+    verified = Q._er_verified_pairs(spark, load_table(spark, SF, "documents"))
     lines = P.plan_string(verified, mode="simple").splitlines()
     lev = next(len(l) - len(l.lstrip()) for l in lines if "levenshtein" in l)
     rr = next(len(l) - len(l.lstrip()) for l in lines if "RoundRobin" in l)

@@ -252,13 +252,17 @@ def test_weighted_sample_pps_rejects_fractional_weights(spark):
 
 def test_zscore_overflow_guard_fails_loudly(spark):
     """Decimal overflow in the z² certificate must raise, never silently
-    drop rows: natively under ANSI (the session default), via the
-    raise_error guard when a session disables ANSI (overflow -> NULL)."""
+    drop rows: natively under ANSI (the session default), via the fused
+    raise_error predicate when a session disables ANSI (overflow -> NULL).
+    Includes the join-shaped reproduction: a standalone guard conjunct is
+    DEFEATED by Catalyst pushing the s-side-only `nvar > 0` below the
+    join, which drops the overflowed group before the guard evaluates —
+    the fused form must raise there too."""
     import pytest
     from pyspark.sql import functions as F
 
     from realtime_market_data_pipeline_spark.queries import (
-        _decimal_overflow_guard,
+        _overflow_guarded_predicate,
     )
 
     d0 = "decimal(38,0)"
@@ -281,10 +285,27 @@ def test_zscore_overflow_guard_fails_loudly(spark):
         )
         dev2 = dev * dev
         thr = F.lit(16).cast(d0) * nvar
-        guard = _decimal_overflow_guard(
-            dev, nvar, dev2, thr, msg="GUARD-FIRED"
+        keep = _overflow_guarded_predicate(
+            (nvar > 0) & (dev2 > thr), dev, nvar, dev2, thr, msg="GUARD-FIRED"
         )
-        return df.where(guard & (nvar > 0) & (dev2 > thr))
+        return df.where(keep)
+
+    def build_joined():
+        # mirrors the query's real shape: per-group decimal sums that
+        # overflow on the AGGREGATED side, broadcast-joined back to rows —
+        # the shape where conjunct pushdown silently dropped the group
+        e = spark.createDataFrame(
+            [("a", big), ("a", big)], "g string, x string"
+        ).select("g", F.col("x").cast(d0).alias("xi"))
+        s = e.groupBy("g").agg(
+            F.sum(F.col("xi") * F.col("xi") * F.col("xi")).alias("nvar")
+        )
+        j = e.join(F.broadcast(s), "g")
+        nvar, xi = F.col("nvar"), F.col("xi")
+        keep = _overflow_guarded_predicate(
+            (nvar > 0) & (xi * xi > nvar), nvar, xi * xi, msg="GUARD-FIRED"
+        )
+        return j.where(keep)
 
     ansi_before = spark.conf.get("spark.sql.ansi.enabled")
     try:
@@ -295,5 +316,7 @@ def test_zscore_overflow_guard_fails_loudly(spark):
         for level in ("second", "first"):
             with pytest.raises(Exception, match="GUARD-FIRED"):
                 build(level).collect()
+        with pytest.raises(Exception, match="GUARD-FIRED"):
+            build_joined().collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi_before)
