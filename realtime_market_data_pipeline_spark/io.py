@@ -116,6 +116,33 @@ def _load_events_normalized(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def walk_parquet_parts(path: str) -> list[str]:
+    """All ``.parquet`` part files under ``path``, recursively. A
+    hive-partitioned dataset nests its parts in ``key=value``
+    subdirectories, so a non-recursive listdir sees zero parts and would
+    silently treat the dataset as empty — for footer-driven epoch-unit
+    inference that is exactly the silent mis-scale the loud-failure path
+    exists to prevent (r5 ADVICE). A directory that contains entries but
+    no parquet parts anywhere raises instead of masquerading as an empty
+    dataset; a plain file returns ``[path]`` unchecked."""
+    import os
+
+    if not os.path.isdir(path):
+        return [path]
+    parts = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fnames in os.walk(path)
+        for f in fnames
+        if f.endswith(".parquet")
+    )
+    if not parts and any(True for _ in os.scandir(path)):
+        raise ValueError(
+            f"{path} is a non-empty directory with no .parquet part files "
+            "(at any depth) — refusing to treat it as an empty dataset"
+        )
+    return parts
+
+
 def _epoch_unit_from_footer(path: str) -> str:
     """Infer the epoch unit of an int64 ``ts`` column from parquet footer
     statistics — free (no Spark job) and unambiguous across 4 decades of
@@ -126,23 +153,14 @@ def _epoch_unit_from_footer(path: str) -> str:
     statistics raises (``_epoch_unit_from_maxima``) rather than guessing;
     an unreadable footer or an empty file falls back to ns (zero rows make
     the unit irrelevant)."""
+    # A Spark-written dataset is a DIRECTORY of part files (possibly
+    # hive-partitioned into subdirectories) — aggregate their footers.
+    # Collected OUTSIDE the quirk fallback so the no-parts loud failure
+    # propagates instead of being swallowed into a silent 'ns'.
+    files = walk_parquet_parts(path)
     try:
-        import os
-
         import pyarrow.parquet as pq
 
-        # A Spark-written dataset is a DIRECTORY of part files — aggregate
-        # their footers; treating the directory as a file would throw into
-        # the quirk fallback and silently mis-scale an int64-ts dataset.
-        files = (
-            sorted(
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-            if os.path.isdir(path)
-            else [path]
-        )
         total_rows, maxima = 0, []
         for f in files:
             md = pq.ParquetFile(f).metadata

@@ -87,21 +87,21 @@ def query(name: str, oracle: str | None = None):
 def _parquet_rows(sf_dir: str, name: str) -> int:
     """Exact row count from parquet footers — no Spark job (keeps plan
     construction lazy where an operator needs the corpus size, e.g. to size
-    the blocked-BLAS grid). Handles both a single file (the driver's
-    testdata layout) and a Spark-written directory of part files (e.g. the
-    scale probe's replicated corpus) by summing part footers."""
+    the blocked-BLAS grid). Handles a single file (the driver's testdata
+    layout) and a Spark-written directory of part files (e.g. the scale
+    probe's replicated corpus, possibly hive-partitioned) by summing part
+    footers recursively; a non-empty directory with no parts raises
+    rather than reporting 0 rows (r5 ADVICE)."""
     import os
 
     import pyarrow.parquet as pq
 
+    from realtime_market_data_pipeline_spark.io import walk_parquet_parts
+
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in walk_parquet_parts(path)
+    )
 
 
 def _round6(df: DataFrame, *cols: str) -> DataFrame:
@@ -2751,7 +2751,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _overflow_guarded_predicate(
-    pred: Column, *cols: Column, msg: str
+    pred: Column, *cols: Column, msg: str, src_null: Column | None = None
 ) -> Column:
     """Loud-failure form of a filter predicate over exact-decimal columns
     near the DECIMAL(38,0) ceiling. Under Spark's ANSI mode (the Spark 4
@@ -2773,13 +2773,31 @@ def _overflow_guarded_predicate(
     BEFORE a standalone guard conjunct ever evaluated. A single When
     expression cannot be split, and it checks null before comparing
     (test: ``test_zscore_overflow_guard_fails_loudly``, including the
-    join-shaped pushdown reproduction)."""
+    join-shaped pushdown reproduction).
+
+    ``src_null`` (r5 ADVICE): the non-null-by-construction precondition on
+    the RAW inputs is a corpus contract, not a law of nature — a
+    data-quality NULL reaching a derived column would otherwise be
+    misdiagnosed as decimal overflow. Pass a predicate that is true when
+    any raw source input is NULL; that case raises its own message
+    (still loud — a contract violation must not silently NULL-drop while
+    the oracle's semantics for NULL inputs are unspecified here)."""
     any_null = None
     for c in cols:
         any_null = c.isNull() if any_null is None else (any_null | c.isNull())
-    return F.when(
-        any_null, F.raise_error(msg).cast("boolean")
-    ).otherwise(pred)
+    guarded = F.when(any_null, F.raise_error(msg).cast("boolean")).otherwise(
+        pred
+    )
+    if src_null is not None:
+        guarded = F.when(
+            src_null,
+            F.raise_error(
+                "NULL source value reached an overflow-guarded predicate — "
+                "data-quality NULL, not overflow; filter or repair the "
+                "input column before this operator"
+            ).cast("boolean"),
+        ).otherwise(guarded)
+    return guarded
 
 
 @query(
@@ -2847,6 +2865,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zscore_outlier_events: DECIMAL(38,0) overflow in z^2 test — "
             "shard the group sums before squaring at this scale"
         ),
+        src_null=F.col("xi").isNull(),
     )
     zcol = F.round(
         F.when(dev < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
@@ -3188,7 +3207,12 @@ def _er_verified_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         filter above the projection that produces it — without the pin,
         Catalyst pushes the DP below the exchange (and the SNM distinct),
         re-serializing it onto AQE's byte-coalesced partitions, and
-        column pruning strips an unreferenced barrier entirely."""
+        column pruning strips an unreferenced barrier entirely. The
+        barrier rides Catalyst's rule that non-deterministic expressions
+        are never pushed through a Project — validated against Spark
+        4.1.2; the plan pin (test_plans.test_er_levenshtein_runs_above_
+        repartition) is MANDATORY on any Spark version bump, since only
+        perf (not correctness) would degrade if the rule changed."""
     norm = F.trim(
         F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
     )

@@ -190,3 +190,39 @@ def test_epoch_unit_directory_layout(spark, tmp_path):
         (F.lit(1_700_000_000_000) + F.col("id")).alias("ts")
     ).repartition(2).write.mode("overwrite").parquet(d)
     assert _epoch_unit_from_footer(d) == "ms"
+
+
+def test_epoch_unit_hive_partitioned_directory(spark, tmp_path):
+    """Hive-partitioned datasets nest part files in key=value
+    SUBDIRECTORIES; a non-recursive part listing sees zero files and
+    would silently default to 'ns' (r5 ADVICE). Inference must walk the
+    tree and still find the ms-scale maxima."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import _epoch_unit_from_footer
+
+    d = str(tmp_path / "events_hive.parquet")
+    spark.range(6).select(
+        (F.lit(1_700_000_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 2).alias("part"),
+    ).write.partitionBy("part").mode("overwrite").parquet(d)
+    assert _epoch_unit_from_footer(d) == "ms"
+
+
+def test_walk_parquet_parts_refuses_partless_directory(tmp_path):
+    """A non-empty directory with no parquet parts anywhere is NOT an
+    empty dataset — returning [] would make footer row counts report 0
+    and unit inference default to 'ns'. It must raise."""
+    import pytest
+
+    from realtime_market_data_pipeline_spark.io import walk_parquet_parts
+
+    d = tmp_path / "not_a_dataset"
+    d.mkdir()
+    (d / "README.txt").write_text("hi")
+    with pytest.raises(ValueError, match="no .parquet part files"):
+        walk_parquet_parts(str(d))
+    # a genuinely empty directory is an empty dataset: no parts, no error
+    e = tmp_path / "empty_dataset"
+    e.mkdir()
+    assert walk_parquet_parts(str(e)) == []

@@ -547,7 +547,26 @@ def test_er_levenshtein_runs_above_repartition(spark):
 
     verified = Q._er_verified_pairs(spark, load_table(spark, SF, "documents"))
     lines = P.plan_string(verified, mode="simple").splitlines()
-    lev = next(len(l) - len(l.lstrip()) for l in lines if "levenshtein" in l)
-    rr = next(len(l) - len(l.lstrip()) for l in lines if "RoundRobin" in l)
-    # tree indentation: smaller indent = closer to the root = later stage
-    assert lev < rr, "levenshtein filter was pushed below the repartition"
+    # Structural check (r5 ADVICE): anchor to the Filter NODE that contains
+    # the levenshtein predicate and assert the round-robin Exchange sits in
+    # that Filter's subtree — i.e. strictly deeper-indented lines until the
+    # tree pops back to the Filter's own depth. Raw first-occurrence indent
+    # comparison could pass/fail on unrelated formatting or a second token.
+    filt_idx = next(
+        i
+        for i, l in enumerate(lines)
+        if "levenshtein" in l and "Filter" in l
+    )
+    filt_depth = len(lines[filt_idx]) - len(lines[filt_idx].lstrip())
+    in_subtree = False
+    for l in lines[filt_idx + 1 :]:
+        depth = len(l) - len(l.lstrip())
+        if l.strip() and depth <= filt_depth:
+            break  # left the Filter's subtree
+        if "RoundRobin" in l:
+            in_subtree = True
+            break
+    assert in_subtree, (
+        "round-robin Exchange not found inside the levenshtein Filter's "
+        "subtree — the DP was pushed below the repartition"
+    )
