@@ -95,7 +95,7 @@ HEADLINE = [
 ]
 
 
-def _bench_features_stream(spark, sf_dir: str) -> float:
+def _bench_features_stream(spark, sf_dir: str) -> tuple[float, list[dict]]:
     """Streaming twin of the flagship: the events-as-ticks feed replayed
     through the Structured Streaming feature plan (watermark + tumbling
     window + foreach-batch-shaped noop sink), 2 micro-batches via
@@ -103,17 +103,29 @@ def _bench_features_stream(spark, sf_dir: str) -> float:
     state handoff (r3 used 4; the 2 extra batches only re-measured
     micro-batch overhead). Setup (materializing the tick files) is
     untimed; the timed span is trigger(availableNow) → awaitTermination —
-    the steady-state per-batch compute a long-running engine pays."""
+    the steady-state per-batch compute a long-running engine pays.
+
+    Returns (wall_sec, per_batch_breakdown). The breakdown (r5 verdict
+    #1) separates per-batch COMPUTE (durationMs.addBatch) from
+    micro-batch scheduling/checkpoint overhead (walCommit, commitOffsets,
+    latestOffset, queryPlanning) — wall time alone cannot distinguish a
+    plan regression from overhead movement on a shared machine. Collected
+    via the ops-grade streaming/metrics.py listener; listener delivery is
+    async, so any batches the listener hasn't flushed by termination are
+    filled from q.recentProgress (the synchronous view of the same
+    progress events)."""
     import shutil
     import tempfile
 
     from realtime_market_data_pipeline_spark.io import load_table
     from realtime_market_data_pipeline_spark.operators.features import ticks_from_events
     from realtime_market_data_pipeline_spark.streaming import job
+    from realtime_market_data_pipeline_spark.streaming.metrics import attach_metrics
 
     root = tempfile.mkdtemp(prefix="bench_stream_")
     tick_dir = os.path.join(root, "ticks")
     ckpt = os.path.join(root, "ckpt")
+    collector, detach = attach_metrics(spark)
     try:
         ticks_from_events(load_table(spark, sf_dir, "events")).repartition(
             2
@@ -129,8 +141,37 @@ def _bench_features_stream(spark, sf_dir: str) -> float:
             .start()
         )
         q.awaitTermination()
-        return round(time.perf_counter() - t0, 3)
+        wall = round(time.perf_counter() - t0, 3)
+        recent = {int(json.loads(p.json)["batchId"]): json.loads(p.json)
+                  for p in q.recentProgress}
+        deadline = time.monotonic() + 3.0
+        while (
+            len(collector.batches) < len(recent)
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.05)
+        seen = {b.batch_id: b for b in collector.batches}
+        keys = ("addBatch", "getBatch", "latestOffset", "queryPlanning",
+                "walCommit", "commitOffsets", "triggerExecution")
+        breakdown = []
+        for bid in sorted(recent):
+            if bid in seen:
+                b = seen[bid]
+                durs, state = b.duration_breakdown_ms, b.state_rows
+            else:  # listener never flushed this batch — recentProgress fill
+                p = recent[bid]
+                durs = p.get("durationMs") or {}
+                state = sum(
+                    (op.get("numRowsTotal") or 0)
+                    for op in (p.get("stateOperators") or [])
+                )
+            breakdown.append(
+                {"batch_id": bid, "state_rows": state}
+                | {k: int(durs.get(k, 0)) for k in keys}
+            )
+        return wall, breakdown
     finally:
+        detach()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -174,6 +215,7 @@ def main() -> None:
     # unchanged code). Two full passes; report the min per query.
     RUNS = 2
     timings: dict[str, float] = {}
+    stream_breakdown: list[dict] = []
     for _ in range(RUNS):
         for name in HEADLINE:
             fn = Q.QUERIES[name]
@@ -181,10 +223,18 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
-        t = _bench_features_stream(spark, sf_dir)
+        t, bd = _bench_features_stream(spark, sf_dir)
+        if (
+            "features_stream" not in timings
+            or t < timings["features_stream"]
+        ):
+            stream_breakdown = bd  # breakdown of the min-wall run
         timings["features_stream"] = min(timings.get("features_stream", t), t)
 
     total = round(sum(timings.values()), 3)
+    stream_compute = round(
+        sum(b.get("addBatch", 0) for b in stream_breakdown) / 1000.0, 3
+    )
     print(
         json.dumps(
             {
@@ -194,6 +244,25 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": RUNS,
+                "features_stream_batches": stream_breakdown,
+            }
+        )
+    )
+    # The driver records only the ~2KB TAIL of stdout, and the line above
+    # puts the totals at its HEAD — r4/r5 both landed with "parsed": null.
+    # A second, compact, totals-last line guarantees the headline numbers
+    # survive the tail capture (r5 verdict #3). features_stream_compute_sec
+    # is the sum of per-batch addBatch time — the plan's actual work,
+    # stripped of micro-batch scheduling/checkpoint overhead.
+    print(
+        json.dumps(
+            {
+                "total_sec": total,
+                "n_queries": len(timings),
+                "sf": sf,
+                "runs": RUNS,
+                "features_stream_wall_sec": timings["features_stream"],
+                "features_stream_compute_sec": stream_compute,
             }
         )
     )
