@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed in Arrow-batched pandas over ``mapInPandas``.
 
-The decode step itself (PIL/libsndfile/ffmpeg) is NOT available in this
-container, so it is stubbed behind ``NotImplementedError`` /
-a deterministic fake — but the Spark-side plumbing is real and tested:
-schema contract, partition-preserving mapInPandas, Arrow batch iteration,
-and binary-column handling all match what a real decoder UDF needs.
+UNCOMPRESSED formats decode for real with stdlib only (r6): BMP
+(BI_RGB 24/32bpp) and binary PPM via ``struct``, WAV 16-bit PCM via
+``wave`` — see ``decode_image``/``decode_audio``. Compressed formats
+(PNG/JPEG/mp3/ogg, video) need PIL/libsndfile/ffmpeg, which are NOT in
+this container, and raise ``NotImplementedError`` behind the same
+tested plumbing: schema contract, partition-preserving mapInPandas,
+Arrow batch iteration, and binary-column handling all match what the
+full decoder UDF needs.
 
 Scale notes: binary payloads ride in parquet as-is; mapInPandas streams
 Arrow batches (bounded memory per task, set
@@ -61,11 +64,107 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder stub — requires PIL, not in this container."""
+def make_bmp(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic 24bpp BMP payload for ``doc_id`` — a REAL, spec-valid
+    BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded pixel
+    rows) built with stdlib ``struct`` only. Every channel of every pixel
+    in image row y (top-down) is ``(doc_id + y) % 256``, so an oracle can
+    predict the decoded pixel sum by byte arithmetic:
+    pixel_sum = 3 · width · Σ_y (doc_id + y) % 256."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    # BMP stores rows bottom-up: image row y lands at file row height-1-y
+    for y in reversed(range(height)):
+        v = (doc_id + y) % 256
+        rows.append(bytes([v]) * row_bytes + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixel_data
+
+
+def decode_image(payload: bytes) -> dict:
+    """Pure-Python image decode for UNCOMPRESSED formats (r5 verdict #4):
+    BMP (24/32bpp uncompressed, bottom-up or top-down) via stdlib
+    ``struct``, binary PPM (P6). Compressed formats (PNG/JPEG/...) still
+    require PIL/opencv — absent from this container — and raise.
+
+    Returns {"format", "width", "height", "bpp", "pixel_sum", "n_px"}
+    where pixel_sum is the sum of all pixel channel bytes EXCLUDING row
+    padding (getting padding wrong is the classic hand-rolled-BMP bug;
+    the oracle check would catch it)."""
+    import struct
+
+    if payload[:2] == b"BM":
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+        width, height_raw = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0:
+            raise NotImplementedError(
+                f"compressed BMP (BI_ compression={compression}) requires "
+                "PIL; only BI_RGB is decoded here"
+            )
+        if bpp not in (24, 32):
+            raise NotImplementedError(f"{bpp}bpp BMP not supported")
+        height = abs(height_raw)  # negative = top-down; sum is order-free
+        ch = bpp // 8
+        row_bytes = width * ch
+        stride = row_bytes + ((-row_bytes) % 4)
+        pixel_sum = 0
+        for r in range(height):
+            start = data_offset + r * stride
+            pixel_sum += sum(payload[start : start + row_bytes])
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": height,
+            "bpp": bpp,
+            "pixel_sum": pixel_sum,
+            "n_px": width * height,
+        }
+    if payload[:2] == b"P6":
+        # binary PPM: "P6\n<w> <h>\n<maxval>\n" then raw RGB triples
+        parts = []
+        i = 2
+        while len(parts) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        width, height, _maxval = parts
+        raster = payload[i : i + width * height * 3]
+        return {
+            "format": "ppm",
+            "width": width,
+            "height": height,
+            "bpp": 24,
+            "pixel_sum": sum(raster),
+            "n_px": width * height,
+        }
     raise NotImplementedError(
-        "image decode requires PIL/opencv; wire the real decoder here on a "
-        "cluster image that ships it"
+        "only uncompressed BMP (BI_RGB 24/32bpp) and binary PPM decode "
+        "without PIL/opencv; wire the real decoder here on a cluster image "
+        "that ships them"
     )
 
 
@@ -101,11 +200,165 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def decode_audio(payload: bytes) -> object:
-    """Real decoder stub — requires soundfile/librosa, not in this container."""
-    raise NotImplementedError(
-        "audio decode requires libsndfile/librosa; wire the real decoder "
-        "here on a cluster image that ships it"
+def make_wav(
+    doc_id: int, n_frames: int, sample_rate: int
+) -> bytes:
+    """Deterministic mono 16-bit PCM WAV payload for ``doc_id`` via stdlib
+    ``wave`` — a real RIFF/WAVE file. Sample i is
+    ``((doc_id·31 + i·17) % 65536) − 32768``, so an oracle predicts the
+    decoded sample sum/peak by integer arithmetic."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = struct.pack(
+            f"<{n_frames}h",
+            *(
+                ((doc_id * 31 + i * 17) % 65536) - 32768
+                for i in range(n_frames)
+            ),
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Pure-Python audio decode for WAV/PCM (r5 verdict #4) via stdlib
+    ``wave`` + ``struct`` — no libsndfile needed for uncompressed PCM.
+    Compressed codecs (mp3/ogg/flac) still require external libs and
+    raise. Returns {"format", "sample_rate", "n_channels", "n_samples",
+    "sample_sum", "sample_peak"} over signed 16-bit samples."""
+    import io
+    import struct
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes without libsndfile; wire the real "
+            "decoder here on a cluster image that ships it"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"{w.getsampwidth() * 8}-bit PCM not supported (16-bit only)"
+            )
+        n = w.getnframes()
+        ch = w.getnchannels()
+        samples = struct.unpack(f"<{n * ch}h", w.readframes(n))
+        return {
+            "format": "wav",
+            "sample_rate": w.getframerate(),
+            "n_channels": ch,
+            "n_samples": n,
+            "sample_sum": sum(samples),
+            "sample_peak": max(abs(s) for s in samples) if samples else 0,
+        }
+
+
+# Deterministic media-planting contract (the PII-planting pattern): derive
+# real BMP/WAV payloads from doc_id alone, so a DuckDB oracle can predict
+# every DECODED value by integer arithmetic while the decode path genuinely
+# parses bytes. Even doc_id → image, odd → audio.
+BMP_WIDTH = "(doc_id % 13) + 4"
+BMP_HEIGHT = "(doc_id % 11) + 4"
+WAV_FRAMES = "(doc_id % 23) + 8"
+WAV_RATE = "8000 + (doc_id % 5) * 1000"
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "pixel_sum long, sample_rate int, n_samples int, sample_sum long, "
+    "sample_peak int"
+)
+
+
+def plant_media(docs: DataFrame) -> DataFrame:
+    """Plant deterministic doc_id-derived media payloads over the documents
+    spine: even doc_id → 24bpp BMP (dims per BMP_WIDTH/BMP_HEIGHT), odd →
+    mono 16-bit WAV (frames/rate per WAV_FRAMES/WAV_RATE). Payload bytes
+    are built row-batch-wise in Arrow-batched mapInPandas — the same shape
+    real ingestion (fetch/transcode) runs — and are REAL files: any
+    conformant BMP/WAV reader decodes them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, types = [], []
+            for did in ids:
+                did = int(did)
+                if did % 2 == 0:
+                    payloads.append(
+                        make_bmp(did, (did % 13) + 4, (did % 11) + 4)
+                    )
+                    types.append("image/bmp")
+                else:
+                    payloads.append(
+                        make_wav(
+                            did, (did % 23) + 8, 8000 + (did % 5) * 1000
+                        )
+                    )
+                    types.append("audio/wav")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode binary media payloads into typed feature rows — the REAL
+    decode step (stdlib BMP/WAV parsers above), dispatched on media_type
+    inside Arrow-batched mapInPandas. Image columns are NULL on audio rows
+    and vice versa. Shuffle-free and embarrassingly parallel; payload
+    bytes never leave the task that read them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                row = {
+                    "media_id": int(mid),
+                    "media_type": mtype,
+                    "width": None,
+                    "height": None,
+                    "pixel_sum": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "sample_sum": None,
+                    "sample_peak": None,
+                }
+                if mtype.startswith("image/"):
+                    d = decode_image(bytes(payload))
+                    row.update(
+                        width=d["width"],
+                        height=d["height"],
+                        pixel_sum=d["pixel_sum"],
+                    )
+                elif mtype.startswith("audio/"):
+                    d = decode_audio(bytes(payload))
+                    row.update(
+                        sample_rate=d["sample_rate"],
+                        n_samples=d["n_samples"],
+                        sample_sum=d["sample_sum"],
+                        sample_peak=d["sample_peak"],
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no decoder for media_type={mtype!r}"
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload", "media_type").mapInPandas(
+        run, DECODED_SCHEMA
     )
 
 
