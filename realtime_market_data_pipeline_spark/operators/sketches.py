@@ -232,10 +232,10 @@ def heavy_hitters_topk_sketch(
     folds each group sequentially (determinism requires a single total
     order). State is O(k); time is linear in the group. At 100 TB the
     production paths are the streaming op (bounded state per key, folds as
-    data arrives) or a merge of per-partition sketches (space-saving
-    merges with additive error — but the merged table is then
-    partition-order-dependent, which is why the oracle-checked twin folds
-    in one task instead)."""
+    data arrives) and ``heavy_hitters_merged`` below (per-partition
+    sketches combined with the standard additive-error merge — its
+    estimates are partition-dependent, which is why the oracle-hashed
+    twin folds in one task instead; the merge form is contract-tested)."""
     fold = make_space_saving_fold(k)
 
     def per_group(pdf):
@@ -257,4 +257,103 @@ def heavy_hitters_topk_sketch(
         events.select(by, id_col, ts_col)
         .groupBy(by)
         .applyInPandas(per_group, schema)
+    )
+
+
+def space_saving_partial_sketches(
+    events: DataFrame,
+    k: int = 8,
+    by: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Per-partition space-saving sketches — the map side of the MERGE form
+    (r5 verdict #6). Within each input partition, fold one k-counter table
+    per group (the shared ``make_space_saving_fold``), accumulating across
+    the partition's Arrow batches; emit the tracked counters plus one
+    summary row per (partition, group) carrying that sketch's min-counter
+    value m_i (the untracked-id upper bound; 0 while the table is not
+    full) and its row count n_i. Summary rows have NULL ``id``.
+
+    State per task is O(k · groups); nothing shuffles here."""
+    fold = make_space_saving_fold(k)
+
+    def per_partition(batches):
+        import pandas as pd
+
+        tables: dict = {}
+        ns: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(by, sort=False):
+                t = tables.setdefault(g, {})
+                ns[g] = fold(t, ns.get(g, 0), sub[id_col].astype("int64"))
+        rows = []
+        for g, t in tables.items():
+            m_i = min(c for c, _ in t.values()) if len(t) >= k else 0
+            for u, (c, e) in sorted(t.items()):
+                rows.append((g, u, c, e, m_i, 0))
+            rows.append((g, None, 0, 0, m_i, ns[g]))
+        yield pd.DataFrame(
+            rows, columns=[by, "id", "est", "err", "m", "n"]
+        )
+
+    return events.select(by, id_col).mapInPandas(
+        per_partition,
+        f"{by} string, id long, est long, err long, m long, n long",
+    )
+
+
+def heavy_hitters_merged(
+    events: DataFrame,
+    k: int = 8,
+    by: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Distributed space-saving via the standard additive-error merge — the
+    production batch form at 100 TB (the per-key sequential certification
+    twin is ``heavy_hitters_topk_sketch``; the streaming op shares the
+    same fold). One k-counter sketch per (partition, group), then a single
+    keyed shuffle combines them:
+
+      ub(u) = Σ_{i tracks u} est_i(u) + Σ_{i untracked} m_i
+            = Σ_track est_i(u) + (M_total − Σ_track m_i)
+      lb(u) = Σ_{i tracks u} (est_i(u) − err_i(u))
+
+    emitted as est_count=ub, err=ub−lb, so ``est−err ≤ true ≤ est`` holds
+    per id under ANY partitioning (each sketch bounds its own partition's
+    truth; untracked partitions contribute ≤ m_i). Completeness: any id
+    with global count > n/k exceeds n_i/k in at least one partition
+    (pigeonhole) and is therefore tracked somewhere, so it appears in the
+    union output. The union is NOT truncated to k — truncation after an
+    ub-style merge can evict a true heavy hitter whose ub ranks below k
+    inflated entries; callers rank by est_count and keep what they need.
+    Output ≤ k · n_partitions rows per group (tiny), one exchange plus a
+    broadcast of per-group scalar totals.
+
+    Estimates are partitioning-dependent (unlike the deterministic twin),
+    which is why this form is contract-tested, not oracle-hashed."""
+    partials = space_saving_partial_sketches(events, k=k, by=by, id_col=id_col)
+    totals = (
+        partials.filter(F.col("id").isNull())
+        .groupBy(by)
+        .agg(
+            F.sum("m").alias("m_total"),
+            F.sum("n").alias("n_total"),
+        )
+    )
+    tracked = (
+        partials.filter(F.col("id").isNotNull())
+        .groupBy(by, "id")
+        .agg(
+            F.sum("est").alias("est_track"),
+            F.sum(F.col("est") - F.col("err")).alias("lb"),
+            F.sum("m").alias("m_track"),
+        )
+    )
+    ub = F.col("est_track") + F.col("m_total") - F.col("m_track")
+    return tracked.join(F.broadcast(totals), by).select(
+        by,
+        F.col("id").alias(id_col),
+        ub.alias("est_count"),
+        (ub - F.col("lb")).alias("err"),
+        "n_total",
     )
