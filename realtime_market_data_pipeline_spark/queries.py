@@ -5921,80 +5921,81 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver adjudicates roughly the FIRST 50 entries in
-# dict order, so ordering is a coverage decision, not cosmetics. r4 rotation
-# completes driver adjudication of the full registry:
-# (1) the 32 queries that have never held a driver row (r1-r3 windows were
-#     spent on the NTZ/decimal regressions and the LLM block) — embedding/ANN
-#     family first, per the r3 verdict;
-# (2) queries whose code or oracle changed this round and therefore need a
-#     FRESH green row (tick_validation_counts BIGINT-cast oracle,
-#     stratified_sample_events' new deterministic oracle, the new
-#     dedup_embedding_lsh recall contract, the round(.,6) window-sum pair);
-# (3) the window's tail refreshed from the r2-green set (code unchanged —
-#     re-certifies them on the current corpus flavor).
-# Everything below slot ~50 already holds a green row from r1-r3 on
-# unchanged code.
+# dict order, so ordering is a coverage decision, not cosmetics. After r5's
+# fully-green window, EVERY registered query has held a driver-green row at
+# least once — rotation policy is now STALENESS-FIRST re-certification (r5
+# verdict #2): no query's last driver row should be older than two rounds,
+# because rounds rewrite shared code under all of them (r5 alone changed
+# io.py — under every load_table — plus text.py/behavior.py/similarity.py).
+# The r6 window:
+# (1) queries NEW this round (never adjudicated);
+# (2) the 8 queries whose last green row is r1/r2 (3-4 rounds stale);
+# (3) the 33 whose last green row is r3;
+# (4) 8 r4-green refreshers chosen from the families the r5 verdict named
+#     (quant indicators, text dedup/retrieval, sessions) plus the two
+#     queries sitting directly on code changed this round
+#     (operators/multimodal.py).
+# Everything below slot 50 holds a green row from r4 or r5 on unchanged
+# code and rotates in next round.
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # (1) the 20 late-r4 queries that have never held a driver row — after
-    # this rotation every registered query will have been driver-adjudicated
-    "pagerank_trade_graph",
-    "hits_trade_authorities",
-    "triangle_count_supplier_graph",
-    "entity_resolution_clusters",
-    "dedup_sorted_neighborhood",
-    "copurchase_brand_pairs",
-    "equidepth_bins_value",
-    "kmv_distinct_users",
-    "kmv_jaccard_pairs",
-    "sequence_pattern_counts",
-    "events_value_drift_psi",
-    "seasonal_baseline_backtest",
-    "inverted_index_postings",
-    "zscore_outlier_events",
-    "beta_vs_market_daily",
-    "events_value_histogram",
-    "token_weighted_sample",
-    "vwap_brand_month",
-    "point_in_time_enrich",
-    "atr_14_daily",
-    # (2) the 3 r4 artifact-reds, fixed this round (BIGINT-cast oracle;
-    # posexplode'd array outputs) — need fresh green rows
-    "doc_train_eval_split",
-    "embedding_l2_normalized",
-    "embedding_quantized_int8",
-    # (3) new or code-changed this round — need fresh rows
-    "heavy_hitters_topk",  # new: space-saving batch twin (r5)
-    "embedding_similar_pairs",  # adaptive blocked-BLAS grid (r5 perf fix)
-    "dedup_embedding_cosine",  # adaptive blocked-BLAS grid (r5 perf fix)
-    # (4) r1/r2-green refresh fills the window to 50 (code unchanged —
-    # re-certifies the oldest rows on the current corpus flavor)
-    "events_time_range",
-    "kpi_summary",
-    "dedup_last_write_wins",
-    "topk_per_type",
-    "anti_join_customers",
-    "semi_join_customers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "q10_returned_item_customers",
-    "q14_promo_revenue_ratio",
-    "q15_top_suppliers",
-    "q16_brand_size_suppliers",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "regex_extract_brands",
-    "stats_price_quantity",
-    "asof_last_purchase",
-    # Everything below slot 50 holds a green row from an earlier round on
+    # (1) new in r6 — real BMP/WAV decode over planted media payloads
+    "multimodal_decode",
+    # (2) last driver row r1/r2 — the stalest rows in the registry
+    "features_tumbling_1h",
+    "features_tumbling_1d",
+    "features_sliding_6h_1h",
+    "setop_active_both_years",
+    "setop_lapsed_customers",
+    "distinct_counts",
+    "string_funcs_part",
+    "props_key_counts",
+    # (3) last driver row r3 — under r4/r5 io.py/text.py churn since
+    "realized_vol_1d",
+    "gapfill_locf_1m",
+    "gapfill_interpolate_1m",
+    "ohlc_rollup_1m_1h",
+    "max_drawdown_per_symbol",
+    "bollinger_breach_stats",
+    "pairwise_return_corr",
+    "twap_1h",
+    "counter_agg_1h",
+    "state_agg_user_event",
+    "pivot_last_daily",
+    "region_revenue",
+    "rollup_returnflag_status",
+    "cube_brand_size",
+    "unpivot_lineitem_measures",
+    "grouping_sets_flag_status",
+    "date_parts_orders",
+    "json_props_stats",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "pii_scrub",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "bm25_top20",
+    "sequence_packing_256",
+    "doc_lm_scores",
+    "decontamination_8gram",
+    "dedup_clusters",
+    "curation_pipeline",
+    "dedup_simhash32",
+    # (4) r4-green refreshers: verdict-named families + the two queries on
+    # this round's multimodal.py changes
+    "ema_macd_daily",
+    "rsi_14_daily",
+    "stochastic_14_3",
+    "dedup_edit_distance",
+    "tfidf_top3_terms",
+    "user_sessions_12h",
+    "hybrid_search_rrf",
+    "multimodal_features",
+    # Everything below slot 50 holds a green row from r4 or r5 on
     # unchanged code.
 ]
 

@@ -6,6 +6,13 @@ a quadratic join or a collapsing single-partition stage.
 Usage: python scripts/scale_probe.py [k] [query ...]
 Writes one JSON line: {"k": k, "queries": {name: {"t1": s, "tk": s,
 "ratio": tk/t1}}} — ratio ≲ k means at-or-better-than-linear.
+
+Streaming mode (r5 verdict #5): python scripts/scale_probe.py --stream [k]
+replicates the tick volume k× and compares STEADY-STATE per-batch compute
+(median durationMs.addBatch, excluding batch 0's codegen) through the
+features_stream plan, plus the state-store row sequence — bounded state
+means the watermark is closing windows, the property that keeps a 100 TB
+stream from accreting state forever.
 """
 
 from __future__ import annotations
@@ -123,11 +130,138 @@ def replicate(spark, k: int, dst: str) -> None:
         copies.write.mode("overwrite").parquet(out)
 
 
+def _run_stream_once(spark, events_df, n_files: int) -> list[dict]:
+    """Replay events as ``n_files`` tick files through the streaming
+    features plan (1 file per micro-batch, availableNow) and return the
+    per-batch metrics: durationMs.addBatch + state rows, via the
+    streaming metrics listener (recentProgress fills any unflushed tail,
+    as in bench.py)."""
+    from realtime_market_data_pipeline_spark.operators.features import (
+        ticks_from_events,
+    )
+    from realtime_market_data_pipeline_spark.streaming import job
+    from realtime_market_data_pipeline_spark.streaming.metrics import (
+        attach_metrics,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_probe_")
+    tick_dir = os.path.join(root, "ticks")
+    ckpt = os.path.join(root, "ckpt")
+    collector, detach = attach_metrics(spark)
+    try:
+        ticks_from_events(events_df).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tick_dir)
+        stream = job.read_parquet_ticks_stream(
+            spark, tick_dir, max_files_per_trigger=1
+        )
+        feats = job.features_stream(stream, window="1 hour", watermark="1 hour")
+        q = (
+            feats.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        recent = {int(json.loads(p.json)["batchId"]): json.loads(p.json)
+                  for p in q.recentProgress}
+        deadline = time.monotonic() + 3.0
+        while (
+            len(collector.batches) < len(recent)
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.05)
+        seen = {b.batch_id: b for b in collector.batches}
+        out = []
+        for bid in sorted(recent):
+            if bid in seen:
+                b = seen[bid]
+                add, state = (
+                    b.duration_breakdown_ms.get("addBatch", 0),
+                    b.state_rows,
+                )
+            else:
+                p = recent[bid]
+                add = int((p.get("durationMs") or {}).get("addBatch") or 0)
+                state = sum(
+                    (op.get("numRowsTotal") or 0)
+                    for op in (p.get("stateOperators") or [])
+                )
+            out.append(
+                {"batch_id": bid, "add_batch_ms": add, "state_rows": state}
+            )
+        return out
+    finally:
+        detach()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _steady_ms(batches: list[dict]) -> float:
+    """Median addBatch over steady batches — batch 0 (whole-stage codegen
+    compile) and the trailing empty finalization batch excluded."""
+    mids = [
+        b["add_batch_ms"]
+        for b in batches[1:]
+        if b["add_batch_ms"] > 0
+    ]
+    mids = sorted(mids) or [0]
+    return float(mids[len(mids) // 2])
+
+
+def stream_main(k: int) -> None:
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.session import get_spark
+
+    n_files = 6
+    spark = get_spark(app_name="scale-probe-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_events = load_table(spark, BASE, "events")
+    # k× tick volume via the SAME event-id remapping the batch probe uses
+    # (fresh ids, same symbol/timestamp distribution: per-batch row volume
+    # grows k×, window-key cardinality stays realistic)
+    rep = base_events.crossJoin(
+        F.broadcast(spark.range(k).select(F.col("id").alias("_rep")))
+    ).withColumn(
+        "event_id", F.col("event_id") + F.col("_rep") * F.lit(10_000_000)
+    ).drop("_rep")
+    # warm codegen/worker pool once, then measure both volumes
+    _run_stream_once(spark, base_events, 2)
+    b1 = _run_stream_once(spark, base_events, n_files)
+    bk = _run_stream_once(spark, rep, n_files)
+    s1, sk = _steady_ms(b1), _steady_ms(bk)
+    state_seq = [b["state_rows"] for b in bk]
+    print(
+        json.dumps(
+            {
+                "stream_k": k,
+                "n_files": n_files,
+                "steady_ms_base": s1,
+                "steady_ms_k": sk,
+                "ratio": round(sk / s1, 2) if s1 else None,
+                "batches_base": b1,
+                "batches_k": bk,
+                # bounded-state check: once the watermark advances past the
+                # first batches' windows, state must stop growing — the
+                # second half of the run must show ~no net state growth
+                # (unbounded accretion would keep climbing to the end)
+                "state_plateau": state_seq[-1]
+                <= state_seq[len(state_seq) // 2] * 1.1 + 16,
+                "state_rows_k": state_seq,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     from realtime_market_data_pipeline_spark import queries as Q
     from realtime_market_data_pipeline_spark.session import get_spark
 
     args = sys.argv[1:]
+    if args and args[0] == "--stream":
+        stream_main(int(args[1]) if len(args) > 1 else 8)
+        return
     k = int(args[0]) if args else 8
     names = args[1:] or DEFAULT_QUERIES
     spark = get_spark(app_name="scale-probe")

@@ -323,34 +323,38 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
-    # the r5 rotation must put (a) the 20 late-r4 queries that have never
-    # held a driver row, (b) the 3 r4 artifact-reds fixed this round, and
-    # (c) everything new or code-changed this round inside that window
+    # after r5's fully-green sweep the policy is STALENESS-FIRST: the r6
+    # window must hold (a) queries new this round, (b) every query whose
+    # last driver row predates r4 (r1/r2 then r3 cohorts), and (c) the
+    # queries sitting on code changed this round (multimodal.py)
     names = list(Q.QUERIES)
     window = set(names[:50])
-    never_adjudicated = {
-        "pagerank_trade_graph", "hits_trade_authorities",
-        "triangle_count_supplier_graph", "entity_resolution_clusters",
-        "dedup_sorted_neighborhood", "copurchase_brand_pairs",
-        "equidepth_bins_value", "kmv_distinct_users", "kmv_jaccard_pairs",
-        "sequence_pattern_counts", "events_value_drift_psi",
-        "seasonal_baseline_backtest", "inverted_index_postings",
-        "zscore_outlier_events", "beta_vs_market_daily",
-        "events_value_histogram", "token_weighted_sample",
-        "vwap_brand_month", "point_in_time_enrich", "atr_14_daily",
+    new_r6 = {"multimodal_decode"}
+    last_green_r1_r2 = {
+        "features_tumbling_1h", "features_tumbling_1d",
+        "features_sliding_6h_1h", "setop_active_both_years",
+        "setop_lapsed_customers", "distinct_counts", "string_funcs_part",
+        "props_key_counts",
     }
-    fixed_artifact_reds = {
-        "doc_train_eval_split", "embedding_l2_normalized",
-        "embedding_quantized_int8",
+    last_green_r3 = {
+        "realized_vol_1d", "gapfill_locf_1m", "gapfill_interpolate_1m",
+        "ohlc_rollup_1m_1h", "max_drawdown_per_symbol",
+        "bollinger_breach_stats", "pairwise_return_corr", "twap_1h",
+        "counter_agg_1h", "state_agg_user_event", "pivot_last_daily",
+        "region_revenue", "rollup_returnflag_status", "cube_brand_size",
+        "unpivot_lineitem_measures", "grouping_sets_flag_status",
+        "date_parts_orders", "json_props_stats", "doc_token_stats",
+        "doc_quality_scores", "doc_lang_id", "doc_fingerprint",
+        "pii_scrub", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "bm25_top20", "sequence_packing_256",
+        "doc_lm_scores", "decontamination_8gram", "dedup_clusters",
+        "curation_pipeline", "dedup_simhash32",
     }
-    changed_r5 = {
-        "heavy_hitters_topk",  # new batch twin
-        "embedding_similar_pairs",  # adaptive blocked-BLAS grid
-        "dedup_embedding_cosine",  # adaptive blocked-BLAS grid
-    }
-    assert never_adjudicated <= window, never_adjudicated - window
-    assert fixed_artifact_reds <= window, fixed_artifact_reds - window
-    assert changed_r5 <= window, changed_r5 - window
+    changed_r6 = {"multimodal_decode", "multimodal_features"}
+    assert new_r6 <= window, new_r6 - window
+    assert last_green_r1_r2 <= window, last_green_r1_r2 - window
+    assert last_green_r3 <= window, last_green_r3 - window
+    assert changed_r6 <= window, changed_r6 - window
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 
