@@ -92,6 +92,10 @@ HEADLINE = [
     "point_in_time_enrich",
     # r5 addition: space-saving heavy-hitters batch twin
     "heavy_hitters_topk",
+    # r6 additions: merge-form heavy hitters (production batch path) and
+    # real BMP/WAV decode over planted binary payloads
+    "heavy_hitters_merged",
+    "multimodal_decode",
 ]
 
 

@@ -3647,6 +3647,116 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitters_merged",
+    oracle="""
+WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_total FROM c GROUP BY 1),
+h AS (SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_heavy
+      FROM c JOIN t ON c.event_type = t.event_type AND c.cnt * 8 > t.n_total
+      GROUP BY 1),
+r AS (SELECT event_type, user_id, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rk
+      FROM c)
+SELECT t.event_type, t.n_total, COALESCE(h.n_heavy, 0) AS n_heavy,
+       TRUE AS soundness_ok, TRUE AS completeness_ok,
+       r.user_id AS top1_user, CAST(r.cnt AS BIGINT) AS top1_count
+FROM t LEFT JOIN h ON h.event_type = t.event_type
+JOIN r ON r.event_type = t.event_type AND r.rk = 1
+""",
+)
+def heavy_hitters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification of the MERGE-form space-saving sketch (r6) —
+    the production batch path at scale (per-partition k-counter sketches
+    in mapInPandas + the standard additive-error combine,
+    ``operators/sketches.heavy_hitters_merged``). Merged ESTIMATES are
+    partition-dependent, so the driver-hashable surface is the theorems
+    that hold under ANY partitioning, computed against exact counts:
+    soundness (est − err ≤ true ≤ est for every emitted id, and the
+    sketch's n_total equals the exact total) and completeness (every id
+    with true count > n/k is emitted — pigeonhole over partitions), plus
+    exact corpus-derived columns (n_total, heavy-hitter count, top-1 by
+    true count). Verification joins are |sketch| ≤ k·P rows — broadcast."""
+    from pyspark.sql.window import Window as W
+
+    from realtime_market_data_pipeline_spark.operators import sketches
+
+    K = 8
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    merged = sketches.heavy_hitters_merged(ev, k=K)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = exact.groupBy("event_type").agg(F.sum("cnt").alias("n_total"))
+    heavy = exact.join(tot, "event_type").where(
+        F.col("cnt") * K > F.col("n_total")
+    )
+    n_heavy = heavy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_heavy")
+    )
+    snd = (
+        merged.join(exact, ["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    (F.col("est_count") - F.col("err") <= F.col("cnt"))
+                    & (F.col("cnt") <= F.col("est_count"))
+                ).cast("long")
+            ).alias("n_ok"),
+            F.first(merged["n_total"]).alias("sk_n_total"),
+        )
+    )
+    missing = (
+        heavy.select("event_type", "user_id")
+        .join(
+            merged.select("event_type", "user_id"),
+            ["event_type", "user_id"],
+            "left_anti",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    top1 = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.col("cnt").desc(), F.col("user_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("top1_user"),
+            F.col("cnt").alias("top1_count"),
+        )
+    )
+    return (
+        tot.join(F.broadcast(snd), "event_type")
+        .join(F.broadcast(n_heavy), "event_type", "left")
+        .join(F.broadcast(missing), "event_type", "left")
+        .join(top1, "event_type")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce(F.col("n_heavy"), F.lit(0)).alias("n_heavy"),
+            (
+                (F.col("n_ok") == F.col("n_rows"))
+                & (F.col("sk_n_total") == F.col("n_total"))
+            ).alias("soundness_ok"),
+            (F.coalesce(F.col("n_missing"), F.lit(0)) == 0).alias(
+                "completeness_ok"
+            ),
+            "top1_user",
+            "top1_count",
+        )
+    )
+
+
+@query(
     "top_orders_global",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -5992,9 +6102,10 @@ _REGISTRY_PRIORITY = [
     "stochastic_14_3",
     "dedup_edit_distance",
     "tfidf_top3_terms",
-    "user_sessions_12h",
     "hybrid_search_rrf",
     "multimodal_features",
+    # new in r6 (late): merge-form heavy-hitters certification
+    "heavy_hitters_merged",
     # Everything below slot 50 holds a green row from r4 or r5 on
     # unchanged code.
 ]

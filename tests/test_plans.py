@@ -329,7 +329,7 @@ def test_registry_priority_window():
     # queries sitting on code changed this round (multimodal.py)
     names = list(Q.QUERIES)
     window = set(names[:50])
-    new_r6 = {"multimodal_decode"}
+    new_r6 = {"multimodal_decode", "heavy_hitters_merged"}
     last_green_r1_r2 = {
         "features_tumbling_1h", "features_tumbling_1d",
         "features_sliding_6h_1h", "setop_active_both_years",
@@ -350,7 +350,8 @@ def test_registry_priority_window():
         "doc_lm_scores", "decontamination_8gram", "dedup_clusters",
         "curation_pipeline", "dedup_simhash32",
     }
-    changed_r6 = {"multimodal_decode", "multimodal_features"}
+    changed_r6 = {"multimodal_decode", "multimodal_features",
+                  "heavy_hitters_merged"}
     assert new_r6 <= window, new_r6 - window
     assert last_green_r1_r2 <= window, last_green_r1_r2 - window
     assert last_green_r3 <= window, last_green_r3 - window
