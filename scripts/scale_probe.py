@@ -72,6 +72,9 @@ DEFAULT_QUERIES = [
     "curation_pipeline",
     "embedding_ann_ivf",
     "heavy_hitters_topk",
+    # r6: merge-form heavy hitters and real BMP/WAV decode
+    "heavy_hitters_merged",
+    "multimodal_decode",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
