@@ -165,18 +165,31 @@ def idempotent_parquet_writer(path: str) -> BatchWriter:
     return write
 
 
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_path: str) -> str:
+    """JDBC URL for the Derby database Spark already ships (its Hive
+    metastore backend) — a REAL relational sink testable in this container
+    with zero extra dependencies. Embedded Derby is single-JVM, which is
+    exactly Spark local mode; on a cluster swap the URL for a database
+    server (Postgres/Timescale) — every writer below is URL-agnostic."""
+    return f"jdbc:derby:{db_path};create=true"
+
+
 def jdbc_append_writer(
     url: str,
     table: str = "features",
     properties: dict[str, str] | None = None,
 ) -> BatchWriter:
     """K2: foreachBatch → JDBC append (the reference's TimescaleDB sink,
-    spark_streaming.py:181-243, minus the driver-side psycopg2 loop — Spark's
-    JDBC writer inserts from the executors in parallel). Untestable in this
-    container (no database server); the parquet writers above carry the
-    tested semantics. For Timescale, pre-create the hypertable (K5) and let
-    this append; idempotence needs a unique (window_start, symbol, batch_id)
-    constraint + ON CONFLICT, or the idempotent parquet/lakehouse sink."""
+    spark_streaming.py:181-243, minus the driver-side psycopg2 row loop —
+    Spark's JDBC writer inserts from the executors in parallel). Tested
+    end-to-end in this container against embedded Derby (``derby_url``);
+    for Timescale, pre-create the hypertable (K5) and let this append.
+    Same append-only semantics as K1: update mode duplicates rows per
+    window and readers recover last-write-wins — for exactly-once use
+    ``jdbc_merge_writer``."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -184,6 +197,87 @@ def jdbc_append_writer(
             .write.mode("append")
             .jdbc(url, table, properties=properties or {})
         )
+
+    return write
+
+
+def jdbc_merge_writer(
+    url: str,
+    table: str = "features",
+    key_cols: tuple[str, ...] = ("window_start", "symbol"),
+    properties: dict[str, str] | None = None,
+) -> BatchWriter:
+    """K2 + T7: exactly-once JDBC sink via the staging-table MERGE pattern
+    (the SQL twin of the idempotent parquet sink, and what the reference's
+    Timescale sink needed but lacked — its append-only INSERT is the §2.2
+    trap). Per micro-batch:
+
+      1. executors write the batch to a staging table in parallel
+         (``overwrite`` → a replayed batch rewrites staging, never
+         double-lands);
+      2. the driver issues ONE set-based ``MERGE INTO target USING
+         staging ON keys`` statement — matched keys update, new keys
+         insert. Data never flows through the driver; only the DDL/MERGE
+         coordination does, like any lakehouse commit.
+
+    Replaying a batch or re-emitting a window in update mode is therefore
+    idempotent: one row per key, newest values win. ANSI MERGE runs on
+    Derby, Postgres 15+, and Timescale; key columns must be non-null."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        props = dict(properties or {})
+        stage = f"{table}_stage"
+        b = _ordered(batch_df)
+        cols = b.columns
+        # Spark's default Derby mapping turns StringType into CLOB, which
+        # MERGE cannot compare on — pin string columns to VARCHAR at
+        # creation (createTableColumnTypes applies only when the writer
+        # creates the table)
+        str_cols = [
+            f.name for f in b.schema.fields if f.dataType.simpleString() == "string"
+        ]
+        ctypes = ", ".join(f"{c} VARCHAR(255)" for c in str_cols)
+
+        def w(df, mode, tbl):
+            wr = df.write.mode(mode)
+            if ctypes:
+                wr = wr.option("createTableColumnTypes", ctypes)
+            wr.jdbc(url, tbl, properties=props)
+
+        # K5 schema pre-creation: a 0-row append creates the target with
+        # the batch schema iff it does not exist yet
+        w(b.limit(0), "append", table)
+        w(b, "overwrite", stage)
+
+        # Spark's JDBC writer creates case-preserving QUOTED identifiers;
+        # unquoted names in the MERGE would fold to uppercase and miss them
+        def q(c: str) -> str:
+            return '"' + c + '"'
+
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+        sets = ", ".join(
+            f"t.{q(c)} = s.{q(c)}" for c in cols if c not in key_cols
+        )
+        ins = ", ".join(q(c) for c in cols)
+        vals = ", ".join(f"s.{q(c)}" for c in cols)
+        merge_sql = (
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins}) VALUES ({vals})"
+        )
+        jvm = spark._jvm
+        if "driver" in props:  # ensure DriverManager sees the driver class
+            jvm.java.lang.Class.forName(props["driver"])
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(merge_sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
 
     return write
 

@@ -1,0 +1,134 @@
+"""K2 JDBC sink, tested for real (r6): Spark ships Derby (its Hive
+metastore backend), so the JDBC writer path — executor-parallel inserts,
+staging-table MERGE upserts — runs end-to-end in this container with zero
+extra dependencies. Embedded Derby is single-JVM = Spark local mode; on a
+cluster only the URL changes (Postgres/Timescale), per
+`streaming/sinks.derby_url`.
+
+Covers the reference's TimescaleDB sink semantics
+(spark_streaming.py:181-243) and the exactly-once upgrade the reference
+lacked: append duplicates per window in update mode (§2.2 trap, recovered
+by read-side LWW), while the MERGE writer is replay-idempotent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark.operators.features import (
+    compute_features,
+)
+from realtime_market_data_pipeline_spark.operators.readside import (
+    dedup_last_write_wins,
+)
+from realtime_market_data_pipeline_spark.sources import ticks as src
+from realtime_market_data_pipeline_spark.streaming import job, sinks
+
+DET_COLS = [
+    "symbol",
+    "window_start",
+    "window_end",
+    "first_price",
+    "last_price",
+    "log_return",
+    "volatility",
+    "num_ticks",
+    "max_event_time_ms",
+]
+
+PROPS = {"driver": sinks.DERBY_DRIVER}
+
+
+@pytest.fixture(scope="module")
+def gbm_ticks(spark):
+    return src.synthetic_ticks_batch(spark, n_per_symbol=200, seed=13).cache()
+
+
+def _expected(gbm_ticks):
+    return {
+        tuple(r)
+        for r in compute_features(gbm_ticks, window="10 seconds")
+        .select(*DET_COLS)
+        .collect()
+    }
+
+
+def _read(spark, url, table="features"):
+    return spark.read.jdbc(url, table, properties=PROPS)
+
+
+def test_jdbc_append_then_readside_lww(spark, gbm_ticks, tmp_path):
+    """Append-only JDBC reproduces the reference's §2.2 trap; read-side
+    last-write-wins recovers the batch answer — K1 semantics over a real
+    relational sink."""
+    url = sinks.derby_url(str(tmp_path / "db_append"))
+    feats = compute_features(gbm_ticks, window="10 seconds").withColumn(
+        "ingest_ts", F.lit(1).cast("timestamp")
+    ).withColumn("latency_ms", F.lit(0).cast("long"))
+    w = sinks.jdbc_append_writer(url, properties=PROPS)
+    w(feats, 0)
+    w(feats.withColumn("ingest_ts", F.lit(2).cast("timestamp")), 1)
+    sunk = _read(spark, url)
+    assert sunk.count() == 2 * feats.count()  # duplicates per window: trap
+    deduped = dedup_last_write_wins(
+        sunk, ["window_start", "symbol"], "ingest_ts", tiebreak=["num_ticks"]
+    )
+    got = {tuple(r) for r in deduped.select(*DET_COLS).collect()}
+    assert got == _expected(gbm_ticks)
+
+
+def test_jdbc_merge_replay_and_update_idempotent(spark, gbm_ticks, tmp_path):
+    """The MERGE writer is exactly-once: replaying a batch changes nothing;
+    re-emitting a window with newer values updates in place (one row per
+    key, newest wins) — what the reference's Timescale sink needed."""
+    url = sinks.derby_url(str(tmp_path / "db_merge"))
+    feats = compute_features(gbm_ticks, window="10 seconds")
+    w = sinks.jdbc_merge_writer(url, properties=PROPS)
+    w(feats, 0)
+    n1 = _read(spark, url).count()
+    w(feats, 0)  # replay of the same batch
+    assert _read(spark, url).count() == n1 == feats.count()
+    # update-mode re-emission: same keys, bumped num_ticks must overwrite
+    w(feats.withColumn("num_ticks", F.col("num_ticks") + 1000), 1)
+    sunk = _read(spark, url)
+    assert sunk.count() == n1
+    assert sunk.agg(F.min("num_ticks")).collect()[0][0] > 1000
+
+
+def test_stream_foreachbatch_jdbc_merge_matches_batch(
+    spark, gbm_ticks, tmp_path
+):
+    """End-to-end K2: the streaming features plan lands in a relational
+    table via foreachBatch MERGE in update mode; despite each window being
+    re-emitted by multiple micro-batches, the table holds exactly the
+    batch answer — no read-side dedup needed."""
+    tick_dir = str(tmp_path / "ticks")
+    for lo, hi in [(0, 9), (9, 17), (17, 60)]:
+        gbm_ticks.filter(
+            (
+                F.col("event_time")
+                >= F.timestamp_millis(F.lit(1_704_067_200_000 + lo * 1000))
+            )
+            & (
+                F.col("event_time")
+                < F.timestamp_millis(F.lit(1_704_067_200_000 + hi * 1000))
+            )
+        ).coalesce(1).write.mode("append").parquet(tick_dir)
+    url = sinks.derby_url(str(tmp_path / "db_stream"))
+    stream = job.read_parquet_ticks_stream(
+        spark, tick_dir, max_files_per_trigger=1
+    )
+    feats = job.features_stream(
+        stream, window="10 seconds", watermark="0 seconds", with_latency=False
+    )
+    q = job.start_features_stream(
+        feats,
+        sinks.jdbc_merge_writer(url, properties=PROPS),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",
+        available_now=True,
+    )
+    q.awaitTermination(timeout=300)
+    got = {tuple(r) for r in _read(spark, url).select(*DET_COLS).collect()}
+    assert got == _expected(gbm_ticks)
