@@ -40,7 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--starting-offsets", default="latest",
                    choices=["earliest", "latest"])
     p.add_argument("--sink", default="console",
-                   help="parquet:<dir> | idempotent:<dir> | duckdb:<path> | console")
+                   help="parquet:<dir> | idempotent:<dir> | duckdb:<path> | "
+                        "jdbc:<url> (append) | jdbc-merge:<url> (exactly-once "
+                        "upsert; derby:<path> shorthand builds an embedded "
+                        "Derby URL) | console")
     p.add_argument("--checkpoint", default="./data/checkpoints/features")
     p.add_argument("--output-mode", default="update", choices=["update", "append"])
     p.add_argument("--trigger", default=None,
@@ -82,6 +85,15 @@ def make_writer(args):
     if kind == "duckdb":
         sinks.ensure_duckdb_schema(rest)
         return sinks.duckdb_append_writer(rest)
+    if kind in ("jdbc", "jdbc-merge"):
+        url = rest
+        props = {}
+        if url.startswith("derby:"):
+            url = sinks.derby_url(url.partition(":")[2])
+            props = {"driver": sinks.DERBY_DRIVER}
+        if kind == "jdbc":
+            return sinks.jdbc_append_writer(url, properties=props)
+        return sinks.jdbc_merge_writer(url, properties=props)
     raise SystemExit(f"unknown sink {args.sink!r}")
 
 

@@ -132,3 +132,17 @@ def test_stream_foreachbatch_jdbc_merge_matches_batch(
     q.awaitTermination(timeout=300)
     got = {tuple(r) for r in _read(spark, url).select(*DET_COLS).collect()}
     assert got == _expected(gbm_ticks)
+
+
+def test_jdbc_readside_filter_pushdown(spark, gbm_ticks, tmp_path):
+    """S3 twin over the relational sink: a symbol predicate on the JDBC
+    read must be pushed into the database scan (PushedFilters on the
+    JDBCRelation), not evaluated in Spark after a full-table fetch — at
+    scale the database's index does the pruning."""
+    url = sinks.derby_url(str(tmp_path / "db_read"))
+    feats = compute_features(gbm_ticks, window="10 seconds")
+    sinks.jdbc_merge_writer(url, properties=PROPS)(feats, 0)
+    df = _read(spark, url).where(F.col("symbol") == "AAPL")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "symbol" in plan, plan
+    assert df.count() == feats.where("symbol = 'AAPL'").count()
