@@ -26,6 +26,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from realtime_market_data_pipeline_spark.operators.text import shingles_long
+from realtime_market_data_pipeline_spark.session import (
+    release_local_checkpoint,
+)
 
 
 def exact_dedup_keepers(
@@ -365,6 +368,7 @@ def cluster_near_dups(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    prev_ckpt = None
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -409,6 +413,13 @@ def cluster_near_dups(
                 )
                 .localCheckpoint()  # eager: truncates lineage, see docstring
             )
+            # new_labels has materialized, so it was the previous round's
+            # checkpoint's last consumer — release those blocks now
+            # (PySpark GC never reclaims checkpoint storage; see
+            # session.release_local_checkpoint). Round 1 has none.
+            if prev_ckpt is not None:
+                release_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
             changed = new_labels.filter(F.col("_chg")).count()
             labels = new_labels.drop("_chg")
             if changed == 0:

@@ -27,6 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from realtime_market_data_pipeline_spark.session import (
+    release_local_checkpoint,
+)
+
 SCALE = 1_000_000_000_000  # 1e12 fixed-point: BIGINT rank, exact across engines
 DAMP_NUM, DAMP_DEN = 85, 100  # damping d = 0.85 as an integer ratio
 TELE_NUM = DAMP_DEN - DAMP_NUM  # teleport (1 - d) = 0.15
@@ -43,7 +47,11 @@ def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, *, iterations: int = 5, scale: int = SCALE
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    scale: int = SCALE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-point PageRank over a symmetric BIGINT edge list (src, dst).
 
@@ -60,6 +68,13 @@ def pagerank_fixed_point(
     fixed-point rank. Exactly reproducible: integer sums are associative,
     so the result is independent of partitioning and matches the unrolled
     DuckDB replay bit-for-bit.
+
+    ``materialize`` (default, r6): eagerly localCheckpoint the |V|-row
+    result and RELEASE the two persisted edge relations before returning.
+    Spark's SQL cache is held by the CacheManager, never the GC — a lazy
+    return would leak executor storage on every invocation, which is how
+    a long-running engine dies slowly. Pass ``materialize=False`` only to
+    inspect the lazy plan (the iteration plan-shape tests do).
     """
     from pyspark import StorageLevel
 
@@ -104,7 +119,12 @@ def pagerank_fixed_point(
             ).alias("rank_fp"),
             "n",
         )
-    return ranks.select("node", "rank_fp")
+    result = ranks.select("node", "rank_fp")
+    if materialize:
+        result = result.localCheckpoint()  # eager: |V| rows, lineage cut
+        ed.unpersist()
+        edges.unpersist()
+    return result
 
 
 def pagerank_oracle_sql(
@@ -180,7 +200,13 @@ def hits_fixed_point(
         F.expr(f"CAST({scale} AS BIGINT) div n").alias("v"),
     )
     a = None
-    for _ in range(iterations):
+    # Superseded checkpoints are unpersisted the moment their only
+    # consumer has materialized (every localCheckpoint below is eager):
+    # checkpoint RDDs are not reclaimed by GC in practice under PySpark,
+    # so without explicit release each invocation would strand
+    # 4·iterations cached score vectors. Residue after return: exactly
+    # the two returned vectors (caller-owned).
+    for it in range(iterations):
         # Each half-step's raw sums are eagerly localCheckpoint'd: the
         # relation is consumed twice (the 1-row L1 total and the
         # normalization itself) and the final vectors feed two top-k
@@ -197,6 +223,8 @@ def hits_fixed_point(
             .agg(F.sum("v").alias("vr"))
             .localCheckpoint()
         )
+        release_local_checkpoint(h)  # a_raw was h's only consumer
+        # (no-op on the plain, non-checkpointed h0)
         a_tot = a_raw.agg(F.sum("vr").alias("t"))
         a = (
             a_raw.crossJoin(F.broadcast(a_tot))
@@ -205,12 +233,15 @@ def hits_fixed_point(
             )
             .localCheckpoint()
         )
+        release_local_checkpoint(a_raw)  # L1 total + normalization done
         h_raw = (
             edges.join(a, edges["dst"] == a["node"])
             .groupBy(edges["src"].alias("node"))
             .agg(F.sum("v").alias("vr"))
             .localCheckpoint()
         )
+        if it < iterations - 1:
+            release_local_checkpoint(a)  # non-final a: h_raw consumed it
         h_tot = h_raw.agg(F.sum("vr").alias("t"))
         h = (
             h_raw.crossJoin(F.broadcast(h_tot))
@@ -219,6 +250,12 @@ def hits_fixed_point(
             )
             .localCheckpoint()
         )
+        release_local_checkpoint(h_raw)
+    # Final h/a are already EAGERLY checkpointed (every half-step is), so
+    # nothing downstream re-reads the cached edge list — release it now
+    # rather than leaking SQL-cache storage per invocation (r6; the
+    # CacheManager never GCs cached relations).
+    edges.unpersist()
     return h.select("node", F.col("v").alias("score_fp")), a.select(
         "node", F.col("v").alias("score_fp")
     )

@@ -58,3 +58,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_local_checkpoint(df) -> None:
+    """Free the storage behind an eagerly ``localCheckpoint``'d DataFrame.
+
+    ``DataFrame.unpersist()`` only touches the SQL cache; a checkpoint's
+    blocks belong to the plan's underlying ``LogicalRDD``, and in practice
+    PySpark's GC bridge never reclaims them (py4j keeps the Dataset
+    handles strongly referenced), so a long-running engine must release
+    superseded checkpoints explicitly — iterative operators (PageRank,
+    HITS, connected components) call this the moment a checkpoint's last
+    consumer has materialized. The DataFrame is unusable afterwards; a
+    non-checkpoint DataFrame is a no-op."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — release is best-effort hygiene
+        pass

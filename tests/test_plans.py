@@ -485,13 +485,69 @@ def test_zscore_outliers_broadcast_stats_no_row_shuffle(spark):
 
 
 def test_pagerank_persists_edges_and_takeordered(spark):
-    df = Q.QUERIES["pagerank_trade_graph"](spark, SF)
-    s = P.plan_string(df)
-    # the edge list must be persisted: without InMemoryTableScan every
-    # iteration re-derives the orders⋈lineitem edge build from source
+    # iteration plan shape on the LAZY form (materialize=False): the edge
+    # list must be persisted — without InMemoryTableScan every iteration
+    # re-derives the orders⋈lineitem edge build from source
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import graph as G
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lazy = G.pagerank_fixed_point(edges, iterations=2, materialize=False)
+    s = P.plan_string(lazy)
     assert "InMemoryTableScan" in s
-    assert "TakeOrderedAndProject" in s  # top-20 never globally sorts
-    assert P.has_partial_aggregation(df)
+    assert P.has_partial_aggregation(lazy)
+    # the registered query (materialized form): top-20 never globally sorts
+    df = Q.QUERIES["pagerank_trade_graph"](spark, SF)
+    assert "TakeOrderedAndProject" in P.plan_string(df)
+
+
+def test_graph_queries_release_cached_storage(spark):
+    """Long-running-engine hygiene (r6): neither DataFrame.persist()
+    entries (held by the SQL CacheManager) nor localCheckpoint blocks
+    (their Dataset handles stay py4j-referenced) are reclaimed by GC in
+    PySpark — measured: even a bare spark.range().localCheckpoint() never
+    leaves getPersistentRDDs. So iterative operators must RELEASE
+    superseded storage explicitly. Pin: per invocation, pagerank leaves
+    exactly its returned |V|-row checkpoint (≤1 new entry; pre-r6 it also
+    stranded 2 SQL-cache relations), HITS its two returned vectors (≤2;
+    pre-r6: edge cache + 4·iterations checkpoints = 13)."""
+    jsc = spark.sparkContext._jsc.sc()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm_was_empty = cm.isEmpty()
+    before = jsc.getPersistentRDDs().size()
+    Q.QUERIES["pagerank_trade_graph"](spark, SF).collect()
+    after_pr = jsc.getPersistentRDDs().size()
+    assert after_pr - before <= 1, (
+        f"pagerank stranded {after_pr - before} cached RDDs (expected ≤1: "
+        "its returned checkpoint)"
+    )
+    Q.QUERIES["hits_trade_authorities"](spark, SF).collect()
+    after_hits = jsc.getPersistentRDDs().size()
+    assert after_hits - after_pr <= 2, (
+        f"HITS stranded {after_hits - after_pr} cached RDDs (expected ≤2: "
+        "the returned hub/authority vectors)"
+    )
+    # SQL cache specifically must not have grown: cached relations are
+    # un-GC-able forever, the worst class (only assertable when no other
+    # fixture had cached relations before this test)
+    if cm_was_empty:
+        assert cm.isEmpty(), (
+            "graph queries left SQL-cache entries behind (never GC-able)"
+        )
 
 
 def test_copurchase_single_fact_scan_broadcast_dim(spark):
