@@ -3118,6 +3118,22 @@ def triangle_count_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame
     co-order graph; one fact scan, array-HOF pair expansion as in
     copurchase). Integer counts exact; transitivity = 3Δ/wedges from
     identical-operand doubles, 6 dp."""
+    out, edges = _triangle_stats(spark, sf_dir)
+    # 1-row result: materialize eagerly so the persisted edge relation can
+    # be RELEASED before return — the SQL cache is never GC'd, so a lazy
+    # return would strand one cached relation per invocation (r6; same
+    # lifecycle as pagerank_fixed_point).
+    out = out.localCheckpoint()
+    edges.unpersist()
+    return out
+
+
+def _triangle_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy construction of the triangle census — returns (result, the
+    persisted edge relation). Shared by the query (which materializes and
+    releases) and the plan-shape test (which inspects the lazy plan)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("ss")
@@ -3171,7 +3187,7 @@ def triangle_count_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame
     nw = deg.agg(
         F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
     )
-    return (
+    out = (
         ne.crossJoin(nw)
         .crossJoin(tri)
         .select(
@@ -3183,6 +3199,7 @@ def triangle_count_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("transitivity"),
         )
     )
+    return out, edges
 
 
 def _er_verified_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:

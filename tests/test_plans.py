@@ -541,6 +541,12 @@ def test_graph_queries_release_cached_storage(spark):
         f"HITS stranded {after_hits - after_pr} cached RDDs (expected ≤2: "
         "the returned hub/authority vectors)"
     )
+    Q.QUERIES["triangle_count_supplier_graph"](spark, SF).collect()
+    after_tri = jsc.getPersistentRDDs().size()
+    assert after_tri - after_hits <= 1, (
+        f"triangle census stranded {after_tri - after_hits} cached RDDs "
+        "(expected ≤1: its returned 1-row checkpoint)"
+    )
     # SQL cache specifically must not have grown: cached relations are
     # un-GC-able forever, the worst class (only assertable when no other
     # fixture had cached relations before this test)
@@ -572,12 +578,17 @@ def test_sorted_neighborhood_no_joins_pruned_scan(spark):
 
 
 def test_triangle_count_persists_edges_single_fact_scan(spark):
-    df = Q.QUERIES["triangle_count_supplier_graph"](spark, SF)
-    s = P.plan_string(df)
-    # the thresholded edge set feeds degree, orientation, wedge-closing and
-    # the edge count — it must be persisted, not re-derived from lineitem
-    assert "InMemoryTableScan" in s
-    assert P.has_partial_aggregation(df)
+    # lazy construction (the query itself materializes + releases, so its
+    # own plan is an ExistingRDD scan — inspect the shared lazy helper)
+    df, edges = Q._triangle_stats(spark, SF)
+    try:
+        s = P.plan_string(df)
+        # the thresholded edge set feeds degree, orientation, wedge-closing
+        # and the edge count — persisted, not re-derived from lineitem
+        assert "InMemoryTableScan" in s
+        assert P.has_partial_aggregation(df)
+    finally:
+        edges.unpersist()
 
 
 def test_equidepth_bins_broadcast_totals_partial_aggs(spark):
