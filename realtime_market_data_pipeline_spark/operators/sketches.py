@@ -332,24 +332,38 @@ def heavy_hitters_merged(
     Estimates are partitioning-dependent (unlike the deterministic twin),
     which is why this form is contract-tested, not oracle-hashed."""
     partials = space_saving_partial_sketches(events, k=k, by=by, id_col=id_col)
-    totals = (
-        partials.filter(F.col("id").isNull())
-        .groupBy(by)
-        .agg(
-            F.sum("m").alias("m_total"),
-            F.sum("n").alias("n_total"),
-        )
-    )
-    tracked = (
-        partials.filter(F.col("id").isNotNull())
-        .groupBy(by, "id")
+    # ONE combined groupBy folds tracked counters and sketch summaries
+    # alike: summary rows all carry id = NULL, so they form exactly one
+    # group per ``by`` whose sums are M_total = Σ m_i and n_total = Σ n_i.
+    # The alternative — separate totals/tracked branches over ``partials``
+    # — re-runs the mapInPandas sketch scan once per branch (Catalyst
+    # pushes each branch's filter below any shared exchange, defeating
+    # ReuseExchange), doubling the dominant full-scan cost at 100 TB.
+    # The combined aggregate is k·P rows per group; it is EAGERLY
+    # checkpointed so both downstream reads (totals split + tracked join)
+    # consume materialized rows instead of recomputing the scan. The
+    # returned relation stays lazy over that checkpoint (plan remains
+    # inspectable); residue is one tiny caller-owned checkpoint per call.
+    agg1 = (
+        partials.groupBy(by, "id")
         .agg(
             F.sum("est").alias("est_track"),
             F.sum(F.col("est") - F.col("err")).alias("lb"),
-            F.sum("m").alias("m_track"),
+            F.sum("m").alias("m_sum"),
+            F.sum("n").alias("n_sum"),
+        )
+        .localCheckpoint()
+    )
+    totals = (
+        agg1.filter(F.col("id").isNull())
+        .select(
+            by,
+            F.col("m_sum").alias("m_total"),
+            F.col("n_sum").alias("n_total"),
         )
     )
-    ub = F.col("est_track") + F.col("m_total") - F.col("m_track")
+    tracked = agg1.filter(F.col("id").isNotNull())
+    ub = F.col("est_track") + F.col("m_total") - F.col("m_sum")
     return tracked.join(F.broadcast(totals), by).select(
         by,
         F.col("id").alias(id_col),
