@@ -56,6 +56,26 @@ def read_kafka_ticks(
     return parse_ticks(reader.load())
 
 
+def read_socket_ticks(
+    spark: SparkSession, host: str = "localhost", port: int = 9999
+) -> DataFrame:
+    """Live network PUSH source twin of the Kafka path (S1): Spark's
+    built-in socket source delivers newline-delimited JSON tick payloads
+    with the SAME ``value`` column contract a Kafka frame has, so
+    ``parse_ticks`` drives the identical downstream plan — an unbounded
+    source with no files and no replay, which is what distinguishes it
+    from the parquet twin. Transport for tests/dev only (the socket
+    source is not fault-tolerant; Kafka is the production transport);
+    everything downstream is transport-agnostic by construction."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_ticks(raw)
+
+
 def read_parquet_ticks_stream(
     spark: SparkSession,
     path: str,

@@ -1486,3 +1486,74 @@ def test_heavy_hitters_batch_twin_matches_stream_fold(spark):
     want = {u: (c, e, n) for u, (c, e) in table.items()}
     assert got == want
     assert len(got) == k
+
+
+def test_socket_source_live_push_matches_batch(spark, gbm_ticks, tmp_path):
+    """S1 evidence upgrade (r6): a LIVE unbounded network push source —
+    Spark's socket source fed by an in-test TCP server emitting the K3
+    producer payload — through the identical parse+features plan the
+    Kafka path runs. No files, no replay: rows arrive over a socket while
+    the query is running, exactly a broker's delivery shape minus
+    offsets/partitions (the two things the container's missing broker
+    would add). Keyed LWW state over update-mode emissions must equal the
+    batch answer on the same ticks."""
+    import socket
+    import threading
+    import time as _t
+
+    payload_rows = [
+        r["value"]
+        for r in src.to_kafka_payload(gbm_ticks).select("value").collect()
+    ]
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            data = ("\n".join(payload_rows) + "\n").encode()
+            conn.sendall(data)
+            # keep the connection open so the source doesn't see EOF
+            # before the query drains it
+            _t.sleep(30)
+        except OSError:
+            pass  # query stopped first — expected
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    state: dict = {}
+    ticks = job.read_socket_ticks(spark, host="127.0.0.1", port=port)
+    feats = job.features_stream(
+        ticks, window="10 seconds", watermark="0 seconds", with_latency=False
+    )
+    q = (
+        feats.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: state.update(
+                {
+                    (r["window_start"], r["symbol"]): tuple(
+                        r[c] for c in DET_COLS
+                    )
+                    for r in df.collect()
+                }
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_socket"))
+        .start()
+    )
+    try:
+        expected = _batch_expected(gbm_ticks)
+        deadline = _t.time() + 120
+        while _t.time() < deadline and set(state.values()) != expected:
+            _t.sleep(1.0)
+    finally:
+        q.stop()
+        server.close()
+    assert set(state.values()) == expected
