@@ -146,3 +146,19 @@ def test_jdbc_readside_filter_pushdown(spark, gbm_ticks, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "symbol" in plan, plan
     assert df.count() == feats.where("symbol = 'AAPL'").count()
+
+
+def test_cli_jdbc_sink_dispatch():
+    """--sink jdbc:<url> / jdbc-merge:<url> (with derby:<path> shorthand)
+    resolve to the matching writers without touching a SparkSession."""
+    from realtime_market_data_pipeline_spark import cli
+
+    p = cli.build_parser()
+    w = cli.make_writer(p.parse_args(["--sink", "jdbc:derby:/tmp/x"]))
+    assert callable(w)
+    w2 = cli.make_writer(p.parse_args(["--sink", "jdbc-merge:derby:/tmp/x"]))
+    assert callable(w2) and w2 is not w
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.make_writer(p.parse_args(["--sink", "nope:x"]))
