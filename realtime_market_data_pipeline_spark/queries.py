@@ -6125,6 +6125,14 @@ _REGISTRY_PRIORITY = [
     "heavy_hitters_merged",
     # Everything below slot 50 holds a green row from r4 or r5 on
     # unchanged code.
+    #
+    # r7 rotation plan (staleness-first): fill the window with the ~37
+    # remaining r4-green rows (trailing_7d_revenue, stratified_sample_*,
+    # the embedding/ANN family, tick_validation_counts, profiling/approx
+    # sketches, SCD2/scd-interval, doc_* refreshers not covered in r6),
+    # then top up with the oldest r5-greens (graph/ER/sketch/CEP families
+    # certified in the r5 window) — plus anything new or code-changed in
+    # r7, first.
 ]
 
 
