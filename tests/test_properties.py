@@ -310,3 +310,85 @@ def test_ema_rsi_bounds(spark, closes):
         assert abs(r.macd - (r.ema_fast - r.ema_slow)) <= 2e-6
     for r in rsi(bars).collect():
         assert 0.0 <= r.rsi <= 100.0
+
+
+# --- r6: pure-Python properties (no Spark job per example, so these can
+# afford many examples) -------------------------------------------------------
+
+_CODEC_SETTINGS = dict(max_examples=120, deadline=None)
+
+
+@given(
+    doc_id=st.integers(0, 10**12),
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+)
+@settings(**_CODEC_SETTINGS)
+def test_bmp_codec_roundtrip_property(doc_id, w, h):
+    """decode(make_bmp(id,w,h)) must recover the exact dimensions and the
+    arithmetic pixel sum for ANY (id, w, h) — including widths where the
+    row stride needs 0/1/2/3 pad bytes."""
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    d = mm.decode_image(mm.make_bmp(doc_id, w, h))
+    assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+    assert d["pixel_sum"] == 3 * w * sum((doc_id + y) % 256 for y in range(h))
+
+
+@given(
+    doc_id=st.integers(0, 10**12),
+    n=st.integers(1, 200),
+    rate=st.integers(1000, 96000),
+)
+@settings(**_CODEC_SETTINGS)
+def test_wav_codec_roundtrip_property(doc_id, n, rate):
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    d = mm.decode_audio(mm.make_wav(doc_id, n, rate))
+    samples = [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    assert d["sample_rate"] == rate and d["n_samples"] == n
+    assert d["sample_sum"] == sum(samples)
+    assert d["sample_peak"] == max(abs(s) for s in samples)
+
+
+@given(
+    stream=st.lists(st.integers(0, 12), min_size=1, max_size=300),
+    k=st.integers(2, 6),
+    cuts=st.lists(st.integers(0, 299), max_size=4),
+)
+@settings(**_CODEC_SETTINGS)
+def test_space_saving_merge_math_property(stream, k, cuts):
+    """The additive-error merge combine (the math heavy_hitters_merged
+    runs as DataFrame aggregates) is sound and complete for ANY stream
+    split into ANY partitioning: est−err ≤ true ≤ est per emitted id, and
+    every id with true count > n/k is emitted."""
+    from collections import Counter
+
+    from realtime_market_data_pipeline_spark.operators.sketches import (
+        make_space_saving_fold,
+    )
+
+    bounds = sorted({c for c in cuts if c < len(stream)} | {0, len(stream)})
+    parts = [
+        stream[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ] or [stream]
+    fold = make_space_saving_fold(k)
+    sketches = []
+    for part in parts:
+        table: dict = {}
+        n_i = fold(table, 0, part)
+        m_i = min(c for c, _ in table.values()) if len(table) >= k else 0
+        sketches.append((table, m_i, n_i))
+    true = Counter(stream)
+    m_total = sum(m for _, m, _ in sketches)
+    n_total = sum(n for _, _, n in sketches)
+    union = {u for t, _, _ in sketches for u in t}
+    for u in union:
+        est_track = sum(t[u][0] for t, _, _ in sketches if u in t)
+        lb = sum(t[u][0] - t[u][1] for t, _, _ in sketches if u in t)
+        m_track = sum(m for t, m, _ in sketches if u in t)
+        ub = est_track + m_total - m_track
+        assert lb <= true[u] <= ub, (u, lb, true[u], ub)
+    for u, c in true.items():
+        if c * k > n_total:
+            assert u in union, f"heavy hitter {u} (count {c}) not emitted"
