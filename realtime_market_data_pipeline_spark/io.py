@@ -124,23 +124,38 @@ def walk_parquet_parts(path: str) -> list[str]:
     inference that is exactly the silent mis-scale the loud-failure path
     exists to prevent (r5 ADVICE). A directory that contains entries but
     no parquet parts anywhere raises instead of masquerading as an empty
-    dataset; a plain file returns ``[path]`` unchecked."""
+    dataset; a plain file returns ``[path]`` unchecked.
+
+    Metadata/temp entries are excluded on both sides of that decision
+    (r6 ADVICE): directories and files starting with ``_`` or ``.`` are
+    pruned from the walk — Spark itself skips them on read, so counting
+    parts under an in-flight ``_temporary/`` subtree would inflate row
+    totals and feed uncommitted footers to unit inference — and a
+    directory holding ONLY such markers (a legitimately empty Spark
+    dataset with just ``_SUCCESS``) is an empty dataset, not an error."""
     import os
+
+    def _meta(name: str) -> bool:
+        return name.startswith(("_", "."))
 
     if not os.path.isdir(path):
         return [path]
-    parts = sorted(
-        os.path.join(root, f)
-        for root, _dirs, fnames in os.walk(path)
-        for f in fnames
-        if f.endswith(".parquet")
-    )
-    if not parts and any(True for _ in os.scandir(path)):
+    parts, saw_data_entry = [], False
+    for root, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if not _meta(d)]
+        saw_data_entry = saw_data_entry or bool(dirs)
+        for f in fnames:
+            if _meta(f):
+                continue
+            saw_data_entry = True
+            if f.endswith(".parquet"):
+                parts.append(os.path.join(root, f))
+    if not parts and saw_data_entry:
         raise ValueError(
             f"{path} is a non-empty directory with no .parquet part files "
             "(at any depth) — refusing to treat it as an empty dataset"
         )
-    return parts
+    return sorted(parts)
 
 
 def _epoch_unit_from_footer(path: str) -> str:

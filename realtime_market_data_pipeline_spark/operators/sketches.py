@@ -250,8 +250,10 @@ def heavy_hitters_topk_sketch(
             columns=[by, id_col, "est_count", "err", "n_total"],
         )
 
+    by_type = events.schema[by].dataType.simpleString()
     schema = (
-        f"{by} string, {id_col} long, est_count long, err long, n_total long"
+        f"{by} {by_type}, {id_col} long, est_count long, err long, "
+        "n_total long"
     )
     return (
         events.select(by, id_col, ts_col)
@@ -296,9 +298,10 @@ def space_saving_partial_sketches(
             rows, columns=[by, "id", "est", "err", "m", "n"]
         )
 
+    by_type = events.schema[by].dataType.simpleString()
     return events.select(by, id_col).mapInPandas(
         per_partition,
-        f"{by} string, id long, est long, err long, m long, n long",
+        f"{by} {by_type}, id long, est long, err long, m long, n long",
     )
 
 

@@ -206,6 +206,7 @@ def jdbc_merge_writer(
     table: str = "features",
     key_cols: tuple[str, ...] = ("window_start", "symbol"),
     properties: dict[str, str] | None = None,
+    stage_table: str | None = None,
 ) -> BatchWriter:
     """K2 + T7: exactly-once JDBC sink via the staging-table MERGE pattern
     (the SQL twin of the idempotent parquet sink, and what the reference's
@@ -222,12 +223,25 @@ def jdbc_merge_writer(
 
     Replaying a batch or re-emitting a window in update mode is therefore
     idempotent: one row per key, newest values win. ANSI MERGE runs on
-    Derby, Postgres 15+, and Timescale; key columns must be non-null."""
+    Derby, Postgres 15+, and Timescale; key columns must be non-null.
+
+    The staging table name is unique PER WRITER (r6 ADVICE): a fixed
+    ``{table}_stage`` would let two writers targeting the same table —
+    two streaming queries, or concurrent replay during recovery —
+    interleave one writer's stage overwrite with the other's MERGE,
+    landing batch A's rows under batch B's merge and silently breaking
+    exactly-once. Each writer instance therefore stages under
+    ``{table}_stage_<uuid8>`` (override via ``stage_table`` to pin, e.g.
+    to a checkpoint-derived name that survives restarts), and the stage
+    is DROPped after each MERGE so no stage rows are left behind."""
+    import uuid
+
+    writer_stage = stage_table or f"{table}_stage_{uuid.uuid4().hex[:8]}"
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         props = dict(properties or {})
-        stage = f"{table}_stage"
+        stage = writer_stage
         b = _ordered(batch_df)
         cols = b.columns
         # Spark's default Derby mapping turns StringType into CLOB, which
@@ -269,11 +283,25 @@ def jdbc_merge_writer(
         jvm = spark._jvm
         if "driver" in props:  # ensure DriverManager sees the driver class
             jvm.java.lang.Class.forName(props["driver"])
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        # The staging write above goes through Spark's JDBC writer, which
+        # honors ALL connection properties; the driver-side MERGE must use
+        # the same credentials (user/password/ssl...) or it would stage
+        # successfully and then fail authentication against any secured
+        # target (Postgres/Timescale) — so forward props as
+        # java.util.Properties (r6 ADVICE). 'driver' is a Spark-side key,
+        # not a JDBC connection property; it was consumed above.
+        jprops = jvm.java.util.Properties()
+        for pk, pv in props.items():
+            if pk != "driver":
+                jprops.setProperty(pk, pv)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             st = conn.createStatement()
             try:
                 st.executeUpdate(merge_sql)
+                # leave no stage rows behind; the next batch's overwrite
+                # recreates the table
+                st.executeUpdate(f"DROP TABLE {stage}")
             finally:
                 st.close()
         finally:

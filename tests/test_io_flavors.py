@@ -226,3 +226,35 @@ def test_walk_parquet_parts_refuses_partless_directory(tmp_path):
     e = tmp_path / "empty_dataset"
     e.mkdir()
     assert walk_parquet_parts(str(e)) == []
+
+
+def test_walk_parquet_parts_prunes_metadata_and_temp_entries(tmp_path):
+    """r6 ADVICE: an in-flight write's _temporary/ subtree must not be
+    counted (Spark itself skips _/. entries on read — counting them
+    inflates footer row totals and feeds uncommitted footers to unit
+    inference), and a dataset directory holding only marker files
+    (_SUCCESS) is an EMPTY dataset, not an error."""
+    import shutil
+
+    from realtime_market_data_pipeline_spark.io import walk_parquet_parts
+
+    d = tmp_path / "ds"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    (d / ".hidden").mkdir()
+    (d / "part-00000.parquet").write_bytes(b"PAR1")
+    (d / "_temporary" / "0" / "part-00001.parquet").write_bytes(b"PAR1")
+    (d / ".hidden" / "part-00002.parquet").write_bytes(b"PAR1")
+    (d / "_SUCCESS").write_text("")
+    (d / ".part-00000.parquet.crc").write_bytes(b"")
+    assert walk_parquet_parts(str(d)) == [str(d / "part-00000.parquet")]
+    # markers only → empty dataset, no error
+    e = tmp_path / "empty_committed"
+    e.mkdir()
+    (e / "_SUCCESS").write_text("")
+    assert walk_parquet_parts(str(e)) == []
+    # an aborted write that left ONLY _temporary residue is also empty
+    a = tmp_path / "aborted"
+    (a / "_temporary" / "0").mkdir(parents=True)
+    (a / "_temporary" / "0" / "part-00001.parquet").write_bytes(b"PAR1")
+    assert walk_parquet_parts(str(a)) == []
+    shutil.rmtree(d)

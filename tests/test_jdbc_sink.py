@@ -162,3 +162,47 @@ def test_cli_jdbc_sink_dispatch():
 
     with _pytest.raises(SystemExit):
         cli.make_writer(p.parse_args(["--sink", "nope:x"]))
+
+
+def test_jdbc_merge_stage_is_unique_per_writer_and_dropped(
+    spark, gbm_ticks, tmp_path
+):
+    """r6 ADVICE: a fixed `{table}_stage` lets two writers targeting the
+    same table interleave one's stage overwrite with the other's MERGE —
+    each writer must stage under its own name, and no stage rows may
+    survive the batch. Interleaved writes from two writers must both land
+    exactly-once, and the catalog must hold no *_STAGE_* residue."""
+    url = sinks.derby_url(str(tmp_path / "db_two_writers"))
+    feats = compute_features(gbm_ticks, window="10 seconds")
+    w1 = sinks.jdbc_merge_writer(url, properties=PROPS)
+    w2 = sinks.jdbc_merge_writer(url, properties=PROPS)
+    w1(feats, 0)
+    w2(feats.withColumn("num_ticks", F.col("num_ticks") + 1000), 0)
+    w1(feats, 1)  # replay of writer 1's batch after writer 2 merged
+    sunk = _read(spark, url)
+    assert sunk.count() == feats.count()
+    # Derby's system catalog must show zero leftover staging tables
+    stages = spark.read.jdbc(
+        url,
+        "(SELECT tablename FROM sys.systables "
+        "WHERE tablename LIKE '%STAGE%') s",
+        properties=PROPS,
+    )
+    assert stages.count() == 0
+
+
+def test_jdbc_merge_forwards_connection_properties(spark, gbm_ticks, tmp_path):
+    """r6 ADVICE: the driver-side MERGE connection must carry the same
+    JDBC properties as the executor-side staging write (user/password
+    etc.) — against a secured Postgres/Timescale the old URL-only
+    getConnection staged fine then failed auth. Derby's builtin auth isn't
+    enabled here, but user/password ARE accepted and define the schema, so
+    the round-trip proves the properties reach DriverManager."""
+    url = sinks.derby_url(str(tmp_path / "db_auth"))
+    props = dict(PROPS, user="app", password="secret")
+    feats = compute_features(gbm_ticks, window="10 seconds")
+    w = sinks.jdbc_merge_writer(url, properties=props)
+    w(feats, 0)
+    assert spark.read.jdbc(url, "features", properties=props).count() == (
+        feats.count()
+    )

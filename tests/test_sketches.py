@@ -105,3 +105,37 @@ def test_merged_broadcast_and_single_keyed_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merged_and_twin_accept_non_string_group_column(spark):
+    """r6 ADVICE: the mapInPandas/applyInPandas output schemas must derive
+    the group column's type from the input — a hardcoded `string` fails
+    (or silently miscasts) the generic by= signature on an int key."""
+    from realtime_market_data_pipeline_spark.operators.sketches import (
+        heavy_hitters_topk_sketch,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            (F.col("user_id") % 3).cast("int").alias("bucket"),
+            "user_id",
+            "ts",
+        )
+    )
+    exact = {
+        (r["bucket"], r["user_id"]): r["cnt"]
+        for r in ev.groupBy("bucket", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    merged = heavy_hitters_merged(
+        ev.repartition(5), k=K, by="bucket", id_col="user_id"
+    )
+    assert merged.schema["bucket"].dataType.simpleString() == "int"
+    _contracts([tuple(r) for r in merged.collect()], exact, K)
+    twin = heavy_hitters_topk_sketch(
+        ev, k=K, by="bucket", id_col="user_id", ts_col="ts"
+    )
+    assert twin.schema["bucket"].dataType.simpleString() == "int"
+    assert twin.count() > 0
