@@ -5367,6 +5367,46 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_media(mm.plant_media(docs))
 
 
+@query(
+    "multimodal_decode_png",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+xs AS (SELECT CAST(i AS BIGINT) AS x FROM range(0, 17) AS t(i)),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 15) AS t(i)),
+s AS (
+  SELECT doc_id, sum((doc_id + x + 7 * y) % 256) AS ps
+  FROM d JOIN xs ON x < (doc_id % 13) + 4
+         JOIN ys ON y < (doc_id % 11) + 4
+  GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       'image/png' AS media_type,
+       CAST((doc_id % 13) + 4 AS INTEGER) AS width,
+       CAST((doc_id % 11) + 4 AS INTEGER) AS height,
+       CAST(3 * ps AS BIGINT) AS pixel_sum
+FROM s
+""",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-format media decode (r7, closes r6 verdict #3): plant
+    deterministic doc_id-derived 8-bit RGB PNGs — real deflate streams
+    with row filters cycling through all five scanline filter types
+    (None/Sub/Up/Average/Paeth) — then decode them back with the
+    pure-Python stdlib-zlib PNG parser (chunk walk + CRC verification,
+    inflate, per-scanline de-filtering; operators/multimodal.py
+    ``make_png``/``decode_png``). The oracle predicts every decoded
+    pixel sum as 3·Σ(doc_id+x+7y)%256 by integer arithmetic, so a
+    filter-math, stride, or CRC bug on either side breaks the hash.
+    Same 100 TB shape as multimodal_decode: shuffle-free Arrow
+    mapInPandas, payload bytes never cross an exchange; the decoder is
+    pinned to the spec independently of the encoder by a hand-computed
+    known-vector test (tests/test_properties.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_media(mm.plant_png(docs)).select(
+        "media_id", "media_type", "width", "height", "pixel_sum"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Source surface (SURVEY.md §2.1 S7 / §2.2 K3): synthetic GBM generator and
 # the Kafka payload codec. The GBM draw comes from xxhash64 (no DuckDB twin),

@@ -91,8 +91,24 @@ def test_wav_roundtrip_and_stereo():
 
 
 def test_compressed_formats_still_raise():
+    # JPEG still needs PIL/opencv; PNG decodes as of r7 (decode_png), but
+    # garbage after a PNG signature must fail LOUDLY, not mis-decode
     with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    # indexed-color (palette) PNG raises NotImplementedError, not garbage
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    pal_png = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        mm.decode_image(pal_png)
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):

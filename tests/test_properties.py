@@ -392,3 +392,67 @@ def test_space_saving_merge_math_property(stream, k, cuts):
     for u, c in true.items():
         if c * k > n_total:
             assert u in union, f"heavy hitter {u} (count {c}) not emitted"
+
+
+@given(
+    doc_id=st.integers(0, 10**12),
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+)
+@settings(**_CODEC_SETTINGS)
+def test_png_codec_roundtrip_property(doc_id, w, h):
+    """decode(make_png(id,w,h)) must recover the exact dimensions and the
+    arithmetic pixel sum for ANY (id, w, h) — any h ≥ 5 cycles through all
+    five scanline filters, and the per-(x,y)-varying pixels keep every
+    filter's predictor non-trivial."""
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    d = mm.decode_image(mm.make_png(doc_id, w, h))
+    assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+    assert d["pixel_sum"] == 3 * sum(
+        (doc_id + x + 7 * y) % 256 for y in range(h) for x in range(w)
+    )
+
+
+def test_png_decoder_matches_spec_known_vector():
+    """Pin the DECODER to the PNG spec independently of our encoder (a
+    compensating encoder/decoder bug pair would survive the round-trip
+    property): a hand-assembled 2x4 RGB PNG whose filtered scanlines were
+    computed BY HAND per spec §9 (filters Sub/Up/Average/Paeth on rows
+    0-3) must reconstruct the intended raw pixels — total 1963 — and a
+    corrupted chunk CRC must be rejected."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # raw rows: [10,20,30,40,50,60], [5,5,5,250,0,128],
+    #           [100,110,120,130,140,150], [200,10,60,20,220,100]
+    idat_raw = (
+        bytes([1, 10, 20, 30, 30, 30, 30])
+        + bytes([2, 251, 241, 231, 210, 206, 68])
+        + bytes([3, 98, 108, 118, 211, 85, 26])
+        + bytes([4, 100, 156, 196, 76, 210, 40])
+    )
+    png = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(idat_raw))
+        + chunk(b"IEND", b"")
+    )
+    d = mm.decode_png(png)
+    assert (d["width"], d["height"], d["pixel_sum"]) == (2, 4, 1963)
+    corrupted = bytearray(png)
+    corrupted[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(corrupted))
