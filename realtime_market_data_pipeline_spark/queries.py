@@ -6088,91 +6088,78 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver adjudicates roughly the FIRST 50 entries in
-# dict order, so ordering is a coverage decision, not cosmetics. After r5's
-# fully-green window, EVERY registered query has held a driver-green row at
-# least once — rotation policy is now STALENESS-FIRST re-certification (r5
-# verdict #2): no query's last driver row should be older than two rounds,
-# because rounds rewrite shared code under all of them (r5 alone changed
-# io.py — under every load_table — plus text.py/behavior.py/similarity.py).
-# The r6 window:
-# (1) queries NEW this round (never adjudicated);
-# (2) the 8 queries whose last green row is r1/r2 (3-4 rounds stale);
-# (3) the 33 whose last green row is r3;
-# (4) 8 r4-green refreshers chosen from the families the r5 verdict named
-#     (quant indicators, text dedup/retrieval, sessions) plus the two
-#     queries sitting directly on code changed this round
-#     (operators/multimodal.py).
-# Everything below slot 50 holds a green row from r4 or r5 on unchanged
-# code and rotates in next round.
+# dict order, so ordering is a coverage decision, not cosmetics. Rotation
+# policy is STALENESS-FIRST re-certification (r5 verdict #2): no query's
+# last driver row should be older than two rounds, because rounds rewrite
+# shared code under all of them. The r7 window (executes the plan staged in
+# r6 / prescribed by the r6 verdict #1):
+# (1) queries NEW or sitting on code CHANGED this round — the PNG decode
+#     query (new), the BMP/WAV decode + feature queries (multimodal.py
+#     changed), and both heavy-hitters forms (sketches.py schema-typing
+#     change);
+# (2) all 38 queries whose last green row is r4 — the staleness budget's
+#     maximum;
+# (3) 7 oldest-r5 refreshers: events_time_range (sits on the r7 io.py
+#     walk change), the graph family (pagerank/HITS/triangle — bench
+#     warm-pinning lands this round), ER clustering, KMV, as-of join.
+# Everything below slot 50 holds a green row from r5 or r6 on unchanged
+# code and rotates in r8.
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # (1) new in r6 — real BMP/WAV decode over planted media payloads
+    # (1) new in r7 / code changed in r7
+    "multimodal_decode_png",
     "multimodal_decode",
-    # (2) last driver row r1/r2 — the stalest rows in the registry
-    "features_tumbling_1h",
-    "features_tumbling_1d",
-    "features_sliding_6h_1h",
-    "setop_active_both_years",
-    "setop_lapsed_customers",
-    "distinct_counts",
-    "string_funcs_part",
-    "props_key_counts",
-    # (3) last driver row r3 — under r4/r5 io.py/text.py churn since
-    "realized_vol_1d",
-    "gapfill_locf_1m",
-    "gapfill_interpolate_1m",
-    "ohlc_rollup_1m_1h",
-    "max_drawdown_per_symbol",
-    "bollinger_breach_stats",
-    "pairwise_return_corr",
-    "twap_1h",
-    "counter_agg_1h",
-    "state_agg_user_event",
-    "pivot_last_daily",
-    "region_revenue",
-    "rollup_returnflag_status",
-    "cube_brand_size",
-    "unpivot_lineitem_measures",
-    "grouping_sets_flag_status",
-    "date_parts_orders",
-    "json_props_stats",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "pii_scrub",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "bm25_top20",
-    "sequence_packing_256",
-    "doc_lm_scores",
-    "decontamination_8gram",
-    "dedup_clusters",
-    "curation_pipeline",
-    "dedup_simhash32",
-    # (4) r4-green refreshers: verdict-named families + the two queries on
-    # this round's multimodal.py changes
-    "ema_macd_daily",
-    "rsi_14_daily",
-    "stochastic_14_3",
-    "dedup_edit_distance",
-    "tfidf_top3_terms",
-    "hybrid_search_rrf",
     "multimodal_features",
-    # new in r6 (late): merge-form heavy-hitters certification
     "heavy_hitters_merged",
-    # Everything below slot 50 holds a green row from r4 or r5 on
-    # unchanged code.
-    #
-    # r7 rotation plan (staleness-first): fill the window with the ~37
-    # remaining r4-green rows (trailing_7d_revenue, stratified_sample_*,
-    # the embedding/ANN family, tick_validation_counts, profiling/approx
-    # sketches, SCD2/scd-interval, doc_* refreshers not covered in r6),
-    # then top up with the oldest r5-greens (graph/ER/sketch/CEP families
-    # certified in the r5 window) — plus anything new or code-changed in
-    # r7, first.
+    "heavy_hitters_topk",
+    # (2) last driver row r4 — all 38
+    "approx_distinct_users",
+    "approx_percentiles_contract",
+    "dedup_embedding_lsh",
+    "doc_chunks_40t_stride30",
+    "doc_embed_hash16",
+    "doc_repetition_scores",
+    "doc_text_normalized",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "embedding_bucket_pairs",
+    "embedding_centroids",
+    "embedding_component_stats",
+    "embedding_cosine_topk",
+    "event_transitions",
+    "events_distribution_ranks",
+    "events_lag_lead_rank",
+    "funnel_time_to_convert",
+    "funnel_view_click_purchase",
+    "mixture_weights_by_source",
+    "moving_avg_value_5",
+    "profile_events_numeric",
+    "q13_customer_distribution",
+    "q8_market_share",
+    "quality_stratified_sample",
+    "range_join_event_sessions",
+    "retention_cohorts_weekly",
+    "running_revenue_per_supplier",
+    "scd2_event_type_intervals",
+    "sql_frontend_scan",
+    "stratified_sample_events",
+    "synthetic_gbm_features",
+    "tick_validation_counts",
+    "top_orders_global",
+    "trailing_7d_revenue",
+    "union_backfill_counts",
+    "user_sessions_12h",
+    "value_percentiles_by_type",
+    "word_counts_top100",
+    # (3) oldest-r5 refreshers
+    "events_time_range",
+    "pagerank_trade_graph",
+    "hits_trade_authorities",
+    "triangle_count_supplier_graph",
+    "entity_resolution_clusters",
+    "kmv_distinct_users",
+    "asof_last_purchase",
 ]
 
 

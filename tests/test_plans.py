@@ -323,39 +323,37 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
-    # after r5's fully-green sweep the policy is STALENESS-FIRST: the r6
-    # window must hold (a) queries new this round, (b) every query whose
-    # last driver row predates r4 (r1/r2 then r3 cohorts), and (c) the
-    # queries sitting on code changed this round (multimodal.py)
+    # STALENESS-FIRST rotation: the r7 window must hold (a) queries new
+    # or on code changed this round (multimodal.py PNG, sketches.py
+    # schema typing, io.py walk), (b) every query whose last driver row
+    # is r4 — the staleness budget's maximum
     names = list(Q.QUERIES)
     window = set(names[:50])
-    new_r6 = {"multimodal_decode", "heavy_hitters_merged"}
-    last_green_r1_r2 = {
-        "features_tumbling_1h", "features_tumbling_1d",
-        "features_sliding_6h_1h", "setop_active_both_years",
-        "setop_lapsed_customers", "distinct_counts", "string_funcs_part",
-        "props_key_counts",
+    new_or_changed_r7 = {
+        "multimodal_decode_png", "multimodal_decode", "multimodal_features",
+        "heavy_hitters_merged", "heavy_hitters_topk", "events_time_range",
     }
-    last_green_r3 = {
-        "realized_vol_1d", "gapfill_locf_1m", "gapfill_interpolate_1m",
-        "ohlc_rollup_1m_1h", "max_drawdown_per_symbol",
-        "bollinger_breach_stats", "pairwise_return_corr", "twap_1h",
-        "counter_agg_1h", "state_agg_user_event", "pivot_last_daily",
-        "region_revenue", "rollup_returnflag_status", "cube_brand_size",
-        "unpivot_lineitem_measures", "grouping_sets_flag_status",
-        "date_parts_orders", "json_props_stats", "doc_token_stats",
-        "doc_quality_scores", "doc_lang_id", "doc_fingerprint",
-        "pii_scrub", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "bm25_top20", "sequence_packing_256",
-        "doc_lm_scores", "decontamination_8gram", "dedup_clusters",
-        "curation_pipeline", "dedup_simhash32",
+    last_green_r4 = {
+        "approx_distinct_users", "approx_percentiles_contract",
+        "dedup_embedding_lsh", "doc_chunks_40t_stride30", "doc_embed_hash16",
+        "doc_repetition_scores", "doc_text_normalized", "embedding_ann_ivf",
+        "embedding_ann_lsh", "embedding_bucket_pairs", "embedding_centroids",
+        "embedding_component_stats", "embedding_cosine_topk",
+        "event_transitions", "events_distribution_ranks",
+        "events_lag_lead_rank", "funnel_time_to_convert",
+        "funnel_view_click_purchase", "mixture_weights_by_source",
+        "moving_avg_value_5", "profile_events_numeric",
+        "q13_customer_distribution", "q8_market_share",
+        "quality_stratified_sample", "range_join_event_sessions",
+        "retention_cohorts_weekly", "running_revenue_per_supplier",
+        "scd2_event_type_intervals", "sql_frontend_scan",
+        "stratified_sample_events", "synthetic_gbm_features",
+        "tick_validation_counts", "top_orders_global", "trailing_7d_revenue",
+        "union_backfill_counts", "user_sessions_12h",
+        "value_percentiles_by_type", "word_counts_top100",
     }
-    changed_r6 = {"multimodal_decode", "multimodal_features",
-                  "heavy_hitters_merged"}
-    assert new_r6 <= window, new_r6 - window
-    assert last_green_r1_r2 <= window, last_green_r1_r2 - window
-    assert last_green_r3 <= window, last_green_r3 - window
-    assert changed_r6 <= window, changed_r6 - window
+    assert new_or_changed_r7 <= window, new_or_changed_r7 - window
+    assert last_green_r4 <= window, last_green_r4 - window
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 
