@@ -36,14 +36,24 @@ DAMP_NUM, DAMP_DEN = 85, 100  # damping d = 0.85 as an integer ratio
 TELE_NUM = DAMP_DEN - DAMP_NUM  # teleport (1 - d) = 0.15
 
 
-def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+def undirected_edges(
+    pairs: DataFrame, src: str, dst: str, *, disjoint: bool = False
+) -> DataFrame:
     """Symmetrize a distinct (src, dst) pair list: every edge appears in
     both directions, so every node has in-degree >= 1 and the dangling-mass
     term vanishes (documented simplification; the bipartite trade graph
-    this engine ranks has no natural sink nodes)."""
+    this engine ranks has no natural sink nodes).
+
+    ``disjoint=True`` declares that the src and dst domains cannot
+    collide (e.g. the trade graph's even-customer / odd-supplier node
+    encoding) AND ``pairs`` is already distinct — then fwd and rev are
+    disjoint distinct sets and the union needs no ``distinct()``, saving
+    a full |2E|-row shuffle at edge-build time (at 100 TB of edges that
+    dedup shuffle is the single largest cost of the build)."""
     fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    out = fwd.unionByName(rev)
+    return out if disjoint else out.distinct()
 
 
 def pagerank_fixed_point(
@@ -77,22 +87,30 @@ def pagerank_fixed_point(
     inspect the lazy plan (the iteration plan-shape tests do).
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-    # Persist the symmetrized edge list: degree, node set, node count, and
-    # the per-iteration join side all derive from it — without the persist,
-    # every one of those branches re-derives the edge build (and its source
-    # scans) from scratch.
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Static per-iteration left side: (src, dst, deg) — built once, PERSISTED
-    # (the canonical Spark PageRank move: without it, lazy lineage re-derives
-    # the edge list — including its source scans — once per iteration). The
-    # groupBy join leaves it hash-partitioned by src, and InMemoryTableScan
-    # preserves that outputPartitioning, so each iteration's join shuffles
-    # only the |V|-row rank vector, never the |E|-row edge list.
-    ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # Static per-iteration left side: (src, dst, deg) — built in ONE
+    # exchange (r7) and PERSISTED. The previous form (persist edges →
+    # groupBy-count deg → join edges⋈deg) shuffled the |E|-row relation
+    # twice at build (once for the degree agg, once to co-partition the
+    # join) and cached it twice; a whole-partition window count computes
+    # deg in the same single hash(src) exchange that co-locates the
+    # per-iteration join, and the WindowExec's partition-spec sort leaves
+    # the cache SORTED by src — so with
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+    # (session.py) every iteration's sort-merge join reuses both the
+    # partitioning and the ordering, shuffling only the |V|-row rank
+    # vector, never the |E|-row edge relation (the canonical Spark
+    # PageRank move, now actually visible in the executed plan).
+    ed = (
+        edges.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    nodes = deg.select(F.col("src").alias("node"))
+    # Node set and N ride the same cached partitioning: distinct over the
+    # partition key is exchange-free on the cached relation.
+    nodes = ed.select(F.col("src").alias("node")).distinct()
     # N is a scalar: 1-row aggregate, broadcast into the seed projection.
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -123,7 +141,6 @@ def pagerank_fixed_point(
     if materialize:
         result = result.localCheckpoint()  # eager: |V| rows, lineage cut
         ed.unpersist()
-        edges.unpersist()
     return result
 
 
@@ -192,8 +209,31 @@ def hits_fixed_point(
 
     if iterations < 1:
         raise ValueError("hits_fixed_point requires iterations >= 1")
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    hubs0 = edges.select("src").distinct()
+    # The two half-steps join the edge list on DIFFERENT keys (src for
+    # a_raw, dst for h_raw), so one cached partitioning cannot serve
+    # both: a single cache re-exchanged + re-sorted the full |E|-row
+    # relation 2·iterations times. Cache it TWICE instead (r7), each copy
+    # repartitioned AND sorted by its half-step's join key — the standard
+    # "edge list partitioned both ways" trade (2× edge storage for zero
+    # per-half-step edge movement), which is exactly what wins at 100 TB
+    # where |E| dwarfs the score vectors. With
+    # canChangeCachedPlanOutputPartitioning=true both caches' layout is
+    # visible to every consumer, so only the |V|-row score vectors
+    # shuffle per half-step.
+    e_by_src = (
+        edges.repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # derived FROM the first cache, not from `edges`: re-deriving the lazy
+    # edge build (source scans + join + distinct) a second time costs more
+    # than the one cache-to-cache exchange this does
+    e_by_dst = (
+        e_by_src.repartition("dst")
+        .sortWithinPartitions("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hubs0 = e_by_src.select("src").distinct()
     n_df = hubs0.agg(F.count(F.lit(1)).alias("n"))
     h = hubs0.crossJoin(F.broadcast(n_df)).select(
         F.col("src").alias("node"),
@@ -218,8 +258,8 @@ def hits_fixed_point(
         # cluster_near_dups; use a reliable checkpoint dir on a real
         # cluster.
         a_raw = (
-            edges.join(h, edges["src"] == h["node"])
-            .groupBy(edges["dst"].alias("node"))
+            e_by_src.join(h, e_by_src["src"] == h["node"])
+            .groupBy(e_by_src["dst"].alias("node"))
             .agg(F.sum("v").alias("vr"))
             .localCheckpoint()
         )
@@ -235,8 +275,8 @@ def hits_fixed_point(
         )
         release_local_checkpoint(a_raw)  # L1 total + normalization done
         h_raw = (
-            edges.join(a, edges["dst"] == a["node"])
-            .groupBy(edges["src"].alias("node"))
+            e_by_dst.join(a, e_by_dst["dst"] == a["node"])
+            .groupBy(e_by_dst["src"].alias("node"))
             .agg(F.sum("v").alias("vr"))
             .localCheckpoint()
         )
@@ -252,10 +292,11 @@ def hits_fixed_point(
         )
         release_local_checkpoint(h_raw)
     # Final h/a are already EAGERLY checkpointed (every half-step is), so
-    # nothing downstream re-reads the cached edge list — release it now
+    # nothing downstream re-reads the cached edge lists — release them now
     # rather than leaking SQL-cache storage per invocation (r6; the
     # CacheManager never GCs cached relations).
-    edges.unpersist()
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
     return h.select("node", F.col("v").alias("score_fp")), a.select(
         "node", F.col("v").alias("score_fp")
     )

@@ -2910,7 +2910,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = graph_ops.undirected_edges(pairs, "cust", "supp")
+    # cust is even, supp is odd, and pairs is distinct — fwd/rev edge sets
+    # are provably disjoint, so symmetrization skips its dedup shuffle
+    edges = graph_ops.undirected_edges(pairs, "cust", "supp", disjoint=True)
     ranks = graph_ops.pagerank_fixed_point(edges, iterations=5)
     return (
         ranks.orderBy(F.col("rank_fp").desc(), "node")

@@ -41,6 +41,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE optimize the plans INSIDE cached relations (r7): with the
+        # default (false), a persisted relation whose child was planned
+        # under AQE reports unknown output partitioning, so every consumer
+        # re-exchanges AND re-sorts it — the iterative graph operators
+        # (pagerank/HITS/triangle) paid a full |E|-row exchange+sort per
+        # iteration on an edge relation that was already hash-partitioned
+        # and sorted by the join key when cached. Measured at sf0.1:
+        # pagerank steady-state 5.5 s -> 3.6 s from this switch alone.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
