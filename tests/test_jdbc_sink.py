@@ -206,3 +206,66 @@ def test_jdbc_merge_forwards_connection_properties(spark, gbm_ticks, tmp_path):
     assert spark.read.jdbc(url, "features", properties=props).count() == (
         feats.count()
     )
+
+
+def test_jdbc_merge_replay_after_checkpointed_restart(
+    spark, gbm_ticks, tmp_path
+):
+    """r6 verdict #6: the exactly-once claim must survive a CROSS-RESTART
+    replay, not just same-process re-invocation. Simulate the worst-case
+    crash window — the process dies AFTER batch 0's MERGE landed but
+    BEFORE the checkpoint committed — then restart from the same
+    (RocksDB-backed) checkpoint with a fresh writer instance (fresh
+    unique stage table, as a real restart would have). Spark replays
+    batch 0 into the already-merged table; the final table must hold
+    exactly the batch answer with no double-upsert."""
+    tick_dir = str(tmp_path / "ticks_restart")
+    for lo, hi in [(0, 9), (9, 17), (17, 60)]:
+        gbm_ticks.filter(
+            (
+                F.col("event_time")
+                >= F.timestamp_millis(F.lit(1_704_067_200_000 + lo * 1000))
+            )
+            & (
+                F.col("event_time")
+                < F.timestamp_millis(F.lit(1_704_067_200_000 + hi * 1000))
+            )
+        ).coalesce(1).write.mode("append").parquet(tick_dir)
+    url = sinks.derby_url(str(tmp_path / "db_restart"))
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    inner = sinks.jdbc_merge_writer(url, properties=PROPS)
+
+    def crash_after_sink(df, bid):
+        inner(df, bid)  # the MERGE lands...
+        raise RuntimeError("simulated crash after sink, before commit")
+
+    def make_query(writer):
+        stream = job.read_parquet_ticks_stream(
+            spark, tick_dir, max_files_per_trigger=1
+        )
+        feats = job.features_stream(
+            stream,
+            window="10 seconds",
+            watermark="0 seconds",
+            with_latency=False,
+        )
+        return job.start_features_stream(
+            feats,
+            writer,
+            checkpoint_dir=ckpt,
+            output_mode="update",
+            available_now=True,
+        )
+
+    q = make_query(crash_after_sink)
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination(timeout=300)
+    # batch 0 DID land before the "crash" — the restart genuinely replays
+    # onto a table that already holds its rows
+    assert _read(spark, url).count() > 0
+
+    q2 = make_query(sinks.jdbc_merge_writer(url, properties=PROPS))
+    q2.awaitTermination(timeout=300)
+    got = {tuple(r) for r in _read(spark, url).select(*DET_COLS).collect()}
+    assert got == _expected(gbm_ticks)
