@@ -3148,11 +3148,21 @@ def _triangle_stats(
     pairs = per_order.select(
         F.explode(F.expr(combos.format(arr="ss"))).alias("pr")
     ).select(F.col("pr.pa").alias("a"), F.col("pr.pb").alias("b"))
+    # persisted REPARTITIONED on the wedge-close join keys (r7): with
+    # canChangeCachedPlanOutputPartitioning=true the cache's layout is
+    # visible to consumers, and AQE coalesces this small post-threshold
+    # relation to a handful of partitions — letting the wedge-close join
+    # (whose OTHER side is the Σout²-row wedge set, the biggest relation
+    # in the query) inherit that collapsed parallelism. An explicit
+    # repartition pins the cache at the session's shuffle parallelism on
+    # exactly the join clustering, so the wedge side exchanges into full
+    # parallelism and the edge side exchanges not at all.
     edges = (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 5)
         .select("a", "b")
+        .repartition("a", "b")
         .persist()
     )
     deg = (
