@@ -179,16 +179,19 @@ def _bench_features_stream(spark, sf_dir: str) -> tuple[float, list[dict]]:
         for bid in sorted(recent):
             if bid in seen:
                 b = seen[bid]
-                durs, state = b.duration_breakdown_ms, b.state_rows
+                n_in, durs, state = (
+                    b.num_input_rows, b.duration_breakdown_ms, b.state_rows
+                )
             else:  # listener never flushed this batch — recentProgress fill
                 p = recent[bid]
+                n_in = int(p.get("numInputRows") or 0)
                 durs = p.get("durationMs") or {}
                 state = sum(
                     (op.get("numRowsTotal") or 0)
                     for op in (p.get("stateOperators") or [])
                 )
             breakdown.append(
-                {"batch_id": bid, "state_rows": state}
+                {"batch_id": bid, "input_rows": n_in, "state_rows": state}
                 | {k: int(durs.get(k, 0)) for k in keys}
             )
         return wall, breakdown
@@ -389,8 +392,21 @@ def main() -> None:
     socket_breakdown = _bench_features_stream_socket(spark)
 
     total = round(sum(timings.values()), 3)
+    # compute = Σ addBatch over DATA batches only: availableNow sometimes
+    # appends a trailing no-data batch to flush watermark-expired state
+    # (scheduling-dependent — 2 vs 3 batches across otherwise identical
+    # runs), and including its fixed per-batch floor would move the
+    # round-over-round compute number by ~0.6 s of pure scheduling noise.
+    # The full breakdown still records every batch, flush batch included,
+    # with its input_rows so the exclusion is auditable.
     stream_compute = round(
-        sum(b.get("addBatch", 0) for b in stream_breakdown) / 1000.0, 3
+        sum(
+            b.get("addBatch", 0)
+            for b in stream_breakdown
+            if b.get("input_rows", 1) > 0
+        )
+        / 1000.0,
+        3,
     )
     socket_compute = round(
         sum(b.get("addBatch", 0) for b in socket_breakdown) / 1000.0, 3
