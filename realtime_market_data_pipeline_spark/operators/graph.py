@@ -240,57 +240,55 @@ def hits_fixed_point(
         F.expr(f"CAST({scale} AS BIGINT) div n").alias("v"),
     )
     a = None
-    # Superseded checkpoints are unpersisted the moment their only
-    # consumer has materialized (every localCheckpoint below is eager):
-    # checkpoint RDDs are not reclaimed by GC in practice under PySpark,
-    # so without explicit release each invocation would strand
-    # 4·iterations cached score vectors. Residue after return: exactly
-    # the two returned vectors (caller-owned).
+    # Lineage control, one EAGER job per iteration (r7 — was four): lazy
+    # lineage across iterations re-derives the whole chain once per
+    # consumer (2^(2·iters) blowup: a 2 s job took 50 s at sf0.01), and
+    # mere persist() of the full recursion keeps the exponentially nested
+    # LOGICAL plan, which overflows the stack when Spark stringifies it.
+    # But only the per-iteration OUTPUT vector needs a checkpoint to
+    # truncate the plan: within one iteration every intermediate hangs off
+    # the previous checkpointed h, so their plans are constant-depth, and
+    # the twice-consumed raw-sum relations (L1 total + normalization) need
+    # only a persist() — the iteration-ending h checkpoint materializes
+    # the whole chain, including both caches, in its single job. Four
+    # eager jobs per iteration collapse into one; checkpoint RDDs are not
+    # reclaimed by GC in practice under PySpark, so superseded ones are
+    # released explicitly the moment the new checkpoint has materialized.
+    # Residue after return: exactly the two returned vectors
+    # (caller-owned). Use a reliable checkpoint dir on a real cluster.
     for it in range(iterations):
-        # Each half-step's raw sums are eagerly localCheckpoint'd: the
-        # relation is consumed twice (the 1-row L1 total and the
-        # normalization itself) and the final vectors feed two top-k
-        # branches — lazy lineage would re-derive the whole chain once per
-        # consumer (2^(2·iters) blowup: a 2 s job took 50 s at sf0.01), and
-        # mere persist() keeps the exponentially nested LOGICAL plan, which
-        # overflows the stack when Spark stringifies it. Checkpointing
-        # truncates the plan to the materialized partitions — same move as
-        # cluster_near_dups; use a reliable checkpoint dir on a real
-        # cluster.
         a_raw = (
             e_by_src.join(h, e_by_src["src"] == h["node"])
             .groupBy(e_by_src["dst"].alias("node"))
             .agg(F.sum("v").alias("vr"))
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        release_local_checkpoint(h)  # a_raw was h's only consumer
-        # (no-op on the plain, non-checkpointed h0)
         a_tot = a_raw.agg(F.sum("vr").alias("t"))
-        a = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select(
-                "node", F.expr(f"vr * CAST({scale} AS BIGINT) div t").alias("v")
-            )
-            .localCheckpoint()
+        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "node", F.expr(f"vr * CAST({scale} AS BIGINT) div t").alias("v")
         )
-        release_local_checkpoint(a_raw)  # L1 total + normalization done
+        if it == iterations - 1:
+            # the final a outlives the loop (caller's authorities side) —
+            # checkpoint it BEFORE its inputs are released below
+            a = a.localCheckpoint()
         h_raw = (
             e_by_dst.join(a, e_by_dst["dst"] == a["node"])
             .groupBy(e_by_dst["src"].alias("node"))
             .agg(F.sum("v").alias("vr"))
-            .localCheckpoint()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if it < iterations - 1:
-            release_local_checkpoint(a)  # non-final a: h_raw consumed it
         h_tot = h_raw.agg(F.sum("vr").alias("t"))
+        h_prev = h
         h = (
             h_raw.crossJoin(F.broadcast(h_tot))
             .select(
                 "node", F.expr(f"vr * CAST({scale} AS BIGINT) div t").alias("v")
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: materializes the whole iteration
         )
-        release_local_checkpoint(h_raw)
+        release_local_checkpoint(h_prev)  # superseded (no-op on plain h0)
+        a_raw.unpersist()
+        h_raw.unpersist()
     # Final h/a are already EAGERLY checkpointed (every half-step is), so
     # nothing downstream re-reads the cached edge lists — release them now
     # rather than leaking SQL-cache storage per invocation (r6; the
