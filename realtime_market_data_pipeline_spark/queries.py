@@ -6116,6 +6116,19 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #     warm-pinning lands this round), ER clustering, KMV, as-of join.
 # Everything below slot 50 holds a green row from r5 or r6 on unchanged
 # code and rotates in r8.
+#
+# STAGED r8 PLAN (staleness-first; post-r7 distribution is r7 ×50, r6 ×44,
+# r5 ×42): slot 1 = anything whose code changes in r8; then ALL 42 rows
+# whose last green is r5 — the TPC-H corpus spine (q1/q3/q4/q5/q6/q7/q9/
+# q10/q14/q15/q16/q17/q18/q19/q22), semi/anti joins, topk_per_type,
+# kpi_summary, dedup_last_write_wins, stats/regex/atr/beta/psi/histogram/
+# zscore/backtest/sequence/vwap/copurchase/equidepth/point_in_time,
+# embedding utility trio (l2_normalized, quantized_int8, similar_pairs),
+# dedup_embedding_cosine, dedup_sorted_neighborhood, doc_train_eval_split,
+# token_weighted_sample, inverted_index_postings, kmv_jaccard_pairs,
+# events_value_drift_psi — then top up to 50 with the oldest-r6 rows
+# (features family first: they sit on operators/features.py, which most
+# rounds touch).
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
