@@ -96,8 +96,10 @@ HEADLINE = [
     # real BMP/WAV decode over planted binary payloads
     "heavy_hitters_merged",
     "multimodal_decode",
-    # r7 addition: PNG decode (stdlib zlib inflate + scanline de-filter)
+    # r7 additions: PNG decode (stdlib zlib inflate + scanline de-filter)
+    # and baseline JPEG decode (pure-Python Huffman + IDCT)
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

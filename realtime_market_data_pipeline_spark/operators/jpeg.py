@@ -1,0 +1,526 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81), stdlib + numpy only.
+
+Closes the last compressed-image gap in the multimodal decode path
+(r6/r7 verdicts: BMP/PPM/WAV/PNG decode for real; JPEG previously raised
+pending PIL). This module implements the baseline sequential DCT process
+end to end with no codec library:
+
+- **Encoder** (`encode_jpeg`): level shift, 8x8 forward DCT (numpy
+  matrix form), quantization, zigzag, DC differential + AC run-length
+  Huffman entropy coding with the Annex K "typical" luminance tables,
+  0xFF byte stuffing, optional restart markers (DRI + RSTn), grayscale
+  or 4:4:4 YCbCr color. Emits SOI/APP0/DQT/SOF0/DHT/SOS/EOI — a
+  spec-valid interchange-format file any conformant reader decodes.
+- **Decoder** (`decode_jpeg` / `decode_pixels`): marker walk (DQT/DHT
+  may carry multiple tables per segment), canonical Huffman table
+  construction per spec C.2, bit-level entropy decode with stuffed-byte
+  removal and restart resync, dequantize, inverse zigzag, IDCT, level
+  shift + clamp, and the JFIF YCbCr->RGB transform for 3-component
+  scans. Progressive (SOF2), hierarchical, arithmetic-coded, 12-bit,
+  and subsampled streams raise ``NotImplementedError`` — baseline
+  8-bit with 1x1 sampling only.
+
+Exactness contract used by the planted-media oracle: an 8x8-constant
+block has a DC-only DCT (DC = 8*(v-128), all AC exactly 0 after
+rounding), so with a UNIT quantization table the whole entropy-decode ->
+dequantize -> IDCT pipeline reconstructs the block bit-exactly. Planted
+payloads are block-constant images, letting a DuckDB oracle predict
+every decoded pixel by integer arithmetic while the decoder genuinely
+runs Huffman + IDCT on a real DCT-coded stream.
+
+Reference parity note: the reference repo has no media path at all; this
+extends the engine for LLM-training multimodal ingestion (task brief),
+same plumbing as operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ZIGZAG[i] = natural (row-major) index of the i-th coefficient in
+# zigzag scan order (T.81 Figure 5).
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3.1 "typical" luminance Huffman tables.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Annex K.1 luminance quantization table (row-major as printed in K.1).
+STD_LUMA_QT = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+UNIT_QT = np.ones((8, 8), dtype=np.int64)
+
+# Orthonormal 8-point DCT-II matrix: C[k, n] = a(k)/2 * cos((2n+1)k*pi/16),
+# a(0)=1/sqrt(2) else 1. Forward: F = C f C^T; inverse: f = C^T F C.
+_C = np.array(
+    [
+        [
+            ((1.0 / math.sqrt(2.0)) if k == 0 else 1.0)
+            / 2.0
+            * math.cos((2 * n + 1) * k * math.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman construction per T.81 C.2: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map for bit-incremental decoding."""
+    return {(ln, c): s for s, (c, ln) in build_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # T.81 B.1.1.5 byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: removes 0xFF00 stuffing; ``resync``
+    consumes an expected RSTn marker at a byte boundary."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt != 0x00:
+                raise ValueError(
+                    f"hit marker 0xFF{nxt:02X} inside entropy data"
+                )
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def resync(self, expected_rst: int) -> None:
+        self.acc = 0
+        self.n = 0  # discard pad bits
+        if not (
+            self.buf[self.pos] == 0xFF
+            and self.buf[self.pos + 1] == 0xD0 + expected_rst
+        ):
+            raise ValueError(
+                f"expected RST{expected_rst} at offset {self.pos}"
+            )
+        self.pos += 2
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code (>16 bits)")
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _encode_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    t = abs(diff).bit_length()
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zcode, zln = ac_codes[0xF0]  # ZRL
+            bw.write(zcode, zln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> list[np.ndarray]:
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+
+
+def encode_jpeg(
+    raster: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``raster`` (uint8 HxW grayscale or HxWx3 RGB) as a baseline
+    sequential JPEG. ``quant`` is an 8x8 natural-order quantization table
+    (default ``UNIT_QT`` — near-lossless, and bit-exact for 8x8-constant
+    blocks; pass ``STD_LUMA_QT`` for Annex K compression). 4:4:4
+    sampling, one shared quant + Huffman table set — minimal and
+    spec-legal. AC coefficients are clamped to +-1023 (baseline's 10-bit
+    AC magnitude ceiling)."""
+    arr = np.asarray(raster, dtype=np.float64)
+    if arr.ndim == 2:
+        comps = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        comps = _rgb_to_ycbcr(arr)
+    else:
+        raise ValueError("raster must be HxW gray or HxWx3 RGB")
+    h, w = arr.shape[0], arr.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty raster")
+    qt = np.asarray(UNIT_QT if quant is None else quant, dtype=np.int64)
+
+    bx_n = -(-w // 8)
+    by_n = -(-h // 8)
+    # Edge-replicate pad to full blocks (standard practice).
+    padded = [
+        np.pad(c, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
+        for c in comps
+    ]
+
+    dc_codes = build_codes(DC_BITS, DC_VALS)
+    ac_codes = build_codes(AC_BITS, AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes(2)
+    # DQT: Pq=0 (8-bit), Tq=0, values in zigzag order.
+    qzz = qt.reshape(64)[ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00])
+    out += bytes(int(v) for v in qzz)
+    ncomp = len(comps)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS))
+    out += bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(AC_VALS))
+    out += bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x00])  # DC table 0, AC table 0
+    out += bytes([0, 63, 0])  # Ss, Se, AhAl
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu_idx = 0
+    rst = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci, comp in enumerate(padded):
+                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round((_C @ block @ _C.T) / qt).astype(np.int64)
+                flat = coef.reshape(64)
+                flat[1:] = np.clip(flat[1:], -1023, 1023)
+                preds[ci] = _encode_block(
+                    bw, flat[ZIGZAG], preds[ci], dc_codes, ac_codes
+                )
+            mcu_idx += 1
+    bw.pad_to_byte()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG with 1x1 sampling to its pixel
+    array: HxW uint8 for grayscale, HxWx3 uint8 RGB (JFIF YCbCr->RGB)
+    for 3-component scans. Raises ``NotImplementedError`` for
+    progressive/hierarchical/arithmetic/12-bit/subsampled streams and
+    ``ValueError`` for malformed ones."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    dri = 0
+    rasters = None
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        data = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zzvals = np.frombuffer(
+                    data[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zzvals
+                qts[tq] = nat
+                i += 65
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = data[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (sampling != 1x1) not supported"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                huffs[(tc, th)] = _decode_table(
+                    bits, list(data[i + 17 : i + 17 + nv])
+                )
+                i += 17 + nv
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            h, w, comps = sof
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG not supported")
+            sel = [
+                (data[1 + 2 * ci], data[2 + 2 * ci] >> 4, data[2 + 2 * ci] & 15)
+                for ci in range(ns)
+            ]
+            # Map scan component selector -> SOF component (quant table).
+            qt_by_scan = []
+            for cs, _, _ in sel:
+                matches = [tq for cid, tq in comps if cid == cs]
+                if not matches:
+                    raise ValueError(f"scan component {cs} not in SOF")
+                qt_by_scan.append(qts[matches[0]])
+            r = _BitReader(payload, pos + seglen)
+            bx_n = -(-w // 8)
+            by_n = -(-h // 8)
+            rasters = [
+                np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+                for _ in range(ns)
+            ]
+            preds = [0] * ns
+            mcu_idx = 0
+            rst = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if dri and mcu_idx and mcu_idx % dri == 0:
+                        r.resync(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * ns
+                    for ci in range(ns):
+                        _, dtab, atab = sel[ci]
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(r, huffs[(0, dtab)])
+                        preds[ci] += _receive_extend(r, t)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _huff_decode(r, huffs[(1, atab)])
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("AC coefficient overrun")
+                            zz[k] = _receive_extend(r, s)
+                            k += 1
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[ZIGZAG] = zz * qt_by_scan[ci][ZIGZAG]
+                        rasters[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = _C.T @ nat.reshape(8, 8) @ _C
+                    mcu_idx += 1
+            pos = r.pos
+            continue
+        pos += seglen
+    if sof is None or rasters is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, _ = sof
+    crop = [np.clip(np.round(c[:h, :w]) + 128.0, 0, 255) for c in rasters]
+    if len(crop) == 1:
+        return crop[0].astype(np.uint8)
+    if len(crop) == 3:
+        return _ycbcr_to_rgb(*crop).astype(np.uint8)
+    raise NotImplementedError(f"{len(crop)}-component JPEG")
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline JPEG and return the multimodal stats dict
+    {"format", "width", "height", "bpp", "pixel_sum", "n_px"} where
+    pixel_sum sums every channel of every pixel of the decoded image
+    (post YCbCr->RGB for color)."""
+    pix = decode_pixels(payload)
+    if pix.ndim == 2:
+        h, w = pix.shape
+        bpp = 8
+    else:
+        h, w = pix.shape[:2]
+        bpp = 24
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "bpp": bpp,
+        "pixel_sum": int(pix.astype(np.int64).sum()),
+        "n_px": w * h,
+    }

@@ -91,10 +91,15 @@ def test_wav_roundtrip_and_stereo():
 
 
 def test_compressed_formats_still_raise():
-    # JPEG still needs PIL/opencv; PNG decodes as of r7 (decode_png), but
-    # garbage after a PNG signature must fail LOUDLY, not mis-decode
-    with pytest.raises(NotImplementedError):
+    # Baseline JPEG decodes as of r7 (operators.jpeg), but garbage after
+    # an SOI marker must fail LOUDLY, not mis-decode; same for PNG
+    with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    # progressive JPEG (SOF2) raises NotImplementedError, not garbage
+    with pytest.raises(NotImplementedError, match="SOF marker 0xFFC2"):
+        mm.decode_image(
+            b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 8, 8, 8, 8, 0)
+        )
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
     # indexed-color (palette) PNG raises NotImplementedError, not garbage
@@ -118,6 +123,126 @@ def test_compressed_formats_still_raise():
     ih = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, 0, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError, match="compressed BMP"):
         mm.decode_image(fh + ih)
+
+
+def test_jpeg_block_constant_exact_roundtrip():
+    """The exactness contract behind the multimodal_decode_jpeg oracle:
+    block-constant images under a unit quant table are DC-only, so the
+    full Huffman->dequantize->IDCT pipeline is bit-exact."""
+    for did in (0, 1, 7, 42, 255, 999):
+        d = mm.decode_image(mm.make_jpeg(did))
+        bxn, byn = (did % 3) + 1, (did % 2) + 1
+        expect = 64 * sum(
+            (did + 5 * bx + 11 * by) % 256
+            for bx in range(bxn)
+            for by in range(byn)
+        )
+        assert (d["format"], d["width"], d["height"], d["bpp"]) == (
+            "jpeg", 8 * bxn, 8 * byn, 8,
+        )
+        assert d["pixel_sum"] == expect
+
+
+def test_jpeg_decoder_known_vector_hand_assembled():
+    """Pin the DECODER to T.81 independently of the encoder: a minimal
+    8x8 grayscale file hand-assembled in this test, with entropy bytes
+    derived BY HAND from the Annex K tables. For constant value 130:
+    s = 130-128 = 2, DC = 8*2 = 16 (unit quant), category 5; canonical
+    DC-luminance code for category 5 is '110' (BITS=[0,1,5,...] puts
+    symbols 1..5 at 3 bits: 010,011,100,101,110); magnitude bits of +16
+    are '10000'; EOB is AC symbol 0x00 = '1010' (4th-shortest AC code);
+    pad to a byte with 1s: 110 10000 1010 1111 -> 0xD0 0xAF."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    f += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    f += bytes([1, 0x11, 0])
+    f += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(jpeg.DC_VALS))
+    f += b"\x00" + bytes(jpeg.DC_BITS) + bytes(jpeg.DC_VALS)
+    f += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(jpeg.AC_VALS))
+    f += b"\x10" + bytes(jpeg.AC_BITS) + bytes(jpeg.AC_VALS)
+    f += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    f += bytes.fromhex("d0af")
+    f += b"\xff\xd9"
+    pix = jpeg.decode_pixels(bytes(f))
+    assert pix.shape == (8, 8)
+    assert np.array_equal(pix, np.full((8, 8), 130, dtype=np.uint8))
+    # and the encoder independently produces exactly those entropy bytes
+    p = jpeg.encode_jpeg(np.full((8, 8), 130, dtype=np.uint8))
+    sos = p.find(b"\xff\xda")
+    assert p[sos + 10 : -2] == bytes.fromhex("d0af")
+
+
+def test_jpeg_restart_markers_and_stuffing():
+    """DRI/RSTn resync must decode identically to the unrestarted stream,
+    and 0xFF byte stuffing must round-trip (the chosen image forces
+    stuffed bytes into the entropy segment)."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    plain = jpeg.encode_jpeg(img)
+    restarted = jpeg.encode_jpeg(img, restart_interval=2)
+    assert b"\xff\xdd" in restarted and b"\xff\xdd" not in plain
+    assert np.array_equal(
+        jpeg.decode_pixels(plain), jpeg.decode_pixels(restarted)
+    )
+    # find stuffing in at least one of the two streams' entropy segments
+    sos = plain.find(b"\xff\xda")
+    assert b"\xff\x00" in plain[sos:], "test image should force stuffing"
+    # max error vs source bounded by unit-quant rounding (a zigzag or
+    # filter-table bug produces errors in the tens)
+    err = np.abs(
+        jpeg.decode_pixels(plain).astype(int) - img.astype(int)
+    ).max()
+    assert err <= 4
+
+
+def test_jpeg_color_and_std_quant():
+    """4:4:4 YCbCr color round-trips within transform+quant tolerance;
+    the Annex K luminance table compresses and still decodes close."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.default_rng(3)
+    imgc = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    outc = jpeg.decode_pixels(jpeg.encode_jpeg(imgc))
+    assert outc.shape == imgc.shape
+    assert np.abs(outc.astype(int) - imgc.astype(int)).max() <= 8
+    # non-multiple-of-8 dims exercise edge-replicate padding + crop
+    img = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quant=jpeg.STD_LUMA_QT))
+    assert (d["width"], d["height"]) == (23, 19)
+    out = jpeg.decode_pixels(jpeg.encode_jpeg(img, quant=jpeg.STD_LUMA_QT))
+    # lossy, but a structural bug (wrong zigzag, swapped tables) lands
+    # far outside this band
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 25
+
+
+def test_plant_and_decode_jpeg_distributed(spark):
+    """plant_jpeg -> decode_media through Spark stays shuffle-free and
+    matches the local codec."""
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    decoded = mm.decode_media(mm.plant_jpeg(docs))
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "media decode plan must be shuffle-free"
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == docs.count()
+    for did in (0, 1, 5, 42):
+        local = mm.decode_image(mm.make_jpeg(did))
+        r = rows[did]
+        assert (r["width"], r["height"], r["pixel_sum"]) == (
+            local["width"], local["height"], local["pixel_sum"],
+        )
+        assert r["sample_rate"] is None
 
 
 def test_plant_and_decode_media_distributed(spark):

@@ -456,3 +456,58 @@ def test_png_decoder_matches_spec_known_vector():
     corrupted[-5] ^= 0xFF  # flip a bit in IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         mm.decode_png(bytes(corrupted))
+
+
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=1, max_size=12),
+    bxn=st.integers(1, 4),
+)
+@settings(**_CODEC_SETTINGS)
+def test_jpeg_blockconstant_exact_property(vals, bxn):
+    """ANY grid of 8x8-constant blocks round-trips BIT-EXACTLY through
+    the baseline JPEG codec under a unit quant table — constant blocks
+    are DC-only, so entropy-code -> decode -> IDCT loses nothing. This
+    is the exactness contract the multimodal_decode_jpeg oracle rests
+    on, for arbitrary block values (not just the doc_id arithmetic)."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    byn = -(-len(vals) // bxn)
+    padded = vals + [vals[-1]] * (bxn * byn - len(vals))
+    img = np.zeros((byn * 8, bxn * 8), dtype=np.uint8)
+    for i, v in enumerate(padded):
+        by, bx = divmod(i, bxn)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    out = jpeg.decode_pixels(jpeg.encode_jpeg(img, quant=jpeg.UNIT_QT))
+    assert np.array_equal(out, img)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    w=st.integers(1, 31),
+    h=st.integers(1, 31),
+    dri=st.integers(0, 3),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_random_raster_bounded_and_restart_property(seed, w, h, dri):
+    """ANY random grayscale raster (including non-multiple-of-8 dims and
+    restart intervals) decodes within unit-quant rounding tolerance, and
+    a restarted stream decodes identically to the unrestarted one. A
+    zigzag, Huffman-table, stuffing, or resync bug lands far outside
+    these bounds."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    plain = jpeg.decode_pixels(jpeg.encode_jpeg(img))
+    assert plain.shape == (h, w)
+    assert np.abs(plain.astype(int) - img.astype(int)).max() <= 4
+    if dri:
+        restarted = jpeg.decode_pixels(
+            jpeg.encode_jpeg(img, restart_interval=dri)
+        )
+        assert np.array_equal(plain, restarted)
