@@ -96,10 +96,12 @@ HEADLINE = [
     # real BMP/WAV decode over planted binary payloads
     "heavy_hitters_merged",
     "multimodal_decode",
-    # r7 additions: PNG decode (stdlib zlib inflate + scanline de-filter)
-    # and baseline JPEG decode (pure-Python Huffman + IDCT)
+    # r7 additions: PNG decode (stdlib zlib inflate + scanline de-filter),
+    # baseline JPEG decode (pure-Python Huffman + IDCT), and AVI container
+    # frame sampling (RIFF walk + DIB frame sums)
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
+    "multimodal_video_frames",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

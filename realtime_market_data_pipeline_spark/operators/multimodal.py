@@ -683,6 +683,7 @@ def decode_avi(payload: bytes) -> dict:
     def walk(start: int, end: int) -> None:
         nonlocal width, height, n_frames_hdr, bpp, compression
         pos = start
+        end = min(end, len(payload))  # declared sizes can lie (truncation)
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)

@@ -5462,6 +5462,45 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_video_frames",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+fs AS (SELECT CAST(i AS BIGINT) AS f FROM range(0, 8) AS t(i)),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 5) AS t(i)),
+per AS (
+  SELECT doc_id, f, sum((doc_id + 17 * f + y) % 256) AS rs
+  FROM d JOIN fs ON f < (doc_id % 7) + 2 AND f % 2 = 0
+         JOIN ys ON y < (doc_id % 4) + 2
+  GROUP BY doc_id, f
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(3 * ((doc_id % 6) + 2) * rs AS BIGINT) AS frame_pixel_sum
+FROM per
+""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container decode + frame sampling (r7, makes the video half
+    of the multimodal surface real): plant deterministic doc_id-derived
+    RIFF/AVI containers — spec-valid hdrl/movi chunk trees holding
+    uncompressed 24bpp bottom-up DIB frames with BMP-style row padding
+    (operators/multimodal.py ``make_avi``) — then parse them back with
+    the pure-Python RIFF walker (even-byte chunk alignment, avih/strf
+    header parse, per-frame padding-aware pixel sums; ``decode_avi``)
+    and emit every 2nd frame via ``sample_video_frames``, the canonical
+    row-EXPANDING mapInPandas fan-out (output rows >> input rows). The
+    oracle predicts every sampled frame's pixel sum as
+    3*width*sum((doc_id+17f+y)%256) by integer arithmetic, so a chunk
+    walk, stride, frame-order, or sampling bug on either side breaks
+    the hash. Same 100 TB shape as the other decode queries:
+    shuffle-free Arrow mapInPandas, payload bytes never cross an
+    exchange; compressed codecs (mjpeg/h264) slot into the same
+    dispatch when ffmpeg is present."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_video_frames(mm.plant_avi(docs), every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # Source surface (SURVEY.md §2.1 S7 / §2.2 K3): synthetic GBM generator and
 # the Kafka payload codec. The GBM draw comes from xxhash64 (no DuckDB twin),
@@ -6148,10 +6187,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # last driver row should be older than two rounds, because rounds rewrite
 # shared code under all of them. The r7 window (executes the plan staged in
 # r6 / prescribed by the r6 verdict #1):
-# (1) queries NEW or sitting on code CHANGED this round — the JPEG and
-#     PNG decode queries (new), the BMP/WAV decode + feature queries
-#     (multimodal.py changed), and both heavy-hitters forms (sketches.py
-#     schema-typing change);
+# (1) queries NEW or sitting on code CHANGED this round — the JPEG
+#     decode, AVI frame-sampling, and PNG decode queries (new), the
+#     BMP/WAV decode + feature queries (multimodal.py changed), and both
+#     heavy-hitters forms (sketches.py schema-typing change);
 # (2) all 38 queries whose last green row is r4 — the staleness budget's
 #     maximum;
 # (3) 7 oldest-r5 refreshers: events_time_range (sits on the r7 io.py
@@ -6161,9 +6200,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # code and rotates in r8.
 #
 # STAGED r8 PLAN (staleness-first; post-r7 distribution is r7 ×50, r6 ×44,
-# r5 ×43 — incl. asof_last_purchase, displaced from the r7 window by the
-# new multimodal_decode_jpeg): slot 1 = anything whose code changes in r8;
-# then ALL 43 rows
+# r5 ×44 — incl. asof_last_purchase and kmv_distinct_users, displaced from
+# the r7 window by the new multimodal_decode_jpeg/_video_frames): slot 1 =
+# anything whose code changes in r8; then ALL 44 rows
 # whose last green is r5 — the TPC-H corpus spine (q1/q3/q4/q5/q6/q7/q9/
 # q10/q14/q15/q16/q17/q18/q19/q22), semi/anti joins, topk_per_type,
 # kpi_summary, dedup_last_write_wins, stats/regex/atr/beta/psi/histogram/
@@ -6179,6 +6218,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _REGISTRY_PRIORITY = [
     # (1) new in r7 / code changed in r7
     "multimodal_decode_jpeg",
+    "multimodal_video_frames",
     "multimodal_decode_png",
     "multimodal_decode",
     "multimodal_features",
@@ -6223,16 +6263,17 @@ _REGISTRY_PRIORITY = [
     "user_sessions_12h",
     "value_percentiles_by_type",
     "word_counts_top100",
-    # (3) oldest-r5 refreshers. asof_last_purchase slid out of the
-    # 50-slot window when multimodal_decode_jpeg (new r7 code) took
-    # slot 1 — it stays r5-green on unchanged code and MUST be in the
-    # r8 window (it is already in the staged r8 all-r5 sweep above).
+    # (3) oldest-r5 refreshers. asof_last_purchase and kmv_distinct_users
+    # slid out of the 50-slot window when multimodal_decode_jpeg and
+    # multimodal_video_frames (new r7 code) took the top slots — both
+    # stay r5-green on unchanged code (the r7 sketches.py schema-typing
+    # change touched only the space-saving paths, not KMV) and MUST be
+    # in the r8 window (both are in the staged r8 all-r5 sweep above).
     "events_time_range",
     "pagerank_trade_graph",
     "hits_trade_authorities",
     "triangle_count_supplier_graph",
     "entity_resolution_clusters",
-    "kmv_distinct_users",
 ]
 
 

@@ -245,6 +245,74 @@ def test_plant_and_decode_jpeg_distributed(spark):
         assert r["sample_rate"] is None
 
 
+def test_avi_roundtrip_padding_and_alignment():
+    """decode(make_avi(...)) recovers dims, frame count, and the exact
+    per-frame arithmetic sums — including widths whose DIB rows need
+    1-3 pad bytes, which must be excluded from the sums."""
+    for did in (0, 3, 7, 42, 999):
+        w, h, nf = (did % 6) + 2, (did % 4) + 2, (did % 7) + 2
+        d = mm.decode_avi(mm.make_avi(did, w, h, nf))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+        for f in range(nf):
+            assert d["frame_sums"][f] == 3 * w * sum(
+                (did + 17 * f + y) % 256 for y in range(h)
+            )
+    # corrupt a PAD byte of frame 0: sums must not change (w=3 -> 3 pad)
+    b = mm.make_avi(5, 3, 2, 2)
+    base = mm.decode_avi(b)
+    movi = b.find(b"00db") + 8
+    stride = 12  # 3*3 row bytes + 3 pad
+    off = movi + stride - 1
+    b2 = b[:off] + b"\xff" + b[off + 1 :]
+    assert mm.decode_avi(b2)["frame_sums"] == base["frame_sums"]
+    # corrupt a PIXEL byte: frame 0's sum must change, frame 1's must not
+    b3 = b[:movi] + bytes([(b[movi] + 1) % 256]) + b[movi + 1 :]
+    d3 = mm.decode_avi(b3)
+    assert d3["frame_sums"][0] != base["frame_sums"][0]
+    assert d3["frame_sums"][1] == base["frame_sums"][1]
+
+
+def test_avi_compressed_and_malformed_raise():
+    # compressed frames (biCompression != 0) raise, not mis-decode
+    avi = bytearray(mm.make_avi(3, 3, 2, 2))
+    i = avi.find(b"strf") + 8 + 16  # biCompression inside BITMAPINFOHEADER
+    struct.pack_into("<I", avi, i, 1)
+    with pytest.raises(NotImplementedError, match="biCompression=1"):
+        mm.decode_avi(bytes(avi))
+    # non-AVI RIFF (e.g. WAVE) raises NotImplementedError via decode path
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # frame-count mismatch between header and movi chunks fails loudly
+    good = mm.make_avi(3, 3, 2, 2)
+    movi = good.find(b"LIST", good.find(b"movi") - 8)
+    truncated = good[: good.rfind(b"00db")]
+    with pytest.raises(ValueError, match="declares 2 frames, found 1"):
+        mm.decode_avi(truncated)
+    del movi
+
+
+def test_sample_video_frames_distributed(spark):
+    """plant_avi -> sample_video_frames through Spark: shuffle-free
+    row-expanding fan-out matching the local codec on sampled frames."""
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sampled = mm.sample_video_frames(mm.plant_avi(docs), every_n=2)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "frame sampling must be shuffle-free"
+    rows = sampled.collect()
+    n_docs = docs.count()
+    assert len(rows) > n_docs  # row-expanding: >= 1 sampled frame per doc
+    by_key = {(r["media_id"], r["frame_idx"]): r["frame_pixel_sum"] for r in rows}
+    for did in (0, 1, 6, 42):
+        local = mm.decode_avi(
+            mm.make_avi(did, (did % 6) + 2, (did % 4) + 2, (did % 7) + 2)
+        )
+        for f in range(0, local["n_frames"], 2):
+            assert by_key[(did, f)] == local["frame_sums"][f]
+        assert (did, 1) not in by_key  # odd frames not sampled
+
+
 def test_plant_and_decode_media_distributed(spark):
     """End-to-end through Spark: plant real payloads over the sf0.001
     documents spine, decode via mapInPandas, spot-check against the local

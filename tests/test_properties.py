@@ -484,6 +484,27 @@ def test_jpeg_blockconstant_exact_property(vals, bxn):
 
 
 @given(
+    doc_id=st.integers(0, 10**12),
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    nf=st.integers(1, 10),
+)
+@settings(**_CODEC_SETTINGS)
+def test_avi_codec_roundtrip_property(doc_id, w, h, nf):
+    """decode_avi(make_avi(id,w,h,nf)) must recover dims, frame count,
+    and every frame's arithmetic pixel sum for ANY (id, w, h, nf) —
+    including widths needing 0/1/2/3 DIB row pad bytes."""
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    d = mm.decode_avi(mm.make_avi(doc_id, w, h, nf))
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+    for f in range(nf):
+        assert d["frame_sums"][f] == 3 * w * sum(
+            (doc_id + 17 * f + y) % 256 for y in range(h)
+        )
+
+
+@given(
     seed=st.integers(0, 2**31 - 1),
     w=st.integers(1, 31),
     h=st.integers(1, 31),
