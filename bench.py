@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
+    "multimodal_resize",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -35,6 +35,7 @@ same plumbing as operators/multimodal.py.
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 import struct
 
@@ -133,6 +134,21 @@ def build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol map for bit-incremental decoding."""
     return {(ln, c): s for s, (c, ln) in build_codes(bits, vals).items()}
+
+
+@_functools.lru_cache(maxsize=64)
+def _decode_table_cached(
+    bits: bytes, vals: bytes
+) -> dict[tuple[int, int], int]:
+    """Keyed on the raw DHT table bytes: payloads produced by the same
+    encoder share identical tables, and rebuilding the ~174-entry map per
+    payload dominated small-image decode cost."""
+    return _decode_table(list(bits), list(vals))
+
+
+# The encoder always emits the Annex K tables — build their code maps once.
+_DC_CODES = build_codes(DC_BITS, DC_VALS)
+_AC_CODES = build_codes(AC_BITS, AC_VALS)
 
 
 class _BitWriter:
@@ -310,8 +326,8 @@ def encode_jpeg(
         for c in comps
     ]
 
-    dc_codes = build_codes(DC_BITS, DC_VALS)
-    ac_codes = build_codes(AC_BITS, AC_VALS)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(
@@ -422,10 +438,10 @@ def decode_pixels(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(data):
                 tc, th = data[i] >> 4, data[i] & 15
-                bits = list(data[i + 1 : i + 17])
+                bits = data[i + 1 : i + 17]
                 nv = sum(bits)
-                huffs[(tc, th)] = _decode_table(
-                    bits, list(data[i + 17 : i + 17 + nv])
+                huffs[(tc, th)] = _decode_table_cached(
+                    bytes(bits), bytes(data[i + 17 : i + 17 + nv])
                 )
                 i += 17 + nv
         elif marker == 0xDD:

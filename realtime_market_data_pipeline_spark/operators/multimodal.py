@@ -171,15 +171,17 @@ def make_png(doc_id: int, width: int, height: int) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict:
-    """Pure-Python PNG decode (r6 verdict #3): stdlib ``zlib`` inflate +
-    the five scanline filters — chunk walk with CRC verification, IHDR
+def _png_defiltered_rows(payload: bytes) -> tuple[int, int, int, list]:
+    """Shared single-pass PNG core: chunk walk with CRC verification, IHDR
     parse, IDAT concatenation (the stream may be split across chunks),
-    per-scanline de-filtering per spec §9 (None/Sub/Up/Average/Paeth,
-    byte-wise with bpp offsets). 8-bit depth, non-interlaced; color
-    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Indexed (3),
-    16-bit, and Adam7 raise — they need palette/interlace handling no
-    caller here produces."""
+    inflate, per-scanline de-filtering per spec §9 (None/Sub/Up/Average/
+    Paeth, byte-wise with bpp offsets). Returns
+    (width, height, channels, rows) with rows in top-down order. 8-bit
+    depth, non-interlaced; color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA). Indexed (3), 16-bit, and Adam7 raise — they need palette/
+    interlace handling no caller here produces. Both ``decode_png``
+    (stats) and ``decode_image_pixels`` (raster) wrap this, so the
+    de-filter work runs ONCE per payload."""
     import struct
     import zlib
 
@@ -217,7 +219,7 @@ def decode_png(payload: bytes) -> dict:
     if len(stream) != height * (1 + row_bytes):
         raise ValueError("PNG pixel stream length mismatch")
     prev = bytearray(row_bytes)
-    pixel_sum = 0
+    rows = []
     for y in range(height):
         base = y * (1 + row_bytes)
         ft = stream[base]
@@ -239,14 +241,21 @@ def decode_png(payload: bytes) -> dict:
             else:
                 pred = 0
             row[i] = (row[i] + pred) % 256
-        pixel_sum += sum(row)
+        rows.append(row)
         prev = row
+    return width, height, channels, rows
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode (r6 verdict #3) — stats over the shared
+    single-pass de-filter core ``_png_defiltered_rows``."""
+    width, height, channels, rows = _png_defiltered_rows(payload)
     return {
         "format": "png",
         "width": width,
         "height": height,
         "bpp": 8 * channels,
-        "pixel_sum": pixel_sum,
+        "pixel_sum": sum(sum(r) for r in rows),
         "n_px": width * height,
     }
 
@@ -334,6 +343,140 @@ def decode_image(payload: bytes) -> dict:
         "only uncompressed BMP (BI_RGB 24/32bpp), binary PPM, 8-bit PNG, "
         "and baseline-sequential JPEG decode without PIL/opencv; wire the "
         "real decoder here on a cluster image that ships them"
+    )
+
+
+def decode_image_pixels(payload: bytes):
+    """Decode a supported image payload to its pixel array (numpy uint8,
+    shape HxWxC) — the raster-returning twin of ``decode_image`` (which
+    returns stats only), needed by the real resize operator. BMP rows are
+    returned in image (top-down) order with file channel order preserved
+    (BGR for BMP — summing/resizing is order-agnostic, and re-encoding
+    writes the same order back)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        width, height_raw = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError("only BI_RGB 24/32bpp BMP pixels")
+        height = abs(height_raw)
+        ch = bpp // 8
+        row_bytes = width * ch
+        stride = row_bytes + ((-row_bytes) % 4)
+        rows = [
+            np.frombuffer(
+                payload, dtype=np.uint8, count=row_bytes,
+                offset=data_offset + r * stride,
+            ).reshape(width, ch)
+            for r in range(height)
+        ]
+        if height_raw > 0:
+            rows.reverse()  # bottom-up file order -> top-down image order
+        return np.stack(rows)
+    if payload[:2] == b"P6":
+        d = decode_image(payload)  # reuse header parse for dims
+        raster = payload[len(payload) - d["width"] * d["height"] * 3 :]
+        return np.frombuffer(raster, dtype=np.uint8).reshape(
+            d["height"], d["width"], 3
+        )
+    if payload[:8] == PNG_SIG:
+        return _decode_png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from realtime_market_data_pipeline_spark.operators import jpeg
+
+        pix = jpeg.decode_pixels(payload)
+        return pix[:, :, None] if pix.ndim == 2 else pix
+    raise NotImplementedError("no pixel decoder for this format")
+
+
+def _decode_png_pixels(payload: bytes):
+    """Raster-returning PNG decode over the shared single-pass core."""
+    import numpy as np
+
+    width, height, channels, rows = _png_defiltered_rows(payload)
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+
+
+def encode_bmp_pixels(arr) -> bytes:
+    """Encode an HxWx3 uint8 raster as a 24bpp bottom-up BI_RGB BMP (the
+    re-encode half of the real resize operator). Channel order is written
+    as given (callers resizing a decoded BMP keep its BGR order)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    height, width = arr.shape[:2]
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = [
+        arr[y].tobytes() + b"\x00" * pad for y in reversed(range(height))
+    ]
+    pixel_data = b"".join(rows)
+    data_offset = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(pixel_data), 0, 0, data_offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixel_data
+
+
+def resize_nn(arr, width: int, height: int):
+    """Nearest-neighbor resample to (height, width): target pixel (x, y)
+    takes source pixel (floor(x*sw/tw), floor(y*sh/th)) — the convention
+    the resize oracle replays in integer SQL arithmetic."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    sh, sw = arr.shape[:2]
+    ys = (np.arange(height) * sh) // height
+    xs = (np.arange(width) * sw) // width
+    return arr[np.ix_(ys, xs)]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (replaces resize_stub): decode each payload to
+    pixels (any supported format — BMP/PPM/PNG/JPEG), nearest-neighbor
+    resample to (width, height), re-encode as 24bpp BMP, and emit the
+    resized payload — the decode→transform→re-encode shape a training
+    pipeline runs to normalize image dimensions. Shuffle-free Arrow
+    mapInPandas; payload bytes never cross an exchange. Grayscale
+    sources are channel-replicated to 3 for the BMP target."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pix = decode_image_pixels(bytes(payload))
+                if pix.shape[2] == 1:
+                    pix = np.repeat(pix, 3, axis=2)
+                elif pix.shape[2] == 4:
+                    pix = pix[:, :, :3]
+                ids.append(int(mid))
+                payloads.append(
+                    encode_bmp_pixels(resize_nn(pix, width, height))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
     )
 
 
@@ -835,10 +978,63 @@ def frame_sample_stub(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
     )
 
 
+def decode_audio_samples(payload: bytes) -> list[int]:
+    """Raster twin of ``decode_audio``: the decoded signed 16-bit PCM
+    samples (interleaved if multi-channel), via stdlib ``wave``."""
+    import io
+    import struct
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE PCM decodes here")
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("16-bit PCM only")
+        n = w.getnframes()
+        return list(
+            struct.unpack(f"<{n * w.getnchannels()}h", w.readframes(n))
+        )
+
+
+def audio_frame_energy(media: DataFrame, frame_len: int = 32) -> DataFrame:
+    """REAL audio feature extraction (r7, replaces the byte-stride energy
+    fake): decode each WAV payload to PCM samples, frame them frame_len
+    samples at a time (last frame ragged), and emit per-frame energy =
+    sum of squared samples — an exact integer, so tests and oracles can
+    predict it from the planted sample arithmetic. Real impl swaps the
+    energy fold for MFCC per frame; the fan-out shape (row-expanding
+    mapInPandas, no shuffle) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies, lens = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = decode_audio_samples(bytes(payload))
+                for i in range(0, max(-(-len(samples) // frame_len), 1)):
+                    chunk = samples[i * frame_len : (i + 1) * frame_len]
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    energies.append(sum(s * s for s in chunk))
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "n_frame_samples": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, frame_idx int, energy long, n_frame_samples int",
+    )
+
+
 def audio_features_stub(media: DataFrame, frame_len: int = 32) -> DataFrame:
-    """Audio feature plumbing: fixed-length framing + per-frame energy proxy
-    over raw payload bytes (real impl: decode → frame → RMS/MFCC per frame).
-    Demonstrates the frame-window fan-out with deterministic fake values."""
+    """Byte-stride energy proxy over raw payload bytes — kept as the
+    format-agnostic plumbing demo; ``audio_frame_energy`` is the real
+    decoded-sample operator for WAV payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -860,17 +1056,3 @@ def audio_features_stub(media: DataFrame, frame_len: int = 32) -> DataFrame:
     )
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through mapInPandas unchanged (real
-    impl would decode→resize→re-encode per batch)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[["media_id", "payload"]].copy()
-            out["target_w"] = width
-            out["target_h"] = height
-            yield out
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, "media_id long, payload binary, target_w int, target_h int"
-    )

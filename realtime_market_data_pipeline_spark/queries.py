@@ -5501,6 +5501,47 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_video_frames(mm.plant_avi(docs), every_n=2)
 
 
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+xs AS (SELECT CAST(i AS BIGINT) AS x FROM range(0, 8) AS t(i)),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 5) AS t(i)),
+s AS (
+  SELECT doc_id,
+         sum((doc_id + (x * ((doc_id % 13) + 4)) // 8
+                     + 7 * ((y * ((doc_id % 11) + 4)) // 5)) % 256) AS ps
+  FROM d CROSS JOIN xs CROSS JOIN ys
+  GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       'image/bmp' AS media_type,
+       CAST(8 AS INTEGER) AS width,
+       CAST(5 AS INTEGER) AS height,
+       CAST(3 * ps AS BIGINT) AS pixel_sum
+FROM s
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (r7, closes the last multimodal stub): plant
+    deterministic PNGs, then run the full decode→transform→re-encode
+    chain — PNG decode to pixels (inflate + de-filter), nearest-neighbor
+    resample to 8x5 (target (x,y) takes source (x*sw//8, y*sh//5)),
+    re-encode as a 24bpp bottom-up BMP with row padding, and decode THAT
+    payload back through the BMP parser for the output stats. The oracle
+    replays the NN index arithmetic in integer SQL, so a resample-index,
+    channel-order, stride, or re-encode bug anywhere in the four-stage
+    chain breaks the hash. Shuffle-free Arrow mapInPandas end to end —
+    the dimension-normalization shape an image training pipeline runs at
+    100 TB (decode and resample are per-row; payload bytes never cross
+    an exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = mm.resize_media(mm.plant_png(docs), width=8, height=5)
+    return mm.decode_media(resized).select(
+        "media_id", "media_type", "width", "height", "pixel_sum"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Source surface (SURVEY.md §2.1 S7 / §2.2 K3): synthetic GBM generator and
 # the Kafka payload codec. The GBM draw comes from xxhash64 (no DuckDB twin),
@@ -6188,9 +6229,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # shared code under all of them. The r7 window (executes the plan staged in
 # r6 / prescribed by the r6 verdict #1):
 # (1) queries NEW or sitting on code CHANGED this round — the JPEG
-#     decode, AVI frame-sampling, and PNG decode queries (new), the
-#     BMP/WAV decode + feature queries (multimodal.py changed), and both
-#     heavy-hitters forms (sketches.py schema-typing change);
+#     decode, AVI frame-sampling, resize-chain, and PNG decode queries
+#     (new), the BMP/WAV decode + feature queries (multimodal.py
+#     changed), and both heavy-hitters forms (sketches.py schema-typing
+#     change);
 # (2) all 38 queries whose last green row is r4 — the staleness budget's
 #     maximum;
 # (3) 7 oldest-r5 refreshers: events_time_range (sits on the r7 io.py
@@ -6200,9 +6242,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # code and rotates in r8.
 #
 # STAGED r8 PLAN (staleness-first; post-r7 distribution is r7 ×50, r6 ×44,
-# r5 ×44 — incl. asof_last_purchase and kmv_distinct_users, displaced from
-# the r7 window by the new multimodal_decode_jpeg/_video_frames): slot 1 =
-# anything whose code changes in r8; then ALL 44 rows
+# r5 ×45 — incl. asof_last_purchase, kmv_distinct_users, and
+# entity_resolution_clusters, displaced from the r7 window by the new
+# multimodal_decode_jpeg/_video_frames/_resize): slot 1 = anything whose
+# code changes in r8; then ALL 45 rows
 # whose last green is r5 — the TPC-H corpus spine (q1/q3/q4/q5/q6/q7/q9/
 # q10/q14/q15/q16/q17/q18/q19/q22), semi/anti joins, topk_per_type,
 # kpi_summary, dedup_last_write_wins, stats/regex/atr/beta/psi/histogram/
@@ -6219,6 +6262,7 @@ _REGISTRY_PRIORITY = [
     # (1) new in r7 / code changed in r7
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
+    "multimodal_resize",
     "multimodal_decode_png",
     "multimodal_decode",
     "multimodal_features",
@@ -6263,17 +6307,19 @@ _REGISTRY_PRIORITY = [
     "user_sessions_12h",
     "value_percentiles_by_type",
     "word_counts_top100",
-    # (3) oldest-r5 refreshers. asof_last_purchase and kmv_distinct_users
-    # slid out of the 50-slot window when multimodal_decode_jpeg and
-    # multimodal_video_frames (new r7 code) took the top slots — both
-    # stay r5-green on unchanged code (the r7 sketches.py schema-typing
-    # change touched only the space-saving paths, not KMV) and MUST be
-    # in the r8 window (both are in the staged r8 all-r5 sweep above).
+    # (3) oldest-r5 refreshers. asof_last_purchase, kmv_distinct_users,
+    # and entity_resolution_clusters slid out of the 50-slot window when
+    # the three new r7 queries (multimodal_decode_jpeg/_video_frames/
+    # _resize) took the top slots — all three stay r5-green on unchanged
+    # code (the r7 sketches.py schema-typing change touched only the
+    # space-saving paths, not KMV; ER's pointer-jumping in dedup.py was
+    # untouched this round) and MUST be in the r8 window (all are in the
+    # staged r8 all-r5 sweep above). The remaining refreshers sit on
+    # code r7 DID change (io.py walk, graph.py restructure).
     "events_time_range",
     "pagerank_trade_graph",
     "hits_trade_authorities",
     "triangle_count_supplier_graph",
-    "entity_resolution_clusters",
 ]
 
 

@@ -313,6 +313,103 @@ def test_sample_video_frames_distributed(spark):
         assert (did, 1) not in by_key  # odd frames not sampled
 
 
+def test_pixel_decoders_agree_with_stats_decoders():
+    """decode_image_pixels must reproduce decode_image's pixel_sum for
+    every supported format — the raster path and the stats path are
+    independent walks, so a stride/order bug in either diverges here."""
+    import numpy as np
+
+    payloads = [
+        mm.make_bmp(7, 5, 3),
+        b"P6\n3 2 255\n" + bytes(range(18)),
+        mm.make_png(11, 9, 7),
+        mm.make_jpeg(5),
+    ]
+    for p in payloads:
+        stats = mm.decode_image(p)
+        pix = mm.decode_image_pixels(p)
+        assert pix.shape[:2] == (stats["height"], stats["width"])
+        assert int(pix.astype(np.int64).sum()) == stats["pixel_sum"]
+
+
+def test_resize_chain_roundtrip():
+    """decode(PNG)->NN resize->encode(BMP)->decode matches the integer
+    index arithmetic the multimodal_resize oracle replays — including
+    upscale, downscale, and identity."""
+    import numpy as np
+
+    for did, tw, th in ((0, 8, 5), (7, 3, 9), (42, 16, 4)):
+        sw, sh = (did % 13) + 4, (did % 11) + 4
+        png = mm.make_png(did, sw, sh)
+        out = mm.encode_bmp_pixels(
+            mm.resize_nn(mm.decode_image_pixels(png), tw, th)
+        )
+        d = mm.decode_image(out)
+        expect = 3 * sum(
+            (did + (x * sw) // tw + 7 * ((y * sh) // th)) % 256
+            for x in range(tw)
+            for y in range(th)
+        )
+        assert (d["width"], d["height"], d["pixel_sum"]) == (tw, th, expect)
+    # identity resize of a BMP round-trips the exact pixels
+    b = mm.make_bmp(9, 6, 4)
+    pix = mm.decode_image_pixels(b)
+    again = mm.decode_image_pixels(
+        mm.encode_bmp_pixels(mm.resize_nn(pix, 6, 4))
+    )
+    assert np.array_equal(pix, again)
+
+
+def test_resize_media_distributed(spark):
+    """plant_png -> resize_media -> decode_media through Spark stays
+    shuffle-free and normalizes every image to the target dims."""
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = mm.decode_media(mm.resize_media(mm.plant_png(docs), 8, 5))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "resize chain must be shuffle-free"
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all((r["width"], r["height"]) == (8, 5) for r in rows)
+    for did in (0, 1, 7):
+        sw, sh = (did % 13) + 4, (did % 11) + 4
+        expect = 3 * sum(
+            (did + (x * sw) // 8 + 7 * ((y * sh) // 5)) % 256
+            for x in range(8)
+            for y in range(5)
+        )
+        row = next(r for r in rows if r["media_id"] == did)
+        assert row["pixel_sum"] == expect
+
+
+def test_audio_frame_energy_exact(spark):
+    """audio_frame_energy decodes REAL PCM and frames it: per-frame
+    energy must equal the integer sum of squared planted samples,
+    including the ragged last frame."""
+    media = mm.plant_media(
+        spark.createDataFrame([(1,), (3,), (5,)], "doc_id long")
+    )
+    rows = mm.audio_frame_energy(media, frame_len=5).collect()
+    for did in (1, 3, 5):
+        n = (did % 23) + 8
+        samples = [((did * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+        got = sorted(
+            (r["frame_idx"], r["energy"], r["n_frame_samples"])
+            for r in rows
+            if r["media_id"] == did
+        )
+        expect = [
+            (
+                i,
+                sum(s * s for s in samples[i * 5 : (i + 1) * 5]),
+                len(samples[i * 5 : (i + 1) * 5]),
+            )
+            for i in range(-(-n // 5))
+        ]
+        assert got == expect
+
+
 def test_plant_and_decode_media_distributed(spark):
     """End-to-end through Spark: plant real payloads over the sf0.001
     documents spine, decode via mapInPandas, spot-check against the local

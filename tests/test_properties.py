@@ -505,6 +505,32 @@ def test_avi_codec_roundtrip_property(doc_id, w, h, nf):
 
 
 @given(
+    doc_id=st.integers(0, 10**12),
+    sw=st.integers(1, 20),
+    sh=st.integers(1, 20),
+    tw=st.integers(1, 20),
+    th=st.integers(1, 20),
+)
+@settings(**_CODEC_SETTINGS)
+def test_resize_chain_property(doc_id, sw, sh, tw, th):
+    """The full decode(PNG)->NN-resize->encode(BMP)->decode chain must
+    equal the oracle's integer index arithmetic for ANY source/target
+    dims (up, down, identity, degenerate 1-pixel axes)."""
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    out = mm.encode_bmp_pixels(
+        mm.resize_nn(mm.decode_image_pixels(mm.make_png(doc_id, sw, sh)), tw, th)
+    )
+    d = mm.decode_image(out)
+    expect = 3 * sum(
+        (doc_id + (x * sw) // tw + 7 * ((y * sh) // th)) % 256
+        for x in range(tw)
+        for y in range(th)
+    )
+    assert (d["width"], d["height"], d["pixel_sum"]) == (tw, th, expect)
+
+
+@given(
     seed=st.integers(0, 2**31 - 1),
     w=st.integers(1, 31),
     h=st.integers(1, 31),
