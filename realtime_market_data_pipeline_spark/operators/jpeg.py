@@ -186,9 +186,11 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG entropy data truncated")
         b = self.buf[self.pos]
         if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else 0xD9
             if nxt != 0x00:
                 raise ValueError(
                     f"hit marker 0xFF{nxt:02X} inside entropy data"
@@ -383,7 +385,18 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     array: HxW uint8 for grayscale, HxWx3 uint8 RGB (JFIF YCbCr->RGB)
     for 3-component scans. Raises ``NotImplementedError`` for
     progressive/hierarchical/arithmetic/12-bit/subsampled streams and
-    ``ValueError`` for malformed ones."""
+    ``ValueError`` for malformed ones — raw IndexError/KeyError/
+    struct.error from corrupted structures are normalized to ValueError
+    so callers of untrusted bytes have a two-exception contract."""
+    try:
+        return _decode_pixels_impl(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"malformed JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_pixels_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -467,6 +480,14 @@ def decode_pixels(payload: bytes) -> np.ndarray:
             r = _BitReader(payload, pos + seglen)
             bx_n = -(-w // 8)
             by_n = -(-h // 8)
+            # the shortest legal MCU is ~4 bits/component (2-bit DC code
+            # + 2-bit EOB), so dims a corrupted SOF declares beyond what
+            # the remaining bytes could encode must fail loudly rather
+            # than allocate giant rasters and grind (r7 fuzz finding)
+            if bx_n * by_n * ns > (len(payload) - pos - seglen) * 2 + 64:
+                raise ValueError(
+                    "JPEG declared dimensions exceed entropy stream capacity"
+                )
             rasters = [
                 np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
                 for _ in range(ns)

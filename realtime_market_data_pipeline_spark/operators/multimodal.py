@@ -188,20 +188,25 @@ def _png_defiltered_rows(payload: bytes) -> tuple[int, int, int, list]:
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos, ihdr, idat = 8, None, []
-    while pos < len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
+    try:
+        while pos < len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+    except (struct.error, zlib.error) as e:
+        # corrupted chunk structure — normalize to the two-exception
+        # contract for untrusted bytes (r7 fuzz finding)
+        raise ValueError(f"malformed PNG ({type(e).__name__}: {e})") from e
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, ctype, comp, filt_m, interlace = ihdr
@@ -213,7 +218,10 @@ def _png_defiltered_rows(payload: bytes) -> tuple[int, int, int, list]:
         )
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    stream = zlib.decompress(b"".join(idat))
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"malformed PNG deflate stream: {e}") from e
     bpp = channels
     row_bytes = width * bpp
     if len(stream) != height * (1 + row_bytes):
@@ -294,6 +302,10 @@ def decode_image(payload: bytes) -> dict:
         ch = bpp // 8
         row_bytes = width * ch
         stride = row_bytes + ((-row_bytes) % 4)
+        if width < 0 or data_offset + height * stride > len(payload):
+            # a corrupted height field must fail loudly, not spin for
+            # 2^31 empty-slice iterations (r7 fuzz finding)
+            raise ValueError("BMP pixel data truncated vs declared dims")
         pixel_sum = 0
         for r in range(height):
             start = data_offset + r * stride
@@ -325,6 +337,8 @@ def decode_image(payload: bytes) -> dict:
         i += 1  # single whitespace after maxval
         width, height, _maxval = parts
         raster = payload[i : i + width * height * 3]
+        if len(raster) != width * height * 3:
+            raise ValueError("PPM raster truncated vs declared dims")
         return {
             "format": "ppm",
             "width": width,
@@ -368,6 +382,8 @@ def decode_image_pixels(payload: bytes):
         ch = bpp // 8
         row_bytes = width * ch
         stride = row_bytes + ((-row_bytes) % 4)
+        if width < 0 or data_offset + height * stride > len(payload):
+            raise ValueError("BMP pixel data truncated vs declared dims")
         rows = [
             np.frombuffer(
                 payload, dtype=np.uint8, count=row_bytes,
@@ -554,22 +570,30 @@ def decode_audio(payload: bytes) -> dict:
             "only RIFF/WAVE PCM decodes without libsndfile; wire the real "
             "decoder here on a cluster image that ships it"
         )
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError(
-                f"{w.getsampwidth() * 8}-bit PCM not supported (16-bit only)"
-            )
-        n = w.getnframes()
-        ch = w.getnchannels()
-        samples = struct.unpack(f"<{n * ch}h", w.readframes(n))
-        return {
-            "format": "wav",
-            "sample_rate": w.getframerate(),
-            "n_channels": ch,
-            "n_samples": n,
-            "sample_sum": sum(samples),
-            "sample_peak": max(abs(s) for s in samples) if samples else 0,
-        }
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"{w.getsampwidth() * 8}-bit PCM not supported "
+                    "(16-bit only)"
+                )
+            n = w.getnframes()
+            ch = w.getnchannels()
+            rate = w.getframerate()
+            samples = struct.unpack(f"<{n * ch}h", w.readframes(n))
+    except (wave.Error, struct.error, EOFError, RuntimeError) as e:
+        # corrupted RIFF/fmt structure or truncated frames — normalize to
+        # the two-exception contract for untrusted bytes (r7 fuzz finding;
+        # stdlib wave raises bare RuntimeError on some malformed sizes)
+        raise ValueError(f"malformed WAV ({type(e).__name__}: {e})") from e
+    return {
+        "format": "wav",
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_samples": n,
+        "sample_sum": sum(samples),
+        "sample_peak": max(abs(s) for s in samples) if samples else 0,
+    }
 
 
 # Deterministic media-planting contract (the PII-planting pattern): derive
@@ -846,7 +870,12 @@ def decode_avi(payload: bytes) -> dict:
                 frames.append(payload[body_start : body_start + size])
             pos = body_start + size + (size & 1)  # chunks align to even
 
-    walk(12, len(payload))
+    import struct as _struct
+
+    try:
+        walk(12, len(payload))
+    except _struct.error as e:
+        raise ValueError(f"malformed AVI chunk structure: {e}") from e
     if width is None or bpp is None:
         raise ValueError("AVI missing avih/strf headers")
     if compression != 0 or bpp != 24:
@@ -987,13 +1016,17 @@ def decode_audio_samples(payload: bytes) -> list[int]:
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE PCM decodes here")
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError("16-bit PCM only")
-        n = w.getnframes()
-        return list(
-            struct.unpack(f"<{n * w.getnchannels()}h", w.readframes(n))
-        )
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("16-bit PCM only")
+            n = w.getnframes()
+            return list(
+                struct.unpack(f"<{n * w.getnchannels()}h", w.readframes(n))
+            )
+    except (wave.Error, struct.error, EOFError, RuntimeError) as e:
+        # stdlib wave raises bare RuntimeError on some malformed sizes
+        raise ValueError(f"malformed WAV ({type(e).__name__}: {e})") from e
 
 
 def audio_frame_energy(media: DataFrame, frame_len: int = 32) -> DataFrame:

@@ -505,6 +505,46 @@ def test_avi_codec_roundtrip_property(doc_id, w, h, nf):
 
 
 @given(
+    seed=st.integers(0, 2**31 - 1),
+    kind=st.integers(0, 4),
+    n_flips=st.integers(1, 8),
+)
+@settings(max_examples=200, deadline=1000)
+def test_decoders_fail_loudly_under_corruption(seed, kind, n_flips):
+    """Untrusted-bytes contract for EVERY decoder: random byte corruption
+    of a valid payload must either still decode (corruption landed in
+    pixel/sample data — inherent to any codec) or raise ValueError /
+    NotImplementedError — never hang (the 1 s deadline catches the
+    2^31-phantom-rows class this test originally found: a corrupted BMP
+    height spun for minutes) and never leak raw IndexError / KeyError /
+    struct.error / zlib.error / wave.Error from parser internals."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    did = int(rng.integers(0, 1000))
+    if kind == 0:
+        payload, dec = mm.make_jpeg(did), jpeg.decode_jpeg
+    elif kind == 1:
+        payload, dec = mm.make_png(did, 6, 6), mm.decode_png
+    elif kind == 2:
+        payload, dec = mm.make_avi(did, 3, 2, 2), mm.decode_avi
+    elif kind == 3:
+        payload, dec = mm.make_bmp(did, 5, 3), mm.decode_image
+    else:
+        payload, dec = mm.make_wav(did, 12, 8000), mm.decode_audio
+    buf = bytearray(payload)
+    for _ in range(n_flips):
+        buf[int(rng.integers(2, len(buf)))] ^= int(rng.integers(1, 256))
+    try:
+        dec(bytes(buf))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(
     doc_id=st.integers(0, 10**12),
     sw=st.integers(1, 20),
     sh=st.integers(1, 20),
