@@ -1557,3 +1557,64 @@ def test_socket_source_live_push_matches_batch(spark, gbm_ticks, tmp_path):
         q.stop()
         server.close()
     assert set(state.values()) == expected
+
+
+def test_streaming_multimodal_decode_matches_batch(spark, tmp_path):
+    """The multimodal decode operators compose unchanged with Structured
+    Streaming: plant_media -> decode_media over a file stream (one file
+    per trigger) produces exactly the batch decode of the same docs —
+    the engine's same-operator-batch-and-stream claim extended to the
+    binary-column path (mapInPandas is stateless, so each micro-batch
+    decodes independently; payload bytes never cross an exchange or a
+    state store)."""
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    d = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt_mm")
+    got: dict[int, tuple] = {}
+
+    def writer(batch_df, batch_id):
+        decoded = mm.decode_media(mm.plant_media(batch_df))
+        for r in decoded.collect():
+            got[r["media_id"]] = (
+                r["media_type"], r["width"], r["height"], r["pixel_sum"],
+                r["sample_rate"], r["n_samples"], r["sample_sum"],
+            )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    ids_a, ids_b = [0, 1, 2, 3], [10, 11, 12, 13]
+    spark.createDataFrame([(i,) for i in ids_a], "doc_id long").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    run_stream()
+    assert set(got) == set(ids_a)
+    spark.createDataFrame([(i,) for i in ids_b], "doc_id long").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    run_stream()
+    assert set(got) == set(ids_a + ids_b)
+
+    batch_docs = spark.createDataFrame(
+        [(i,) for i in ids_a + ids_b], "doc_id long"
+    )
+    expected = {
+        r["media_id"]: (
+            r["media_type"], r["width"], r["height"], r["pixel_sum"],
+            r["sample_rate"], r["n_samples"], r["sample_sum"],
+        )
+        for r in mm.decode_media(mm.plant_media(batch_docs)).collect()
+    }
+    assert got == expected
