@@ -1,24 +1,31 @@
 """Pure-Python baseline JPEG codec (ITU-T T.81), stdlib + numpy only.
 
-Closes the last compressed-image gap in the multimodal decode path
+Closes the compressed-image gap in the multimodal decode path
 (r6/r7 verdicts: BMP/PPM/WAV/PNG decode for real; JPEG previously raised
-pending PIL). This module implements the baseline sequential DCT process
-end to end with no codec library:
+pending PIL). This module implements the baseline sequential AND
+progressive (SOF2) DCT processes end to end with no codec library:
 
 - **Encoder** (`encode_jpeg`): level shift, 8x8 forward DCT (numpy
   matrix form), quantization, zigzag, DC differential + AC run-length
   Huffman entropy coding with the Annex K "typical" luminance tables,
   0xFF byte stuffing, optional restart markers (DRI + RSTn), grayscale
-  or 4:4:4 YCbCr color. Emits SOI/APP0/DQT/SOF0/DHT/SOS/EOI — a
-  spec-valid interchange-format file any conformant reader decodes.
+  or 4:4:4 YCbCr color. ``progressive=True`` emits the SOF2 scan
+  script libjpeg-style decoders expect: interleaved DC at Al=1, DC
+  refinement, then per-component AC 1-63 first pass at Al=1 and its
+  successive-approximation refinement (T.81 G.1.2.2/G.1.2.3 — newly-
+  nonzero sign bits, buffered correction bits, EOB closure). Emits
+  SOI/APP0/DQT/SOF0|2/DHT/SOS.../EOI — spec-valid interchange files
+  any conformant reader decodes.
 - **Decoder** (`decode_jpeg` / `decode_pixels`): marker walk (DQT/DHT
   may carry multiple tables per segment), canonical Huffman table
   construction per spec C.2, bit-level entropy decode with stuffed-byte
-  removal and restart resync, dequantize, inverse zigzag, IDCT, level
-  shift + clamp, and the JFIF YCbCr->RGB transform for 3-component
-  scans. Progressive (SOF2), hierarchical, arithmetic-coded, 12-bit,
-  and subsampled streams raise ``NotImplementedError`` — baseline
-  8-bit with 1x1 sampling only.
+  removal and restart resync, multi-scan coefficient accumulation
+  (spectral selection + successive approximation, incl. AC refinement
+  correction bits and multi-block EOB runs), dequantize, inverse
+  zigzag, vectorized einsum IDCT over all blocks, level shift + clamp,
+  and the JFIF YCbCr->RGB transform for 3-component scans.
+  Hierarchical, arithmetic-coded, 12-bit, and subsampled streams raise
+  ``NotImplementedError`` — 8-bit with 1x1 sampling only.
 
 Exactness contract used by the planted-media oracle: an 8x8-constant
 block has a DC-only DCT (DC = 8*(v-128), all AC exactly 0 after
@@ -296,18 +303,91 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
 
 
+def _emit_block_ac_first(bw, zz, ss, se, al, ac_codes) -> None:
+    """First-pass AC emission for band [ss, se] at point transform al
+    (baseline uses ss=1, al=0). EOB runs are kept at length 1 because
+    the Annex K table only carries the length-1 EOB symbol 0x00."""
+    vals = {}
+    last = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        if t:
+            vals[k] = t if zz[k] > 0 else -t
+            last = k
+    run = 0
+    for k in range(ss, last + 1):
+        v = vals.get(k)
+        if v is None:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se:
+        code, ln = ac_codes[0x00]  # EOB (run of 1)
+        bw.write(code, ln)
+
+
+def _emit_block_ac_refine(bw, zz, ss, se, al, ac_codes) -> None:
+    """Successive-approximation AC refinement emission (T.81 G.1.2.3):
+    newly-nonzero coefficients (magnitude 1 at this precision) get a
+    (run, 1) code + sign bit; previously-nonzero ones contribute buffered
+    correction bits that ride behind the next emitted code (or the EOB)."""
+    absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    run = 0
+    buffered: list[int] = []
+    for k in range(ss, se + 1):
+        t = absval[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:
+            buffered.append(t & 1)
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in buffered:
+                bw.write(b, 1)
+            buffered = []
+        code, ln = ac_codes[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if zz[k] > 0 else 0, 1)
+        for b in buffered:
+            bw.write(b, 1)
+        buffered = []
+        run = 0
+    if run > 0 or buffered:
+        code, ln = ac_codes[0x00]  # EOB closes the block's remainder
+        bw.write(code, ln)
+        for b in buffered:
+            bw.write(b, 1)
+
+
 def encode_jpeg(
     raster: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode ``raster`` (uint8 HxW grayscale or HxWx3 RGB) as a baseline
-    sequential JPEG. ``quant`` is an 8x8 natural-order quantization table
-    (default ``UNIT_QT`` — near-lossless, and bit-exact for 8x8-constant
-    blocks; pass ``STD_LUMA_QT`` for Annex K compression). 4:4:4
-    sampling, one shared quant + Huffman table set — minimal and
-    spec-legal. AC coefficients are clamped to +-1023 (baseline's 10-bit
-    AC magnitude ceiling)."""
+    sequential JPEG, or — with ``progressive=True`` — a progressive
+    (SOF2) one using spectral selection + successive approximation:
+    interleaved DC scan at Al=1, DC refinement to Al=0, then per
+    component an AC 1-63 scan at Al=1 and its refinement to Al=0 (the
+    scan script libjpeg-style decoders expect to handle). ``quant`` is
+    an 8x8 natural-order quantization table (default ``UNIT_QT`` —
+    near-lossless, and bit-exact for 8x8-constant blocks; pass
+    ``STD_LUMA_QT`` for Annex K compression). 4:4:4 sampling, one shared
+    quant + Huffman table set — minimal and spec-legal. AC coefficients
+    are clamped to +-1023 (the 10-bit AC magnitude ceiling)."""
     arr = np.asarray(raster, dtype=np.float64)
     if arr.ndim == 2:
         comps = [arr]
@@ -318,18 +398,34 @@ def encode_jpeg(
     h, w = arr.shape[0], arr.shape[1]
     if h == 0 or w == 0:
         raise ValueError("empty raster")
+    if progressive and restart_interval:
+        raise ValueError("restart markers unsupported in progressive mode")
     qt = np.asarray(UNIT_QT if quant is None else quant, dtype=np.int64)
 
     bx_n = -(-w // 8)
     by_n = -(-h // 8)
-    # Edge-replicate pad to full blocks (standard practice).
-    padded = [
-        np.pad(c, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
-        for c in comps
-    ]
+    # Edge-replicate pad to full blocks, then precompute every block's
+    # quantized coefficients in zigzag order (progressive emits them
+    # across several scans; baseline in one).
+    all_zz = []
+    for c in comps:
+        padded = np.pad(c, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
+        comp_zz = np.empty((by_n * bx_n, 64), dtype=np.int64)
+        u = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                flat = np.round((_C @ block @ _C.T) / qt).astype(
+                    np.int64
+                ).reshape(64)
+                flat[1:] = np.clip(flat[1:], -1023, 1023)
+                comp_zz[u] = flat[ZIGZAG]
+                u += 1
+        all_zz.append(comp_zz)
 
     dc_codes = _DC_CODES
     ac_codes = _AC_CODES
+    ncomp = len(comps)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(
@@ -339,8 +435,8 @@ def encode_jpeg(
     qzz = qt.reshape(64)[ZIGZAG]
     out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00])
     out += bytes(int(v) for v in qzz)
-    ncomp = len(comps)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         out += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS))
@@ -349,51 +445,171 @@ def encode_jpeg(
     out += bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for cid in range(1, ncomp + 1):
-        out += bytes([cid, 0x00])  # DC table 0, AC table 0
-    out += bytes([0, 63, 0])  # Ss, Se, AhAl
 
-    bw = _BitWriter()
-    preds = [0] * ncomp
-    mcu_idx = 0
-    rst = 0
-    for by in range(by_n):
-        for bx in range(bx_n):
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int):
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        )
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])  # DC table 0, AC table 0
+        seg += bytes([ss, se, (ah << 4) | al])
+        return seg
+
+    def emit_dc_scan(al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for u in range(by_n * bx_n):
+            for ci in range(ncomp):
+                dc = int(all_zz[ci][u][0])
+                if refine:
+                    bw.write((dc >> al) & 1, 1)
+                else:
+                    v = dc >> al  # arithmetic shift, matches decoder <<
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = abs(diff).bit_length()
+                    code, ln = dc_codes[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    if not progressive:
+        out += sos_header(list(range(1, ncomp + 1)), 0, 63, 0, 0)
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        mcu_idx = 0
+        rst = 0
+        for u in range(by_n * bx_n):
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 bw.pad_to_byte()
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 preds = [0] * ncomp
-            for ci, comp in enumerate(padded):
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = np.round((_C @ block @ _C.T) / qt).astype(np.int64)
-                flat = coef.reshape(64)
-                flat[1:] = np.clip(flat[1:], -1023, 1023)
+            for ci in range(ncomp):
                 preds[ci] = _encode_block(
-                    bw, flat[ZIGZAG], preds[ci], dc_codes, ac_codes
+                    bw, all_zz[ci][u], preds[ci], dc_codes, ac_codes
                 )
             mcu_idx += 1
-    bw.pad_to_byte()
-    out += bw.out
+        bw.pad_to_byte()
+        out += bw.out
+    else:
+        out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+        out += emit_dc_scan(1, refine=False)
+        out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+        out += emit_dc_scan(0, refine=True)
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], 1, 63, 0, 1)
+            bw = _BitWriter()
+            for u in range(by_n * bx_n):
+                _emit_block_ac_first(bw, all_zz[ci][u], 1, 63, 1, ac_codes)
+            bw.pad_to_byte()
+            out += bw.out
+            out += sos_header([ci + 1], 1, 63, 1, 0)
+            bw = _BitWriter()
+            for u in range(by_n * bx_n):
+                _emit_block_ac_refine(bw, all_zz[ci][u], 1, 63, 0, ac_codes)
+            bw.pad_to_byte()
+            out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def decode_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG with 1x1 sampling to its pixel
-    array: HxW uint8 for grayscale, HxWx3 uint8 RGB (JFIF YCbCr->RGB)
-    for 3-component scans. Raises ``NotImplementedError`` for
-    progressive/hierarchical/arithmetic/12-bit/subsampled streams and
-    ``ValueError`` for malformed ones — raw IndexError/KeyError/
-    struct.error from corrupted structures are normalized to ValueError
-    so callers of untrusted bytes have a two-exception contract."""
+    """Decode a baseline OR progressive (SOF2: spectral selection +
+    successive approximation, incl. AC refinement and EOB runs) JPEG
+    with 1x1 sampling to its pixel array: HxW uint8 for grayscale,
+    HxWx3 uint8 RGB (JFIF YCbCr->RGB) for 3-component scans. Raises
+    ``NotImplementedError`` for hierarchical/arithmetic/12-bit/
+    subsampled streams and ``ValueError`` for malformed ones — raw
+    IndexError/KeyError/struct.error from corrupted structures are
+    normalized to ValueError so callers of untrusted bytes have a
+    two-exception contract."""
     try:
         return _decode_pixels_impl(payload)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(
             f"malformed JPEG ({type(e).__name__}: {e})"
         ) from e
+
+
+def _ac_first(r, zz, ac_tab, ss, se, al, eobrun):
+    """AC first-pass decode for the band [ss, se] at point transform al.
+    Superset of baseline AC decode: baseline's EOB symbol (r=0, s=0) is
+    the degenerate EOB run of length 2^0 = 1, so baseline scans decode
+    through this same path with al=0. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_tab)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.read_bits(rr)
+            return eobrun
+        k += rr
+        if k > se:
+            raise ValueError("AC coefficient overrun")
+        zz[k] = _receive_extend(r, s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r, zz, ac_tab, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3 / the
+    libjpeg decode_mcu_AC_refine shape): newly-nonzero coefficients
+    arrive as +-1<<al with a sign bit; every nonzero-history coefficient
+    crossed — including those inside ZRL runs and EOB runs — carries a
+    correction bit. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_tab)
+            rr, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if rr < 15:
+                    # FULL count including the current block: the sweep
+                    # below still reads this block's remaining correction
+                    # bits (the encoder emits them right after the EOB
+                    # code), then decrements for this block.
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.read_bits(rr)
+                    break
+                # rr == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if r.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if r.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_pixels_impl(payload: bytes) -> np.ndarray:
@@ -404,7 +620,8 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     dri = 0
-    rasters = None
+    coefs = None  # per SOF component: (n_blocks, 64) int64, zigzag order
+    any_scan = False
     while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -429,7 +646,7 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
                 nat[ZIGZAG] = zzvals
                 qts[tq] = nat
                 i += 65
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -441,11 +658,11 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
                         "subsampled JPEG (sampling != 1x1) not supported"
                     )
                 comps.append((cid, tq))
-            sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            sof = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
+                f"unsupported JPEG process (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             i = 0
@@ -463,76 +680,101 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = data[0]
-            h, w, comps = sof
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG not supported")
+            h, w, comps, progressive = sof
             sel = [
                 (data[1 + 2 * ci], data[2 + 2 * ci] >> 4, data[2 + 2 * ci] & 15)
                 for ci in range(ns)
             ]
-            # Map scan component selector -> SOF component (quant table).
-            qt_by_scan = []
-            for cs, _, _ in sel:
-                matches = [tq for cid, tq in comps if cid == cs]
-                if not matches:
-                    raise ValueError(f"scan component {cs} not in SOF")
-                qt_by_scan.append(qts[matches[0]])
-            r = _BitReader(payload, pos + seglen)
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("non-progressive scan with spectral bounds")
             bx_n = -(-w // 8)
             by_n = -(-h // 8)
-            # the shortest legal MCU is ~4 bits/component (2-bit DC code
-            # + 2-bit EOB), so dims a corrupted SOF declares beyond what
-            # the remaining bytes could encode must fail loudly rather
-            # than allocate giant rasters and grind (r7 fuzz finding)
-            if bx_n * by_n * ns > (len(payload) - pos - seglen) * 2 + 64:
+            n_blocks = bx_n * by_n
+            # Corrupted-SOF guards (r7 fuzz finding): a baseline scan
+            # needs >= ~4 bits per component data unit, so declared dims
+            # beyond what the remaining bytes could encode fail loudly;
+            # progressive EOB runs have no per-unit floor, so those scans
+            # get a hard pixel cap instead of grinding for minutes.
+            if not progressive and n_blocks * ns > (
+                len(payload) - pos - seglen
+            ) * 2 + 64:
                 raise ValueError(
                     "JPEG declared dimensions exceed entropy stream capacity"
                 )
-            rasters = [
-                np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
-                for _ in range(ns)
-            ]
+            if n_blocks > 1 << 18:  # 16.7M pixels per component
+                raise NotImplementedError(
+                    "image too large for the pure-Python decoder"
+                )
+            if coefs is None:
+                coefs = [
+                    np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps
+                ]
+            # scan component -> SOF component index
+            ci_of = []
+            for cs, _, _ in sel:
+                matches = [i for i, (cid, _) in enumerate(comps) if cid == cs]
+                if not matches:
+                    raise ValueError(f"scan component {cs} not in SOF")
+                ci_of.append(matches[0])
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            r = _BitReader(payload, pos + seglen)
             preds = [0] * ns
-            mcu_idx = 0
+            eobrun = 0
             rst = 0
-            for by in range(by_n):
-                for bx in range(bx_n):
-                    if dri and mcu_idx and mcu_idx % dri == 0:
-                        r.resync(rst)
-                        rst = (rst + 1) % 8
-                        preds = [0] * ns
-                    for ci in range(ns):
-                        _, dtab, atab = sel[ci]
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(r, huffs[(0, dtab)])
-                        preds[ci] += _receive_extend(r, t)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = _huff_decode(r, huffs[(1, atab)])
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("AC coefficient overrun")
-                            zz[k] = _receive_extend(r, s)
-                            k += 1
-                        nat = np.zeros(64, dtype=np.float64)
-                        nat[ZIGZAG] = zz * qt_by_scan[ci][ZIGZAG]
-                        rasters[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = _C.T @ nat.reshape(8, 8) @ _C
-                    mcu_idx += 1
+            units = n_blocks  # 1x1 sampling: MCU grid == block grid
+            for u in range(units):
+                if dri and u and u % dri == 0:
+                    r.resync(rst)
+                    rst = (rst + 1) % 8
+                    preds = [0] * ns
+                    eobrun = 0
+                for si in range(ns):
+                    _, dtab, atab = sel[si]
+                    zz = coefs[ci_of[si]][u]
+                    if ss == 0:  # DC (plus ACs for baseline full scans)
+                        if ah == 0:
+                            t = _huff_decode(r, huffs[(0, dtab)])
+                            preds[si] += _receive_extend(r, t)
+                            zz[0] = preds[si] << al
+                        elif r.read_bit():
+                            zz[0] |= 1 << al
+                        if se > 0:
+                            eobrun = _ac_first(
+                                r, zz, huffs[(1, atab)], 1, se, al, eobrun
+                            )
+                    elif ah == 0:
+                        eobrun = _ac_first(
+                            r, zz, huffs[(1, atab)], ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine(
+                            r, zz, huffs[(1, atab)], ss, se, al, eobrun
+                        )
+            any_scan = True
             pos = r.pos
             continue
         pos += seglen
-    if sof is None or rasters is None:
+    if sof is None or not any_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    h, w, _ = sof
+    h, w, comps, _ = sof
+    bx_n = -(-w // 8)
+    by_n = -(-h // 8)
+    rasters = []
+    for (cid, tq), zz_all in zip(comps, coefs):
+        qt_zz = qts[tq][ZIGZAG].astype(np.float64)
+        nat = np.zeros_like(zz_all, dtype=np.float64)
+        nat[:, ZIGZAG] = zz_all * qt_zz[None, :]
+        blocks = np.einsum(
+            "ab,nbc,cd->nad", _C.T, nat.reshape(-1, 8, 8), _C
+        )
+        rasters.append(
+            blocks.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
     crop = [np.clip(np.round(c[:h, :w]) + 128.0, 0, 255) for c in rasters]
     if len(crop) == 1:
         return crop[0].astype(np.uint8)

@@ -4,11 +4,13 @@ with typed metadata, processed in Arrow-batched pandas over ``mapInPandas``.
 These formats decode for real with no codec library: BMP (BI_RGB
 24/32bpp) and binary PPM via ``struct``, WAV 16-bit PCM via ``wave``
 (r6), PNG — zlib inflate plus the five scanline filters incl. Paeth —
-via ``zlib`` (r7), and baseline JPEG — canonical Huffman entropy decode
-+ dequantize + IDCT — via ``operators.jpeg`` (r7). See
-``decode_image``/``decode_png``/``jpeg.decode_jpeg``/``decode_audio``.
-Formats still needing codec libraries (progressive/subsampled JPEG,
-mp3/ogg, video) require PIL/libsndfile/ffmpeg, which are NOT in this
+via ``zlib`` (r7), baseline AND progressive JPEG — canonical Huffman
+entropy decode across SOF2 multi-scan scripts + dequantize + IDCT — via
+``operators.jpeg`` (r7), and uncompressed RIFF/AVI video via the chunk
+walker (r7). See ``decode_image``/``decode_png``/``jpeg.decode_jpeg``/
+``decode_audio``/``decode_avi``.
+Formats still needing codec libraries (subsampled JPEG, mp3/ogg,
+compressed video) require PIL/libsndfile/ffmpeg, which are NOT in this
 container, and raise ``NotImplementedError`` behind the same tested
 plumbing: schema contract, partition-preserving mapInPandas, Arrow
 batch iteration, and binary-column handling all match what the full
@@ -272,9 +274,10 @@ def decode_image(payload: bytes) -> dict:
     """Pure-Python image decode, stdlib only: BMP (BI_RGB 24/32bpp,
     bottom-up or top-down) and binary PPM via ``struct`` (r5 verdict #4),
     PNG (8-bit gray/RGB/GA/RGBA, all five scanline filters) via ``zlib``
-    (r6 verdict #3), and baseline-sequential JPEG (canonical Huffman +
-    IDCT, gray or 4:4:4 color — operators.jpeg, r7). Progressive or
-    subsampled JPEG still requires PIL/opencv — absent from this
+    (r6 verdict #3), and baseline-sequential OR progressive JPEG
+    (canonical Huffman + IDCT, spectral selection + successive
+    approximation, gray or 4:4:4 color — operators.jpeg, r7).
+    Subsampled JPEG still requires PIL/opencv — absent from this
     container — and raises.
 
     Returns {"format", "width", "height", "bpp", "pixel_sum", "n_px"}
@@ -355,8 +358,8 @@ def decode_image(payload: bytes) -> dict:
         return jpeg.decode_jpeg(payload)
     raise NotImplementedError(
         "only uncompressed BMP (BI_RGB 24/32bpp), binary PPM, 8-bit PNG, "
-        "and baseline-sequential JPEG decode without PIL/opencv; wire the "
-        "real decoder here on a cluster image that ships them"
+        "and baseline/progressive JPEG decode without PIL/opencv; wire "
+        "the real decoder here on a cluster image that ships them"
     )
 
 
@@ -677,14 +680,18 @@ def plant_png(docs: DataFrame) -> DataFrame:
 
 def make_jpeg(doc_id: int) -> bytes:
     """Deterministic block-constant grayscale JPEG payload for ``doc_id``
-    — a REAL baseline-sequential JPEG (Annex K Huffman tables, unit
-    quantization, full FDCT->entropy-code pipeline; operators.jpeg).
+    — a REAL JPEG (Annex K Huffman tables, unit quantization, full
+    FDCT->entropy-code pipeline; operators.jpeg): baseline sequential
+    for even doc_ids, PROGRESSIVE (SOF2, spectral selection +
+    successive approximation DC/AC scans) for odd ones, so one planted
+    corpus certifies both coding processes under the same oracle.
     Image is ((doc_id % 3) + 1) x ((doc_id % 2) + 1) blocks of 8x8; every
     pixel of block (bx, by) is ``(doc_id + 5*bx + 11*by) % 256``. An
     8x8-constant block is DC-only under the DCT, so with the unit quant
-    table the decode is BIT-EXACT and an oracle predicts
-    pixel_sum = 64 * sum_blocks value by integer arithmetic — while the
-    decoder genuinely runs Huffman decode + dequantize + IDCT."""
+    table the decode is BIT-EXACT in both processes and an oracle
+    predicts pixel_sum = 64 * sum_blocks value by integer arithmetic —
+    while the decoder genuinely runs Huffman decode + dequantize + IDCT
+    (and, for odd ids, multi-scan coefficient accumulation)."""
     import numpy as np
 
     from realtime_market_data_pipeline_spark.operators import jpeg
@@ -697,7 +704,9 @@ def make_jpeg(doc_id: int) -> bytes:
             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                 doc_id + 5 * bx + 11 * by
             ) % 256
-    return jpeg.encode_jpeg(img, quant=jpeg.UNIT_QT)
+    return jpeg.encode_jpeg(
+        img, quant=jpeg.UNIT_QT, progressive=bool(doc_id % 2)
+    )
 
 
 def plant_jpeg(docs: DataFrame) -> DataFrame:

@@ -5442,20 +5442,26 @@ FROM s
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT-compressed media decode (r7, closes the JPEG half of r6
     verdict "What's missing #3"): plant deterministic doc_id-derived
-    baseline JPEGs — real entropy-coded streams produced by the
-    pure-Python encoder (Annex K Huffman tables, FDCT, byte stuffing;
-    operators/jpeg.py) — then decode them back with the pure-Python
-    baseline decoder (marker walk, canonical Huffman construction per
-    T.81 C.2, bit-level entropy decode, dequantize, inverse zigzag,
-    numpy IDCT). Payloads are block-constant images under a unit
-    quantization table, so the decode is BIT-EXACT (an 8x8-constant
+    JPEGs — real entropy-coded streams produced by the pure-Python
+    encoder (Annex K Huffman tables, FDCT, byte stuffing;
+    operators/jpeg.py), BASELINE sequential on even doc_ids and
+    PROGRESSIVE (SOF2: interleaved DC scan at Al=1, DC refinement,
+    per-component AC first pass + successive-approximation refinement)
+    on odd ones — then decode them back with the pure-Python decoder
+    (marker walk, canonical Huffman construction per T.81 C.2,
+    bit-level entropy decode, multi-scan coefficient accumulation,
+    dequantize, inverse zigzag, numpy IDCT). Payloads are
+    block-constant images under a unit quantization table, so the
+    decode is BIT-EXACT in both coding processes (an 8x8-constant
     block is DC-only) and the oracle predicts every decoded pixel sum
     as 64*sum((doc_id+5bx+11by)%256) by integer arithmetic — a Huffman,
-    zigzag, dequantize, or IDCT bug on either side breaks the hash.
-    The decoder is pinned to the spec independently of the encoder by a
-    hand-derived entropy-byte known-vector test (tests/test_multimodal).
-    Same 100 TB shape as the other decode queries: shuffle-free Arrow
-    mapInPandas, payload bytes never cross an exchange."""
+    zigzag, scan-script, refinement, dequantize, or IDCT bug on either
+    side breaks the hash. The decoder is pinned to the spec
+    independently of the encoder by hand-derived known-vector tests
+    (entropy bytes 0xD0AF; multi-block EOB runs with correction bits —
+    tests/test_multimodal). Same 100 TB shape as the other decode
+    queries: shuffle-free Arrow mapInPandas, payload bytes never cross
+    an exchange."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.decode_media(mm.plant_jpeg(docs)).select(
         "media_id", "media_type", "width", "height", "pixel_sum"

@@ -95,10 +95,11 @@ def test_compressed_formats_still_raise():
     # an SOI marker must fail LOUDLY, not mis-decode; same for PNG
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    # progressive JPEG (SOF2) raises NotImplementedError, not garbage
-    with pytest.raises(NotImplementedError, match="SOF marker 0xFFC2"):
+    # lossless JPEG (SOF3) raises NotImplementedError, not garbage
+    # (progressive SOF2 decodes for real as of late r7)
+    with pytest.raises(NotImplementedError, match="SOF marker 0xFFC3"):
         mm.decode_image(
-            b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 8, 8, 8, 8, 0)
+            b"\xff\xd8\xff\xc3" + struct.pack(">HBHHB", 8, 8, 8, 8, 0)
         )
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
@@ -201,6 +202,92 @@ def test_jpeg_restart_markers_and_stuffing():
         jpeg.decode_pixels(plain).astype(int) - img.astype(int)
     ).max()
     assert err <= 4
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) encode/decode reconstructs the SAME pixels as
+    baseline for the same raster — both processes code identical
+    quantized coefficients, so any divergence is a scan-script,
+    successive-approximation, or EOB-run bug."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    pp = jpeg.encode_jpeg(img, progressive=True)
+    assert b"\xff\xc2" in pp and pp.count(b"\xff\xda") == 4  # 4 scans gray
+    assert np.array_equal(
+        jpeg.decode_pixels(jpeg.encode_jpeg(img)), jpeg.decode_pixels(pp)
+    )
+    imgc = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(
+        jpeg.decode_pixels(jpeg.encode_jpeg(imgc)),
+        jpeg.decode_pixels(jpeg.encode_jpeg(imgc, progressive=True)),
+    )
+    # block-constant progressive is bit-exact (the planted-media contract
+    # now covers SOF2 on odd doc_ids)
+    const = np.full((16, 24), 130, dtype=np.uint8)
+    assert np.array_equal(
+        jpeg.decode_pixels(jpeg.encode_jpeg(const, progressive=True)), const
+    )
+
+
+def test_jpeg_progressive_eobrun_known_vector():
+    """Pin the multi-block EOB-run paths (nbits > 0) the Annex K table
+    cannot express (our encoder flushes EOB runs at length 1): decode
+    hand-emitted scans against a custom canonical Huffman table holding
+    the EOBRUN-2..3 symbol 0x10, for both the AC first pass (skipped
+    blocks consume no bits) and the refinement pass (blocks inside the
+    run still read one correction bit per nonzero-history coefficient)."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    bits = [0, 4] + [0] * 14  # four 2-bit codes — Kraft-exact
+    vals = [0x10, 0x02, 0x00, 0xF0]
+    codes = jpeg.build_codes(bits, vals)
+    table = jpeg._decode_table(bits, vals)
+
+    # first pass: block0 has k=1 -> +3 (symbol 0x02 + bits '11'), then
+    # EOBRUN symbol 0x10 + extra bit 1 -> run of 2+1=3 ends block0 and
+    # skips blocks 1-2 entirely
+    bw = jpeg._BitWriter()
+    c, ln = codes[0x02]
+    bw.write(c, ln)
+    bw.write(3, 2)
+    c, ln = codes[0x10]
+    bw.write(c, ln)
+    bw.write(1, 1)
+    bw.pad_to_byte()
+    r = jpeg._BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(3)]
+    eob = 0
+    for zz in blocks:
+        eob = jpeg._ac_first(r, zz, table, 1, 63, 0, eob)
+    assert blocks[0][1] == 3 and not blocks[0][2:].any()
+    assert not blocks[1].any() and not blocks[2].any()
+    assert eob == 0
+
+    # refinement: all three blocks have history +2 at k=2; EOBRUN of 3
+    # (symbol 0x10 + extra bit 1) followed by one correction bit per
+    # block in order: 1, 0, 1 -> values 3, 2, 3
+    bw = jpeg._BitWriter()
+    c, ln = codes[0x10]
+    bw.write(c, ln)
+    bw.write(1, 1)
+    for bit in (1, 0, 1):
+        bw.write(bit, 1)
+    bw.pad_to_byte()
+    r = jpeg._BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(3)]
+    for zz in blocks:
+        zz[2] = 2
+    eob = 0
+    for zz in blocks:
+        eob = jpeg._ac_refine(r, zz, table, 1, 63, 0, eob)
+    assert [int(b[2]) for b in blocks] == [3, 2, 3]
+    assert eob == 0
 
 
 def test_jpeg_color_and_std_quant():

@@ -598,3 +598,7 @@ def test_jpeg_random_raster_bounded_and_restart_property(seed, w, h, dri):
             jpeg.encode_jpeg(img, restart_interval=dri)
         )
         assert np.array_equal(plain, restarted)
+    # progressive (SOF2 spectral-selection + successive-approximation)
+    # codes identical quantized coefficients -> identical pixels
+    progressive = jpeg.decode_pixels(jpeg.encode_jpeg(img, progressive=True))
+    assert np.array_equal(plain, progressive)
