@@ -9,7 +9,8 @@ progressive (SOF2) DCT processes end to end with no codec library:
   matrix form), quantization, zigzag, DC differential + AC run-length
   Huffman entropy coding with the Annex K "typical" luminance tables,
   0xFF byte stuffing, optional restart markers (DRI + RSTn), grayscale
-  or 4:4:4 YCbCr color. ``progressive=True`` emits the SOF2 scan
+  or YCbCr color at 4:4:4 or 4:2:0 (2x2-average chroma downsample,
+  4-luma+1Cb+1Cr MCUs). ``progressive=True`` emits the SOF2 scan
   script libjpeg-style decoders expect: interleaved DC at Al=1, DC
   refinement, then per-component AC 1-63 first pass at Al=1 and its
   successive-approximation refinement (T.81 G.1.2.2/G.1.2.3 — newly-
@@ -23,9 +24,11 @@ progressive (SOF2) DCT processes end to end with no codec library:
   (spectral selection + successive approximation, incl. AC refinement
   correction bits and multi-block EOB runs), dequantize, inverse
   zigzag, vectorized einsum IDCT over all blocks, level shift + clamp,
-  and the JFIF YCbCr->RGB transform for 3-component scans.
-  Hierarchical, arithmetic-coded, 12-bit, and subsampled streams raise
-  ``NotImplementedError`` — 8-bit with 1x1 sampling only.
+  chroma upsampling by replication, and the JFIF YCbCr->RGB
+  transform for 3-component scans. Sampling factors 1x1 through 2x2
+  (4:4:4, 4:2:0, 4:2:2 and transposes) are supported; hierarchical,
+  arithmetic-coded, 12-bit, and >2x sampling streams raise
+  ``NotImplementedError``.
 
 Exactness contract used by the planted-media oracle: an 8x8-constant
 block has a DC-only DCT (DC = 8*(v-128), all AC exactly 0 after
@@ -376,44 +379,72 @@ def encode_jpeg(
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
     progressive: bool = False,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """Encode ``raster`` (uint8 HxW grayscale or HxWx3 RGB) as a baseline
     sequential JPEG, or — with ``progressive=True`` — a progressive
     (SOF2) one using spectral selection + successive approximation:
     interleaved DC scan at Al=1, DC refinement to Al=0, then per
     component an AC 1-63 scan at Al=1 and its refinement to Al=0 (the
-    scan script libjpeg-style decoders expect to handle). ``quant`` is
-    an 8x8 natural-order quantization table (default ``UNIT_QT`` —
-    near-lossless, and bit-exact for 8x8-constant blocks; pass
-    ``STD_LUMA_QT`` for Annex K compression). 4:4:4 sampling, one shared
-    quant + Huffman table set — minimal and spec-legal. AC coefficients
-    are clamped to +-1023 (the 10-bit AC magnitude ceiling)."""
+    scan script libjpeg-style decoders expect to handle).
+    ``subsampling="4:2:0"`` (color only) downsamples chroma 2x2 by
+    averaging and codes luma at 2x2 sampling factors — what cameras and
+    libjpeg emit by default; MCUs then interleave 4 luma + 1 Cb + 1 Cr
+    blocks. ``quant`` is an 8x8 natural-order quantization table
+    (default ``UNIT_QT`` — near-lossless, and bit-exact for
+    8x8-constant blocks; pass ``STD_LUMA_QT`` for Annex K compression).
+    One shared quant + Huffman table set — minimal and spec-legal. AC
+    coefficients are clamped to +-1023 (the 10-bit AC magnitude
+    ceiling)."""
     arr = np.asarray(raster, dtype=np.float64)
-    if arr.ndim == 2:
-        comps = [arr]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        comps = _rgb_to_ycbcr(arr)
-    else:
-        raise ValueError("raster must be HxW gray or HxWx3 RGB")
     h, w = arr.shape[0], arr.shape[1]
     if h == 0 or w == 0:
         raise ValueError("empty raster")
     if progressive and restart_interval:
         raise ValueError("restart markers unsupported in progressive mode")
-    qt = np.asarray(UNIT_QT if quant is None else quant, dtype=np.int64)
+    if arr.ndim == 2:
+        planes = [arr]
+        samp = [(1, 1)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        if subsampling == "4:2:0":
 
-    bx_n = -(-w // 8)
-    by_n = -(-h // 8)
-    # Edge-replicate pad to full blocks, then precompute every block's
-    # quantized coefficients in zigzag order (progressive emits them
-    # across several scans; baseline in one).
+            def down(c: np.ndarray) -> np.ndarray:
+                p = np.pad(c, ((0, c.shape[0] % 2), (0, c.shape[1] % 2)),
+                           mode="edge")
+                return (
+                    p[0::2, 0::2] + p[0::2, 1::2]
+                    + p[1::2, 0::2] + p[1::2, 1::2]
+                ) / 4.0
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:4:4":
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    else:
+        raise ValueError("raster must be HxW gray or HxWx3 RGB")
+    qt = np.asarray(UNIT_QT if quant is None else quant, dtype=np.int64)
+    ncomp = len(planes)
+    comps_geo = [(i + 1, 0, hi, vi) for i, (hi, vi) in enumerate(samp)]
+    geo = _geometry(w, h, comps_geo)
+
+    # Edge-replicate pad each plane to its MCU-padded storage grid, then
+    # precompute every block's quantized coefficients in zigzag order
+    # (progressive emits them across several scans; baseline in one).
     all_zz = []
-    for c in comps:
-        padded = np.pad(c, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
-        comp_zz = np.empty((by_n * bx_n, 64), dtype=np.int64)
+    for ci, plane in enumerate(planes):
+        bw_s, bh_s = geo["bw_sto"][ci], geo["bh_sto"][ci]
+        ph, pw = plane.shape
+        padded = np.pad(
+            plane, ((0, bh_s * 8 - ph), (0, bw_s * 8 - pw)), mode="edge"
+        )
+        comp_zz = np.empty((bh_s * bw_s, 64), dtype=np.int64)
         u = 0
-        for by in range(by_n):
-            for bx in range(bx_n):
+        for by in range(bh_s):
+            for bx in range(bw_s):
                 block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 flat = np.round((_C @ block @ _C.T) / qt).astype(
                     np.int64
@@ -425,7 +456,22 @@ def encode_jpeg(
 
     dc_codes = _DC_CODES
     ac_codes = _AC_CODES
-    ncomp = len(comps)
+
+    def mcu_units():
+        """Interleaved data-unit order: per MCU, per component, its
+        vi x hi blocks — yields (ci, storage_index)."""
+        for m in range(geo["mcux"] * geo["mcuy"]):
+            my, mx = divmod(m, geo["mcux"])
+            units = []
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                bw_s = geo["bw_sto"][ci]
+                for v in range(vi):
+                    for u_ in range(hi):
+                        units.append(
+                            (ci, (my * vi + v) * bw_s + (mx * hi + u_))
+                        )
+            yield m, units
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(
@@ -437,8 +483,9 @@ def encode_jpeg(
     out += bytes(int(v) for v in qzz)
     sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     out += sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        out += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, 0])  # quant table 0
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(DC_VALS))
     out += bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(AC_VALS))
@@ -458,9 +505,9 @@ def encode_jpeg(
     def emit_dc_scan(al: int, refine: bool) -> bytes:
         bw = _BitWriter()
         preds = [0] * ncomp
-        for u in range(by_n * bx_n):
-            for ci in range(ncomp):
-                dc = int(all_zz[ci][u][0])
+        for _, units in mcu_units():
+            for ci, sto in units:
+                dc = int(all_zz[ci][sto][0])
                 if refine:
                     bw.write((dc >> al) & 1, 1)
                 else:
@@ -475,23 +522,30 @@ def encode_jpeg(
         bw.pad_to_byte()
         return bytes(bw.out)
 
+    def real_grid_indices(ci: int):
+        """Non-interleaved scans iterate the component's REAL grid with
+        the MCU-padded storage stride."""
+        bw_r, bh_r = geo["bw_real"][ci], geo["bh_real"][ci]
+        bw_s = geo["bw_sto"][ci]
+        for b in range(bh_r * bw_r):
+            by, bx = divmod(b, bw_r)
+            yield by * bw_s + bx
+
     if not progressive:
         out += sos_header(list(range(1, ncomp + 1)), 0, 63, 0, 0)
         bw = _BitWriter()
         preds = [0] * ncomp
-        mcu_idx = 0
         rst = 0
-        for u in range(by_n * bx_n):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+        for m, units in mcu_units():
+            if restart_interval and m and m % restart_interval == 0:
                 bw.pad_to_byte()
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 preds = [0] * ncomp
-            for ci in range(ncomp):
+            for ci, sto in units:
                 preds[ci] = _encode_block(
-                    bw, all_zz[ci][u], preds[ci], dc_codes, ac_codes
+                    bw, all_zz[ci][sto], preds[ci], dc_codes, ac_codes
                 )
-            mcu_idx += 1
         bw.pad_to_byte()
         out += bw.out
     else:
@@ -502,14 +556,14 @@ def encode_jpeg(
         for ci in range(ncomp):
             out += sos_header([ci + 1], 1, 63, 0, 1)
             bw = _BitWriter()
-            for u in range(by_n * bx_n):
-                _emit_block_ac_first(bw, all_zz[ci][u], 1, 63, 1, ac_codes)
+            for sto in real_grid_indices(ci):
+                _emit_block_ac_first(bw, all_zz[ci][sto], 1, 63, 1, ac_codes)
             bw.pad_to_byte()
             out += bw.out
             out += sos_header([ci + 1], 1, 63, 1, 0)
             bw = _BitWriter()
-            for u in range(by_n * bx_n):
-                _emit_block_ac_refine(bw, all_zz[ci][u], 1, 63, 0, ac_codes)
+            for sto in real_grid_indices(ci):
+                _emit_block_ac_refine(bw, all_zz[ci][sto], 1, 63, 0, ac_codes)
             bw.pad_to_byte()
             out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -519,10 +573,11 @@ def encode_jpeg(
 def decode_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline OR progressive (SOF2: spectral selection +
     successive approximation, incl. AC refinement and EOB runs) JPEG
-    with 1x1 sampling to its pixel array: HxW uint8 for grayscale,
+    with sampling factors up to 2x2 (4:4:4/4:2:0/4:2:2) to its pixel
+    array: HxW uint8 for grayscale,
     HxWx3 uint8 RGB (JFIF YCbCr->RGB) for 3-component scans. Raises
     ``NotImplementedError`` for hierarchical/arithmetic/12-bit/
-    subsampled streams and ``ValueError`` for malformed ones — raw
+    >2x-sampled streams and ``ValueError`` for malformed ones — raw
     IndexError/KeyError/struct.error from corrupted structures are
     normalized to ValueError so callers of untrusted bytes have a
     two-exception contract."""
@@ -612,6 +667,30 @@ def _ac_refine(r, zz, ac_tab, ss, se, al, eobrun):
     return eobrun
 
 
+def _geometry(w: int, h: int, comps: list) -> dict:
+    """Per-component sampling geometry (T.81 A.1.1/A.2.4): comps is
+    [(cid, tq, hi, vi), ...]. ``cw``/``ch`` are each component's actual
+    sample dims, ``bw_real``/``bh_real`` its data-unit grid (what
+    non-interleaved scans iterate), ``bw_sto``/``bh_sto`` the MCU-padded
+    storage grid (what interleaved scans cover)."""
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    cw = [-(-(w * hi) // hmax) for _, _, hi, _ in comps]
+    ch = [-(-(h * vi) // vmax) for _, _, _, vi in comps]
+    return {
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "cw": cw,
+        "ch": ch,
+        "bw_real": [-(-c // 8) for c in cw],
+        "bh_real": [-(-c // 8) for c in ch],
+        "bw_sto": [mcux * hi for _, _, hi, _ in comps],
+        "bh_sto": [mcuy * vi for _, _, _, vi in comps],
+    }
+
+
 def _decode_pixels_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -653,11 +732,14 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = data[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 15
+                if nc == 1:
+                    hi = vi = 1  # single-component: sampling is moot
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (sampling != 1x1) not supported"
+                        f"sampling factors {hi}x{vi} not supported (1-2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             sof = (h, w, comps, marker == 0xC2)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -689,32 +771,38 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
             ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
             if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("non-progressive scan with spectral bounds")
-            bx_n = -(-w // 8)
-            by_n = -(-h // 8)
-            n_blocks = bx_n * by_n
+            geo = _geometry(w, h, comps)
             # Corrupted-SOF guards (r7 fuzz finding): a baseline scan
             # needs >= ~4 bits per component data unit, so declared dims
             # beyond what the remaining bytes could encode fail loudly;
             # progressive EOB runs have no per-unit floor, so those scans
             # get a hard pixel cap instead of grinding for minutes.
-            if not progressive and n_blocks * ns > (
+            scan_units = geo["mcux"] * geo["mcuy"] * sum(
+                hi * vi for _, _, hi, vi in comps
+            )
+            if not progressive and scan_units > (
                 len(payload) - pos - seglen
             ) * 2 + 64:
                 raise ValueError(
                     "JPEG declared dimensions exceed entropy stream capacity"
                 )
-            if n_blocks > 1 << 18:  # 16.7M pixels per component
+            if max(
+                bw * bh for bw, bh in zip(geo["bw_sto"], geo["bh_sto"])
+            ) > 1 << 18:  # 16.7M pixels per component
                 raise NotImplementedError(
                     "image too large for the pure-Python decoder"
                 )
             if coefs is None:
                 coefs = [
-                    np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps
+                    np.zeros((bh * bw, 64), dtype=np.int64)
+                    for bw, bh in zip(geo["bw_sto"], geo["bh_sto"])
                 ]
             # scan component -> SOF component index
             ci_of = []
             for cs, _, _ in sel:
-                matches = [i for i, (cid, _) in enumerate(comps) if cid == cs]
+                matches = [
+                    i for i, (cid, _, _, _) in enumerate(comps) if cid == cs
+                ]
                 if not matches:
                     raise ValueError(f"scan component {cs} not in SOF")
                 ci_of.append(matches[0])
@@ -724,35 +812,61 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
             preds = [0] * ns
             eobrun = 0
             rst = 0
-            units = n_blocks  # 1x1 sampling: MCU grid == block grid
-            for u in range(units):
-                if dri and u and u % dri == 0:
-                    r.resync(rst)
-                    rst = (rst + 1) % 8
-                    preds = [0] * ns
-                    eobrun = 0
-                for si in range(ns):
-                    _, dtab, atab = sel[si]
-                    zz = coefs[ci_of[si]][u]
-                    if ss == 0:  # DC (plus ACs for baseline full scans)
-                        if ah == 0:
-                            t = _huff_decode(r, huffs[(0, dtab)])
-                            preds[si] += _receive_extend(r, t)
-                            zz[0] = preds[si] << al
-                        elif r.read_bit():
-                            zz[0] |= 1 << al
-                        if se > 0:
-                            eobrun = _ac_first(
-                                r, zz, huffs[(1, atab)], 1, se, al, eobrun
-                            )
-                    elif ah == 0:
+
+            def decode_unit(si: int, zz: np.ndarray) -> None:
+                nonlocal eobrun
+                _, dtab, atab = sel[si]
+                if ss == 0:  # DC (plus ACs for baseline full scans)
+                    if ah == 0:
+                        t = _huff_decode(r, huffs[(0, dtab)])
+                        preds[si] += _receive_extend(r, t)
+                        zz[0] = preds[si] << al
+                    elif r.read_bit():
+                        zz[0] |= 1 << al
+                    if se > 0:
                         eobrun = _ac_first(
-                            r, zz, huffs[(1, atab)], ss, se, al, eobrun
+                            r, zz, huffs[(1, atab)], 1, se, al, eobrun
                         )
-                    else:
-                        eobrun = _ac_refine(
-                            r, zz, huffs[(1, atab)], ss, se, al, eobrun
-                        )
+                elif ah == 0:
+                    eobrun = _ac_first(
+                        r, zz, huffs[(1, atab)], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine(
+                        r, zz, huffs[(1, atab)], ss, se, al, eobrun
+                    )
+
+            if ns == 1:
+                # Non-interleaved scan: iterate the component's REAL
+                # data-unit grid (no MCU padding), store with the
+                # MCU-padded stride.
+                ci = ci_of[0]
+                bw_r, bh_r = geo["bw_real"][ci], geo["bh_real"][ci]
+                bw_s = geo["bw_sto"][ci]
+                for b in range(bh_r * bw_r):
+                    if dri and b and b % dri == 0:
+                        r.resync(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * ns
+                        eobrun = 0
+                    by, bx = divmod(b, bw_r)
+                    decode_unit(0, coefs[ci][by * bw_s + bx])
+            else:
+                for m in range(geo["mcux"] * geo["mcuy"]):
+                    if dri and m and m % dri == 0:
+                        r.resync(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * ns
+                        eobrun = 0
+                    my, mx = divmod(m, geo["mcux"])
+                    for si in range(ns):
+                        ci = ci_of[si]
+                        _, _, hi, vi = comps[ci]
+                        bw_s = geo["bw_sto"][ci]
+                        for v in range(vi):
+                            for u_ in range(hi):
+                                sto = (my * vi + v) * bw_s + (mx * hi + u_)
+                                decode_unit(si, coefs[ci][sto])
             any_scan = True
             pos = r.pos
             continue
@@ -760,21 +874,33 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
     if sof is None or not any_scan:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, comps, _ = sof
-    bx_n = -(-w // 8)
-    by_n = -(-h // 8)
+    geo = _geometry(w, h, comps)
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
     rasters = []
-    for (cid, tq), zz_all in zip(comps, coefs):
+    for ci, ((cid, tq, hi, vi), zz_all) in enumerate(zip(comps, coefs)):
         qt_zz = qts[tq][ZIGZAG].astype(np.float64)
         nat = np.zeros_like(zz_all, dtype=np.float64)
         nat[:, ZIGZAG] = zz_all * qt_zz[None, :]
         blocks = np.einsum(
             "ab,nbc,cd->nad", _C.T, nat.reshape(-1, 8, 8), _C
         )
-        rasters.append(
-            blocks.reshape(by_n, bx_n, 8, 8)
+        bw_s, bh_s = geo["bw_sto"][ci], geo["bh_sto"][ci]
+        plane = (
+            blocks.reshape(bh_s, bw_s, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(by_n * 8, bx_n * 8)
+            .reshape(bh_s * 8, bw_s * 8)
         )
+        cw, ch = geo["cw"][ci], geo["ch"][ci]
+        plane = plane[:ch, :cw]
+        # chroma upsample by pixel replication (spec-sanctioned simplest
+        # form; our encoder's 2x2-average downsample is its exact inverse
+        # for constant chroma, e.g. achromatic images)
+        if hmax // hi > 1:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vmax // vi > 1:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        rasters.append(plane)
     crop = [np.clip(np.round(c[:h, :w]) + 128.0, 0, 255) for c in rasters]
     if len(crop) == 1:
         return crop[0].astype(np.uint8)

@@ -9,7 +9,8 @@ entropy decode across SOF2 multi-scan scripts + dequantize + IDCT — via
 ``operators.jpeg`` (r7), and uncompressed RIFF/AVI video via the chunk
 walker (r7). See ``decode_image``/``decode_png``/``jpeg.decode_jpeg``/
 ``decode_audio``/``decode_avi``.
-Formats still needing codec libraries (subsampled JPEG, mp3/ogg,
+JPEG sampling factors up to 2x2 (4:4:4/4:2:0/4:2:2) decode natively.
+Formats still needing codec libraries (mp3/ogg,
 compressed video) require PIL/libsndfile/ffmpeg, which are NOT in this
 container, and raise ``NotImplementedError`` behind the same tested
 plumbing: schema contract, partition-preserving mapInPandas, Arrow

@@ -290,6 +290,62 @@ def test_jpeg_progressive_eobrun_known_vector():
     assert eob == 0
 
 
+def test_jpeg_420_subsampling():
+    """4:2:0 chroma subsampling (what cameras/libjpeg emit): achromatic
+    images are BIT-identical to 4:4:4 (constant chroma survives 2x2
+    averaging + replication exactly); general color matches an ideal
+    numpy downsample/replicate simulation within DCT rounding; the
+    progressive scan script and restart markers compose with the 4-luma
+    +1Cb+1Cr MCU geometry; odd dims exercise MCU padding."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, size=(20, 28), dtype=np.uint8)
+    achrom = np.stack([g, g, g], axis=-1)
+    assert np.array_equal(
+        jpeg.decode_pixels(jpeg.encode_jpeg(achrom)),
+        jpeg.decode_pixels(jpeg.encode_jpeg(achrom, subsampling="4:2:0")),
+    )
+    imgc = rng.integers(0, 256, size=(21, 30, 3), dtype=np.uint8)
+    out420 = jpeg.decode_pixels(jpeg.encode_jpeg(imgc, subsampling="4:2:0"))
+    y, cb, cr = jpeg._rgb_to_ycbcr(imgc.astype(np.float64))
+
+    def downup(c):
+        p = np.pad(c, ((0, c.shape[0] % 2), (0, c.shape[1] % 2)), mode="edge")
+        d = (
+            p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+        ) / 4.0
+        u = np.repeat(np.repeat(d, 2, axis=0), 2, axis=1)
+        return u[: c.shape[0], : c.shape[1]]
+
+    ideal = jpeg._ycbcr_to_rgb(y, downup(cb), downup(cr)).astype(np.uint8)
+    assert np.abs(out420.astype(int) - ideal.astype(int)).max() <= 4
+    assert np.array_equal(
+        out420,
+        jpeg.decode_pixels(
+            jpeg.encode_jpeg(imgc, subsampling="4:2:0", progressive=True)
+        ),
+    )
+    assert np.array_equal(
+        out420,
+        jpeg.decode_pixels(
+            jpeg.encode_jpeg(imgc, subsampling="4:2:0", restart_interval=1)
+        ),
+    )
+    for hw in ((8, 8), (9, 9), (16, 17), (33, 15), (1, 1)):
+        x = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+        o = jpeg.decode_pixels(jpeg.encode_jpeg(x, subsampling="4:2:0"))
+        assert o.shape == x.shape
+        assert np.array_equal(
+            o,
+            jpeg.decode_pixels(
+                jpeg.encode_jpeg(x, subsampling="4:2:0", progressive=True)
+            ),
+        )
+
+
 def test_jpeg_color_and_std_quant():
     """4:4:4 YCbCr color round-trips within transform+quant tolerance;
     the Annex K luminance table compresses and still decodes close."""
