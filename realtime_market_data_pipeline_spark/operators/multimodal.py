@@ -2,9 +2,10 @@
 with typed metadata, processed in Arrow-batched pandas over ``mapInPandas``.
 
 These formats decode for real with no codec library: BMP (BI_RGB
-24/32bpp) and binary PPM via ``struct``, WAV 16-bit PCM via ``wave``
-(r6), PNG — zlib inflate plus the five scanline filters incl. Paeth —
-via ``zlib`` (r7), baseline AND progressive JPEG — canonical Huffman
+24/32bpp) and binary PPM via ``struct``, WAV PCM at 8/16/24/32-bit
+widths via ``wave`` (r6, widths late r7), PNG — zlib inflate, the five
+scanline filters incl. Paeth, 8/16-bit depths, PLTE palettes, Adam7
+de-interlace — via ``zlib`` (r7), baseline AND progressive JPEG — canonical Huffman
 entropy decode across SOF2 multi-scan scripts + dequantize + IDCT — via
 ``operators.jpeg`` (r7), and uncompressed RIFF/AVI video via the chunk
 walker (r7). See ``decode_image``/``decode_png``/``jpeg.decode_jpeg``/
@@ -174,23 +175,25 @@ def make_png(doc_id: int, width: int, height: int) -> bytes:
     )
 
 
-def _png_defiltered_rows(payload: bytes) -> tuple[int, int, int, list]:
+def _png_defiltered_rows(payload: bytes) -> tuple[int, int, int, int, list]:
     """Shared single-pass PNG core: chunk walk with CRC verification, IHDR
     parse, IDAT concatenation (the stream may be split across chunks),
     inflate, per-scanline de-filtering per spec §9 (None/Sub/Up/Average/
-    Paeth, byte-wise with bpp offsets). Returns
-    (width, height, channels, rows) with rows in top-down order. 8-bit
-    depth, non-interlaced; color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    6 (RGBA). Indexed (3), 16-bit, and Adam7 raise — they need palette/
-    interlace handling no caller here produces. Both ``decode_png``
-    (stats) and ``decode_image_pixels`` (raster) wrap this, so the
-    de-filter work runs ONCE per payload."""
+    Paeth, byte-wise with the sample-size bpp offset), Adam7 de-interlace
+    (seven independently-filtered passes scattered onto the pass grid),
+    and PLTE palette expansion. Returns
+    (width, height, channels, depth, rows) with rows in top-down order
+    and palette/indexed images pre-expanded to 8-bit RGB. Supported:
+    8/16-bit gray/RGB/GA/RGBA + 8-bit indexed, interlace 0 or Adam7;
+    sub-byte depths raise. Both ``decode_png`` (stats) and
+    ``decode_image_pixels`` (raster) wrap this, so the de-filter work
+    runs ONCE per payload."""
     import struct
     import zlib
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, palette = 8, None, [], None
     try:
         while pos < len(payload):
             (length,) = struct.unpack_from(">I", payload, pos)
@@ -201,6 +204,8 @@ def _png_defiltered_rows(payload: bytes) -> tuple[int, int, int, list]:
                 raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
             if tag == b"IHDR":
                 ihdr = struct.unpack(">IIBBBBB", data)
+            elif tag == b"PLTE":
+                palette = bytes(data)
             elif tag == b"IDAT":
                 idat.append(data)
             elif tag == b"IEND":
@@ -213,60 +218,122 @@ def _png_defiltered_rows(payload: bytes) -> tuple[int, int, int, list]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, ctype, comp, filt_m, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or comp != 0 or filt_m != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if (
+        channels is None
+        or comp != 0
+        or filt_m != 0
+        or depth not in (8, 16)
+        or (ctype == 3 and depth != 8)
+    ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} not supported "
-            "(8-bit gray/RGB/GA/RGBA only)"
+            "(8/16-bit gray/RGB/GA/RGBA + 8-bit indexed only)"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if ctype == 3 and palette is None:
+        raise ValueError("indexed PNG missing PLTE")
     try:
         stream = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"malformed PNG deflate stream: {e}") from e
-    bpp = channels
-    row_bytes = width * bpp
-    if len(stream) != height * (1 + row_bytes):
+    bpp = channels * (depth // 8)
+
+    def defilter(off: int, w_px: int, n_rows: int) -> tuple[list, int]:
+        """De-filter n_rows scanlines of w_px pixels starting at stream
+        offset off; prev-row context is local to the call (each Adam7
+        pass filters independently)."""
+        row_bytes = w_px * bpp
+        need = n_rows * (1 + row_bytes)
+        if off + need > len(stream):
+            raise ValueError("PNG pixel stream length mismatch")
+        prev = bytearray(row_bytes)
+        out = []
+        for y in range(n_rows):
+            base = off + y * (1 + row_bytes)
+            ft = stream[base]
+            if ft > 4:
+                raise ValueError(f"PNG filter type {ft} invalid")
+            row = bytearray(stream[base + 1 : base + 1 + row_bytes])
+            for i in range(row_bytes):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                elif ft == 4:
+                    pred = _paeth(a, b, c)
+                else:
+                    pred = 0
+                row[i] = (row[i] + pred) % 256
+            out.append(row)
+            prev = row
+        return out, off + need
+
+    if interlace == 0:
+        rows, end = defilter(0, width, height)
+    elif interlace == 1:
+        # Adam7: seven independently-filtered sub-images scattered onto
+        # the pass grid (PNG spec 8.2); pass rows each reset prev.
+        full = [bytearray(width * bpp) for _ in range(height)]
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pass_rows, off = defilter(off, pw, ph)
+            for py in range(ph):
+                dst = full[y0 + py * dy]
+                src = pass_rows[py]
+                for px in range(pw):
+                    d0 = (x0 + px * dx) * bpp
+                    dst[d0 : d0 + bpp] = src[px * bpp : px * bpp + bpp]
+        rows, end = full, off
+    else:
+        raise NotImplementedError(f"PNG interlace method {interlace}")
+    if end != len(stream):
         raise ValueError("PNG pixel stream length mismatch")
-    prev = bytearray(row_bytes)
-    rows = []
-    for y in range(height):
-        base = y * (1 + row_bytes)
-        ft = stream[base]
-        if ft > 4:
-            raise ValueError(f"PNG filter type {ft} invalid")
-        row = bytearray(stream[base + 1 : base + 1 + row_bytes])
-        for i in range(row_bytes):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) >> 1
-            elif ft == 4:
-                pred = _paeth(a, b, c)
-            else:
-                pred = 0
-            row[i] = (row[i] + pred) % 256
-        rows.append(row)
-        prev = row
-    return width, height, channels, rows
+    if ctype == 3:
+        # expand palette indices to RGB triples
+        rows = [
+            bytearray(
+                b for idx in row for b in palette[3 * idx : 3 * idx + 3]
+            )
+            for row in rows
+        ]
+        channels = 3
+        if any(len(r) != width * 3 for r in rows):
+            raise ValueError("PLTE index out of range")
+    return width, height, channels, depth, rows
 
 
 def decode_png(payload: bytes) -> dict:
     """Pure-Python PNG decode (r6 verdict #3) — stats over the shared
-    single-pass de-filter core ``_png_defiltered_rows``."""
-    width, height, channels, rows = _png_defiltered_rows(payload)
+    single-pass de-filter core ``_png_defiltered_rows`` (8/16-bit,
+    indexed, Adam7 — late r7). For 16-bit images pixel_sum sums the
+    16-bit SAMPLE values (big-endian pairs), not raw bytes."""
+    width, height, channels, depth, rows = _png_defiltered_rows(payload)
+    if depth == 16:
+        pixel_sum = sum(
+            int.from_bytes(r[i : i + 2], "big")
+            for r in rows
+            for i in range(0, len(r), 2)
+        )
+    else:
+        pixel_sum = sum(sum(r) for r in rows)
     return {
         "format": "png",
         "width": width,
         "height": height,
-        "bpp": 8 * channels,
-        "pixel_sum": sum(sum(r) for r in rows),
+        "bpp": depth * channels,
+        "pixel_sum": pixel_sum,
         "n_px": width * height,
     }
 
@@ -415,11 +482,19 @@ def decode_image_pixels(payload: bytes):
 
 
 def _decode_png_pixels(payload: bytes):
-    """Raster-returning PNG decode over the shared single-pass core."""
+    """Raster-returning PNG decode over the shared single-pass core;
+    16-bit images return uint16 arrays (big-endian samples)."""
     import numpy as np
 
-    width, height, channels, rows = _png_defiltered_rows(payload)
-    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+    width, height, channels, depth, rows = _png_defiltered_rows(payload)
+    buf = b"".join(rows)
+    if depth == 16:
+        return (
+            np.frombuffer(buf, dtype=">u2")
+            .astype(np.uint16)
+            .reshape(height, width, channels)
+        )
+    return np.frombuffer(buf, dtype=np.uint8).reshape(
         height, width, channels
     )
 
@@ -479,6 +554,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             ids, payloads = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 pix = decode_image_pixels(bytes(payload))
+                if pix.dtype != np.uint8:  # 16-bit PNG -> high byte
+                    pix = (pix >> 8).astype(np.uint8)
                 if pix.shape[2] == 1:
                     pix = np.repeat(pix, 3, axis=2)
                 elif pix.shape[2] == 4:
@@ -559,12 +636,34 @@ def make_wav(
     return buf.getvalue()
 
 
+def _pcm_samples(frames: bytes, width: int, n: int, ch: int) -> list[int]:
+    """Interleaved PCM frame bytes -> signed sample ints for sample
+    widths 1-4 (late r7): 8-bit WAV is unsigned-biased (value-128 yields
+    the signed convention the other widths use); 16/32-bit are signed
+    little-endian; 24-bit is packed signed little-endian."""
+    import struct
+
+    if width == 2:
+        return list(struct.unpack(f"<{n * ch}h", frames))
+    if width == 1:
+        return [b - 128 for b in frames]
+    if width == 4:
+        return list(struct.unpack(f"<{n * ch}i", frames))
+    if width == 3:
+        return [
+            int.from_bytes(frames[i : i + 3], "little", signed=True)
+            for i in range(0, n * ch * 3, 3)
+        ]
+    raise NotImplementedError(f"{width * 8}-bit PCM not supported")
+
+
 def decode_audio(payload: bytes) -> dict:
     """Pure-Python audio decode for WAV/PCM (r5 verdict #4) via stdlib
-    ``wave`` + ``struct`` — no libsndfile needed for uncompressed PCM.
+    ``wave`` + ``struct`` — no libsndfile needed for uncompressed PCM at
+    any common width (8-bit unsigned, 16/24/32-bit signed, late r7).
     Compressed codecs (mp3/ogg/flac) still require external libs and
     raise. Returns {"format", "sample_rate", "n_channels", "n_samples",
-    "sample_sum", "sample_peak"} over signed 16-bit samples."""
+    "sample_sum", "sample_peak"} over signed sample values."""
     import io
     import struct
     import wave
@@ -576,15 +675,12 @@ def decode_audio(payload: bytes) -> dict:
         )
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                raise NotImplementedError(
-                    f"{w.getsampwidth() * 8}-bit PCM not supported "
-                    "(16-bit only)"
-                )
             n = w.getnframes()
             ch = w.getnchannels()
             rate = w.getframerate()
-            samples = struct.unpack(f"<{n * ch}h", w.readframes(n))
+            samples = _pcm_samples(
+                w.readframes(n), w.getsampwidth(), n, ch
+            )
     except (wave.Error, struct.error, EOFError, RuntimeError) as e:
         # corrupted RIFF/fmt structure or truncated frames — normalize to
         # the two-exception contract for untrusted bytes (r7 fuzz finding;
@@ -1018,8 +1114,9 @@ def frame_sample_stub(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
 
 
 def decode_audio_samples(payload: bytes) -> list[int]:
-    """Raster twin of ``decode_audio``: the decoded signed 16-bit PCM
-    samples (interleaved if multi-channel), via stdlib ``wave``."""
+    """Raster twin of ``decode_audio``: the decoded signed PCM samples
+    (interleaved if multi-channel; widths 1-4 bytes per ``_pcm_samples``),
+    via stdlib ``wave``."""
     import io
     import struct
     import wave
@@ -1028,11 +1125,9 @@ def decode_audio_samples(payload: bytes) -> list[int]:
         raise NotImplementedError("only RIFF/WAVE PCM decodes here")
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                raise NotImplementedError("16-bit PCM only")
             n = w.getnframes()
-            return list(
-                struct.unpack(f"<{n * w.getnchannels()}h", w.readframes(n))
+            return _pcm_samples(
+                w.readframes(n), w.getsampwidth(), n, w.getnchannels()
             )
     except (wave.Error, struct.error, EOFError, RuntimeError) as e:
         # stdlib wave raises bare RuntimeError on some malformed sizes

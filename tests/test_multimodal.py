@@ -103,7 +103,8 @@ def test_compressed_formats_still_raise():
         )
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
-    # indexed-color (palette) PNG raises NotImplementedError, not garbage
+    # indexed PNG decodes as of late r7, but one MISSING its PLTE must
+    # fail loudly; sub-byte depths still raise NotImplementedError
     import zlib as _zlib
 
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
@@ -113,8 +114,16 @@ def test_compressed_formats_still_raise():
         + mm._png_chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
         + mm._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="color_type=3"):
+    with pytest.raises(ValueError, match="missing PLTE"):
         mm.decode_image(pal_png)
+    ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        mm.decode_image(
+            mm.PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr4)
+            + mm._png_chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
+            + mm._png_chunk(b"IEND", b"")
+        )
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
@@ -124,6 +133,129 @@ def test_compressed_formats_still_raise():
     ih = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, 0, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError, match="compressed BMP"):
         mm.decode_image(fh + ih)
+
+
+def test_png_palette_16bit_adam7():
+    """Late-r7 PNG variants: 8-bit indexed (PLTE expansion), 16-bit
+    samples (pixel_sum over big-endian 16-bit values, uint16 raster),
+    and Adam7 interlace (seven independently-filtered passes scattered
+    onto the pass grid — pass rows using Up on their FIRST row catch a
+    decoder that wrongly carries prev-row context across passes)."""
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, data):
+        return mm._png_chunk(tag, data)
+
+    # indexed 3x2 with a 4-color palette
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+    idx_rows = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([3, 0, 1])
+    png = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(idx_rows)) + chunk(b"IEND", b"")
+    )
+    d = mm.decode_png(png)
+    exp = sum(
+        pal[3 * i + c] for i in (0, 1, 2, 3, 0, 1) for c in range(3)
+    )
+    assert (d["width"], d["height"], d["bpp"], d["pixel_sum"]) == (
+        3, 2, 24, exp,
+    )
+    assert int(mm.decode_image_pixels(png).sum()) == exp
+
+    # 16-bit gray 2x2
+    vals = [0, 1000, 65535, 32768]
+    raw = (
+        b"\x00" + struct.pack(">2H", *vals[:2])
+        + b"\x00" + struct.pack(">2H", *vals[2:])
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    d = mm.decode_png(png16)
+    assert (d["bpp"], d["pixel_sum"]) == (16, sum(vals))
+    pix = mm.decode_image_pixels(png16)
+    assert pix.dtype == np.uint16
+    assert int(pix.astype(np.int64).sum()) == sum(vals)
+
+    # Adam7 5x5 RGB, pixel (x,y,c) = (x + 7y + c) % 256
+    W = H = 5
+
+    def px(x, y):
+        return bytes(((x + 7 * y + c) % 256) for c in range(3))
+
+    stream = bytearray()
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw = (W - x0 + dx - 1) // dx
+        ph = (H - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            stream.append(2 if py == 0 else 0)  # Up-with-zero-prev == raw
+            stream += b"".join(
+                px(x0 + qx * dx, y0 + py * dy) for qx in range(pw)
+            )
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 1)
+    png_a = (
+        mm.PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream))) + chunk(b"IEND", b"")
+    )
+    d = mm.decode_png(png_a)
+    exp = sum(
+        (x + 7 * y + c) % 256
+        for x in range(W) for y in range(H) for c in range(3)
+    )
+    assert (d["width"], d["height"], d["pixel_sum"]) == (W, H, exp)
+    pix_a = mm.decode_image_pixels(png_a)
+    assert all(
+        bytes(pix_a[y, x]) == px(x, y) for y in range(H) for x in range(W)
+    )
+
+
+def test_wav_sample_widths():
+    """8/24/32-bit PCM decode (late r7): 8-bit is unsigned-biased, 24-bit
+    packed signed little-endian, 32-bit signed — sums/peaks exact."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255, 200]))
+    d8 = mm.decode_audio(buf.getvalue())
+    assert (d8["sample_sum"], d8["sample_peak"]) == (-128 + 0 + 127 + 72, 128)
+
+    buf = io.BytesIO()
+    vals = [1000000, -2000000, 42]
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+        )
+    d24 = mm.decode_audio(buf.getvalue())
+    assert (d24["sample_sum"], d24["sample_peak"]) == (sum(vals), 2000000)
+    assert mm.decode_audio_samples(buf.getvalue()) == vals
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4i", 2**30, -(2**31), 7, -7))
+    d32 = mm.decode_audio(buf.getvalue())
+    assert d32["sample_sum"] == 2**30 - 2**31
+    assert d32["sample_peak"] == 2**31
 
 
 def test_jpeg_block_constant_exact_roundtrip():
