@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
     "multimodal_resize",
+    "multimodal_decode_flac",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -8,8 +8,10 @@ scanline filters incl. Paeth, 8/16-bit depths, PLTE palettes, Adam7
 de-interlace — via ``zlib`` (r7), baseline AND progressive JPEG — canonical Huffman
 entropy decode across SOF2 multi-scan scripts + dequantize + IDCT — via
 ``operators.jpeg`` (r7), and uncompressed RIFF/AVI video via the chunk
-walker (r7). See ``decode_image``/``decode_png``/``jpeg.decode_jpeg``/
-``decode_audio``/``decode_avi``.
+walker (r7), and FLAC — full native-format decode incl. LPC and rice
+entropy coding — via ``operators.flac`` (late r7). See
+``decode_image``/``decode_png``/``jpeg.decode_jpeg``/``decode_audio``/
+``decode_avi``/``flac.decode_flac``.
 JPEG sampling factors up to 2x2 (4:4:4/4:2:0/4:2:2) decode natively.
 Formats still needing codec libraries (mp3/ogg,
 compressed video) require PIL/libsndfile/ffmpeg, which are NOT in this
@@ -668,10 +670,23 @@ def decode_audio(payload: bytes) -> dict:
     import struct
     import wave
 
+    if payload[:4] == b"fLaC":
+        from realtime_market_data_pipeline_spark.operators import flac
+
+        d = flac.decode_flac(payload)
+        return {
+            "format": "flac",
+            "sample_rate": d["sample_rate"],
+            "n_channels": d["n_channels"],
+            "n_samples": d["n_samples"],
+            "sample_sum": d["sample_sum"],
+            "sample_peak": d["sample_peak"],
+        }
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only RIFF/WAVE PCM decodes without libsndfile; wire the real "
-            "decoder here on a cluster image that ships it"
+            "only RIFF/WAVE PCM and native FLAC decode without "
+            "libsndfile; wire the real decoder here on a cluster image "
+            "that ships it"
         )
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
@@ -823,6 +838,49 @@ def plant_jpeg(docs: DataFrame) -> DataFrame:
                     "media_id": ids,
                     "payload": payloads,
                     "media_type": "image/jpeg",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
+def plant_flac(docs: DataFrame) -> DataFrame:
+    """Plant deterministic doc_id-derived FLAC payloads over the
+    documents spine (the plant_media pattern, compressed-audio edition):
+    every doc gets a mono 16-bit native-FLAC stream of
+    ``(doc_id % 23) + 8`` samples at ``8000 + (doc_id % 5) * 1000`` Hz,
+    sample i = ``((doc_id*31 + i*17) % 65536) - 32768`` — the same
+    arithmetic as the planted WAVs, so the oracle is a mirror — encoded
+    with blocksize 8 so most payloads span multiple rice-coded frames.
+    FLAC is lossless, so decoded sums/peaks are EXACT despite the real
+    fixed-predictor + rice entropy coding in between."""
+    from realtime_market_data_pipeline_spark.operators import flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = (d % 23) + 8
+                samples = [
+                    ((d * 31 + i * 17) % 65536) - 32768 for i in range(n)
+                ]
+                payloads.append(
+                    flac.encode_flac(
+                        [samples],
+                        sample_rate=8000 + (d % 5) * 1000,
+                        bps=16,
+                        block_size=8,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": "audio/flac",
                 }
             )
 
@@ -1121,6 +1179,11 @@ def decode_audio_samples(payload: bytes) -> list[int]:
     import struct
     import wave
 
+    if payload[:4] == b"fLaC":
+        from realtime_market_data_pipeline_spark.operators import flac
+
+        chans = flac.decode_flac_samples(payload)
+        return [s for frame in zip(*chans) for s in frame] if chans else []
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE PCM decodes here")
     try:

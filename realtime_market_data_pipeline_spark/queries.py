@@ -5508,6 +5508,52 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_flac",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 31) AS t(i)),
+s AS (
+  SELECT doc_id,
+         sum(((doc_id * 31 + y * 17) % 65536) - 32768) AS ss,
+         max(abs(((doc_id * 31 + y * 17) % 65536) - 32768)) AS pk
+  FROM d JOIN ys ON y < (doc_id % 23) + 8
+  GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       'audio/flac' AS media_type,
+       CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
+       CAST((doc_id % 23) + 8 AS INTEGER) AS n_samples,
+       CAST(ss AS BIGINT) AS sample_sum,
+       CAST(pk AS INTEGER) AS sample_peak
+FROM s
+""",
+)
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio decode (late r7, the audio twin of
+    multimodal_decode_jpeg): plant deterministic doc_id-derived native
+    FLAC streams — real fixed-predictor + rice-entropy-coded frames
+    with CRC-8/CRC-16 framing and STREAMINFO MD5, produced by the
+    pure-Python encoder (operators/flac.py), blocksize 8 so payloads
+    span multiple frames — then decode them back with the pure-Python
+    FLAC decoder (frame-header CRC verify, subframe dispatch incl.
+    rice residual decode, whole-frame CRC-16, MD5 check). FLAC is
+    LOSSLESS, so the oracle predicts every decoded sample sum and peak
+    exactly by the planted integer arithmetic — a rice, predictor,
+    bit-packing, or framing bug on either side breaks the hash. The
+    decoder's LPC/rice5/partition/escape/wasted-bits paths the subset
+    encoder never emits are pinned by hand-assembled bitstream vectors
+    (tests/test_flac.py). Same 100 TB shape as the other decode
+    queries: shuffle-free Arrow mapInPandas, payload bytes never cross
+    an exchange; mp3/ogg remain NotImplementedError pending ffmpeg —
+    they are perceptual codecs, unlike integer-exact FLAC."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_media(mm.plant_flac(docs)).select(
+        "media_id", "media_type", "sample_rate", "n_samples",
+        "sample_sum", "sample_peak",
+    )
+
+
+@query(
     "multimodal_resize",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
@@ -6235,10 +6281,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # shared code under all of them. The r7 window (executes the plan staged in
 # r6 / prescribed by the r6 verdict #1):
 # (1) queries NEW or sitting on code CHANGED this round — the JPEG
-#     decode, AVI frame-sampling, resize-chain, and PNG decode queries
-#     (new), the BMP/WAV decode + feature queries (multimodal.py
-#     changed), and both heavy-hitters forms (sketches.py schema-typing
-#     change);
+#     decode, FLAC decode, AVI frame-sampling, resize-chain, and PNG
+#     decode queries (new), the BMP/WAV decode + feature queries
+#     (multimodal.py changed), and both heavy-hitters forms
+#     (sketches.py schema-typing change);
 # (2) all 38 queries whose last green row is r4 — the staleness budget's
 #     maximum;
 # (3) 7 oldest-r5 refreshers: events_time_range (sits on the r7 io.py
@@ -6248,10 +6294,11 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # code and rotates in r8.
 #
 # STAGED r8 PLAN (staleness-first; post-r7 distribution is r7 ×50, r6 ×44,
-# r5 ×45 — incl. asof_last_purchase, kmv_distinct_users, and
-# entity_resolution_clusters, displaced from the r7 window by the new
-# multimodal_decode_jpeg/_video_frames/_resize): slot 1 = anything whose
-# code changes in r8; then ALL 45 rows
+# r5 ×46 — incl. asof_last_purchase, kmv_distinct_users,
+# entity_resolution_clusters, and triangle_count_supplier_graph,
+# displaced from the r7 window by the new
+# multimodal_decode_jpeg/_flac/_video_frames/_resize): slot 1 = anything
+# whose code changes in r8; then ALL 46 rows
 # whose last green is r5 — the TPC-H corpus spine (q1/q3/q4/q5/q6/q7/q9/
 # q10/q14/q15/q16/q17/q18/q19/q22), semi/anti joins, topk_per_type,
 # kpi_summary, dedup_last_write_wins, stats/regex/atr/beta/psi/histogram/
@@ -6267,6 +6314,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _REGISTRY_PRIORITY = [
     # (1) new in r7 / code changed in r7
     "multimodal_decode_jpeg",
+    "multimodal_decode_flac",
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_decode_png",
@@ -6314,18 +6362,21 @@ _REGISTRY_PRIORITY = [
     "value_percentiles_by_type",
     "word_counts_top100",
     # (3) oldest-r5 refreshers. asof_last_purchase, kmv_distinct_users,
-    # and entity_resolution_clusters slid out of the 50-slot window when
-    # the three new r7 queries (multimodal_decode_jpeg/_video_frames/
-    # _resize) took the top slots — all three stay r5-green on unchanged
-    # code (the r7 sketches.py schema-typing change touched only the
-    # space-saving paths, not KMV; ER's pointer-jumping in dedup.py was
-    # untouched this round) and MUST be in the r8 window (all are in the
-    # staged r8 all-r5 sweep above). The remaining refreshers sit on
-    # code r7 DID change (io.py walk, graph.py restructure).
+    # entity_resolution_clusters, and triangle_count_supplier_graph slid
+    # out of the 50-slot window when the four new r7 queries
+    # (multimodal_decode_jpeg/_flac/_video_frames/_resize) took the top
+    # slots — the first three stay r5-green on unchanged code (the r7
+    # sketches.py schema-typing change touched only the space-saving
+    # paths, not KMV; ER's pointer-jumping in dedup.py was untouched
+    # this round); triangle sits on the r7 graph.py restructure but
+    # pagerank + HITS certify the same restructured module and config,
+    # and triangle's own wedge census is pinned by tests/test_graph.py.
+    # ALL FOUR MUST be in the r8 window (all are in the staged r8
+    # all-r5 sweep above). The remaining refreshers sit on code r7 DID
+    # change (io.py walk, graph.py restructure).
     "events_time_range",
     "pagerank_trade_graph",
     "hits_trade_authorities",
-    "triangle_count_supplier_graph",
 ]
 
 

@@ -685,6 +685,31 @@ def test_audio_frame_energy_exact(spark):
         assert got == expect
 
 
+def test_plant_and_decode_flac_distributed(spark):
+    """plant_flac -> decode_media through Spark: shuffle-free, and the
+    decoded stats equal the planted arithmetic exactly (lossless)."""
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    decoded = mm.decode_media(mm.plant_flac(docs))
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "media decode plan must be shuffle-free"
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == docs.count()
+    for did in (0, 1, 7, 42):
+        n = (did % 23) + 8
+        samples = [((did * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+        r = rows[did]
+        assert (
+            r["sample_rate"], r["n_samples"], r["sample_sum"],
+            r["sample_peak"],
+        ) == (
+            8000 + (did % 5) * 1000, n, sum(samples),
+            max(abs(s) for s in samples),
+        )
+        assert r["width"] is None
+
+
 def test_plant_and_decode_media_distributed(spark):
     """End-to-end through Spark: plant real payloads over the sf0.001
     documents spine, decode via mapInPandas, spot-check against the local

@@ -506,7 +506,7 @@ def test_avi_codec_roundtrip_property(doc_id, w, h, nf):
 
 @given(
     seed=st.integers(0, 2**31 - 1),
-    kind=st.integers(0, 4),
+    kind=st.integers(0, 5),
     n_flips=st.integers(1, 8),
 )
 @settings(max_examples=200, deadline=1000)
@@ -533,8 +533,16 @@ def test_decoders_fail_loudly_under_corruption(seed, kind, n_flips):
         payload, dec = mm.make_avi(did, 3, 2, 2), mm.decode_avi
     elif kind == 3:
         payload, dec = mm.make_bmp(did, 5, 3), mm.decode_image
-    else:
+    elif kind == 4:
         payload, dec = mm.make_wav(did, 12, 8000), mm.decode_audio
+    else:
+        from realtime_market_data_pipeline_spark.operators import flac
+
+        payload = flac.encode_flac(
+            [[((did * 31 + i * 17) % 65536) - 32768 for i in range(20)]],
+            block_size=8,
+        )
+        dec = mm.decode_audio
     buf = bytearray(payload)
     for _ in range(n_flips):
         buf[int(rng.integers(2, len(buf)))] ^= int(rng.integers(1, 256))
