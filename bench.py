@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_decode_flac",
+    "multimodal_probe",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

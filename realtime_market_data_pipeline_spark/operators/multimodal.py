@@ -889,6 +889,210 @@ def plant_flac(docs: DataFrame) -> DataFrame:
     )
 
 
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables (header indices).
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320, 0]
+_MP3_RATES = [44100, 48000, 32000, 0]
+
+
+def make_mp3_frames(doc_id: int, n_frames: int) -> bytes:
+    """Deterministic MPEG-1 Layer III FRAME SEQUENCE for ``doc_id`` —
+    structurally valid mp3 framing (ID3v2 tag, sync words, version/
+    layer/bitrate/samplerate header fields, correct frame lengths) with
+    deterministic filler in place of the perceptual audio payload. The
+    header-level prober parses it exactly like a real file; only the
+    psychoacoustic DECODE needs ffmpeg. 128 kbps at 32 kHz, so
+    frame_len = 144*128000/32000 = 576 bytes and each frame spans
+    exactly 1152/32000 s = 36 ms — integer-exact for oracles."""
+    import struct
+
+    tag_body = b"\x00" * 17
+    out = bytearray(
+        b"ID3" + bytes([4, 0, 0]) + struct.pack(">I", len(tag_body))
+    )  # syncsafe-safe: body < 128 bytes
+    out += tag_body
+    # header: sync FFF, MPEG1 (11), Layer III (01), no CRC (1) -> 0xFFFB
+    # bitrate idx 9 (128 kbps), samplerate idx 2 (32 kHz), no padding
+    hdr = bytes([0xFF, 0xFB, (9 << 4) | (2 << 2), 0x00])
+    frame_len = 144 * 128000 // 32000  # 576 bytes incl. header
+    for f in range(n_frames):
+        out += hdr
+        body = bytes(
+            (doc_id + f + i) % 256 for i in range(frame_len - 4)
+        )
+        out += body
+    return bytes(out)
+
+
+def probe_media(payload: bytes) -> dict:
+    """Header-only media inventory (late r7): the cheap first-pass
+    operator a 100 TB corpus runs BEFORE any decode — classify the
+    container and read dimensions/rates/frame counts from headers
+    alone, no pixel or sample work. Covers every container this engine
+    decodes (BMP/PPM/PNG/JPEG/WAV/FLAC/AVI) plus mp3 framing (ID3v2
+    skip, frame-header walk over the MPEG-1 Layer III length formula,
+    duration from frame count x 1152 samples) — mp3's AUDIO stays
+    NotImplementedError pending ffmpeg, but its structure is plain
+    integer parsing. Returns {"container", "width", "height",
+    "n_frames", "sample_rate", "duration_ms"} with NULL-semantics None
+    for fields a format lacks."""
+    import struct
+
+    out = {
+        "container": None, "width": None, "height": None,
+        "n_frames": None, "sample_rate": None, "duration_ms": None,
+    }
+    if payload[:2] == b"BM":
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        out.update(container="bmp", width=w, height=abs(h_raw))
+        return out
+    if payload[:2] == b"P6":
+        d = decode_image(payload)  # header parse dominates; tiny files
+        out.update(container="ppm", width=d["width"], height=d["height"])
+        return out
+    if payload[:8] == PNG_SIG:
+        w, h = struct.unpack_from(">II", payload, 16)  # IHDR is first
+        out.update(container="png", width=w, height=h)
+        return out
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos < len(payload) - 1:
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack_from(">HH", payload, pos + 3)
+                out.update(container="jpeg", width=w, height=h)
+                return out
+            pos += seglen
+        raise ValueError("JPEG missing SOF")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        d = decode_audio(payload)
+        out.update(
+            container="wav", sample_rate=d["sample_rate"],
+            n_frames=d["n_samples"],
+            duration_ms=d["n_samples"] * 1000 // d["sample_rate"],
+        )
+        return out
+    if payload[:4] == b"fLaC":
+        # STREAMINFO is the mandatory first block: 4 marker + 4 block
+        # header + 10 bytes of block/frame sizes, then the packed
+        # 20-bit rate / 3-bit channels / 5-bit bps / 36-bit total.
+        hi = int.from_bytes(payload[18:26], "big")
+        rate = hi >> 44
+        total = hi & ((1 << 36) - 1)
+        out.update(
+            container="flac", sample_rate=rate, n_frames=total,
+            duration_ms=total * 1000 // rate if rate else None,
+        )
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        d = decode_avi(payload)
+        out.update(
+            container="avi", width=d["width"], height=d["height"],
+            n_frames=d["n_frames"],
+        )
+        return out
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xfa"):
+        pos = 0
+        if payload[:3] == b"ID3":
+            size = 0
+            for b in payload[6:10]:  # syncsafe 7-bit bytes
+                size = (size << 7) | (b & 0x7F)
+            pos = 10 + size
+        frames = 0
+        rate = None
+        while pos + 4 <= len(payload):
+            h = payload[pos : pos + 4]
+            if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+                raise ValueError(f"mp3 frame sync lost at {pos}")
+            version = (h[1] >> 3) & 3
+            layer = (h[1] >> 1) & 3
+            if version != 3 or layer != 1:
+                raise NotImplementedError(
+                    "only MPEG-1 Layer III framing is probed"
+                )
+            bitrate = _MP3_BITRATES[h[2] >> 4] * 1000
+            rate = _MP3_RATES[(h[2] >> 2) & 3]
+            if not bitrate or not rate:
+                raise ValueError("free-format/invalid mp3 header")
+            pad = (h[2] >> 1) & 1
+            frames += 1
+            pos += 144 * bitrate // rate + pad
+            if pos > len(payload):
+                raise ValueError("mp3 final frame truncated")
+        out.update(
+            container="mp3", sample_rate=rate, n_frames=frames,
+            duration_ms=frames * 1152 * 1000 // rate if rate else None,
+        )
+        return out
+    raise NotImplementedError("unknown media container")
+
+
+def probe_media_df(media: DataFrame) -> DataFrame:
+    """Distributed header-only inventory: mapInPandas over payloads,
+    shuffle-free — the classification pass that routes a mixed 100 TB
+    corpus to the right decoder (or to quarantine) without paying for
+    a single pixel or sample decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = probe_media(bytes(payload))
+                d["media_id"] = int(mid)
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, container string, width int, height int, "
+        "n_frames long, sample_rate int, duration_ms long",
+    )
+
+
+def plant_mixed_media(docs: DataFrame) -> DataFrame:
+    """Plant a MIXED five-format corpus over the documents spine
+    (doc_id % 5 -> BMP / WAV / JPEG / AVI / mp3-framing), the input
+    shape the inventory prober is for."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, types = [], []
+            for d in ids:
+                d = int(d)
+                k = d % 5
+                if k == 0:
+                    payloads.append(make_bmp(d, (d % 13) + 4, (d % 11) + 4))
+                    types.append("image/bmp")
+                elif k == 1:
+                    payloads.append(
+                        make_wav(d, (d % 23) + 8, 8000 + (d % 5) * 1000)
+                    )
+                    types.append("audio/wav")
+                elif k == 2:
+                    payloads.append(make_jpeg(d))
+                    types.append("image/jpeg")
+                elif k == 3:
+                    payloads.append(
+                        make_avi(d, (d % 6) + 2, (d % 4) + 2, (d % 7) + 2)
+                    )
+                    types.append("video/x-msvideo")
+                else:
+                    payloads.append(make_mp3_frames(d, (d % 7) + 2))
+                    types.append("audio/mpeg")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "media_type": types}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode binary media payloads into typed feature rows — the REAL
     decode step (stdlib BMP/WAV parsers above), dispatched on media_type

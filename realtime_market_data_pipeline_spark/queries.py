@@ -5554,6 +5554,57 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_probe",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT doc_id AS media_id, 'bmp' AS container,
+       CAST((doc_id % 13) + 4 AS INTEGER) AS width,
+       CAST((doc_id % 11) + 4 AS INTEGER) AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS BIGINT) AS duration_ms
+FROM d WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST((doc_id % 23) + 8 AS BIGINT), CAST(9000 AS INTEGER),
+       CAST(((doc_id % 23) + 8) * 1000 // 9000 AS BIGINT)
+FROM d WHERE doc_id % 5 = 1
+UNION ALL
+SELECT doc_id, 'jpeg', CAST(8 * ((doc_id % 3) + 1) AS INTEGER),
+       CAST(8 * ((doc_id % 2) + 1) AS INTEGER), CAST(NULL AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+FROM d WHERE doc_id % 5 = 2
+UNION ALL
+SELECT doc_id, 'avi', CAST((doc_id % 6) + 2 AS INTEGER),
+       CAST((doc_id % 4) + 2 AS INTEGER), CAST((doc_id % 7) + 2 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+FROM d WHERE doc_id % 5 = 3
+UNION ALL
+SELECT doc_id, 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST((doc_id % 7) + 2 AS BIGINT), CAST(32000 AS INTEGER),
+       CAST(36 * ((doc_id % 7) + 2) AS BIGINT)
+FROM d WHERE doc_id % 5 = 4
+""",
+)
+def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media inventory (late r7): plant a MIXED five-format
+    corpus (doc_id%5 -> BMP / WAV / JPEG / AVI / mp3 framing) and run
+    the classification prober over it — container detection plus
+    dims/rates/frame counts read from headers ALONE (mp3: ID3v2 skip +
+    MPEG-1 Layer III frame-length walk; FLAC/WAV/AVI/image headers for
+    the rest), no pixel or sample decode. This is the first-pass
+    operator a 100 TB mixed media corpus runs to route payloads to
+    decoders or quarantine; at that scale skipping decode on the scan
+    pass is the difference between touching bytes once and twice. The
+    oracle predicts every probed field by the planting arithmetic, so
+    a header-offset, syncsafe-size, or frame-length-formula bug breaks
+    the hash. Shuffle-free Arrow mapInPandas, payloads never cross an
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.probe_media_df(mm.plant_mixed_media(docs))
+
+
+@query(
     "multimodal_resize",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
@@ -6294,11 +6345,12 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # code and rotates in r8.
 #
 # STAGED r8 PLAN (staleness-first; post-r7 distribution is r7 ×50, r6 ×44,
-# r5 ×46 — incl. asof_last_purchase, kmv_distinct_users,
-# entity_resolution_clusters, and triangle_count_supplier_graph,
-# displaced from the r7 window by the new
-# multimodal_decode_jpeg/_flac/_video_frames/_resize): slot 1 = anything
-# whose code changes in r8; then ALL 46 rows
+# r5 ×46 + r4/r6-displaced multimodal_features — incl.
+# asof_last_purchase, kmv_distinct_users, entity_resolution_clusters,
+# and triangle_count_supplier_graph, displaced from the r7 window by the
+# new multimodal_decode_jpeg/_flac/_probe/_video_frames/_resize): slot 1
+# = anything whose code changes in r8; then multimodal_features and ALL
+# 46 r5 rows
 # whose last green is r5 — the TPC-H corpus spine (q1/q3/q4/q5/q6/q7/q9/
 # q10/q14/q15/q16/q17/q18/q19/q22), semi/anti joins, topk_per_type,
 # kpi_summary, dedup_last_write_wins, stats/regex/atr/beta/psi/histogram/
@@ -6312,14 +6364,19 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # (1) new in r7 / code changed in r7
+    # (1) new in r7 / code changed in r7. multimodal_features (the
+    # fake-decode plumbing demo) slid to r8 when multimodal_probe (new,
+    # real header-inventory operator) took its slot: six other in-window
+    # queries certify multimodal.py's r7 changes far more deeply, and
+    # features' own logic (documents_as_media + extract_features) was
+    # untouched this round.
     "multimodal_decode_jpeg",
     "multimodal_decode_flac",
+    "multimodal_probe",
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_decode_png",
     "multimodal_decode",
-    "multimodal_features",
     "heavy_hitters_merged",
     "heavy_hitters_topk",
     # (2) last driver row r4 — all 38

@@ -710,6 +710,60 @@ def test_plant_and_decode_flac_distributed(spark):
         assert r["width"] is None
 
 
+def test_probe_media_all_containers():
+    """Header-only inventory must classify every supported container and
+    read dims/rates/frame counts from headers alone — including mp3
+    framing (ID3v2 syncsafe skip + MPEG-1 Layer III frame-length walk),
+    which is structurally parseable even though its AUDIO decode needs
+    ffmpeg."""
+    from realtime_market_data_pipeline_spark.operators import flac
+
+    p = mm.probe_media(mm.make_bmp(7, 5, 3))
+    assert (p["container"], p["width"], p["height"]) == ("bmp", 5, 3)
+    p = mm.probe_media(mm.make_png(7, 9, 6))
+    assert (p["container"], p["width"], p["height"]) == ("png", 9, 6)
+    p = mm.probe_media(mm.make_jpeg(7))  # progressive (odd) SOF2 probes too
+    assert (p["container"], p["width"], p["height"]) == ("jpeg", 16, 16)
+    p = mm.probe_media(mm.make_wav(5, 12, 9000))
+    assert (p["container"], p["sample_rate"], p["n_frames"]) == (
+        "wav", 9000, 12,
+    )
+    fp = flac.encode_flac([[i % 100 for i in range(30)]], sample_rate=9000)
+    p = mm.probe_media(fp)
+    assert (p["container"], p["sample_rate"], p["n_frames"]) == (
+        "flac", 9000, 30,
+    )
+    p = mm.probe_media(mm.make_avi(3, 4, 3, 5))
+    assert (p["container"], p["width"], p["height"], p["n_frames"]) == (
+        "avi", 4, 3, 5,
+    )
+    p = mm.probe_media(mm.make_mp3_frames(9, 4))
+    assert (
+        p["container"], p["sample_rate"], p["n_frames"], p["duration_ms"],
+    ) == ("mp3", 32000, 4, 144)
+    # truncated mp3 frame -> loud failure, not a silent short count
+    with pytest.raises(ValueError, match="truncated"):
+        mm.probe_media(mm.make_mp3_frames(9, 2)[:-100])
+    with pytest.raises(NotImplementedError):
+        mm.probe_media(b"\x00unknown")
+
+
+def test_probe_media_distributed(spark):
+    """Mixed-corpus inventory through Spark stays shuffle-free and
+    classifies every planted format per the doc_id%5 contract."""
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    probed = mm.probe_media_df(mm.plant_mixed_media(docs))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "probe must be shuffle-free"
+    rows = {r["media_id"]: r for r in probed.collect()}
+    assert len(rows) == docs.count()
+    expect = {0: "bmp", 1: "wav", 2: "jpeg", 3: "avi", 4: "mp3"}
+    for did, r in rows.items():
+        assert r["container"] == expect[did % 5], did
+
+
 def test_plant_and_decode_media_distributed(spark):
     """End-to-end through Spark: plant real payloads over the sf0.001
     documents spine, decode via mapInPandas, spot-check against the local
