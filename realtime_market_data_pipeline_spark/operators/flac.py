@@ -471,12 +471,18 @@ def encode_flac(
 ) -> bytes:
     """Encode per-channel sample lists (1 or 2 channels, equal lengths)
     as a spec-valid native FLAC stream: STREAMINFO with a real MD5 of
-    the unencoded audio, fixed-blocksize frames (8-bit end-of-header
-    blocksize code), CONSTANT/FIXED subframes with rice residuals,
-    optional mid/side stereo decorrelation, correct CRC-8/CRC-16."""
+    the unencoded audio, fixed-blocksize frames (8- or 16-bit
+    end-of-header blocksize code as the frame size requires),
+    CONSTANT/FIXED subframes with rice residuals, optional mid/side
+    stereo decorrelation, correct CRC-8/CRC-16."""
     nch = len(channels)
     if nch not in (1, 2):
         raise ValueError("1 or 2 channels only")
+    if not 1 <= block_size <= 65535:
+        # STREAMINFO carries 16-bit min/max blocksize fields and the
+        # 16-bit end-of-header code stores n-1; beyond that the old
+        # 8-bit write silently wrapped and corrupted the stream.
+        raise ValueError("block_size must be in [1, 65535]")
     total = len(channels[0])
     if any(len(c) != total for c in channels):
         raise ValueError("channel length mismatch")
@@ -508,14 +514,15 @@ def encode_flac(
         bw.write(0x3FFE, 14)
         bw.write(0, 1)
         bw.write(0, 1)  # fixed blocksize stream
-        bw.write(6, 4)  # blocksize: 8-bit at end of header
+        bs_code = 6 if n <= 256 else 7  # 8- vs 16-bit end-of-header size
+        bw.write(bs_code, 4)
         bw.write(0, 4)  # sample rate: from STREAMINFO
         ch_code = 10 if mid_side else nch - 1
         bw.write(ch_code, 4)
         bw.write(0, 3)  # sample size: from STREAMINFO
         bw.write(0, 1)
         _write_utf8_number(bw, frame_no)
-        bw.write(n - 1, 8)
+        bw.write(n - 1, 8 if bs_code == 6 else 16)
         assert bw.n == 0
         hdr = bytes(bw.out)
         bw.write(_crc8(hdr), 8)

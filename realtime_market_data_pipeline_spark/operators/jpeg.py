@@ -338,31 +338,41 @@ def _emit_block_ac_first(bw, zz, ss, se, al, ac_codes) -> None:
 
 
 def _emit_block_ac_refine(bw, zz, ss, se, al, ac_codes) -> None:
-    """Successive-approximation AC refinement emission (T.81 G.1.2.3):
-    newly-nonzero coefficients (magnitude 1 at this precision) get a
-    (run, 1) code + sign bit; previously-nonzero ones contribute buffered
-    correction bits that ride behind the next emitted code (or the EOB)."""
+    """Successive-approximation AC refinement emission (T.81 G.1.2.3,
+    the libjpeg encode_mcu_AC_refine shape): newly-nonzero coefficients
+    (magnitude 1 at this precision) get a (run, 1) code + sign bit;
+    previously-nonzero ones contribute buffered correction bits that ride
+    behind the next emitted code (or the EOB). The ZRL check runs on
+    EVERY nonzero coefficient — before buffering a history bit — so a
+    ZRL only carries correction bits accumulated before its 16-zero span;
+    bits for history coefficients positioned after the span ride behind
+    the NEXT code, which is where the decoder consumes them."""
     absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    # Band-relative index of the last newly-nonzero coefficient; zero
+    # runs beyond it are never ZRL-coded (they fold into the EOB).
+    eob = -1
+    for i, t in enumerate(absval):
+        if t == 1:
+            eob = i
     run = 0
     buffered: list[int] = []
-    for k in range(ss, se + 1):
-        t = absval[k - ss]
+    for i, t in enumerate(absval):
         if t == 0:
             run += 1
             continue
-        if t > 1:
-            buffered.append(t & 1)
-            continue
-        while run >= 16:
+        while run > 15 and i <= eob:
             code, ln = ac_codes[0xF0]
             bw.write(code, ln)
             run -= 16
             for b in buffered:
                 bw.write(b, 1)
             buffered = []
+        if t > 1:
+            buffered.append(t & 1)
+            continue
         code, ln = ac_codes[(run << 4) | 1]
         bw.write(code, ln)
-        bw.write(1 if zz[k] > 0 else 0, 1)
+        bw.write(1 if zz[ss + i] > 0 else 0, 1)
         for b in buffered:
             bw.write(b, 1)
         buffered = []

@@ -510,6 +510,10 @@ def encode_bmp_pixels(arr) -> bytes:
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(
+            f"encode_bmp_pixels needs an HxWx3 raster, got shape {arr.shape}"
+        )
     height, width = arr.shape[:2]
     row_bytes = width * 3
     pad = (-row_bytes) % 4
@@ -560,6 +564,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     pix = (pix >> 8).astype(np.uint8)
                 if pix.shape[2] == 1:
                     pix = np.repeat(pix, 3, axis=2)
+                elif pix.shape[2] == 2:  # PNG gray+alpha: drop alpha
+                    pix = np.repeat(pix[:, :, :1], 3, axis=2)
                 elif pix.shape[2] == 4:
                     pix = pix[:, :, :3]
                 ids.append(int(mid))
@@ -924,18 +930,112 @@ def make_mp3_frames(doc_id: int, n_frames: int) -> bytes:
     return bytes(out)
 
 
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC32 (RFC 3533 §6): poly 0x04C11DB7, init 0, no bit
+    reflection, no final xor — NOT zlib's crc32."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tab = []
+        for b in range(256):
+            r = b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1)
+                r &= 0xFFFFFFFF
+            tab.append(r)
+        _OGG_CRC_TABLE = tab
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte
+        ]
+    return crc
+
+
+def _ogg_page(
+    serial: int, seqno: int, granule: int, header_type: int, body: bytes
+) -> bytes:
+    """One spec-valid Ogg page (RFC 3533 §6): 27-byte header, lacing
+    segment table, real CRC over the whole page with the CRC field
+    zeroed."""
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)  # final lacing value < 255 terminates the packet
+    hdr = (
+        b"OggS"
+        + bytes([0, header_type])
+        + granule.to_bytes(8, "little", signed=True)
+        + (serial & 0xFFFFFFFF).to_bytes(4, "little")
+        + seqno.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    page = hdr + body
+    crc = _ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def make_ogg(doc_id: int, n_pages: int) -> bytes:
+    """Deterministic Ogg/Vorbis CONTAINER for ``doc_id`` — a BOS page
+    carrying a real Vorbis identification header (type-1 packet:
+    channels, sample rate, blocksizes, framing bit) followed by
+    ``n_pages`` audio pages with monotone granule positions and correct
+    page CRCs. The header-level prober walks it exactly like a real
+    file; only the MDCT audio DECODE needs ffmpeg. Planting arithmetic
+    (oracle-replayable): rate = 8000 + (doc_id%3)*4000, samples/page =
+    960 + (doc_id%5)*64, so the final granule is n_pages*spp exactly."""
+    rate = 8000 + (doc_id % 3) * 4000
+    spp = 960 + (doc_id % 5) * 64
+    serial = (doc_id * 2654435761) & 0xFFFFFFFF
+    ident = (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")  # vorbis_version
+        + bytes([1])  # channels
+        + rate.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3  # bitrate max/nominal/min
+        + bytes([0xB8])  # blocksizes 2^8 / 2^11
+        + bytes([1])  # framing flag
+    )
+    out = bytearray(_ogg_page(serial, 0, 0, 0x02, ident))  # BOS
+    for p in range(1, n_pages + 1):
+        body = bytes((doc_id + p + i) % 256 for i in range(20 + doc_id % 10))
+        htype = 0x04 if p == n_pages else 0x00  # EOS on the last page
+        out += _ogg_page(serial, p, p * spp, htype, body)
+    return bytes(out)
+
+
 def probe_media(payload: bytes) -> dict:
-    """Header-only media inventory (late r7): the cheap first-pass
-    operator a 100 TB corpus runs BEFORE any decode — classify the
-    container and read dimensions/rates/frame counts from headers
-    alone, no pixel or sample work. Covers every container this engine
-    decodes (BMP/PPM/PNG/JPEG/WAV/FLAC/AVI) plus mp3 framing (ID3v2
-    skip, frame-header walk over the MPEG-1 Layer III length formula,
-    duration from frame count x 1152 samples) — mp3's AUDIO stays
-    NotImplementedError pending ffmpeg, but its structure is plain
-    integer parsing. Returns {"container", "width", "height",
-    "n_frames", "sample_rate", "duration_ms"} with NULL-semantics None
-    for fields a format lacks."""
+    """Header-only media inventory (late r7, ogg + hardening r8): the
+    cheap first-pass operator a 100 TB corpus runs BEFORE any decode —
+    classify the container and read dimensions/rates/frame counts from
+    headers alone, no pixel or sample work. Covers every container this
+    engine decodes (BMP/PPM/PNG/JPEG/WAV/FLAC/AVI) plus mp3 framing
+    (ID3v2 skip, frame-header walk over the MPEG-1 Layer III length
+    formula, duration from frame count x 1152 samples) and Ogg framing
+    (capture-pattern page walk, Vorbis/Opus time base from the BOS
+    packet, duration from the final granule position) — the perceptual
+    AUDIO of both stays NotImplementedError pending ffmpeg, but their
+    structure is plain integer parsing. Returns {"container", "width",
+    "height", "n_frames", "sample_rate", "duration_ms"} with
+    NULL-semantics None for fields a format lacks. Untrusted-bytes
+    contract (shared with the decoders): malformed payloads raise
+    ValueError, unsupported containers NotImplementedError — never raw
+    struct.error/IndexError."""
+    import struct
+
+    try:
+        return _probe_media_impl(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed media payload: {e}") from e
+
+
+def _probe_media_impl(payload: bytes) -> dict:
     import struct
 
     out = {
@@ -957,10 +1057,14 @@ def probe_media(payload: bytes) -> dict:
     if payload[:2] == b"\xff\xd8":
         pos = 2
         while pos < len(payload) - 1:
+            if payload[pos] != 0xFF:
+                raise ValueError(f"JPEG marker sync lost at {pos}")
             marker = payload[pos + 1]
             pos += 2
             if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
                 continue
+            if marker == 0xDA:  # SOS: entropy bytes follow — stop walking
+                break
             (seglen,) = struct.unpack_from(">H", payload, pos)
             if marker in (0xC0, 0xC1, 0xC2):
                 h, w = struct.unpack_from(">HH", payload, pos + 3)
@@ -1028,6 +1132,48 @@ def probe_media(payload: bytes) -> dict:
             duration_ms=frames * 1152 * 1000 // rate if rate else None,
         )
         return out
+    if payload[:4] == b"OggS":
+        # Page walk (RFC 3533): capture pattern -> granule -> lacing
+        # table -> body length. The BOS body names the codec, which
+        # fixes the granule time base (Vorbis: PCM samples at the ID
+        # header's rate; Opus: always 48 kHz).
+        pos = 0
+        rate = None
+        n_pages = 0
+        granule = 0
+        first = True
+        while pos < len(payload):
+            if payload[pos : pos + 4] != b"OggS":
+                raise ValueError(f"ogg capture pattern lost at {pos}")
+            if payload[pos + 4] != 0:
+                raise NotImplementedError("only ogg stream version 0")
+            g = int.from_bytes(
+                payload[pos + 6 : pos + 14], "little", signed=True
+            )
+            nseg = payload[pos + 26]
+            seg_table = payload[pos + 27 : pos + 27 + nseg]
+            if len(seg_table) != nseg:
+                raise ValueError("ogg segment table truncated")
+            body_len = sum(seg_table)
+            body = payload[pos + 27 + nseg : pos + 27 + nseg + body_len]
+            if len(body) != body_len:
+                raise ValueError("ogg page body truncated")
+            if first:
+                if body[:7] == b"\x01vorbis":
+                    rate = int.from_bytes(body[12:16], "little")
+                elif body[:8] == b"OpusHead":
+                    rate = 48000  # opus granules tick at 48 kHz always
+                first = False
+            else:
+                n_pages += 1
+                if g >= 0:  # -1 marks a page with no finished packet
+                    granule = g
+            pos += 27 + nseg + body_len
+        out.update(
+            container="ogg", sample_rate=rate, n_frames=n_pages,
+            duration_ms=granule * 1000 // rate if rate else None,
+        )
+        return out
     raise NotImplementedError("unknown media container")
 
 
@@ -1054,9 +1200,9 @@ def probe_media_df(media: DataFrame) -> DataFrame:
 
 
 def plant_mixed_media(docs: DataFrame) -> DataFrame:
-    """Plant a MIXED five-format corpus over the documents spine
-    (doc_id % 5 -> BMP / WAV / JPEG / AVI / mp3-framing), the input
-    shape the inventory prober is for."""
+    """Plant a MIXED six-format corpus over the documents spine
+    (doc_id % 6 -> BMP / WAV / JPEG / AVI / mp3-framing / Ogg-Vorbis
+    framing), the input shape the inventory prober is for."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1064,7 +1210,7 @@ def plant_mixed_media(docs: DataFrame) -> DataFrame:
             payloads, types = [], []
             for d in ids:
                 d = int(d)
-                k = d % 5
+                k = d % 6
                 if k == 0:
                     payloads.append(make_bmp(d, (d % 13) + 4, (d % 11) + 4))
                     types.append("image/bmp")
@@ -1081,9 +1227,12 @@ def plant_mixed_media(docs: DataFrame) -> DataFrame:
                         make_avi(d, (d % 6) + 2, (d % 4) + 2, (d % 7) + 2)
                     )
                     types.append("video/x-msvideo")
-                else:
+                elif k == 4:
                     payloads.append(make_mp3_frames(d, (d % 7) + 2))
                     types.append("audio/mpeg")
+                else:
+                    payloads.append(make_ogg(d, (d % 7) + 2))
+                    types.append("audio/ogg")
             yield pd.DataFrame(
                 {"media_id": ids, "payload": payloads, "media_type": types}
             )

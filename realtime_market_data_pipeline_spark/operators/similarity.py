@@ -419,35 +419,46 @@ def ivf_train_centroids(
     is one distributed assignment pass (blocked numpy matmul in mapInPandas)
     + one exact per-dimension mean (posexplode + decimal sums); only the
     k×d centroid matrix ever reaches the driver — the standard k-means
-    dataflow at any scale (MLlib does the same)."""
-    v = corpus.select(F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v"))
-    centers = [
-        list(r.v) for r in v.orderBy("vid").limit(n_centroids).collect()
-    ]
-    for _ in range(n_iter):
-        assigned = ivf_assign(v, centers, id_col="vid", vec_col="v")
-        means = (
-            v.join(assigned, "vid")
-            .select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+    dataflow at any scale (MLlib does the same). The projected vector
+    relation is persisted for the loop (init + 2 relations per Lloyd
+    step read it; without the cache every iteration re-scans the raw
+    corpus — the one thing you cannot afford at 100 TB) and released
+    before returning, per the engine's storage-lifecycle rule."""
+    from pyspark import StorageLevel
+
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
         centers = [
-            [by_cluster[c][p] for p in sorted(by_cluster[c])]
-            if c in by_cluster
-            else centers[c]  # empty cluster keeps its previous centroid
-            for c in range(n_centroids)
+            list(r.v) for r in v.orderBy("vid").limit(n_centroids).collect()
         ]
-    return centers
+        for _ in range(n_iter):
+            assigned = ivf_assign(v, centers, id_col="vid", vec_col="v")
+            means = (
+                v.join(assigned, "vid")
+                .select("cluster", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+            centers = [
+                [by_cluster[c][p] for p in sorted(by_cluster[c])]
+                if c in by_cluster
+                else centers[c]  # empty cluster keeps its previous centroid
+                for c in range(n_centroids)
+            ]
+        return centers
+    finally:
+        v.unpersist()
 
 
 def ivf_assign(

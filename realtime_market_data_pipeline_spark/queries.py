@@ -5563,36 +5563,47 @@ SELECT doc_id AS media_id, 'bmp' AS container,
        CAST(NULL AS BIGINT) AS n_frames,
        CAST(NULL AS INTEGER) AS sample_rate,
        CAST(NULL AS BIGINT) AS duration_ms
-FROM d WHERE doc_id % 5 = 0
+FROM d WHERE doc_id % 6 = 0
 UNION ALL
 SELECT doc_id, 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-       CAST((doc_id % 23) + 8 AS BIGINT), CAST(9000 AS INTEGER),
-       CAST(((doc_id % 23) + 8) * 1000 // 9000 AS BIGINT)
-FROM d WHERE doc_id % 5 = 1
+       CAST((doc_id % 23) + 8 AS BIGINT),
+       CAST(8000 + (doc_id % 5) * 1000 AS INTEGER),
+       CAST(((doc_id % 23) + 8) * 1000
+            // (8000 + (doc_id % 5) * 1000) AS BIGINT)
+FROM d WHERE doc_id % 6 = 1
 UNION ALL
 SELECT doc_id, 'jpeg', CAST(8 * ((doc_id % 3) + 1) AS INTEGER),
        CAST(8 * ((doc_id % 2) + 1) AS INTEGER), CAST(NULL AS BIGINT),
        CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
-FROM d WHERE doc_id % 5 = 2
+FROM d WHERE doc_id % 6 = 2
 UNION ALL
 SELECT doc_id, 'avi', CAST((doc_id % 6) + 2 AS INTEGER),
        CAST((doc_id % 4) + 2 AS INTEGER), CAST((doc_id % 7) + 2 AS BIGINT),
        CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
-FROM d WHERE doc_id % 5 = 3
+FROM d WHERE doc_id % 6 = 3
 UNION ALL
 SELECT doc_id, 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST((doc_id % 7) + 2 AS BIGINT), CAST(32000 AS INTEGER),
        CAST(36 * ((doc_id % 7) + 2) AS BIGINT)
-FROM d WHERE doc_id % 5 = 4
+FROM d WHERE doc_id % 6 = 4
+UNION ALL
+SELECT doc_id, 'ogg', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST((doc_id % 7) + 2 AS BIGINT),
+       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER),
+       CAST(((doc_id % 7) + 2) * (960 + (doc_id % 5) * 64) * 1000
+            // (8000 + (doc_id % 3) * 4000) AS BIGINT)
+FROM d WHERE doc_id % 6 = 5
 """,
 )
 def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header-only media inventory (late r7): plant a MIXED five-format
-    corpus (doc_id%5 -> BMP / WAV / JPEG / AVI / mp3 framing) and run
-    the classification prober over it — container detection plus
-    dims/rates/frame counts read from headers ALONE (mp3: ID3v2 skip +
-    MPEG-1 Layer III frame-length walk; FLAC/WAV/AVI/image headers for
-    the rest), no pixel or sample decode. This is the first-pass
+    """Header-only media inventory (late r7, ogg r8): plant a MIXED
+    six-format corpus (doc_id%6 -> BMP / WAV / JPEG / AVI / mp3 framing
+    / Ogg-Vorbis framing) and run the classification prober over it —
+    container detection plus dims/rates/frame counts read from headers
+    ALONE (mp3: ID3v2 skip + MPEG-1 Layer III frame-length walk; ogg:
+    RFC 3533 page walk with the Vorbis ID-header time base and duration
+    from the final granule; FLAC/WAV/AVI/image headers for the rest),
+    no pixel or sample decode. This is the first-pass
     operator a 100 TB mixed media corpus runs to route payloads to
     decoders or quarantine; at that scale skipping decode on the scan
     pass is the difference between touching bytes once and twice. The

@@ -422,6 +422,54 @@ def test_jpeg_progressive_eobrun_known_vector():
     assert eob == 0
 
 
+def test_jpeg_ac_refine_zrl_history_bit_placement():
+    """Regression (r8): a ZRL in the AC refinement scan must carry only
+    correction bits for history coefficients positioned BEFORE its
+    16-zero span (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine). The old
+    encoder flushed the whole buffer after the ZRL — including bits for
+    history coefficients after the span — misaligning the stream (the
+    decoder reads a span's correction bits only while crossing it), so a
+    block shaped 'run>16 zeros, history coef, new coef' failed to decode
+    with 'invalid refinement magnitude'."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    codes = jpeg.build_codes(jpeg.AC_BITS, jpeg.AC_VALS)
+    table = jpeg._decode_table(jpeg.AC_BITS, jpeg.AC_VALS)
+
+    # True coefficients: 17 zero ACs (k=1..17), history -3 at k=18
+    # (|-3|>>0 > 1 -> previously nonzero), newly-nonzero +1 at k=19.
+    true_zz = np.zeros(64, dtype=np.int64)
+    true_zz[18] = -3
+    true_zz[19] = 1
+    bw = jpeg._BitWriter()
+    jpeg._emit_block_ac_refine(bw, true_zz, 1, 63, 0, codes)
+    bw.pad_to_byte()
+
+    # Prior decoder state after the Al=1 scan: -3 was approximated -2.
+    state = np.zeros(64, dtype=np.int64)
+    state[18] = -2
+    r = jpeg._BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+    eob = jpeg._ac_refine(r, state, table, 1, 63, 0, 0)
+    assert int(state[18]) == -3  # correction bit consumed at the right spot
+    assert int(state[19]) == 1
+    assert not state[1:18].any() and not state[20:].any()
+    assert eob == 0
+
+    # Full-API stress over natural-image-like rasters (the ADVICE repro):
+    # every progressive roundtrip must decode and match baseline pixels.
+    rng = np.random.default_rng(1234)
+    for _ in range(25):
+        h, w = int(rng.integers(1, 31)), int(rng.integers(1, 31))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        base = jpeg.decode_pixels(jpeg.encode_jpeg(img, quant=jpeg.UNIT_QT))
+        prog = jpeg.decode_pixels(
+            jpeg.encode_jpeg(img, quant=jpeg.UNIT_QT, progressive=True)
+        )
+        assert np.array_equal(base, prog)
+
+
 def test_jpeg_420_subsampling():
     """4:2:0 chroma subsampling (what cameras/libjpeg emit): achromatic
     images are BIT-identical to 4:4:4 (constant chroma survives 2x2
@@ -633,6 +681,45 @@ def test_resize_chain_roundtrip():
         mm.encode_bmp_pixels(mm.resize_nn(pix, 6, 4))
     )
     assert np.array_equal(pix, again)
+    # encode_bmp_pixels refuses non-HxWx3 rasters (r8: a 2-channel
+    # raster used to serialize truncated rows into a corrupt BMP)
+    with pytest.raises(ValueError, match="HxWx3"):
+        mm.encode_bmp_pixels(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_resize_media_gray_alpha_png(spark):
+    """Regression (r8): a gray+alpha PNG (color type 4 — a supported
+    decode format) fed to resize_media used to fall through the channel
+    branches into encode_bmp_pixels as a 2-channel raster, emitting a
+    truncated-row BMP. Now alpha is dropped and gray replicated to 3
+    channels, and the output decodes with the source's gray values."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # hand-built 3x2 GA PNG, filter 0 rows: gray g(x,y) = 10x + 40y
+    w, h = 3, 2
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            raw += bytes([10 * x + 40 * y, 128 + x + y])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+    png = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    pix = mm.decode_image_pixels(png)
+    assert pix.shape == (h, w, 2)
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    out = mm.decode_media(mm.resize_media(df, w, h)).collect()
+    assert len(out) == 1
+    r = out[0]
+    expect = 3 * sum(10 * x + 40 * y for x in range(w) for y in range(h))
+    assert (r["width"], r["height"], r["pixel_sum"]) == (w, h, expect)
 
 
 def test_resize_media_distributed(spark):
@@ -741,6 +828,19 @@ def test_probe_media_all_containers():
     assert (
         p["container"], p["sample_rate"], p["n_frames"], p["duration_ms"],
     ) == ("mp3", 32000, 4, 144)
+    # ogg (r8): doc_id=11 -> rate 8000+(11%3)*4000=16000, spp 960+(11%5)*64
+    # = 1024, 3 pages -> granule 3072 -> 192 ms
+    p = mm.probe_media(mm.make_ogg(11, 3))
+    assert (
+        p["container"], p["sample_rate"], p["n_frames"], p["duration_ms"],
+    ) == ("ogg", 16000, 3, 192)
+    # opus BOS: granule time base is 48 kHz regardless of content rate
+    opus_bos = mm._ogg_page(1, 0, 0, 0x02, b"OpusHead" + b"\x01" * 11)
+    tail = mm._ogg_page(1, 1, 9600, 0x04, b"\x00" * 8)
+    p = mm.probe_media(opus_bos + tail)
+    assert (p["container"], p["sample_rate"], p["duration_ms"]) == (
+        "ogg", 48000, 200,
+    )
     # truncated mp3 frame -> loud failure, not a silent short count
     with pytest.raises(ValueError, match="truncated"):
         mm.probe_media(mm.make_mp3_frames(9, 2)[:-100])
@@ -748,9 +848,34 @@ def test_probe_media_all_containers():
         mm.probe_media(b"\x00unknown")
 
 
+def test_probe_media_untrusted_bytes_contract():
+    """probe_media shares the decoders' two-exception contract for
+    untrusted bytes (r8 hardening): malformed payloads raise ValueError
+    — never raw struct.error/IndexError — and the JPEG marker walk
+    stops at SOS instead of striding into entropy-coded bytes."""
+    # 'BM' magic but shorter than the dimensions field -> used to raise
+    # struct.error from unpack_from
+    with pytest.raises(ValueError):
+        mm.probe_media(b"BM" + b"\x00" * 10)
+    # SOF-less JPEG: SOI, one APP0, then SOS + entropy bytes that would
+    # parse as garbage segment lengths if the walk didn't stop at SOS
+    bogus = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x04\x00\x00"
+        + b"\xff\xda\x00\x08" + bytes(range(1, 7))
+        + b"\x12\x34\x56\x78\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="missing SOF"):
+        mm.probe_media(bogus)
+    # truncated ogg lacing table -> ValueError, not IndexError
+    page = mm.make_ogg(5, 2)
+    with pytest.raises(ValueError):
+        mm.probe_media(page[:30])
+
+
 def test_probe_media_distributed(spark):
     """Mixed-corpus inventory through Spark stays shuffle-free and
-    classifies every planted format per the doc_id%5 contract."""
+    classifies every planted format per the doc_id%6 contract."""
     from realtime_market_data_pipeline_spark.io import load_table
 
     docs = load_table(spark, SF, "documents")
@@ -759,9 +884,9 @@ def test_probe_media_distributed(spark):
     assert "Exchange" not in plan, "probe must be shuffle-free"
     rows = {r["media_id"]: r for r in probed.collect()}
     assert len(rows) == docs.count()
-    expect = {0: "bmp", 1: "wav", 2: "jpeg", 3: "avi", 4: "mp3"}
+    expect = {0: "bmp", 1: "wav", 2: "jpeg", 3: "avi", 4: "mp3", 5: "ogg"}
     for did, r in rows.items():
-        assert r["container"] == expect[did % 5], did
+        assert r["container"] == expect[did % 6], did
 
 
 def test_plant_and_decode_media_distributed(spark):

@@ -561,6 +561,42 @@ def test_graph_queries_release_cached_storage(spark):
         )
 
 
+def test_ivf_training_persists_and_releases_vectors(spark):
+    """IVF k-means (r8, verdict #4): the vector relation must be CACHED
+    across Lloyd iterations — each step reads it twice (assignment pass
+    + mean join), so an unpersisted loop re-scans the raw corpus
+    2·n_iter times, which at 100 TB is the whole job cost — and released
+    before ivf_train_centroids returns (storage-lifecycle rule)."""
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import similarity as S
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    emb = load_table(spark, SF, "embeddings")
+    seen_cached = {"n": 0}
+
+    orig_assign = S.ivf_assign
+
+    def spy_assign(vectors, centers, **kw):
+        # every per-iteration consumer must read the persisted relation,
+        # not re-plan the parquet scan
+        if "InMemoryTableScan" in P.plan_string(vectors):
+            seen_cached["n"] += 1
+        return orig_assign(vectors, centers, **kw)
+
+    S.ivf_assign = spy_assign
+    try:
+        centers = S.ivf_train_centroids(emb, n_centroids=4, n_iter=2)
+    finally:
+        S.ivf_assign = orig_assign
+    assert len(centers) == 4
+    assert seen_cached["n"] == 2, "assignment passes must hit the cache"
+    after = jsc.getPersistentRDDs().size()
+    assert after - before == 0, (
+        f"IVF training stranded {after - before} cached RDDs (expected 0)"
+    )
+
+
 def test_copurchase_single_fact_scan_broadcast_dim(spark):
     df = Q.QUERIES["copurchase_brand_pairs"](spark, SF)
     # the self-join form would scan lineitem twice; the array-combinations
