@@ -9,9 +9,20 @@ Covers the reference's TimescaleDB sink semantics
 (spark_streaming.py:181-243) and the exactly-once upgrade the reference
 lacked: append duplicates per window in update mode (§2.2 trap, recovered
 by read-side LWW), while the MERGE writer is replay-idempotent.
+
+Real-dialect switch (r8, verdict item): export ``JDBC_URL`` (plus
+``JDBC_DRIVER`` — default org.postgresql.Driver — and optionally
+``JDBC_USER``/``JDBC_PASSWORD``) and this same suite runs against that
+server instead of embedded Derby — e.g.
+``JDBC_URL=jdbc:postgresql://host/db JDBC_USER=app pytest
+tests/test_jdbc_sink.py``. Table names then get per-test suffixes so one
+shared database serves the whole suite; the two Derby-specific checks
+(its system-catalog query and its schema-per-user semantics) skip.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -37,7 +48,33 @@ DET_COLS = [
     "max_event_time_ms",
 ]
 
-PROPS = {"driver": sinks.DERBY_DRIVER}
+EXT_URL = os.environ.get("JDBC_URL")  # the one-line real-dialect switch
+PROPS = {
+    "driver": os.environ.get("JDBC_DRIVER", "org.postgresql.Driver")
+    if EXT_URL
+    else sinks.DERBY_DRIVER
+}
+if os.environ.get("JDBC_USER"):
+    PROPS["user"] = os.environ["JDBC_USER"]
+if os.environ.get("JDBC_PASSWORD"):
+    PROPS["password"] = os.environ["JDBC_PASSWORD"]
+
+derby_only = pytest.mark.skipif(
+    bool(EXT_URL), reason="embedded-Derby-specific semantics"
+)
+
+
+def _url(tmp_path, name: str) -> str:
+    """Per-test database: a fresh embedded-Derby dir by default, the one
+    external server when JDBC_URL is set."""
+    return EXT_URL or sinks.derby_url(str(tmp_path / name))
+
+
+def _tbl(name: str) -> str:
+    """Per-test target table: a shared external database needs distinct
+    names; per-test Derby dirs already isolate, so keep the plain name
+    there (it also exercises the writers' defaults)."""
+    return f"features_{name}" if EXT_URL else "features"
 
 
 @pytest.fixture(scope="module")
@@ -62,14 +99,14 @@ def test_jdbc_append_then_readside_lww(spark, gbm_ticks, tmp_path):
     """Append-only JDBC reproduces the reference's §2.2 trap; read-side
     last-write-wins recovers the batch answer — K1 semantics over a real
     relational sink."""
-    url = sinks.derby_url(str(tmp_path / "db_append"))
+    url, tbl = _url(tmp_path, "db_append"), _tbl("append")
     feats = compute_features(gbm_ticks, window="10 seconds").withColumn(
         "ingest_ts", F.lit(1).cast("timestamp")
     ).withColumn("latency_ms", F.lit(0).cast("long"))
-    w = sinks.jdbc_append_writer(url, properties=PROPS)
+    w = sinks.jdbc_append_writer(url, table=tbl, properties=PROPS)
     w(feats, 0)
     w(feats.withColumn("ingest_ts", F.lit(2).cast("timestamp")), 1)
-    sunk = _read(spark, url)
+    sunk = _read(spark, url, tbl)
     assert sunk.count() == 2 * feats.count()  # duplicates per window: trap
     deduped = dedup_last_write_wins(
         sunk, ["window_start", "symbol"], "ingest_ts", tiebreak=["num_ticks"]
@@ -82,16 +119,16 @@ def test_jdbc_merge_replay_and_update_idempotent(spark, gbm_ticks, tmp_path):
     """The MERGE writer is exactly-once: replaying a batch changes nothing;
     re-emitting a window with newer values updates in place (one row per
     key, newest wins) — what the reference's Timescale sink needed."""
-    url = sinks.derby_url(str(tmp_path / "db_merge"))
+    url, tbl = _url(tmp_path, "db_merge"), _tbl("merge")
     feats = compute_features(gbm_ticks, window="10 seconds")
-    w = sinks.jdbc_merge_writer(url, properties=PROPS)
+    w = sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)
     w(feats, 0)
-    n1 = _read(spark, url).count()
+    n1 = _read(spark, url, tbl).count()
     w(feats, 0)  # replay of the same batch
-    assert _read(spark, url).count() == n1 == feats.count()
+    assert _read(spark, url, tbl).count() == n1 == feats.count()
     # update-mode re-emission: same keys, bumped num_ticks must overwrite
     w(feats.withColumn("num_ticks", F.col("num_ticks") + 1000), 1)
-    sunk = _read(spark, url)
+    sunk = _read(spark, url, tbl)
     assert sunk.count() == n1
     assert sunk.agg(F.min("num_ticks")).collect()[0][0] > 1000
 
@@ -115,7 +152,7 @@ def test_stream_foreachbatch_jdbc_merge_matches_batch(
                 < F.timestamp_millis(F.lit(1_704_067_200_000 + hi * 1000))
             )
         ).coalesce(1).write.mode("append").parquet(tick_dir)
-    url = sinks.derby_url(str(tmp_path / "db_stream"))
+    url, tbl = _url(tmp_path, "db_stream"), _tbl("stream")
     stream = job.read_parquet_ticks_stream(
         spark, tick_dir, max_files_per_trigger=1
     )
@@ -124,13 +161,15 @@ def test_stream_foreachbatch_jdbc_merge_matches_batch(
     )
     q = job.start_features_stream(
         feats,
-        sinks.jdbc_merge_writer(url, properties=PROPS),
+        sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS),
         checkpoint_dir=str(tmp_path / "ckpt"),
         output_mode="update",
         available_now=True,
     )
     q.awaitTermination(timeout=300)
-    got = {tuple(r) for r in _read(spark, url).select(*DET_COLS).collect()}
+    got = {
+        tuple(r) for r in _read(spark, url, tbl).select(*DET_COLS).collect()
+    }
     assert got == _expected(gbm_ticks)
 
 
@@ -139,10 +178,10 @@ def test_jdbc_readside_filter_pushdown(spark, gbm_ticks, tmp_path):
     read must be pushed into the database scan (PushedFilters on the
     JDBCRelation), not evaluated in Spark after a full-table fetch — at
     scale the database's index does the pruning."""
-    url = sinks.derby_url(str(tmp_path / "db_read"))
+    url, tbl = _url(tmp_path, "db_read"), _tbl("read")
     feats = compute_features(gbm_ticks, window="10 seconds")
-    sinks.jdbc_merge_writer(url, properties=PROPS)(feats, 0)
-    df = _read(spark, url).where(F.col("symbol") == "AAPL")
+    sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)(feats, 0)
+    df = _read(spark, url, tbl).where(F.col("symbol") == "AAPL")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "symbol" in plan, plan
     assert df.count() == feats.where("symbol = 'AAPL'").count()
@@ -172,25 +211,27 @@ def test_jdbc_merge_stage_is_unique_per_writer_and_dropped(
     each writer must stage under its own name, and no stage rows may
     survive the batch. Interleaved writes from two writers must both land
     exactly-once, and the catalog must hold no *_STAGE_* residue."""
-    url = sinks.derby_url(str(tmp_path / "db_two_writers"))
+    url, tbl = _url(tmp_path, "db_two_writers"), _tbl("two_writers")
     feats = compute_features(gbm_ticks, window="10 seconds")
-    w1 = sinks.jdbc_merge_writer(url, properties=PROPS)
-    w2 = sinks.jdbc_merge_writer(url, properties=PROPS)
+    w1 = sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)
+    w2 = sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)
     w1(feats, 0)
     w2(feats.withColumn("num_ticks", F.col("num_ticks") + 1000), 0)
     w1(feats, 1)  # replay of writer 1's batch after writer 2 merged
-    sunk = _read(spark, url)
+    sunk = _read(spark, url, tbl)
     assert sunk.count() == feats.count()
-    # Derby's system catalog must show zero leftover staging tables
-    stages = spark.read.jdbc(
-        url,
-        "(SELECT tablename FROM sys.systables "
-        "WHERE tablename LIKE '%STAGE%') s",
-        properties=PROPS,
-    )
-    assert stages.count() == 0
+    if not EXT_URL:
+        # Derby's system catalog must show zero leftover staging tables
+        stages = spark.read.jdbc(
+            url,
+            "(SELECT tablename FROM sys.systables "
+            "WHERE tablename LIKE '%STAGE%') s",
+            properties=PROPS,
+        )
+        assert stages.count() == 0
 
 
+@derby_only
 def test_jdbc_merge_forwards_connection_properties(spark, gbm_ticks, tmp_path):
     """r6 ADVICE: the driver-side MERGE connection must carry the same
     JDBC properties as the executor-side staging write (user/password
@@ -231,10 +272,10 @@ def test_jdbc_merge_replay_after_checkpointed_restart(
                 < F.timestamp_millis(F.lit(1_704_067_200_000 + hi * 1000))
             )
         ).coalesce(1).write.mode("append").parquet(tick_dir)
-    url = sinks.derby_url(str(tmp_path / "db_restart"))
+    url, tbl = _url(tmp_path, "db_restart"), _tbl("restart")
     ckpt = str(tmp_path / "ckpt_restart")
 
-    inner = sinks.jdbc_merge_writer(url, properties=PROPS)
+    inner = sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)
 
     def crash_after_sink(df, bid):
         inner(df, bid)  # the MERGE lands...
@@ -263,9 +304,84 @@ def test_jdbc_merge_replay_after_checkpointed_restart(
         q.awaitTermination(timeout=300)
     # batch 0 DID land before the "crash" — the restart genuinely replays
     # onto a table that already holds its rows
-    assert _read(spark, url).count() > 0
+    assert _read(spark, url, tbl).count() > 0
 
-    q2 = make_query(sinks.jdbc_merge_writer(url, properties=PROPS))
+    q2 = make_query(sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS))
     q2.awaitTermination(timeout=300)
-    got = {tuple(r) for r in _read(spark, url).select(*DET_COLS).collect()}
+    got = {
+        tuple(r) for r in _read(spark, url, tbl).select(*DET_COLS).collect()
+    }
     assert got == _expected(gbm_ticks)
+
+
+def test_jdbc_merge_two_concurrent_writers_exactly_once(
+    spark, gbm_ticks, tmp_path
+):
+    """r7 verdict #5: actually run two CONCURRENT writers (threads, like
+    two streaming queries sharing a sink table) against ONE table, each
+    merging several batches with interleaved schedules. Exactly-once
+    must hold under true interleaving: the final table has one row per
+    key, every row's num_ticks is a value some writer legitimately
+    merged (base+1000·w offsets tag the writer), and no staging residue
+    survives. Embedded Derby serializes the MERGEs with real table
+    locks, so this exercises the lock-wait path too."""
+    import threading
+
+    url, tbl = _url(tmp_path, "db_concurrent"), _tbl("concurrent")
+    feats = compute_features(gbm_ticks, window="10 seconds")
+    # pre-create the target so neither thread races the CREATE TABLE
+    sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)(
+        feats.limit(0), -1
+    )
+    n_keys = feats.count()
+    errors: list[Exception] = []
+
+    def run_writer(offset: int) -> None:
+        try:
+            w = sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)
+            for bid in range(3):
+                w(
+                    feats.withColumn(
+                        "num_ticks", F.col("num_ticks") + F.lit(offset)
+                    ),
+                    bid,
+                )
+        except Exception as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=run_writer, args=(off,))
+        for off in (1000, 2000)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    sunk = _read(spark, url, tbl)
+    assert sunk.count() == n_keys  # one row per key, no duplicates
+    keys = sunk.select("window_start", "symbol").distinct().count()
+    assert keys == n_keys
+    # every row carries exactly one writer's offset — a torn MERGE
+    # (stage rows from writer A landing under writer B's statement)
+    # would surface base values or mixed offsets
+    base = {
+        (r["window_start"], r["symbol"]): r["num_ticks"]
+        for r in feats.select(
+            "window_start", "symbol", "num_ticks"
+        ).collect()
+    }
+    for r in sunk.select("window_start", "symbol", "num_ticks").collect():
+        b = base[(r["window_start"], r["symbol"])]
+        assert r["num_ticks"] in (b + 1000, b + 2000), (
+            f"key {(r['window_start'], r['symbol'])}: num_ticks "
+            f"{r['num_ticks']} is not base+1000/+2000 of {b}"
+        )
+    if not EXT_URL:
+        stages = spark.read.jdbc(
+            url,
+            "(SELECT tablename FROM sys.systables "
+            "WHERE tablename LIKE '%STAGE%') s",
+            properties=PROPS,
+        )
+        assert stages.count() == 0

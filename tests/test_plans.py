@@ -597,6 +597,28 @@ def test_ivf_training_persists_and_releases_vectors(spark):
     )
 
 
+def test_minhash_fused_agg_exchange_reused(spark):
+    """r8 (verdict #2): dedup_minhash_lsh hangs FOUR consumers off the
+    fused signature+shingle-set aggregate (LSH band self-join left and
+    right, Jaccard verify a-side and b-side). The claim 'the shingle
+    scan runs once per job' (dedup.minhash_sig_sets docstring,
+    curation.py) is a RUNTIME property under AQE — the static plan
+    shows four identical subtrees and zero ReusedExchange; reuse
+    happens when AQE materializes the first shuffle stage and the other
+    branches resolve to ReusedExchange. Pin the executed plan so a
+    refactor that de-canonicalizes the branches (and silently re-scans
+    + re-aggregates the corpus per branch — 4x the dominant cost at
+    100 TB) fails loudly."""
+    df = Q.QUERIES["dedup_minhash_lsh"](spark, SF)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    n_reused = s.count("ReusedExchange")
+    assert n_reused >= 3, (
+        f"expected >=3 ReusedExchange (one materialized fused-agg stage "
+        f"+ 3 reuses), saw {n_reused}:\n{s[:2000]}"
+    )
+
+
 def test_copurchase_single_fact_scan_broadcast_dim(spark):
     df = Q.QUERIES["copurchase_brand_pairs"](spark, SF)
     # the self-join form would scan lineitem twice; the array-combinations
