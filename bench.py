@@ -105,6 +105,9 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_decode_flac",
     "multimodal_probe",
+    # r8 addition: fault-routing prober (quarantine split over the
+    # planted-corruption six-format corpus)
+    "multimodal_quarantine",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -18,7 +18,10 @@ compressed video) require PIL/libsndfile/ffmpeg, which are NOT in this
 container, and raise ``NotImplementedError`` behind the same tested
 plumbing: schema contract, partition-preserving mapInPandas, Arrow
 batch iteration, and binary-column handling all match what the full
-decoder UDF needs.
+decoder UDF needs. An ffmpeg-gated twin (``decode_audio_ffmpeg`` /
+``decode_media_perceptual``, r8) wires mp3/ogg decode through that
+plumbing whenever a cluster image ships the binary — stub-injection
+tested here, real-binary test skips.
 
 Scale notes: binary payloads ride in parquet as-is; mapInPandas streams
 Arrow batches (bounded memory per task, set
@@ -1199,6 +1202,65 @@ def probe_media_df(media: DataFrame) -> DataFrame:
     )
 
 
+def probe_media_routed(media: DataFrame) -> DataFrame:
+    """Router WITH QUARANTINE (r8): a 100 TB corpus always contains some
+    corrupt or unknown payloads, and a prober that throws kills the whole
+    scan stage — so the production router must classify failures as data,
+    not exceptions. Each payload is probed under the two-exception
+    contract; good rows carry their header inventory, bad rows land with
+    ``error_class`` ('ValueError' = malformed bytes, quarantine;
+    'NotImplementedError' = recognized-but-unsupported or unknown
+    container, route to a codec-equipped pool) and NULL inventory. The
+    split is exactly the ingest-vs-quarantine fork every media pipeline
+    runs first. Shuffle-free Arrow mapInPandas, payloads never cross an
+    exchange."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                base = {
+                    "media_id": int(mid), "container": None, "width": None,
+                    "height": None, "n_frames": None, "sample_rate": None,
+                    "duration_ms": None, "error_class": None,
+                }
+                try:
+                    base.update(probe_media(bytes(payload)))
+                except ValueError:
+                    base["error_class"] = "ValueError"
+                except NotImplementedError:
+                    base["error_class"] = "NotImplementedError"
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, container string, width int, height int, "
+        "n_frames long, sample_rate int, duration_ms long, "
+        "error_class string",
+    )
+
+
+def truncate_subset(
+    media: DataFrame,
+    keep_bytes: int = 2,
+    modulus: int = 7,
+    residue: int = 3,
+) -> DataFrame:
+    """Deterministically truncate the payloads of ``media_id % modulus
+    == residue`` to ``keep_bytes`` bytes — the planted-fault generator
+    for quarantine tests/oracles (a 2-byte prefix keeps the magic's
+    first bytes so the corruption exercises each prober branch's
+    untrusted-bytes path, not just the unknown-container fallthrough)."""
+    return media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % modulus == residue,
+            F.expr(f"substring(payload, 1, {keep_bytes})"),
+        ).otherwise(F.col("payload")),
+    )
+
+
 def plant_mixed_media(docs: DataFrame) -> DataFrame:
     """Plant a MIXED six-format corpus over the documents spine
     (doc_id % 6 -> BMP / WAV / JPEG / AVI / mp3-framing / Ogg-Vorbis
@@ -1290,6 +1352,99 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload", "media_type").mapInPandas(
         run, DECODED_SCHEMA
+    )
+
+
+def _ffmpeg_path() -> str | None:
+    """Locate an ffmpeg binary if the cluster image ships one (this
+    container does not)."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def decode_audio_ffmpeg(payload: bytes, ffmpeg: str | None = None) -> dict:
+    """Perceptual-codec twin of ``decode_audio`` (r8 verdict #7): decode
+    an mp3/ogg payload by piping it through an ffmpeg binary to mono
+    s16le PCM, then report the SAME stats contract ``decode_audio``
+    returns — so a cluster image that ships ffmpeg gets mp3/ogg decode
+    through identical downstream plumbing with zero code change. Gated
+    on the binary's presence like the engine's other optional deps
+    (``streaming/stateful.ewma_stream_tws``): NotImplementedError when
+    absent. ``ffmpeg`` is injectable so tests exercise the full
+    subprocess + PCM-stats path here via a stub binary."""
+    ffmpeg = ffmpeg or _ffmpeg_path()
+    if ffmpeg is None:
+        raise NotImplementedError(
+            "mp3/ogg perceptual decode needs an ffmpeg binary on PATH; "
+            "none in this container (plumbing tested via stub injection)"
+        )
+    import subprocess
+
+    import numpy as np
+
+    info = probe_media(payload)  # container routing + header rate
+    if info["container"] not in ("mp3", "ogg"):
+        raise ValueError(
+            f"ffmpeg twin handles mp3/ogg payloads, got {info['container']}"
+        )
+    proc = subprocess.run(
+        [ffmpeg, "-v", "error", "-i", "pipe:0",
+         "-f", "s16le", "-ac", "1", "pipe:1"],
+        input=payload,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise ValueError(
+            f"ffmpeg decode failed: {proc.stderr[:200].decode(errors='replace')}"
+        )
+    pcm = proc.stdout[: len(proc.stdout) // 2 * 2]
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    return {
+        "format": info["container"],
+        "sample_rate": info["sample_rate"],
+        "n_channels": 1,
+        "n_samples": int(samples.size),
+        "sample_sum": int(samples.sum()) if samples.size else 0,
+        "sample_peak": int(np.abs(samples).max()) if samples.size else 0,
+    }
+
+
+def decode_media_perceptual(
+    media: DataFrame, ffmpeg: str | None = None
+) -> DataFrame:
+    """mapInPandas twin of ``decode_media`` for perceptual audio codecs
+    (mp3/ogg): the same Arrow-batched, shuffle-free, payload-local
+    plumbing, dispatching each payload to ``decode_audio_ffmpeg``. The
+    plan shape, schema contract, and batch iteration are identical
+    whether the decoder is the real ffmpeg or an injected stub — which
+    is the point: swapping the codec binary in on a cluster image is a
+    config change, not a plan change."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_audio_ffmpeg(bytes(payload), ffmpeg=ffmpeg)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "format": d["format"],
+                        "sample_rate": d["sample_rate"],
+                        "n_channels": d["n_channels"],
+                        "n_samples": d["n_samples"],
+                        "sample_sum": d["sample_sum"],
+                        "sample_peak": d["sample_peak"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, format string, sample_rate int, n_channels int, "
+        "n_samples long, sample_sum long, sample_peak long",
     )
 
 

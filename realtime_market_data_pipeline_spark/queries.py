@@ -5616,6 +5616,78 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_quarantine",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+good AS (SELECT doc_id FROM d WHERE doc_id % 7 <> 3),
+bad AS (SELECT doc_id FROM d WHERE doc_id % 7 = 3)
+SELECT doc_id AS media_id, 'bmp' AS container,
+       CAST((doc_id % 13) + 4 AS INTEGER) AS width,
+       CAST((doc_id % 11) + 4 AS INTEGER) AS height,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS BIGINT) AS duration_ms,
+       CAST(NULL AS VARCHAR) AS error_class
+FROM good WHERE doc_id % 6 = 0
+UNION ALL
+SELECT doc_id, 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST((doc_id % 23) + 8 AS BIGINT),
+       CAST(8000 + (doc_id % 5) * 1000 AS INTEGER),
+       CAST(((doc_id % 23) + 8) * 1000
+            // (8000 + (doc_id % 5) * 1000) AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM good WHERE doc_id % 6 = 1
+UNION ALL
+SELECT doc_id, 'jpeg', CAST(8 * ((doc_id % 3) + 1) AS INTEGER),
+       CAST(8 * ((doc_id % 2) + 1) AS INTEGER), CAST(NULL AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM good WHERE doc_id % 6 = 2
+UNION ALL
+SELECT doc_id, 'avi', CAST((doc_id % 6) + 2 AS INTEGER),
+       CAST((doc_id % 4) + 2 AS INTEGER), CAST((doc_id % 7) + 2 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM good WHERE doc_id % 6 = 3
+UNION ALL
+SELECT doc_id, 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST((doc_id % 7) + 2 AS BIGINT), CAST(32000 AS INTEGER),
+       CAST(36 * ((doc_id % 7) + 2) AS BIGINT), CAST(NULL AS VARCHAR)
+FROM good WHERE doc_id % 6 = 4
+UNION ALL
+SELECT doc_id, 'ogg', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST((doc_id % 7) + 2 AS BIGINT),
+       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER),
+       CAST(((doc_id % 7) + 2) * (960 + (doc_id % 5) * 64) * 1000
+            // (8000 + (doc_id % 3) * 4000) AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM good WHERE doc_id % 6 = 5
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+       CAST(NULL AS BIGINT),
+       CASE WHEN doc_id % 6 IN (0, 2) THEN 'ValueError'
+            ELSE 'NotImplementedError' END
+FROM bad
+""",
+)
+def multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-routing inventory (r8): the six-format corpus with a
+    planted fault stripe — payloads of doc_id%7==3 truncated to their
+    2-byte magic prefix — probed through the router that classifies
+    failures as DATA instead of throwing. Good rows carry the header
+    inventory; corrupted rows land with error_class (ValueError for the
+    branches whose magic survives 2 bytes and then hits malformed
+    structure — BMP's short header, JPEG's SOF-less walk — and
+    NotImplementedError where the magic itself is cut and the payload
+    reads as an unknown container). At 100 TB a single throwing payload
+    would kill the scan stage and lose the whole pass; the oracle
+    predicts every inventory field AND every error class by planting
+    arithmetic. Shuffle-free Arrow mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.truncate_subset(mm.plant_mixed_media(docs))
+    return mm.probe_media_routed(media)
+
+
+@query(
     "multimodal_resize",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
@@ -6375,76 +6447,81 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # (1) new in r7 / code changed in r7. multimodal_features (the
-    # fake-decode plumbing demo) slid to r8 when multimodal_probe (new,
-    # real header-inventory operator) took its slot: six other in-window
-    # queries certify multimodal.py's r7 changes far more deeply, and
-    # features' own logic (documents_as_media + extract_features) was
-    # untouched this round.
+    # r8 WINDOW (staleness-first; post-r7 distribution was r7 ×50,
+    # r6 ×48, r5 ×46 — judge-recomputed, superseding the ×42/×44
+    # estimate staged above).
+    # (1) new / code changed in r8 — 4 slots: multimodal_quarantine is
+    # NEW (fault-routing prober over a planted-corruption corpus),
+    # multimodal_probe's RESULTS changed (six-format corpus: ogg framing
+    # joins the inventory), multimodal_resize gained the gray+alpha
+    # branch, and embedding_ann_ivf's training loop now persists the
+    # vector relation across Lloyd iterations. Two more queries sit on
+    # r8-changed code whose planted-corpus BYTES are unchanged —
+    # multimodal_decode_jpeg (the progressive AC-refine fix emits
+    # identical streams for block-constant payloads; the fix itself is
+    # pinned by a hand-built coefficient vector + 400-raster roundtrip
+    # stress) and multimodal_decode_flac (blocksize validation + 16-bit
+    # size code, inert at the corpus's block_size<=256) — both verified
+    # exact by the strict local driver check on this tree; they lead the
+    # spillover at slots 51-52 rather than displacing r5 rows the
+    # staleness invariant needs.
+    "multimodal_quarantine",
+    "multimodal_probe",
+    "multimodal_resize",
+    "embedding_ann_ivf",
+    # (2) ALL 46 rows whose last driver-green is r5 — exactly two rounds
+    # old; every one must recertify in r8 or the ≤2-round staleness
+    # invariant breaks for the first time.
+    "anti_join_customers",
+    "asof_last_purchase",
+    "atr_14_daily",
+    "beta_vs_market_daily",
+    "copurchase_brand_pairs",
+    "dedup_embedding_cosine",
+    "dedup_last_write_wins",
+    "dedup_sorted_neighborhood",
+    "doc_train_eval_split",
+    "embedding_l2_normalized",
+    "embedding_quantized_int8",
+    "embedding_similar_pairs",
+    "entity_resolution_clusters",
+    "equidepth_bins_value",
+    "events_value_drift_psi",
+    "events_value_histogram",
+    "inverted_index_postings",
+    "kmv_distinct_users",
+    "kmv_jaccard_pairs",
+    "kpi_summary",
+    "point_in_time_enrich",
+    "q10_returned_item_customers",
+    "q14_promo_revenue_ratio",
+    "q15_top_suppliers",
+    "q16_brand_size_suppliers",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "regex_extract_brands",
+    "seasonal_baseline_backtest",
+    "semi_join_customers",
+    "sequence_pattern_counts",
+    "stats_price_quantity",
+    "token_weighted_sample",
+    "topk_per_type",
+    "triangle_count_supplier_graph",
+    "vwap_brand_month",
+    "zscore_outlier_events",
+    # (3) spillover — changed-code-but-bit-identical first, then the
+    # r6-green rows (they rotate in r9 before turning three rounds old).
     "multimodal_decode_jpeg",
     "multimodal_decode_flac",
-    "multimodal_probe",
-    "multimodal_video_frames",
-    "multimodal_resize",
-    "multimodal_decode_png",
-    "multimodal_decode",
-    "heavy_hitters_merged",
-    "heavy_hitters_topk",
-    # (2) last driver row r4 — all 38
-    "approx_distinct_users",
-    "approx_percentiles_contract",
-    "dedup_embedding_lsh",
-    "doc_chunks_40t_stride30",
-    "doc_embed_hash16",
-    "doc_repetition_scores",
-    "doc_text_normalized",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "embedding_bucket_pairs",
-    "embedding_centroids",
-    "embedding_component_stats",
-    "embedding_cosine_topk",
-    "event_transitions",
-    "events_distribution_ranks",
-    "events_lag_lead_rank",
-    "funnel_time_to_convert",
-    "funnel_view_click_purchase",
-    "mixture_weights_by_source",
-    "moving_avg_value_5",
-    "profile_events_numeric",
-    "q13_customer_distribution",
-    "q8_market_share",
-    "quality_stratified_sample",
-    "range_join_event_sessions",
-    "retention_cohorts_weekly",
-    "running_revenue_per_supplier",
-    "scd2_event_type_intervals",
-    "sql_frontend_scan",
-    "stratified_sample_events",
-    "synthetic_gbm_features",
-    "tick_validation_counts",
-    "top_orders_global",
-    "trailing_7d_revenue",
-    "union_backfill_counts",
-    "user_sessions_12h",
-    "value_percentiles_by_type",
-    "word_counts_top100",
-    # (3) oldest-r5 refreshers. asof_last_purchase, kmv_distinct_users,
-    # entity_resolution_clusters, and triangle_count_supplier_graph slid
-    # out of the 50-slot window when the four new r7 queries
-    # (multimodal_decode_jpeg/_flac/_video_frames/_resize) took the top
-    # slots — the first three stay r5-green on unchanged code (the r7
-    # sketches.py schema-typing change touched only the space-saving
-    # paths, not KMV; ER's pointer-jumping in dedup.py was untouched
-    # this round); triangle sits on the r7 graph.py restructure but
-    # pagerank + HITS certify the same restructured module and config,
-    # and triangle's own wedge census is pinned by tests/test_graph.py.
-    # ALL FOUR MUST be in the r8 window (all are in the staged r8
-    # all-r5 sweep above). The remaining refreshers sit on code r7 DID
-    # change (io.py walk, graph.py restructure).
-    "events_time_range",
-    "pagerank_trade_graph",
-    "hits_trade_authorities",
 ]
 
 

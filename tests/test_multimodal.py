@@ -889,6 +889,104 @@ def test_probe_media_distributed(spark):
         assert r["container"] == expect[did % 6], did
 
 
+def test_decode_audio_ffmpeg_stub_injection(spark, tmp_path):
+    """r8 (verdict #7): the ffmpeg-gated perceptual decode twin. With no
+    binary present it must gate behind NotImplementedError; with an
+    injected stub 'ffmpeg' (a script emitting deterministic s16le PCM)
+    the FULL path — subprocess pipe, PCM stats, Arrow mapInPandas
+    plumbing, shuffle-free plan — runs in this container."""
+    import shutil
+    import stat
+
+    # the gate: honest NotImplementedError when no binary exists
+    if shutil.which("ffmpeg") is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            mm.decode_audio_ffmpeg(mm.make_mp3_frames(3, 2))
+
+    # stub binary: drains stdin, writes 4 known samples (1,-2,3,-4 LE)
+    stub = tmp_path / "ffmpeg"
+    stub.write_text(
+        "#!/bin/sh\ncat > /dev/null\n"
+        "printf '\\001\\000\\376\\377\\003\\000\\374\\377'\n"
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    d = mm.decode_audio_ffmpeg(mm.make_mp3_frames(3, 2), ffmpeg=str(stub))
+    assert d == {
+        "format": "mp3", "sample_rate": 32000, "n_channels": 1,
+        "n_samples": 4, "sample_sum": -2, "sample_peak": 4,
+    }
+    # ogg routes through the same twin with the Vorbis header's rate
+    d = mm.decode_audio_ffmpeg(mm.make_ogg(11, 3), ffmpeg=str(stub))
+    assert (d["format"], d["sample_rate"], d["n_samples"]) == ("ogg", 16000, 4)
+    # non-perceptual containers are refused (they have native decoders)
+    with pytest.raises(ValueError, match="mp3/ogg"):
+        mm.decode_audio_ffmpeg(mm.make_bmp(1, 4, 4), ffmpeg=str(stub))
+    # a failing binary surfaces as ValueError, not a silent empty row
+    bad = tmp_path / "ffmpeg_bad"
+    bad.write_text("#!/bin/sh\ncat > /dev/null\necho boom >&2\nexit 1\n")
+    bad.chmod(bad.stat().st_mode | stat.S_IEXEC)
+    with pytest.raises(ValueError, match="ffmpeg decode failed"):
+        mm.decode_audio_ffmpeg(mm.make_mp3_frames(3, 2), ffmpeg=str(bad))
+
+    # distributed: same plumbing shape as decode_media — shuffle-free
+    df = spark.createDataFrame(
+        [(7, bytearray(mm.make_mp3_frames(7, 3))),
+         (11, bytearray(mm.make_ogg(11, 3)))],
+        "media_id long, payload binary",
+    )
+    out = mm.decode_media_perceptual(df, ffmpeg=str(stub))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "perceptual decode must be shuffle-free"
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[7]["format"] == "mp3" and rows[7]["n_samples"] == 4
+    assert rows[11]["format"] == "ogg" and rows[11]["sample_rate"] == 16000
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("ffmpeg") is None,
+    reason="no ffmpeg binary in this container",
+)
+def test_decode_audio_ffmpeg_real_binary(tmp_path):
+    """Green only on cluster images that ship ffmpeg: synthesize a real
+    ogg with ffmpeg itself, then decode it through the twin."""
+    import subprocess
+
+    f = tmp_path / "tone.ogg"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi",
+         "-i", "sine=frequency=440:duration=0.1:sample_rate=16000",
+         "-ac", "1", str(f)],
+        check=True,
+    )
+    d = mm.decode_audio_ffmpeg(f.read_bytes())
+    assert d["format"] == "ogg" and d["n_samples"] > 0
+
+
+def test_probe_media_routed_quarantine(spark):
+    """r8: the routing prober must classify failures as data — corrupt
+    payloads land with error_class and NULL inventory instead of killing
+    the stage; intact payloads match probe_media exactly; plan stays
+    shuffle-free."""
+    rows = [
+        (0, bytearray(mm.make_bmp(0, 5, 4))),           # good
+        (1, bytearray(mm.make_bmp(7, 5, 4)[:2])),       # 'BM' + nothing
+        (2, bytearray(mm.make_jpeg(2)[:2])),            # SOI + nothing
+        (3, bytearray(b"\x00garbage")),                 # unknown container
+        (4, bytearray(mm.make_ogg(4, 2))),              # good
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = mm.probe_media_routed(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[0]["container"] == "bmp" and got[0]["error_class"] is None
+    assert got[1]["error_class"] == "ValueError"
+    assert got[1]["container"] is None and got[1]["width"] is None
+    assert got[2]["error_class"] == "ValueError"
+    assert got[3]["error_class"] == "NotImplementedError"
+    assert got[4]["container"] == "ogg" and got[4]["error_class"] is None
+
+
 def test_plant_and_decode_media_distributed(spark):
     """End-to-end through Spark: plant real payloads over the sf0.001
     documents spine, decode via mapInPandas, spot-check against the local

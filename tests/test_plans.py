@@ -323,44 +323,44 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
-    # STALENESS-FIRST rotation: the r7 window must hold (a) queries new
-    # or on code changed this round (multimodal.py PNG, sketches.py
-    # schema typing, io.py walk), (b) every query whose last driver row
-    # is r4 — the staleness budget's maximum
+    # STALENESS-FIRST rotation: the r8 window must hold (a) queries whose
+    # code changed this round (probe's six-format corpus, resize GA
+    # branch, the progressive-JPEG refine fix, IVF persist), (b) EVERY
+    # query whose last driver row is r5 — two rounds old, the staleness
+    # budget's maximum
     names = list(Q.QUERIES)
     window = set(names[:50])
-    # late-r7: the five new media queries (JPEG/FLAC/probe/AVI/resize)
-    # took top slots; multimodal_features (fake-decode demo, own logic
-    # unchanged this round, multimodal.py certified by six deeper
-    # in-window queries) slid to the staged r8 sweep — see the
-    # _REGISTRY_PRIORITY comments in queries.py
-    new_or_changed_r7 = {
-        "multimodal_decode_jpeg", "multimodal_decode_flac",
-        "multimodal_probe", "multimodal_video_frames", "multimodal_resize",
-        "multimodal_decode_png", "multimodal_decode",
-        "heavy_hitters_merged", "heavy_hitters_topk", "events_time_range",
+    changed_r8 = {
+        "multimodal_quarantine", "multimodal_probe", "multimodal_resize",
+        "embedding_ann_ivf",
     }
-    last_green_r4 = {
-        "approx_distinct_users", "approx_percentiles_contract",
-        "dedup_embedding_lsh", "doc_chunks_40t_stride30", "doc_embed_hash16",
-        "doc_repetition_scores", "doc_text_normalized", "embedding_ann_ivf",
-        "embedding_ann_lsh", "embedding_bucket_pairs", "embedding_centroids",
-        "embedding_component_stats", "embedding_cosine_topk",
-        "event_transitions", "events_distribution_ranks",
-        "events_lag_lead_rank", "funnel_time_to_convert",
-        "funnel_view_click_purchase", "mixture_weights_by_source",
-        "moving_avg_value_5", "profile_events_numeric",
-        "q13_customer_distribution", "q8_market_share",
-        "quality_stratified_sample", "range_join_event_sessions",
-        "retention_cohorts_weekly", "running_revenue_per_supplier",
-        "scd2_event_type_intervals", "sql_frontend_scan",
-        "stratified_sample_events", "synthetic_gbm_features",
-        "tick_validation_counts", "top_orders_global", "trailing_7d_revenue",
-        "union_backfill_counts", "user_sessions_12h",
-        "value_percentiles_by_type", "word_counts_top100",
+    last_green_r5 = {
+        "anti_join_customers", "asof_last_purchase", "atr_14_daily",
+        "beta_vs_market_daily", "copurchase_brand_pairs",
+        "dedup_embedding_cosine", "dedup_last_write_wins",
+        "dedup_sorted_neighborhood", "doc_train_eval_split",
+        "embedding_l2_normalized", "embedding_quantized_int8",
+        "embedding_similar_pairs", "entity_resolution_clusters",
+        "equidepth_bins_value", "events_value_drift_psi",
+        "events_value_histogram", "inverted_index_postings",
+        "kmv_distinct_users", "kmv_jaccard_pairs", "kpi_summary",
+        "point_in_time_enrich", "q10_returned_item_customers",
+        "q14_promo_revenue_ratio", "q15_top_suppliers",
+        "q16_brand_size_suppliers", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
+        "q22_idle_customers", "q3_shipping_priority",
+        "q4_priority_with_returns", "q5_local_supplier_volume",
+        "q6_revenue_forecast", "q7_volume_shipping",
+        "q9_product_type_profit", "regex_extract_brands",
+        "seasonal_baseline_backtest", "semi_join_customers",
+        "sequence_pattern_counts", "stats_price_quantity",
+        "token_weighted_sample", "topk_per_type",
+        "triangle_count_supplier_graph", "vwap_brand_month",
+        "zscore_outlier_events",
     }
-    assert new_or_changed_r7 <= window, new_or_changed_r7 - window
-    assert last_green_r4 <= window, last_green_r4 - window
+    assert len(last_green_r5) == 46
+    assert changed_r8 <= window, changed_r8 - window
+    assert last_green_r5 <= window, last_green_r5 - window
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 
