@@ -105,9 +105,10 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_decode_flac",
     "multimodal_probe",
-    # r8 addition: fault-routing prober (quarantine split over the
-    # planted-corruption six-format corpus)
+    # r8 additions: fault-routing prober (quarantine split over the
+    # planted-corruption six-format corpus) and bloom join pruning
     "multimodal_quarantine",
+    "bloom_prefilter_join",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

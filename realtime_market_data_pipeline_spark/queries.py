@@ -887,6 +887,47 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_prefilter_join",
+    oracle=f"""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_osum('o_totalprice')} AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
+GROUP BY c_nationkey
+""",
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join (operators/bloom.py, r8): the
+    selective customer subset (BUILDING segment, nations 0-4 — ~3% of
+    customers) builds a 16 KiB md5-position bloom; the orders probe side
+    is prefiltered by k=5 codegen bit tests BEFORE its shuffle, then the
+    exact join removes the false positives. No false negatives ⇒ result
+    row-identical to the plain join, which is what the oracle replays —
+    at 100 TB this is the difference between shuffling every order and
+    shuffling ~selectivity+FPR of them when the build side is too big to
+    broadcast as a hash relation. Plan properties (bitmap literal in the
+    filter, prefilter below the exchange) pinned in test_plans.py."""
+    from realtime_market_data_pipeline_spark.operators import bloom
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5)
+        )
+        .select(F.col("c_custkey").alias("custkey"), "c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    joined = bloom.bloom_prefilter_join(orders, cust, on="custkey")
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_revenue"),
+    )
+
+
+@query(
     "setop_active_both_years",
     oracle="""
 SELECT o_custkey FROM orders
@@ -6450,24 +6491,27 @@ _REGISTRY_PRIORITY = [
     # r8 WINDOW (staleness-first; post-r7 distribution was r7 ×50,
     # r6 ×48, r5 ×46 — judge-recomputed, superseding the ×42/×44
     # estimate staged above).
-    # (1) new / code changed in r8 — 4 slots: multimodal_quarantine is
-    # NEW (fault-routing prober over a planted-corruption corpus),
-    # multimodal_probe's RESULTS changed (six-format corpus: ogg framing
-    # joins the inventory), multimodal_resize gained the gray+alpha
-    # branch, and embedding_ann_ivf's training loop now persists the
-    # vector relation across Lloyd iterations. Two more queries sit on
-    # r8-changed code whose planted-corpus BYTES are unchanged —
-    # multimodal_decode_jpeg (the progressive AC-refine fix emits
-    # identical streams for block-constant payloads; the fix itself is
-    # pinned by a hand-built coefficient vector + 400-raster roundtrip
-    # stress) and multimodal_decode_flac (blocksize validation + 16-bit
-    # size code, inert at the corpus's block_size<=256) — both verified
-    # exact by the strict local driver check on this tree; they lead the
-    # spillover at slots 51-52 rather than displacing r5 rows the
+    # (1) new / code changed in r8 — 4 slots: multimodal_quarantine and
+    # bloom_prefilter_join are NEW (fault-routing prober over a
+    # planted-corruption corpus; bloom join pruning with a
+    # plain-join-equivalence oracle), multimodal_probe's RESULTS changed
+    # (six-format corpus: ogg framing joins the inventory), and
+    # embedding_ann_ivf's training loop now persists the vector relation
+    # across Lloyd iterations. Three more queries sit on r8-changed code
+    # whose registered RESULTS are provably unchanged — multimodal_resize
+    # (gray+alpha branch; its corpus is RGB-only, the branch is pinned by
+    # test_resize_media_gray_alpha_png), multimodal_decode_jpeg (the
+    # progressive AC-refine fix emits identical streams for
+    # block-constant payloads; the fix is pinned by a hand-built
+    # coefficient vector + 400-raster roundtrip stress), and
+    # multimodal_decode_flac (blocksize validation + 16-bit size code,
+    # inert at the corpus's block_size<=256) — all three verified exact
+    # by the strict local driver check on this tree; they lead the
+    # spillover at slots 51-53 rather than displacing r5 rows the
     # staleness invariant needs.
     "multimodal_quarantine",
     "multimodal_probe",
-    "multimodal_resize",
+    "bloom_prefilter_join",
     "embedding_ann_ivf",
     # (2) ALL 46 rows whose last driver-green is r5 — exactly two rounds
     # old; every one must recertify in r8 or the ≤2-round staleness
@@ -6518,8 +6562,9 @@ _REGISTRY_PRIORITY = [
     "triangle_count_supplier_graph",
     "vwap_brand_month",
     "zscore_outlier_events",
-    # (3) spillover — changed-code-but-bit-identical first, then the
+    # (3) spillover — changed-code-but-result-identical first, then the
     # r6-green rows (they rotate in r9 before turning three rounds old).
+    "multimodal_resize",
     "multimodal_decode_jpeg",
     "multimodal_decode_flac",
 ]

@@ -1,0 +1,93 @@
+"""Bloom-filter join pruning (operators/bloom.py, r8): membership math,
+no-false-negatives contract, FPR sizing, and the plan properties that
+make it a shuffle reducer at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_market_data_pipeline_spark import queries as Q
+from realtime_market_data_pipeline_spark.io import load_table
+from realtime_market_data_pipeline_spark.operators import bloom
+from realtime_market_data_pipeline_spark.plans import inspect as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Every built key must pass (bloom contract — this is what makes
+    prefilter+join ≡ join); disjoint keys pass at ≈FPR, pinned under 3%
+    for the default sizing at this key count."""
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bm = bloom.bloom_build(keys, "k")
+    hits = keys.filter(
+        bloom.bloom_might_contain(bm, F.col("k"), 1 << 17)
+    ).count()
+    assert hits == 2000  # no false negatives, ever
+    others = spark.range(100_000, 120_000).select(F.col("id").alias("k"))
+    fp = others.filter(
+        bloom.bloom_might_contain(bm, F.col("k"), 1 << 17)
+    ).count()
+    assert fp / 20_000 < 0.03, f"FPR {fp / 20_000:.4f} above sizing bound"
+
+
+def test_bloom_bitmap_signed_longs_roundtrip(spark):
+    """Bit 63 of a word maps to a NEGATIVE python long (signed packing) —
+    it must still round-trip through the Spark long-array literal and
+    test positive. Build keys until some word has bit 63 set, then
+    verify membership of the full key set."""
+    keys = spark.range(0, 5000).select(F.col("id").alias("k"))
+    m = 1 << 10  # small bitmap: 16 words, dense -> bit 63 certainly set
+    bm = bloom.bloom_build(keys, "k", m_bits=m, k=3)
+    assert any(w < 0 for w in bm), "expected a signed-wrapped word"
+    hits = keys.filter(
+        bloom.bloom_might_contain(bm, F.col("k"), m, k=3)
+    ).count()
+    assert hits == 5000
+
+
+def test_bloom_build_collects_only_set_bits(spark):
+    """The driver receives distinct bit positions, never keys: the
+    bitmap's popcount is bounded by min(k*n, m) and the build plan
+    carries a distinct aggregate (server-side reduction)."""
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    bm = bloom.bloom_build(keys, "k", m_bits=1 << 12, k=4)
+    popcount = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bm)
+    assert 4 <= popcount <= 400
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark):
+    """prefilter+join ≡ plain join, row for row (inner and semi); outer
+    variants are rejected as unsound."""
+    cust = (
+        load_table(spark, SF, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"), "c_nationkey")
+    )
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    got = sorted(
+        tuple(r)
+        for r in bloom.bloom_prefilter_join(orders, cust, "custkey").collect()
+    )
+    want = sorted(tuple(r) for r in orders.join(cust, "custkey").collect())
+    assert got == want
+    with pytest.raises(ValueError, match="unsound"):
+        bloom.bloom_prefilter_join(orders, cust, "custkey", how="left")
+
+
+def test_bloom_query_plan_prefilters_before_exchange(spark):
+    """The registered query's plan must evaluate the bloom bit tests in
+    a Filter over the orders SCAN — below the join exchange — so at
+    scale the shuffle only carries surviving rows; the bitmap rides as
+    a plan literal (no extra exchange, no UDF)."""
+    df = Q.QUERIES["bloom_prefilter_join"](spark, SF)
+    s = P.plan_string(df)
+    assert "shiftright" in s and "md5" in s, "bloom tests missing from plan"
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    # the bit tests must sit in a Filter node, and the prefilter adds no
+    # exchange beyond the join + final agg
+    assert "Filter" in s
+    assert P.exchange_count(df) <= 3

@@ -331,7 +331,7 @@ def test_registry_priority_window():
     names = list(Q.QUERIES)
     window = set(names[:50])
     changed_r8 = {
-        "multimodal_quarantine", "multimodal_probe", "multimodal_resize",
+        "multimodal_quarantine", "multimodal_probe", "bloom_prefilter_join",
         "embedding_ann_ivf",
     }
     last_green_r5 = {
@@ -602,20 +602,24 @@ def test_minhash_fused_agg_exchange_reused(spark):
     fused signature+shingle-set aggregate (LSH band self-join left and
     right, Jaccard verify a-side and b-side). The claim 'the shingle
     scan runs once per job' (dedup.minhash_sig_sets docstring,
-    curation.py) is a RUNTIME property under AQE — the static plan
-    shows four identical subtrees and zero ReusedExchange; reuse
-    happens when AQE materializes the first shuffle stage and the other
-    branches resolve to ReusedExchange. Pin the executed plan so a
-    refactor that de-canonicalizes the branches (and silently re-scans
-    + re-aggregates the corpus per branch — 4x the dominant cost at
-    100 TB) fails loudly."""
-    df = Q.QUERIES["dedup_minhash_lsh"](spark, SF)
-    df.collect()
-    s = df._jdf.queryExecution().executedPlan().toString()
+    curation.py) requires those four subtrees to stay CANONICALLY
+    IDENTICAL — that is what both reuse mechanisms key on: with AQE off
+    the static ReuseExchange rule collapses them to one exchange + 3
+    ReusedExchange nodes (deterministic, pinned here); with AQE on the
+    same canonicalization dedups the materialized shuffle stage at
+    runtime (observed as 3 ReusedExchange/shared-stage references in the
+    executed plan, but the LABEL depends on stage scheduling order, so
+    the deterministic static form is what we pin). A refactor that
+    de-canonicalizes the branches — silently re-scanning and
+    re-aggregating the corpus per branch, 4x the dominant cost at
+    100 TB — fails this loudly."""
+    with P.aqe_disabled(spark):
+        df = Q.QUERIES["dedup_minhash_lsh"](spark, SF)
+        s = P.plan_string(df)
     n_reused = s.count("ReusedExchange")
     assert n_reused >= 3, (
-        f"expected >=3 ReusedExchange (one materialized fused-agg stage "
-        f"+ 3 reuses), saw {n_reused}:\n{s[:2000]}"
+        f"expected >=3 ReusedExchange under the static ReuseExchange rule "
+        f"(one fused-agg exchange + 3 reusing consumers), saw {n_reused}"
     )
 
 
