@@ -1097,9 +1097,11 @@ def _probe_media_impl(payload: bytes) -> dict:
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         d = decode_avi(payload)
+        uspf = d["usec_per_frame"]
         out.update(
             container="avi", width=d["width"], height=d["height"],
             n_frames=d["n_frames"],
+            duration_ms=(d["n_frames"] * uspf // 1000) if uspf else None,
         )
         return out
     if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xfa"):
@@ -1516,11 +1518,12 @@ def decode_avi(payload: bytes) -> dict:
         )
     width = height = None
     n_frames_hdr = 0
+    usec_per_frame = 0
     bpp = compression = None
     frames: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, n_frames_hdr, bpp, compression
+        nonlocal width, height, n_frames_hdr, bpp, compression, usec_per_frame
         pos = start
         end = min(end, len(payload))  # declared sizes can lie (truncation)
         while pos + 8 <= end:
@@ -1531,7 +1534,7 @@ def decode_avi(payload: bytes) -> dict:
                 walk(body_start + 4, body_start + size)  # skip list subtype
             elif fourcc == b"avih":
                 (
-                    _uspf, _mbps, _pad, _flags, n_frames_hdr, _init,
+                    usec_per_frame, _mbps, _pad, _flags, n_frames_hdr, _init,
                     _streams, _buf, width, height,
                 ) = struct.unpack_from("<10I", payload, body_start)
             elif fourcc == b"strf":
@@ -1577,6 +1580,9 @@ def decode_avi(payload: bytes) -> dict:
         "height": height,
         "n_frames": len(frames),
         "frame_sums": sums,
+        # avih dwMicroSecPerFrame (0 = unspecified): the container's
+        # frame clock, r8 — lets the prober report video duration
+        "usec_per_frame": usec_per_frame,
     }
 
 

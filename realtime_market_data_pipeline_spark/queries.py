@@ -5620,7 +5620,7 @@ FROM d WHERE doc_id % 6 = 2
 UNION ALL
 SELECT doc_id, 'avi', CAST((doc_id % 6) + 2 AS INTEGER),
        CAST((doc_id % 4) + 2 AS INTEGER), CAST((doc_id % 7) + 2 AS BIGINT),
-       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+       CAST(NULL AS INTEGER), CAST(40 * ((doc_id % 7) + 2) AS BIGINT)
 FROM d WHERE doc_id % 6 = 3
 UNION ALL
 SELECT doc_id, 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
@@ -5686,7 +5686,8 @@ FROM good WHERE doc_id % 6 = 2
 UNION ALL
 SELECT doc_id, 'avi', CAST((doc_id % 6) + 2 AS INTEGER),
        CAST((doc_id % 4) + 2 AS INTEGER), CAST((doc_id % 7) + 2 AS BIGINT),
-       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+       CAST(NULL AS INTEGER), CAST(40 * ((doc_id % 7) + 2) AS BIGINT),
+       CAST(NULL AS VARCHAR)
 FROM good WHERE doc_id % 6 = 3
 UNION ALL
 SELECT doc_id, 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),

@@ -821,9 +821,10 @@ def test_probe_media_all_containers():
         "flac", 9000, 30,
     )
     p = mm.probe_media(mm.make_avi(3, 4, 3, 5))
-    assert (p["container"], p["width"], p["height"], p["n_frames"]) == (
-        "avi", 4, 3, 5,
-    )
+    assert (
+        p["container"], p["width"], p["height"], p["n_frames"],
+        p["duration_ms"],
+    ) == ("avi", 4, 3, 5, 200)  # 25 fps clock: 5 frames x 40 ms (r8)
     p = mm.probe_media(mm.make_mp3_frames(9, 4))
     assert (
         p["container"], p["sample_rate"], p["n_frames"], p["duration_ms"],

@@ -1618,3 +1618,57 @@ def test_streaming_multimodal_decode_matches_batch(spark, tmp_path):
         for r in mm.decode_media(mm.plant_media(batch_docs)).collect()
     }
     assert got == expected
+
+
+def test_streaming_quarantine_survives_corrupt_payloads(spark, tmp_path):
+    """r8: the quarantine router composes with Structured Streaming AND
+    keeps the stream alive through corrupt payloads — a micro-batch
+    containing truncated media lands its rows with error_class instead
+    of failing the query (what a 24/7 ingest pipeline needs: poison
+    payloads become monitorable rows, not restarts). The stream's
+    accumulated output equals the batch routing of the same docs."""
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    d = str(tmp_path / "docs_q")
+    ckpt = str(tmp_path / "ckpt_q")
+    got: dict[int, tuple] = {}
+
+    def writer(batch_df, batch_id):
+        routed = mm.probe_media_routed(
+            mm.truncate_subset(mm.plant_mixed_media(batch_df))
+        )
+        for r in routed.collect():
+            got[r["media_id"]] = (r["container"], r["error_class"])
+
+    # ids 3 and 10 hit the doc_id%7==3 fault stripe
+    ids = [0, 1, 2, 3, 4, 5, 10, 11]
+    spark.createDataFrame([(i,) for i in ids], "doc_id long").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    assert set(got) == set(ids)
+    assert got[3] == (None, "NotImplementedError")  # 3%6=3 avi, magic cut
+    assert got[10] == (None, "NotImplementedError")  # 10%6=4 mp3, tag cut
+    assert got[0] == ("bmp", None) and got[5] == ("ogg", None)
+    expected = {
+        r["media_id"]: (r["container"], r["error_class"])
+        for r in mm.probe_media_routed(
+            mm.truncate_subset(
+                mm.plant_mixed_media(
+                    spark.createDataFrame([(i,) for i in ids], "doc_id long")
+                )
+            )
+        ).collect()
+    }
+    assert got == expected
