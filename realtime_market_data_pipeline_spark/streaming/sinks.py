@@ -177,6 +177,52 @@ def derby_url(db_path: str) -> str:
     return f"jdbc:derby:{db_path};create=true"
 
 
+def prepare_timescale_hypertable(
+    spark,
+    url: str,
+    table: str = "features",
+    time_col: str = "window_start",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K5 for TimescaleDB (reference spark_streaming.py:223-227): turn the
+    sink table into a hypertable partitioned on the event-time column —
+    ``SELECT create_hypertable('t','col', if_not_exists => TRUE)`` —
+    through the SAME DriverManager + forwarded-properties path the MERGE
+    writer uses, so auth/ssl behave identically. Call once after the
+    first append/merge created the table (or after your own DDL);
+    idempotent via if_not_exists. Against a non-Timescale database the
+    statement fails server-side and surfaces as ValueError — the caller
+    chooses the dialect, this helper just keeps the wire path uniform.
+    Sandbox note: no Postgres/Timescale server ships in this container;
+    the Derby-negative test pins the connection path + error surface and
+    the same test runs for real under the suite's JDBC_URL switch."""
+    props = dict(properties or {})
+    jvm = spark._jvm
+    if "driver" in props:
+        jvm.java.lang.Class.forName(props["driver"])
+    jprops = jvm.java.util.Properties()
+    for pk, pv in props.items():
+        if pk != "driver":
+            jprops.setProperty(pk, pv)
+    sql = (
+        f"SELECT create_hypertable('{table}', '{time_col}', "
+        "if_not_exists => TRUE)"
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute(sql)
+        finally:
+            st.close()
+    except Exception as e:  # py4j wraps SQLException
+        raise ValueError(
+            f"create_hypertable failed (is the target TimescaleDB?): {e}"
+        ) from e
+    finally:
+        conn.close()
+
+
 def jdbc_append_writer(
     url: str,
     table: str = "features",

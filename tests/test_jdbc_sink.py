@@ -314,6 +314,31 @@ def test_jdbc_merge_replay_after_checkpointed_restart(
     assert got == _expected(gbm_ticks)
 
 
+def test_prepare_timescale_hypertable_wire_path(spark, gbm_ticks, tmp_path):
+    """r8: the create_hypertable helper drives the SAME DriverManager +
+    forwarded-properties path as the MERGE writer. Against Derby the
+    statement must reach the server and come back as a clean ValueError
+    (function unknown there — proving the wire path, the statement
+    shape, and the error surface); under the JDBC_URL switch against a
+    real TimescaleDB the same call succeeds and is idempotent."""
+    url, tbl = _url(tmp_path, "db_hyper"), _tbl("hyper")
+    feats = compute_features(gbm_ticks, window="10 seconds")
+    sinks.jdbc_merge_writer(url, table=tbl, properties=PROPS)(feats, 0)
+    if EXT_URL and "timescale" in os.environ.get("JDBC_DIALECT", ""):
+        sinks.prepare_timescale_hypertable(
+            spark, url, table=tbl, properties=PROPS
+        )
+        # idempotent second call
+        sinks.prepare_timescale_hypertable(
+            spark, url, table=tbl, properties=PROPS
+        )
+    else:
+        with pytest.raises(ValueError, match="create_hypertable failed"):
+            sinks.prepare_timescale_hypertable(
+                spark, url, table=tbl, properties=PROPS
+            )
+
+
 def test_jdbc_merge_two_concurrent_writers_exactly_once(
     spark, gbm_ticks, tmp_path
 ):

@@ -506,7 +506,7 @@ def test_avi_codec_roundtrip_property(doc_id, w, h, nf):
 
 @given(
     seed=st.integers(0, 2**31 - 1),
-    kind=st.integers(0, 5),
+    kind=st.integers(0, 7),
     n_flips=st.integers(1, 8),
 )
 @settings(max_examples=200, deadline=1000)
@@ -517,7 +517,10 @@ def test_decoders_fail_loudly_under_corruption(seed, kind, n_flips):
     NotImplementedError — never hang (the 1 s deadline catches the
     2^31-phantom-rows class this test originally found: a corrupted BMP
     height spun for minutes) and never leak raw IndexError / KeyError /
-    struct.error / zlib.error / wave.Error from parser internals."""
+    struct.error / zlib.error / wave.Error from parser internals.
+    Kinds 6-7 (r8) fuzz the header-only prober over its two
+    frame-walking formats (ogg pages, mp3 frames) — the walk strides by
+    lengths read from corrupted bytes, the classic overrun shape."""
     import numpy as np
 
     from realtime_market_data_pipeline_spark.operators import jpeg
@@ -535,7 +538,7 @@ def test_decoders_fail_loudly_under_corruption(seed, kind, n_flips):
         payload, dec = mm.make_bmp(did, 5, 3), mm.decode_image
     elif kind == 4:
         payload, dec = mm.make_wav(did, 12, 8000), mm.decode_audio
-    else:
+    elif kind == 5:
         from realtime_market_data_pipeline_spark.operators import flac
 
         payload = flac.encode_flac(
@@ -543,6 +546,10 @@ def test_decoders_fail_loudly_under_corruption(seed, kind, n_flips):
             block_size=8,
         )
         dec = mm.decode_audio
+    elif kind == 6:
+        payload, dec = mm.make_ogg(did, 3), mm.probe_media
+    else:
+        payload, dec = mm.make_mp3_frames(did, 2), mm.probe_media
     buf = bytearray(payload)
     for _ in range(n_flips):
         buf[int(rng.integers(2, len(buf)))] ^= int(rng.integers(1, 256))
