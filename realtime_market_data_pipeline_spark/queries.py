@@ -6570,6 +6570,33 @@ _REGISTRY_PRIORITY = [
     "multimodal_decode_flac",
 ]
 
+# ---------------------------------------------------------------------------
+# STAGED r9 PLAN (staleness-first). Post-r8 distribution: r8 ×50 (the 4
+# new/changed + 46 former-r5), r7 ×48 (the r7 window minus probe and
+# ann_ivf, which re-certified in r8), r6 ×48 (untouched this round —
+# exactly two rounds old after r8). The r9 window: slots for whatever
+# code changes in r9 first, then ALL 48 r6-green rows (bm25_top20,
+# bollinger_breach_stats, counter_agg_1h, cube_brand_size,
+# curation_pipeline, date_parts_orders, decontamination_8gram,
+# dedup_clusters, dedup_edit_distance, dedup_exact, dedup_minhash_lsh,
+# dedup_ngram_jaccard, dedup_simhash32, distinct_counts,
+# doc_fingerprint, doc_lang_id, doc_lm_scores, doc_quality_scores,
+# doc_token_stats, ema_macd_daily, features_sliding_6h_1h,
+# features_tumbling_1d, features_tumbling_1h, gapfill_interpolate_1m,
+# gapfill_locf_1m, grouping_sets_flag_status, hybrid_search_rrf,
+# json_props_stats, max_drawdown_per_symbol, multimodal_features,
+# ohlc_rollup_1m_1h, pairwise_return_corr, pii_scrub, pivot_last_daily,
+# props_key_counts, realized_vol_1d, region_revenue,
+# rollup_returnflag_status, rsi_14_daily, sequence_packing_256,
+# setop_active_both_years, setop_lapsed_customers, state_agg_user_event,
+# stochastic_14_3, string_funcs_part, tfidf_top3_terms, twap_1h,
+# unpivot_lineitem_measures) — 48 + ≤2 changed-code slots fills the 50;
+# if r9 changes code under >2 windowed queries, the overflow must come
+# from r6 rows whose module r9 did NOT touch, with the displacement
+# justified here as r8 did for resize/jpeg/flac. The 48 r7-green rows
+# then lead r10.
+# ---------------------------------------------------------------------------
+
 
 def _reorder_registry() -> None:
     missing = [n for n in _REGISTRY_PRIORITY if n not in QUERIES]

@@ -78,6 +78,48 @@ def test_bloom_prefilter_join_matches_plain_join(spark):
         bloom.bloom_prefilter_join(orders, cust, "custkey", how="left")
 
 
+def test_bloom_predicate_composes_with_streaming(spark, tmp_path):
+    """The membership test is a pure Column, so the same bloom prunes a
+    STREAM against a static key set with zero extra machinery — the
+    stream-static enrichment prefilter (drop non-matching events before
+    the stream-static join or sink). Stream output must equal the batch
+    filter of the same data."""
+    d = str(tmp_path / "bloom_stream")
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    bm = bloom.bloom_build(keys, "k", m_bits=1 << 12, k=4)
+    rows = [(i,) for i in range(0, 200, 3)]
+    spark.createDataFrame(rows, "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    got: set[int] = set()
+
+    def writer(batch_df, _bid):
+        got.update(
+            r["k"]
+            for r in batch_df.filter(
+                bloom.bloom_might_contain(bm, F.col("k"), 1 << 12, k=4)
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(d)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    batch = {
+        r["k"]
+        for r in spark.createDataFrame(rows, "k long")
+        .filter(bloom.bloom_might_contain(bm, F.col("k"), 1 << 12, k=4))
+        .collect()
+    }
+    assert got == batch
+    assert {k for k, in rows if k < 50} <= got  # true members always pass
+
+
 def test_bloom_query_plan_prefilters_before_exchange(spark):
     """The registered query's plan must evaluate the bloom bit tests in
     a Filter over the orders SCAN — below the join exchange — so at
