@@ -106,9 +106,11 @@ HEADLINE = [
     "multimodal_decode_flac",
     "multimodal_probe",
     # r8 additions: fault-routing prober (quarantine split over the
-    # planted-corruption six-format corpus) and bloom join pruning
+    # planted-corruption six-format corpus), bloom join pruning, and
+    # MJPEG-in-AVI compressed-video decode
     "multimodal_quarantine",
     "bloom_prefilter_join",
+    "multimodal_video_mjpeg",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

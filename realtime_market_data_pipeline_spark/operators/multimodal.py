@@ -1096,7 +1096,7 @@ def _probe_media_impl(payload: bytes) -> dict:
         )
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        d = decode_avi(payload)
+        d = decode_avi(payload, frame_stats=False)  # header-only: no decode
         uspf = d["usec_per_frame"]
         out.update(
             container="avi", width=d["width"], height=d["height"],
@@ -1501,14 +1501,81 @@ def make_avi(doc_id: int, width: int, height: int, n_frames: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi(payload: bytes) -> dict:
-    """Pure-Python AVI decode (r7): RIFF chunk walk with even-byte
-    alignment, avih/strf header parse, per-frame DIB pixel sums over the
-    movi '00db'/'00dc' chunks — stdlib ``struct`` only, the video twin of
-    ``decode_image``. Requires uncompressed 24bpp BI_RGB frames ('DIB '
-    handler); compressed codecs (mjpeg/h264/...) still need ffmpeg/pyav
-    and raise. Returns {"format", "width", "height", "n_frames",
-    "frame_sums"} where frame_sums[f] excludes row padding."""
+MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def make_avi_mjpeg(
+    doc_id: int, width: int, height: int, n_frames: int
+) -> bytes:
+    """Deterministic MJPEG-COMPRESSED AVI payload for ``doc_id`` (r8) —
+    a real RIFF/AVI container whose '00dc' chunks hold full baseline
+    JPEG images ('MJPG' handler, biCompression='MJPG'), the classic
+    compressed-video-in-AVI format webcams and capture cards emit.
+    Frame f is a constant grayscale image of value
+    ``(doc_id + 17*f) % 256`` encoded under the unit quant table, so the
+    lossy codec is BIT-exact (DC-only blocks) and an oracle predicts
+    frame f's pixel sum as width*height*((doc_id+17f)%256) by integer
+    arithmetic. Odd-length JPEG chunks get the RIFF even-alignment pad
+    byte, which real muxers emit and sloppy parsers trip over."""
+    import struct
+
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    frames = [
+        jpeg.encode_jpeg(
+            np.full(
+                (height, width), (doc_id + 17 * f) % 256, dtype=np.uint8
+            ),
+            quant=jpeg.UNIT_QT,
+        )
+        for f in range(n_frames)
+    ]
+    buf_size = max(len(fr) for fr in frames)
+    avih = b"avih" + struct.pack(
+        "<I14I", 56, 40000, 0, 0, 0x10, n_frames, 0, 1, buf_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIII4H", 56, b"vids", b"MJPG", 0, 0, 0, 0, 1, 25,
+        0, n_frames, buf_size, 0, buf_size,
+        0, 0, width, height,
+    )
+    bih = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, MJPG_FOURCC, 0,
+        0, 0, 0, 0,
+    )
+    strf = b"strf" + struct.pack("<I", 40) + bih
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl"
+    strl += strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl"
+    hdrl += avih + strl
+    movi_body = b"".join(
+        b"00dc" + struct.pack("<I", len(fr)) + fr + b"\x00" * (len(fr) & 1)
+        for fr in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi"
+    movi += movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes, frame_stats: bool = True) -> dict:
+    """Pure-Python AVI decode (r7; MJPEG r8): RIFF chunk walk with
+    even-byte alignment, avih/strf header parse, per-frame pixel sums
+    over the movi '00db'/'00dc' chunks — the video twin of
+    ``decode_image``. Two frame codecs decode for real: uncompressed
+    24bpp BI_RGB DIBs (stdlib ``struct``) and MJPEG
+    (biCompression='MJPG' — every chunk is a complete baseline/
+    progressive JPEG, decoded through ``operators.jpeg``; the dominant
+    compressed AVI format, and no ffmpeg needed). Inter-frame codecs
+    (h264/vp9/...) still require ffmpeg/pyav and raise.
+    ``frame_stats=False`` skips frame decoding entirely — the
+    header-only mode the inventory prober uses. Returns {"format",
+    "width", "height", "n_frames", "frame_sums", "usec_per_frame"}
+    where DIB frame_sums exclude row padding (None when
+    frame_stats=False)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -1553,23 +1620,44 @@ def decode_avi(payload: bytes) -> dict:
         raise ValueError(f"malformed AVI chunk structure: {e}") from e
     if width is None or bpp is None:
         raise ValueError("AVI missing avih/strf headers")
-    if compression != 0 or bpp != 24:
+    if compression == 0 and bpp == 24:
+        mjpeg = False
+    elif compression == MJPG_FOURCC:
+        mjpeg = True
+    else:
         raise NotImplementedError(
             f"compressed AVI frames (biCompression={compression}, "
-            f"bpp={bpp}) require ffmpeg; only 24bpp BI_RGB DIB decodes here"
+            f"bpp={bpp}) require ffmpeg; 24bpp BI_RGB DIB and MJPEG "
+            "decode here"
         )
-    row_bytes = width * 3
-    stride = row_bytes + ((-row_bytes) % 4)
-    sums = []
-    for data in frames:
-        if len(data) != stride * height:
-            raise ValueError("AVI frame size mismatch")
-        sums.append(
-            sum(
-                sum(data[r * stride : r * stride + row_bytes])
-                for r in range(height)
+    sums: list[int] | None
+    if not frame_stats:
+        sums = None
+    elif mjpeg:
+        from realtime_market_data_pipeline_spark.operators import jpeg
+
+        sums = []
+        for data in frames:
+            pix = jpeg.decode_pixels(bytes(data))
+            if pix.shape[0] != height or pix.shape[1] != width:
+                raise ValueError(
+                    f"MJPEG frame dims {pix.shape[:2]} disagree with the "
+                    f"container's {(height, width)}"
+                )
+            sums.append(int(pix.astype("int64").sum()))
+    else:
+        row_bytes = width * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        sums = []
+        for data in frames:
+            if len(data) != stride * height:
+                raise ValueError("AVI frame size mismatch")
+            sums.append(
+                sum(
+                    sum(data[r * stride : r * stride + row_bytes])
+                    for r in range(height)
+                )
             )
-        )
     if n_frames_hdr and n_frames_hdr != len(frames):
         raise ValueError(
             f"AVI header declares {n_frames_hdr} frames, found {len(frames)}"
@@ -1621,6 +1709,36 @@ def plant_avi(docs: DataFrame) -> DataFrame:
     )
 
 
+def plant_avi_mjpeg(docs: DataFrame) -> DataFrame:
+    """Plant deterministic MJPEG-compressed AVI payloads over the
+    documents spine (r8): w = 8·((d%2)+1), h = 8·((d%3)+1), frames =
+    (d%5)+2 constant-gray JPEGs under the unit quant table — real
+    compressed video any MJPEG-capable reader decodes, bit-exact for
+    the oracle because every 8x8 block is constant."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_avi_mjpeg(
+                    int(d), 8 * ((int(d) % 2) + 1), 8 * ((int(d) % 3) + 1),
+                    (int(d) % 5) + 2,
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": "video/x-msvideo",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """REAL video frame sampling (replaces frame_sample_stub's byte-stride
     fake for AVI payloads): parse the RIFF/AVI container per batch and
@@ -1651,13 +1769,14 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def decode_video_frames(payload: bytes, every_n: int) -> object:
-    """Compressed-video decoder stub — mjpeg/h264/vp9 require ffmpeg/pyav,
-    not in this container. Uncompressed AVI decodes for real via
+    """Inter-frame-compressed video decoder stub — h264/vp9/av1 require
+    ffmpeg/pyav, not in this container. Uncompressed AVI AND
+    MJPEG-compressed AVI (r8) decode for real via
     ``decode_avi``/``sample_video_frames``."""
     raise NotImplementedError(
-        "compressed video decode requires ffmpeg/pyav; wire the real "
-        "decoder here on a cluster image that ships it (uncompressed "
-        "RIFF/AVI decodes via decode_avi)"
+        "inter-frame video codecs (h264/vp9/av1) require ffmpeg/pyav; "
+        "wire the real decoder here on a cluster image that ships it "
+        "(uncompressed DIB and MJPEG AVIs decode via decode_avi)"
     )
 
 

@@ -5549,6 +5549,34 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_mjpeg",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+fs AS (SELECT CAST(i AS BIGINT) AS f FROM range(0, 6) AS t(i))
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST((8 * ((doc_id % 2) + 1)) * (8 * ((doc_id % 3) + 1))
+            * ((doc_id + 17 * f) % 256) AS BIGINT) AS frame_pixel_sum
+FROM d JOIN fs ON f < (doc_id % 5) + 2
+""",
+)
+def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video decode (r8): plant MJPEG-in-AVI containers —
+    each '00dc' chunk a complete baseline JPEG, the format webcams and
+    capture cards emit — and decode every frame through the pure-Python
+    T.81 codec inside the RIFF walker (operators/multimodal.decode_avi,
+    biCompression='MJPG' path; no ffmpeg). Constant-gray frames under
+    the unit quant table make the lossy codec BIT-exact, so the oracle
+    predicts frame f's pixel sum as w·h·((doc_id+17f)%256) by integer
+    arithmetic — a chunk-alignment (odd JPEG lengths get RIFF pad
+    bytes), Huffman, or frame-order bug on either side breaks the hash.
+    Inter-frame codecs (h264/vp9) remain honestly gated on ffmpeg.
+    Same 100 TB shape: row-expanding shuffle-free Arrow mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_video_frames(mm.plant_avi_mjpeg(docs), every_n=1)
+
+
+@query(
     "multimodal_decode_flac",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
@@ -6492,28 +6520,32 @@ _REGISTRY_PRIORITY = [
     # r8 WINDOW (staleness-first; post-r7 distribution was r7 ×50,
     # r6 ×48, r5 ×46 — judge-recomputed, superseding the ×42/×44
     # estimate staged above).
-    # (1) new / code changed in r8 — 4 slots: multimodal_quarantine and
-    # bloom_prefilter_join are NEW (fault-routing prober over a
-    # planted-corruption corpus; bloom join pruning with a
-    # plain-join-equivalence oracle), multimodal_probe's RESULTS changed
-    # (six-format corpus: ogg framing joins the inventory), and
-    # embedding_ann_ivf's training loop now persists the vector relation
-    # across Lloyd iterations. Three more queries sit on r8-changed code
-    # whose registered RESULTS are provably unchanged — multimodal_resize
-    # (gray+alpha branch; its corpus is RGB-only, the branch is pinned by
+    # (1) new / results-changed in r8 — 4 slots, all NEW SEMANTICS:
+    # multimodal_quarantine (fault-routing prober over a
+    # planted-corruption corpus), bloom_prefilter_join (bloom join
+    # pruning with a plain-join-equivalence oracle),
+    # multimodal_video_mjpeg (COMPRESSED video: MJPEG-in-AVI decoded
+    # through the T.81 codec, bit-exact constant frames), and
+    # multimodal_probe (results changed: six-format corpus — ogg
+    # framing + AVI duration join the inventory). Four more queries sit
+    # on r8-changed code whose registered RESULTS are provably
+    # unchanged and lead the spillover at slots 51-54 rather than
+    # displacing r5 rows the staleness invariant needs:
+    # embedding_ann_ivf (training now persists the vector relation
+    # across Lloyd iterations — plan-only change, pinned by
+    # test_ivf_training_persists_and_releases_vectors), multimodal_resize
+    # (gray+alpha branch; its corpus is RGB-only, branch pinned by
     # test_resize_media_gray_alpha_png), multimodal_decode_jpeg (the
     # progressive AC-refine fix emits identical streams for
-    # block-constant payloads; the fix is pinned by a hand-built
-    # coefficient vector + 400-raster roundtrip stress), and
-    # multimodal_decode_flac (blocksize validation + 16-bit size code,
-    # inert at the corpus's block_size<=256) — all three verified exact
-    # by the strict local driver check on this tree; they lead the
-    # spillover at slots 51-53 rather than displacing r5 rows the
-    # staleness invariant needs.
+    # block-constant payloads; pinned by a hand-built coefficient
+    # vector + 400-raster roundtrip stress), multimodal_decode_flac
+    # (blocksize validation + 16-bit size code, inert at the corpus's
+    # block_size<=256) — all four verified exact by the strict local
+    # driver check on this tree (146/146 full-registry sweep).
     "multimodal_quarantine",
     "multimodal_probe",
     "bloom_prefilter_join",
-    "embedding_ann_ivf",
+    "multimodal_video_mjpeg",
     # (2) ALL 46 rows whose last driver-green is r5 — exactly two rounds
     # old; every one must recertify in r8 or the ≤2-round staleness
     # invariant breaks for the first time.
@@ -6565,17 +6597,19 @@ _REGISTRY_PRIORITY = [
     "zscore_outlier_events",
     # (3) spillover — changed-code-but-result-identical first, then the
     # r6-green rows (they rotate in r9 before turning three rounds old).
+    "embedding_ann_ivf",
     "multimodal_resize",
     "multimodal_decode_jpeg",
     "multimodal_decode_flac",
 ]
 
 # ---------------------------------------------------------------------------
-# STAGED r9 PLAN (staleness-first). Post-r8 distribution: r8 ×50 (the 4
-# new/changed + 46 former-r5), r7 ×48 (the r7 window minus probe and
-# ann_ivf, which re-certified in r8), r6 ×48 (untouched this round —
-# exactly two rounds old after r8). The r9 window: slots for whatever
-# code changes in r9 first, then ALL 48 r6-green rows (bm25_top20,
+# STAGED r9 PLAN (staleness-first). Post-r8 distribution over the
+# 147-query registry: r8 ×50 (3 new + probe + 46 former-r5), r7 ×49
+# (the r7 window minus probe, which re-certified in r8), r6 ×48
+# (untouched this round — exactly two rounds old after r8). The r9
+# window: slots for whatever code changes in r9 first, then ALL 48
+# r6-green rows (bm25_top20,
 # bollinger_breach_stats, counter_agg_1h, cube_brand_size,
 # curation_pipeline, date_parts_orders, decontamination_8gram,
 # dedup_clusters, dedup_edit_distance, dedup_exact, dedup_minhash_lsh,
@@ -6593,8 +6627,8 @@ _REGISTRY_PRIORITY = [
 # unpivot_lineitem_measures) — 48 + ≤2 changed-code slots fills the 50;
 # if r9 changes code under >2 windowed queries, the overflow must come
 # from r6 rows whose module r9 did NOT touch, with the displacement
-# justified here as r8 did for resize/jpeg/flac. The 48 r7-green rows
-# then lead r10.
+# justified here as r8 did for ann_ivf/resize/jpeg/flac. The 49
+# r7-green rows then lead r10.
 # ---------------------------------------------------------------------------
 
 

@@ -963,6 +963,79 @@ def test_decode_audio_ffmpeg_real_binary(tmp_path):
     assert d["format"] == "ogg" and d["n_samples"] > 0
 
 
+def test_avi_mjpeg_decode_exact_and_header_only_probe():
+    """r8: MJPEG-compressed AVI decodes for real through the T.81 codec
+    inside the RIFF walker — bit-exact on constant frames; odd-length
+    JPEG chunks carry RIFF pad bytes the walker must stride over; the
+    prober reads dims/frames/duration WITHOUT decoding any frame; lying
+    container dims fail loudly; inter-frame codecs still gate."""
+    import struct
+
+    for did in (0, 5, 9):
+        w, h, n = 8 * ((did % 2) + 1), 8 * ((did % 3) + 1), (did % 5) + 2
+        p = mm.make_avi_mjpeg(did, w, h, n)
+        d = mm.decode_avi(p)
+        assert d["frame_sums"] == [
+            w * h * ((did + 17 * f) % 256) for f in range(n)
+        ]
+        ho = mm.decode_avi(p, frame_stats=False)
+        assert ho["frame_sums"] is None and ho["n_frames"] == n
+        pr = mm.probe_media(p)
+        assert (pr["width"], pr["height"], pr["duration_ms"]) == (
+            w, h, n * 40,
+        )
+    # container dims that disagree with the JPEG frames' own SOF dims
+    # must fail loudly: rebuild the 8x8 container around 8x16 frames
+    p = mm.make_avi_mjpeg(3, 8, 8, 2)
+    q = mm.make_avi_mjpeg(3, 8, 16, 2)
+    rebuilt = _replace_00dc(p, _extract_00dc(q))
+    with pytest.raises(ValueError, match="disagree"):
+        mm.decode_avi(rebuilt)
+    # unknown compression still gates honestly (swap BOTH the strh
+    # handler and strf biCompression — they're the same fourcc bytes)
+    h264ish = p.replace(
+        struct.pack("<I", mm.MJPG_FOURCC),
+        struct.pack("<I", int.from_bytes(b"H264", "little")),
+    )
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.decode_avi(h264ish)
+
+
+def _extract_00dc(payload):
+    """Pull the raw '00dc' chunk bodies out of an AVI payload."""
+    import struct
+
+    out, pos = [], 0
+    while True:
+        i = payload.find(b"00dc", pos)
+        if i < 0:
+            return out
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        out.append(payload[i + 8 : i + 8 + size])
+        pos = i + 8 + size
+
+
+def _replace_00dc(payload, new_frames):
+    """Rebuild an AVI's movi body with different '00dc' frame bodies
+    (sizes re-encoded, RIFF/LIST sizes patched)."""
+    import struct
+
+    i = payload.find(b"LIST", payload.find(b"movi") - 8)
+    head = payload[: payload.find(b"movi") + 4]
+    movi_body = b"".join(
+        b"00dc" + struct.pack("<I", len(fr)) + fr + b"\x00" * (len(fr) & 1)
+        for fr in new_frames
+    )
+    # patch the movi LIST size and the RIFF size
+    movi_list_pos = payload.rfind(b"LIST", 0, payload.find(b"movi"))
+    out = bytearray(payload[: movi_list_pos])
+    out += b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi"
+    out += movi_body
+    riff_size = len(out) - 8
+    out[4:8] = struct.pack("<I", riff_size)
+    return bytes(out)
+
+
 def test_probe_media_routed_quarantine(spark):
     """r8: the routing prober must classify failures as data — corrupt
     payloads land with error_class and NULL inventory instead of killing

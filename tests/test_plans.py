@@ -332,7 +332,7 @@ def test_registry_priority_window():
     window = set(names[:50])
     changed_r8 = {
         "multimodal_quarantine", "multimodal_probe", "bloom_prefilter_join",
-        "embedding_ann_ivf",
+        "multimodal_video_mjpeg",
     }
     last_green_r5 = {
         "anti_join_customers", "asof_last_purchase", "atr_14_daily",

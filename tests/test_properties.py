@@ -506,7 +506,7 @@ def test_avi_codec_roundtrip_property(doc_id, w, h, nf):
 
 @given(
     seed=st.integers(0, 2**31 - 1),
-    kind=st.integers(0, 7),
+    kind=st.integers(0, 8),
     n_flips=st.integers(1, 8),
 )
 @settings(max_examples=200, deadline=1000)
@@ -548,8 +548,10 @@ def test_decoders_fail_loudly_under_corruption(seed, kind, n_flips):
         dec = mm.decode_audio
     elif kind == 6:
         payload, dec = mm.make_ogg(did, 3), mm.probe_media
-    else:
+    elif kind == 7:
         payload, dec = mm.make_mp3_frames(did, 2), mm.probe_media
+    else:  # r8: MJPEG-in-AVI — corruption may land in container OR JPEG
+        payload, dec = mm.make_avi_mjpeg(did, 8, 8, 2), mm.decode_avi
     buf = bytearray(payload)
     for _ in range(n_flips):
         buf[int(rng.integers(2, len(buf)))] ^= int(rng.integers(1, 256))
