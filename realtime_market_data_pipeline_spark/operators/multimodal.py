@@ -31,6 +31,7 @@ multi-MB blobs); decode is embarrassingly parallel — no shuffle at all.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1504,6 +1505,23 @@ def make_avi(doc_id: int, width: int, height: int, n_frames: int) -> bytes:
 MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
 
 
+@_functools.lru_cache(maxsize=4096)
+def _mjpeg_const_frame(value: int, width: int, height: int) -> bytes:
+    """One constant-gray JPEG frame, lru-cached: the planted corpus
+    draws from only 256 values × a handful of dims, so planting costs a
+    few hundred encodes per executor instead of one per frame — fixture
+    construction, not the operator under test (decode stays uncached,
+    per-frame, real)."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import jpeg
+
+    return jpeg.encode_jpeg(
+        np.full((height, width), value, dtype=np.uint8),
+        quant=jpeg.UNIT_QT,
+    )
+
+
 def make_avi_mjpeg(
     doc_id: int, width: int, height: int, n_frames: int
 ) -> bytes:
@@ -1519,17 +1537,8 @@ def make_avi_mjpeg(
     byte, which real muxers emit and sloppy parsers trip over."""
     import struct
 
-    import numpy as np
-
-    from realtime_market_data_pipeline_spark.operators import jpeg
-
     frames = [
-        jpeg.encode_jpeg(
-            np.full(
-                (height, width), (doc_id + 17 * f) % 256, dtype=np.uint8
-            ),
-            quant=jpeg.UNIT_QT,
-        )
+        _mjpeg_const_frame((doc_id + 17 * f) % 256, width, height)
         for f in range(n_frames)
     ]
     buf_size = max(len(fr) for fr in frames)
