@@ -920,7 +920,12 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
-    joined = bloom.bloom_prefilter_join(orders, cust, on="custkey")
+    # size the bitmap to the key count: ~600 build keys at sf0.1 hold
+    # ~1e-4 FPR in 2^14 bits / 2 KiB (k=5), and the 8x-smaller plan
+    # literal compiles measurably faster than the 2^17 default
+    joined = bloom.bloom_prefilter_join(
+        orders, cust, on="custkey", m_bits=1 << 14
+    )
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice")).alias("total_revenue"),
