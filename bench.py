@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_quarantine",
     "bloom_prefilter_join",
     "multimodal_video_mjpeg",
+    "decontamination_bloom",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -360,6 +360,7 @@ def decontaminate_against_eval(
     id_col: str = "doc_id",
     salt: str = "split:v1",
     broadcast_eval: bool = False,
+    bloom_bits: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag train-split documents sharing any
     k-gram with any eval-split document (the exact-substring contamination
@@ -379,7 +380,15 @@ def decontaminate_against_eval(
     distinct-shingle side broadcasts (pass ``broadcast_eval=True`` to force
     it; AQE does it automatically when sizes justify) and the sweep costs
     ONE pass + one keyed aggregation; at this synthetic 80/20 split the
-    shuffle join is the right plan and AQE keeps it."""
+    shuffle join is the right plan and AQE keeps it.
+
+    ``bloom_bits`` (r8) selects the middle regime — eval too big to
+    broadcast as a hash relation, corpus too big to shuffle wholesale:
+    a bloom of the eval shingles (``operators/bloom``) prefilters the
+    train side BEFORE the equi-join's exchange, so the shuffle carries
+    ~contaminated + FPR·clean shingles instead of every train shingle;
+    blooms have no false negatives and the join re-verifies, so the
+    result is identical in all three regimes."""
     bucket = split_bucket(id_col, salt)
     cut = int(256 * train_pct / 100)
     sh = shingles_long(df, text_col, id_col, k=k)
@@ -387,8 +396,16 @@ def decontaminate_against_eval(
     ev = sh.filter(sh_bucket >= cut).select("shingle").distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)
+    train_sh = sh.filter(sh_bucket < cut)
+    if bloom_bits:
+        from realtime_market_data_pipeline_spark.operators import bloom
+
+        bm = bloom.bloom_build(ev, "shingle", m_bits=bloom_bits)
+        train_sh = train_sh.filter(
+            bloom.bloom_might_contain(bm, F.col("shingle"), bloom_bits)
+        )
     hits = (
-        sh.filter(sh_bucket < cut)
+        train_sh
         .join(ev, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))

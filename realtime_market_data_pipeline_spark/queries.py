@@ -4694,9 +4694,7 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_scores(load_table(spark, sf_dir, "documents"), train_pct=80)
 
 
-@query(
-    "decontamination_8gram",
-    oracle=f"""
+_O_DECON_SQL = f"""
 WITH h AS (
   SELECT doc_id, text, md5('split:v1' || CAST(doc_id AS VARCHAR)) AS hx
   FROM documents
@@ -4716,8 +4714,10 @@ SELECT b.doc_id,
        COALESCE(hits.n, 0) > 0 AS contaminated
 FROM b LEFT JOIN hits USING (doc_id)
 WHERE b.bucket < 204
-""",
-)
+"""
+
+
+@query("decontamination_8gram", oracle=_O_DECON_SQL)
 def decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (text.decontaminate_against_eval): flag
     train-split docs sharing any 8-gram with the eval split — the
@@ -4727,6 +4727,26 @@ def decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     small (AQE) and stays a keyed shuffle at this synthetic 80/20 split."""
     return tx.decontaminate_against_eval(
         load_table(spark, sf_dir, "documents"), k=_DECON_K, train_pct=80
+    )
+
+
+@query("decontamination_bloom", oracle=_O_DECON_SQL)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination in the MIDDLE size regime (r8): when the eval set
+    is too big to broadcast as a hash relation but the corpus is too big
+    to shuffle wholesale, a bloom of the eval shingles
+    (operators/bloom — md5 positions, plan-literal bitmap, codegen bit
+    probes) prefilters the train side BEFORE the equi-join's exchange,
+    so the shuffle carries ~contaminated + FPR·clean shingles instead of
+    every train shingle. Blooms have no false negatives and the join
+    re-verifies, so the result — and the oracle — is IDENTICAL to
+    decontamination_8gram's; what changes is where the bytes flow, which
+    at 100 TB is the whole game."""
+    return tx.decontaminate_against_eval(
+        load_table(spark, sf_dir, "documents"),
+        k=_DECON_K,
+        train_pct=80,
+        bloom_bits=1 << 17,
     )
 
 
@@ -6600,8 +6620,13 @@ _REGISTRY_PRIORITY = [
     "triangle_count_supplier_graph",
     "vwap_brand_month",
     "zscore_outlier_events",
-    # (3) spillover — changed-code-but-result-identical first, then the
+    # (3) spillover — the late-r8 NEW decontamination_bloom first (its
+    # oracle is decontamination_8gram's verbatim, result-identical by
+    # the no-false-negatives argument and green in the strict local
+    # check; it certifies with the r6 decontamination sweep in r9),
+    # then changed-code-but-result-identical recertifications, then the
     # r6-green rows (they rotate in r9 before turning three rounds old).
+    "decontamination_bloom",
     "embedding_ann_ivf",
     "multimodal_resize",
     "multimodal_decode_jpeg",

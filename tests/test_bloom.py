@@ -120,6 +120,17 @@ def test_bloom_predicate_composes_with_streaming(spark, tmp_path):
     assert {k for k, in rows if k < 50} <= got  # true members always pass
 
 
+def test_decontamination_bloom_equals_broadcast_form(spark):
+    """r8: the bloom-prefiltered decontamination is result-identical to
+    the plain form (no false negatives + join re-verify), and its plan
+    carries the bit probes in a Filter on the train side."""
+    a = Q.QUERIES["decontamination_8gram"](spark, SF)
+    b = Q.QUERIES["decontamination_bloom"](spark, SF)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    s = P.plan_string(b)
+    assert "shiftright" in s and "Filter" in s
+
+
 def test_bloom_query_plan_prefilters_before_exchange(spark):
     """The registered query's plan must evaluate the bloom bit tests in
     a Filter over the orders SCAN — below the join exchange — so at
