@@ -401,8 +401,14 @@ def decontaminate_against_eval(
         from realtime_market_data_pipeline_spark.operators import bloom
 
         bm = bloom.bloom_build(ev, "shingle", m_bits=bloom_bits)
-        train_sh = train_sh.filter(
-            bloom.bloom_might_contain(bm, F.col("shingle"), bloom_bits)
+        train_sh = (
+            bloom.attach_bloom(train_sh, bm)  # broadcast, not plan literal
+            .filter(
+                bloom.bloom_might_contain(
+                    F.col(bloom.BLOOM_COL), F.col("shingle"), bloom_bits
+                )
+            )
+            .drop(bloom.BLOOM_COL)
         )
     hits = (
         train_sh

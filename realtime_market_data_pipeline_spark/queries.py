@@ -906,8 +906,9 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-identical to the plain join, which is what the oracle replays —
     at 100 TB this is the difference between shuffling every order and
     shuffling ~selectivity+FPR of them when the build side is too big to
-    broadcast as a hash relation. Plan properties (bitmap literal in the
-    filter, prefilter below the exchange) pinned in test_plans.py."""
+    broadcast as a hash relation. The bitmap rides as a 1-row broadcast
+    (attach_bloom); plan properties (bit probes in a Filter below the
+    join exchange, no Python eval) pinned in test_bloom.py."""
     from realtime_market_data_pipeline_spark.operators import bloom
 
     cust = (
@@ -4742,11 +4743,16 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-verifies, so the result — and the oracle — is IDENTICAL to
     decontamination_8gram's; what changes is where the bytes flow, which
     at 100 TB is the whole game."""
+    # bitmap sized for the eval-shingle cardinality (~150k distinct at
+    # sf0.1): 2^21 bits / 256 KiB holds ~0.3% FPR at k=5 — an
+    # UNDERSIZED bloom silently saturates (FPR -> 1) and degenerates to
+    # the plain shuffle plus overhead, the one way to misuse this
+    # operator (tests pin the FPR at the default sizing)
     return tx.decontaminate_against_eval(
         load_table(spark, sf_dir, "documents"),
         k=_DECON_K,
         train_pct=80,
-        bloom_bits=1 << 17,
+        bloom_bits=1 << 21,
     )
 
 

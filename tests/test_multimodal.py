@@ -1036,6 +1036,28 @@ def _replace_00dc(payload, new_frames):
     return bytes(out)
 
 
+def test_video_mjpeg_distributed_shuffle_free(spark):
+    """plant_avi_mjpeg -> sample_video_frames through Spark: the
+    compressed-video decode chain stays shuffle-free (payload bytes
+    never cross an exchange) and every frame's sum matches the planting
+    arithmetic."""
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = mm.sample_video_frames(mm.plant_avi_mjpeg(docs), every_n=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "MJPEG decode chain must be shuffle-free"
+    rows = out.collect()
+    n_docs = docs.count()
+    assert len(rows) == sum(
+        (d % 5) + 2 for d in range(n_docs)
+    )  # doc_ids are 0..n-1 on the sf0.001 spine
+    for r in rows[:40]:
+        d, f = r["media_id"], r["frame_idx"]
+        w, h = 8 * ((d % 2) + 1), 8 * ((d % 3) + 1)
+        assert r["frame_pixel_sum"] == w * h * ((d + 17 * f) % 256)
+
+
 def test_probe_media_routed_quarantine(spark):
     """r8: the routing prober must classify failures as data — corrupt
     payloads land with error_class and NULL inventory instead of killing
