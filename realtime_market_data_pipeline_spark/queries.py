@@ -921,12 +921,10 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
-    # size the bitmap to the key count: ~600 build keys at sf0.1 hold
-    # ~1e-4 FPR in 2^14 bits / 2 KiB (k=5), and the 8x-smaller plan
-    # literal compiles measurably faster than the 2^17 default
-    joined = bloom.bloom_prefilter_join(
-        orders, cust, on="custkey", m_bits=1 << 14
-    )
+    # default auto-sizing: one count() on the small side picks the next
+    # power of two >= 16x the build cardinality (~600 keys at sf0.1 ->
+    # 2^14 bits; a FIXED m saturated at the 32x scale probe, FPR -> 1)
+    joined = bloom.bloom_prefilter_join(orders, cust, on="custkey")
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice")).alias("total_revenue"),
