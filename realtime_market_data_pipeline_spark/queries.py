@@ -6639,11 +6639,13 @@ _REGISTRY_PRIORITY = [
 
 # ---------------------------------------------------------------------------
 # STAGED r9 PLAN (staleness-first). Post-r8 distribution over the
-# 147-query registry: r8 ×50 (3 new + probe + 46 former-r5), r7 ×49
+# 148-query registry: r8 ×50 (3 new + probe + 46 former-r5), r7 ×49
 # (the r7 window minus probe, which re-certified in r8), r6 ×48
-# (untouched this round — exactly two rounds old after r8). The r9
-# window: slots for whatever code changes in r9 first, then ALL 48
-# r6-green rows (bm25_top20,
+# (untouched this round — exactly two rounds old after r8), plus
+# decontamination_bloom (late-r8 NEW, spillover slot 51 — never
+# driver-adjudicated; it MUST take an r9 slot alongside its r6 twin).
+# The r9 window: slots for whatever code changes in r9 first +
+# decontamination_bloom, then ALL 48 r6-green rows (bm25_top20,
 # bollinger_breach_stats, counter_agg_1h, cube_brand_size,
 # curation_pipeline, date_parts_orders, decontamination_8gram,
 # dedup_clusters, dedup_edit_distance, dedup_exact, dedup_minhash_lsh,
@@ -6658,11 +6660,11 @@ _REGISTRY_PRIORITY = [
 # rollup_returnflag_status, rsi_14_daily, sequence_packing_256,
 # setop_active_both_years, setop_lapsed_customers, state_agg_user_event,
 # stochastic_14_3, string_funcs_part, tfidf_top3_terms, twap_1h,
-# unpivot_lineitem_measures) — 48 + ≤2 changed-code slots fills the 50;
-# if r9 changes code under >2 windowed queries, the overflow must come
-# from r6 rows whose module r9 did NOT touch, with the displacement
-# justified here as r8 did for ann_ivf/resize/jpeg/flac. The 49
-# r7-green rows then lead r10.
+# unpivot_lineitem_measures) — 48 + decontamination_bloom + ≤1
+# changed-code slot fills the 50; if r9 changes code under more
+# windowed queries, the overflow must come from r6 rows whose module
+# r9 did NOT touch, with the displacement justified here as r8 did for
+# ann_ivf/resize/jpeg/flac. The 49 r7-green rows then lead r10.
 # ---------------------------------------------------------------------------
 
 
