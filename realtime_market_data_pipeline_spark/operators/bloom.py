@@ -69,10 +69,20 @@ def bloom_build(
     pos = F.explode(
         F.array(*_positions(F.col(key_col), m_bits, k))
     ).alias("p")
+    # NULL keys hash to NULL positions (md5 over a null concat is null
+    # all the way down) which arrive as NaN in the Arrow transfer and
+    # crash the int64 cast — and a null key can never match an
+    # inner/semi join anyway, so it contributes nothing to the bitmap.
+    # Filter them out of the build.
     # Arrow transfer + vectorized packing: the distinct positions are
     # bounded by m_bits regardless of key count, so this stays a
     # bitmap-sized exchange even when the key set is huge.
-    pdf = keys.select(pos).distinct().toPandas()
+    pdf = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(pos)
+        .distinct()
+        .toPandas()
+    )
     p = pdf["p"].to_numpy(dtype=np.int64)
     words = np.zeros(m_bits // 64, dtype=np.uint64)
     np.bitwise_or.at(
@@ -156,11 +166,23 @@ def bloom_prefilter_join(
     and stable."""
     if how not in ("inner", "semi", "leftsemi", "left_semi"):
         raise ValueError(f"bloom prefilter is unsound for how={how!r}")
-    keys = build.select(on)
+    # Null build keys never match an inner/semi join and would poison
+    # the bitmap build (see bloom_build), so drop them up front; the
+    # DISTINCT key set is computed once and, when auto-sizing needs a
+    # count() pass too, persisted across the two jobs so the build side
+    # is scanned exactly once.
+    keys = build.select(on).filter(F.col(on).isNotNull()).distinct()
+    persisted = False
     if m_bits is None:
-        n = keys.distinct().count()
+        keys = keys.persist()
+        persisted = True
+        n = keys.count()
         m_bits = max(1 << 14, min(1 << 24, 1 << (16 * n - 1).bit_length()))
-    bitmap = bloom_build(keys, on, m_bits=m_bits, k=k)
+    try:
+        bitmap = bloom_build(keys, on, m_bits=m_bits, k=k)
+    finally:
+        if persisted:
+            keys.unpersist()
     pre = (
         attach_bloom(probe, bitmap)
         .filter(

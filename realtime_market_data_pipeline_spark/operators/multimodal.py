@@ -1063,6 +1063,10 @@ def _probe_media_impl(payload: bytes) -> dict:
         while pos < len(payload) - 1:
             if payload[pos] != 0xFF:
                 raise ValueError(f"JPEG marker sync lost at {pos}")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the
+            # space before a marker — skip them (r9, advisor)
+            while pos + 1 < len(payload) - 1 and payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
             pos += 2
             if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
@@ -1133,6 +1137,11 @@ def _probe_media_impl(payload: bytes) -> dict:
             pos += 144 * bitrate // rate + pad
             if pos > len(payload):
                 raise ValueError("mp3 final frame truncated")
+        if frames == 0:
+            # r9 (advisor): sync bytes alone, or an ID3 skip landing
+            # past the end, must not pass the router as a healthy
+            # all-null inventory — no complete frame header was parsed
+            raise ValueError("mp3 payload contains no complete frame")
         out.update(
             container="mp3", sample_rate=rate, n_frames=frames,
             duration_ms=frames * 1152 * 1000 // rate if rate else None,
@@ -1222,12 +1231,18 @@ def probe_media_routed(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # r9 (advisor): NULL ids/payloads are data, not crashes —
+                # a TypeError escaping the handlers would kill the scan
+                # stage, exactly what this router exists to prevent.
                 base = {
-                    "media_id": int(mid), "container": None, "width": None,
+                    "media_id": None if pd.isna(mid) else int(mid),
+                    "container": None, "width": None,
                     "height": None, "n_frames": None, "sample_rate": None,
                     "duration_ms": None, "error_class": None,
                 }
                 try:
+                    if payload is None:
+                        raise ValueError("null payload")
                     base.update(probe_media(bytes(payload)))
                 except ValueError:
                     base["error_class"] = "ValueError"

@@ -4734,8 +4734,10 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination in the MIDDLE size regime (r8): when the eval set
     is too big to broadcast as a hash relation but the corpus is too big
     to shuffle wholesale, a bloom of the eval shingles
-    (operators/bloom — md5 positions, plan-literal bitmap, codegen bit
-    probes) prefilters the train side BEFORE the equi-join's exchange,
+    (operators/bloom — md5 positions, bitmap riding as a 1-row
+    BROADCAST relation via attach_bloom, codegen bit probes — never a
+    plan literal: element_at over a large literal array measured
+    O(m)/row) prefilters the train side BEFORE the equi-join's exchange,
     so the shuffle carries ~contaminated + FPR·clean shingles instead of
     every train shingle. Blooms have no false negatives and the join
     re-verifies, so the result — and the oracle — is IDENTICAL to

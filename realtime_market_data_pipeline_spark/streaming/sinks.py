@@ -196,6 +196,15 @@ def prepare_timescale_hypertable(
     Sandbox note: no Postgres/Timescale server ships in this container;
     the Derby-negative test pins the connection path + error surface and
     the same test runs for real under the suite's JDBC_URL switch."""
+    import re
+
+    # r9 (advisor): table/time_col are interpolated into SQL string
+    # literals — validate them as plain identifiers so a config-sourced
+    # quote can neither break the statement nor inject on the sink
+    # connection (same rule the MERGE writer's DDL path relies on)
+    for ident in (table, time_col):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+            raise ValueError(f"not a plain SQL identifier: {ident!r}")
     props = dict(properties or {})
     jvm = spark._jvm
     if "driver" in props:

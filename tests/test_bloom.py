@@ -144,3 +144,67 @@ def test_bloom_query_plan_prefilters_before_exchange(spark):
     # exchange beyond the join + final agg
     assert "Filter" in s
     assert P.exchange_count(df) <= 3
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    """r9 (advisor): NULL build keys hash to NULL positions and used to
+    crash the int64 packing with NaN. They must be dropped — a null key
+    never matches an inner/semi join — and the bitmap over the non-null
+    keys must be identical to one built without the nulls present."""
+    clean = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,), (None,)], "k long")
+    )
+    bm_clean = bloom.bloom_build(clean, "k", m_bits=1 << 12, k=4)
+    bm_dirty = bloom.bloom_build(dirty, "k", m_bits=1 << 12, k=4)
+    assert bm_dirty == bm_clean
+
+
+def test_bloom_prefilter_join_tolerates_null_keys_both_sides(spark):
+    """r9 (advisor): null join keys on either side must neither crash
+    the build nor change the result — prefilter+join stays ≡ plain join
+    with nulls present (nulls never equi-match)."""
+    probe = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (3, "d")], "k int, v string"
+    )
+    build = spark.createDataFrame(
+        [(1, 10.0), (None, 20.0), (3, 30.0)], "k int, w double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in bloom.bloom_prefilter_join(
+            probe, build, "k", m_bits=1 << 12
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in probe.join(build, "k").collect())
+    assert got == want and len(want) == 2
+
+
+def test_bloom_autosize_scans_build_side_once(spark):
+    """r9 (verdict #5): the auto-size path needs both a count() and the
+    position explode over the distinct build keys; the distinct relation
+    must be persisted across the two jobs (one scan of the build side)
+    and released before the join returns."""
+    # patch the runtime class: in pyspark 4 `pyspark.sql.DataFrame` is
+    # the ABC and instances are classic.dataframe.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    persisted: list[DataFrame] = []
+    orig = DataFrame.persist
+
+    def spy(self, *a, **kw):
+        persisted.append(self)
+        return orig(self, *a, **kw)
+
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    build = spark.range(0, 500).select(F.col("id").alias("k"))
+    try:
+        DataFrame.persist = spy
+        out = bloom.bloom_prefilter_join(probe, build, "k")  # m_bits=None
+        n = out.count()
+    finally:
+        DataFrame.persist = orig
+    assert n == 500
+    assert len(persisted) == 1, "distinct build keys must persist exactly once"
+    lvl = persisted[0].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "build keys not released"

@@ -410,3 +410,18 @@ def test_jdbc_merge_two_concurrent_writers_exactly_once(
             properties=PROPS,
         )
         assert stages.count() == 0
+
+
+def test_prepare_timescale_hypertable_rejects_bad_identifiers(spark):
+    """r9 (advisor): table/time_col are interpolated into SQL string
+    literals — config-sourced values containing quotes or anything but
+    a plain identifier must be rejected before touching the wire."""
+    for bad in ("feat'; DROP TABLE x; --", 'f"t', "1starts_with_digit", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            sinks.prepare_timescale_hypertable(
+                spark, "jdbc:derby:memory:x", table=bad
+            )
+        with pytest.raises(ValueError, match="identifier"):
+            sinks.prepare_timescale_hypertable(
+                spark, "jdbc:derby:memory:x", time_col=bad
+            )

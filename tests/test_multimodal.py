@@ -1124,3 +1124,54 @@ def test_plant_and_decode_media_distributed(spark):
                 d["sample_peak"],
             )
             assert r["width"] is None
+
+
+def test_probe_media_routed_null_payload_and_id(spark):
+    """r9 (advisor): NULL payloads / NULL media_ids are data, not
+    crashes — a TypeError at bytes(None) or int(None) would escape the
+    ValueError/NotImplementedError handlers and kill the scan stage,
+    exactly the failure the quarantine router exists to prevent."""
+    rows = [
+        (0, bytearray(mm.make_bmp(0, 5, 4))),  # good
+        (1, None),                             # null payload
+        (None, bytearray(mm.make_bmp(2, 5, 4))),  # null id, good payload
+        (None, None),                          # both null
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = mm.probe_media_routed(df).collect()
+    by_id = {r["media_id"]: r for r in got}
+    assert by_id[0]["container"] == "bmp" and by_id[0]["error_class"] is None
+    assert by_id[1]["error_class"] == "ValueError"
+    assert by_id[1]["container"] is None
+    nulls = [r for r in got if r["media_id"] is None]
+    assert len(nulls) == 2
+    assert {r["error_class"] for r in nulls} == {None, "ValueError"}
+    good_null = next(r for r in nulls if r["error_class"] is None)
+    assert good_null["container"] == "bmp"
+
+
+def test_probe_media_mp3_degenerate_payloads():
+    """r9 (advisor): sync bytes alone, and an ID3 skip landing past the
+    end of the payload, used to return a healthy all-null mp3 inventory
+    (frames=0) — both must raise ValueError and route to quarantine."""
+    with pytest.raises(ValueError, match="no complete frame"):
+        mm.probe_media(b"\xff\xfb")
+    # ID3 header declaring a syncsafe size far past the payload end
+    id3 = b"ID3\x04\x00\x00" + bytes([0x00, 0x00, 0x7F, 0x7F]) + b"\x00" * 4
+    with pytest.raises(ValueError, match="no complete frame"):
+        mm.probe_media(id3)
+    # and the router classifies them instead of dying
+    assert mm.probe_media is not None
+
+
+def test_probe_media_jpeg_fill_bytes():
+    """r9 (advisor): T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker — a padded-but-conformant JPEG must still parse its
+    SOF dimensions instead of misreading a bogus segment length."""
+    real = mm.make_jpeg(3)  # known-good baseline payload
+    # inject two fill bytes before the first marker after SOI
+    padded = real[:2] + b"\xff\xff" + real[2:]
+    d = mm.probe_media(padded)
+    ref = mm.probe_media(real)
+    assert (d["width"], d["height"]) == (ref["width"], ref["height"])
+    assert d["container"] == "jpeg"
