@@ -361,6 +361,10 @@ def decode_image(payload: bytes) -> dict:
     import struct
 
     if payload[:2] == b"BM":
+        if len(payload) < 34:
+            # short header must be ValueError per the two-exception
+            # contract, not a raw struct.error escaping the task (r9)
+            raise ValueError("BMP header truncated")
         data_offset = struct.unpack_from("<I", payload, 10)[0]
         hdr_size = struct.unpack_from("<I", payload, 14)[0]
         if hdr_size < 40:
@@ -1373,6 +1377,103 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_media_routed(media: DataFrame) -> DataFrame:
+    """Decode WITH QUARANTINE (r9, closes the r8 verdict's decode-stage
+    gap): ``probe_media_routed`` stopped one corrupt payload from
+    killing the INVENTORY pass, but at 100 TB the second pass — the
+    actual decode — has the same exposure, so it gets the same router.
+    Each payload decodes under the decoders' two-exception contract;
+    good rows carry the full ``decode_media`` stats, bad rows land with
+    ``error_class`` ('ValueError' = malformed bytes past the magic —
+    quarantine; 'NotImplementedError' = unknown container or no decoder
+    for the media_type — route to a codec-equipped pool) and NULL
+    stats. NULL payloads / media_types / media_ids are data, not
+    crashes. Same shuffle-free Arrow mapInPandas shape as
+    ``decode_media``; payloads never cross an exchange."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                row = {
+                    "media_id": None if pd.isna(mid) else int(mid),
+                    "media_type": None if mtype is None else str(mtype),
+                    "width": None, "height": None, "pixel_sum": None,
+                    "sample_rate": None, "n_samples": None,
+                    "sample_sum": None, "sample_peak": None,
+                    "error_class": None,
+                }
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    if mtype is None:
+                        raise NotImplementedError("null media_type")
+                    if mtype.startswith("image/"):
+                        d = decode_image(bytes(payload))
+                        row.update(
+                            width=d["width"], height=d["height"],
+                            pixel_sum=d["pixel_sum"],
+                        )
+                    elif mtype.startswith("audio/"):
+                        d = decode_audio(bytes(payload))
+                        row.update(
+                            sample_rate=d["sample_rate"],
+                            n_samples=d["n_samples"],
+                            sample_sum=d["sample_sum"],
+                            sample_peak=d["sample_peak"],
+                        )
+                    else:
+                        raise NotImplementedError(
+                            f"no decoder for media_type={mtype!r}"
+                        )
+                except ValueError:
+                    row["error_class"] = "ValueError"
+                except NotImplementedError:
+                    row["error_class"] = "NotImplementedError"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload", "media_type").mapInPandas(
+        run, DECODED_SCHEMA + ", error_class string"
+    )
+
+
+def fault_stripe(media: DataFrame, modulus: int = 11) -> DataFrame:
+    """Planted-fault generator for the DECODE quarantine oracles (r9) —
+    three deterministic corruption stripes over ``media_id``, each
+    exercising a different failure surface of the codecs' untrusted-byte
+    paths (``truncate_subset`` only cuts at the magic; the r8 verdict
+    asked for mid-structure coverage so the error paths INSIDE each
+    parser are exercised too):
+
+    - ``% modulus == 3``: payload NULLed — the ingest-gap case;
+    - ``% modulus == 5``: cut to the 2-byte magic — container either
+      half-recognized (ValueError) or unknown (NotImplementedError);
+    - ``% modulus == 7``: cut to 3/4 length — MID-STRUCTURE truncation
+      that parses headers fine and fails inside pixel/sample/chunk
+      data (measured deterministic: ValueError for every BMP/WAV/AVI
+      payload in the planted corpora).
+
+    All stripes are Column arithmetic, so the corruption itself is
+    shuffle-free and oracle-predictable."""
+    mid = F.col("media_id")
+    return media.withColumn(
+        "payload",
+        F.when(mid % modulus == 3, F.lit(None).cast("binary"))
+        .when(mid % modulus == 5, F.expr("substring(payload, 1, 2)"))
+        .when(
+            mid % modulus == 7,
+            F.expr(
+                "substring(payload, 1,"
+                " CAST(3 * length(payload) / 4 AS INT))"
+            ),
+        )
+        .otherwise(F.col("payload")),
+    )
+
+
 def _ffmpeg_path() -> str | None:
     """Locate an ffmpeg binary if the cluster image ships one (this
     container does not)."""
@@ -1789,6 +1890,56 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, "media_id long, frame_idx int, frame_pixel_sum long"
+    )
+
+
+def sample_video_frames_routed(
+    media: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling WITH QUARANTINE (r9): the routed twin of
+    ``sample_video_frames`` — the row-EXPANDING decode pass gets the
+    same corrupt-payload protection as the scalar decode
+    (``decode_media_routed``). Good containers fan out into their
+    sampled frame rows with NULL ``error_class``; a corrupt or NULL
+    payload contributes exactly ONE row with NULL frame fields and the
+    error class, so the quarantine set stays joinable by media_id and
+    a poison container can no longer kill a 100 TB frame-extraction
+    stage. Shuffle-free Arrow mapInPandas, payloads never cross an
+    exchange."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, errs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = None if pd.isna(mid) else int(mid)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    d = decode_avi(bytes(payload))
+                except ValueError:
+                    ids.append(mid); idxs.append(None)
+                    sums.append(None); errs.append("ValueError")
+                    continue
+                except NotImplementedError:
+                    ids.append(mid); idxs.append(None)
+                    sums.append(None); errs.append("NotImplementedError")
+                    continue
+                for f in range(0, d["n_frames"], every_n):
+                    ids.append(mid); idxs.append(f)
+                    sums.append(d["frame_sums"][f]); errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="Int64"),
+                    "frame_idx": pd.Series(idxs, dtype="Int32"),
+                    "frame_pixel_sum": pd.Series(sums, dtype="Int64"),
+                    "error_class": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, frame_idx int, frame_pixel_sum long, "
+        "error_class string",
     )
 
 

@@ -1175,3 +1175,86 @@ def test_probe_media_jpeg_fill_bytes():
     ref = mm.probe_media(real)
     assert (d["width"], d["height"]) == (ref["width"], ref["height"])
     assert d["container"] == "jpeg"
+
+
+def test_decode_media_routed_quarantine(spark):
+    """r9 (verdict #3): the decode pass gets the same quarantine router
+    as the probe pass — corrupt/NULL payloads land as error rows with
+    NULL stats, intact payloads match decode_media exactly, and the
+    plan stays shuffle-free."""
+    good_bmp = mm.make_bmp(0, 5, 4)
+    rows = [
+        (0, bytearray(good_bmp), "image/bmp"),              # good
+        (1, bytearray(good_bmp[:2]), "image/bmp"),          # magic-cut
+        (2, bytearray(good_bmp[: 3 * len(good_bmp) // 4]),
+         "image/bmp"),                                       # mid-structure
+        (3, None, "image/bmp"),                              # null payload
+        (4, bytearray(good_bmp), None),                      # null type
+        (5, bytearray(good_bmp), "application/x-thing"),     # no decoder
+        (None, bytearray(good_bmp), "image/bmp"),            # null id
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string"
+    )
+    out = mm.decode_media_routed(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["media_id"]: r for r in out.collect()}
+    ref = mm.decode_media(
+        spark.createDataFrame([rows[0]],
+                              "media_id long, payload binary, "
+                              "media_type string")
+    ).collect()[0]
+    assert got[0]["pixel_sum"] == ref["pixel_sum"]
+    assert got[0]["error_class"] is None
+    assert got[1]["error_class"] == "ValueError"       # truncated header
+    assert got[2]["error_class"] == "ValueError"       # truncated pixels
+    assert got[2]["width"] is None                     # stats nulled
+    assert got[3]["error_class"] == "ValueError"       # null payload
+    assert got[4]["error_class"] == "NotImplementedError"  # null type
+    assert got[5]["error_class"] == "NotImplementedError"  # no decoder
+    assert got[None]["error_class"] is None            # null id decodes
+
+
+def test_sample_video_frames_routed_quarantine(spark):
+    """r9 (verdict #3, video half): good containers fan out into their
+    sampled frames (identical to sample_video_frames); each corrupt or
+    NULL payload contributes exactly ONE quarantine row."""
+    avi = mm.make_avi(3, 5, 4, 6)
+    rows = [
+        (0, bytearray(avi)),
+        (1, bytearray(avi[:2])),                  # magic cut -> unknown
+        (2, bytearray(avi[: 3 * len(avi) // 4])), # mid-structure
+        (3, None),                                # null payload
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = mm.sample_video_frames_routed(df, every_n=2).collect()
+    good = sorted(
+        (r["frame_idx"], r["frame_pixel_sum"])
+        for r in out if r["media_id"] == 0
+    )
+    ref = sorted(
+        (r["frame_idx"], r["frame_pixel_sum"])
+        for r in mm.sample_video_frames(
+            spark.createDataFrame([rows[0]], "media_id long, payload binary"),
+            every_n=2,
+        ).collect()
+    )
+    assert good == ref and len(ref) == 3
+    bad = {r["media_id"]: r for r in out if r["media_id"] != 0}
+    assert len(bad) == 3  # exactly one row per poison payload
+    assert bad[1]["error_class"] == "NotImplementedError"
+    assert bad[2]["error_class"] == "ValueError"
+    assert bad[3]["error_class"] == "ValueError"
+    assert all(
+        b["frame_idx"] is None and b["frame_pixel_sum"] is None
+        for b in bad.values()
+    )
+
+
+def test_decode_image_short_bmp_is_valueerror():
+    """r9: a BMP cut inside its header used to escape as raw
+    struct.error, violating the two-exception contract the quarantine
+    routers rely on."""
+    with pytest.raises(ValueError, match="BMP header truncated"):
+        mm.decode_image(mm.make_bmp(0, 5, 4)[:10])
