@@ -267,3 +267,94 @@ def embedding_dedup_writer(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return write
+
+
+def decontamination_writer(
+    eval_shingles_dir: str,
+    bitmap: list[int],
+    m_bits: int,
+    out_dir: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom_k: int = 5,
+) -> BatchWriter:
+    """Streaming decontamination (r9, closes r8 verdict #7): flag newly
+    ingested documents that share any k-gram with the EVAL benchmark set,
+    per micro-batch — the online form of
+    ``text.decontaminate_against_eval``. Composes the two proven pieces:
+
+    - the batch/stream-parity BLOOM predicate (operators/bloom; the
+      bitmap of eval shingles rides as a broadcast 1-row relation and
+      the k bit probes are pure codegen Columns) prefilters each
+      batch's shingles, so the exact verification join only sees
+      ~contaminated + FPR·clean shingles — at 100 TB/day of ingest the
+      eval-shingle store is only ever joined against a trickle;
+    - the exact eval-shingle parquet store re-verifies the probable
+      hits (blooms have no false negatives, so prefilter+join ≡ plain
+      join — the decontamination_bloom contract), and results land in
+      ``out_dir/batch_id=N`` via dynamic-partition overwrite — the
+      ``minhash_dedup_writer`` exactly-once pattern: a replayed batch
+      rewrites itself.
+
+    Every ingested doc lands with (doc_id, n_shared_ngrams,
+    contaminated) — the router downstream keeps clean docs and
+    quarantines flagged ones."""
+    from realtime_market_data_pipeline_spark.operators import bloom
+    from realtime_market_data_pipeline_spark.operators.text import (
+        shingles_long,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh = shingles_long(batch_df, text_col, id_col, k=k)
+        probable = (
+            bloom.attach_bloom(sh, bitmap)
+            .filter(
+                bloom.bloom_might_contain(
+                    F.col(bloom.BLOOM_COL), F.col("shingle"), m_bits,
+                    k=bloom_k,
+                )
+            )
+            .drop(bloom.BLOOM_COL)
+        )
+        ev = (
+            spark.read.parquet(eval_shingles_dir)
+            .select("shingle")
+            .distinct()
+        )
+        hits = (
+            probable.join(ev, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        )
+        flagged = (
+            batch_df.select(id_col)
+            .join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_shared_ngrams", F.lit(0))
+                .cast("long")
+                .alias("n_shared_ngrams"),
+                (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias(
+                    "contaminated"
+                ),
+            )
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                flagged.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return write

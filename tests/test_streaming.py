@@ -1672,3 +1672,104 @@ def test_streaming_quarantine_survives_corrupt_payloads(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_decontamination_across_batches(spark, tmp_path):
+    """r9 (verdict #7): newly ingested docs are flagged against the eval
+    bloom per micro-batch — bloom prefilter (broadcast bitmap, codegen
+    bit probes) + exact verify against the eval-shingle store — and the
+    flags across ALL batches equal the batch-mode shingle join on the
+    same corpus; a replayed batch rewrites itself."""
+    from realtime_market_data_pipeline_spark.operators import bloom
+    from realtime_market_data_pipeline_spark.operators.text import (
+        shingles_long,
+    )
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    d = str(tmp_path / "docs_in")
+    ev_dir = str(tmp_path / "eval_shingles")
+    out = str(tmp_path / "decon_out")
+    ckpt = str(tmp_path / "decon_ckpt")
+
+    eval_text = (
+        "the held out benchmark question asks which planet is closest to "
+        "the sun and expects mercury as the only acceptable answer"
+    )
+    clean1 = (
+        "a completely unrelated training document about parquet row group "
+        "sizes and adaptive query execution in distributed engines"
+    )
+    leak = (
+        "students memorize that the benchmark question asks which planet "
+        "is closest to the sun before the exam starts"
+    )  # shares 8-grams with eval_text
+    clean2 = (
+        "another clean training text describing bloom filter bit probes "
+        "and broadcast relations in analytical query planners"
+    )
+
+    K = 8
+    ev_docs = spark.createDataFrame(
+        [(1000, eval_text)], "doc_id long, text string"
+    )
+    ev_sh = shingles_long(ev_docs, k=K).select("shingle").distinct()
+    ev_sh.write.mode("overwrite").parquet(ev_dir)
+    m_bits = 1 << 12
+    bm = bloom.bloom_build(ev_sh, "shingle", m_bits=m_bits)
+
+    writer = sdedup.decontamination_writer(ev_dir, bm, m_bits, out, k=K)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    def run():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    write_file([(1, clean1), (2, leak)])
+    run()
+    write_file([(3, clean2)])
+    run()
+
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.contaminated)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] is False and got[3][1] is False
+    assert got[2][1] is True and got[2][0] > 0
+
+    # stream ≡ batch: the flags equal the exact batch-mode shingle join
+    all_docs = spark.createDataFrame(
+        [(1, clean1), (2, leak), (3, clean2)], "doc_id long, text string"
+    )
+    sh = shingles_long(all_docs, k=K)
+    exact = {
+        r.doc_id: r.n
+        for r in sh.join(spark.read.parquet(ev_dir), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for did in (1, 2, 3):
+        assert got[did][0] == exact.get(did, 0)
+
+    # replay of batch 1 (doc 3) rewrites its partition, outcome unchanged
+    writer(
+        spark.createDataFrame([(3, clean2)], "doc_id long, text string"), 1
+    )
+    got2 = {
+        r.doc_id: (r.n_shared_ngrams, r.contaminated)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == got
