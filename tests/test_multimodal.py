@@ -1258,3 +1258,51 @@ def test_decode_image_short_bmp_is_valueerror():
     routers rely on."""
     with pytest.raises(ValueError, match="BMP header truncated"):
         mm.decode_image(mm.make_bmp(0, 5, 4)[:10])
+
+
+def test_codec_per_payload_cost_pins():
+    """r9 (verdict #2): per-codec µs/payload regression pins. The r8
+    bench read the decode family +16-24% coherently; A/B-running the r7
+    codec on the same interpreter showed IDENTICAL per-payload cost
+    (103.5 µs both), attributing the drift to machine variance on
+    CPython-bound work, not code. These bounds are ~4x the measured
+    steady-state (scripts/codec_microbench.py, maintained table in
+    SURVEY §9) — loose enough to ride machine noise, tight enough that
+    a rebuilt-per-payload-table class of regression (the r7 Huffman-map
+    bug was 6x) fails loudly."""
+    import time
+
+    from realtime_market_data_pipeline_spark.operators import flac as fl
+
+    def per_payload_us(fn, payloads, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for p in payloads:
+                fn(p)
+            best = min(
+                best, (time.perf_counter() - t0) / len(payloads) * 1e6
+            )
+        return best
+
+    ids = list(range(120))
+    jpg = [mm.make_jpeg(d) for d in ids if d % 2 == 0]  # baseline halves
+    png = [mm.make_png(d, (d % 13) + 4, (d % 11) + 4) for d in ids]
+    flacs = [
+        fl.encode_flac(
+            [[((d * 31 + i * 17) % 65536) - 32768
+              for i in range((d % 23) + 8)]],
+            sample_rate=8000 + (d % 5) * 1000, block_size=8,
+        )
+        for d in ids
+    ]
+    mixed = [
+        mm.make_bmp(d, 5, 4) if d % 3 == 0
+        else mm.make_wav(d, 10, 8000) if d % 3 == 1
+        else mm.make_ogg(d, 3)
+        for d in ids
+    ]
+    assert per_payload_us(mm.decode_image, jpg) < 450   # measured ~105
+    assert per_payload_us(mm.decode_image, png) < 300   # measured ~70
+    assert per_payload_us(mm.decode_audio, flacs) < 500  # measured ~120
+    assert per_payload_us(mm.probe_media, mixed) < 120  # measured ~10
