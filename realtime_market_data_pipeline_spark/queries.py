@@ -6725,125 +6725,116 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # r8 WINDOW (staleness-first; post-r7 distribution was r7 ×50,
-    # r6 ×48, r5 ×46 — judge-recomputed, superseding the ×42/×44
-    # estimate staged above).
-    # (1) new / results-changed in r8 — 4 slots, all NEW SEMANTICS:
-    # multimodal_quarantine (fault-routing prober over a
-    # planted-corruption corpus), bloom_prefilter_join (bloom join
-    # pruning with a plain-join-equivalence oracle),
-    # multimodal_video_mjpeg (COMPRESSED video: MJPEG-in-AVI decoded
-    # through the T.81 codec, bit-exact constant frames), and
-    # multimodal_probe (results changed: six-format corpus — ogg
-    # framing + AVI duration join the inventory). Four more queries sit
-    # on r8-changed code whose registered RESULTS are provably
-    # unchanged and lead the spillover at slots 51-54 rather than
-    # displacing r5 rows the staleness invariant needs:
-    # embedding_ann_ivf (training now persists the vector relation
-    # across Lloyd iterations — plan-only change, pinned by
-    # test_ivf_training_persists_and_releases_vectors), multimodal_resize
-    # (gray+alpha branch; its corpus is RGB-only, branch pinned by
-    # test_resize_media_gray_alpha_png), multimodal_decode_jpeg (the
-    # progressive AC-refine fix emits identical streams for
-    # block-constant payloads; pinned by a hand-built coefficient
-    # vector + 400-raster roundtrip stress), multimodal_decode_flac
-    # (blocksize validation + 16-bit size code, inert at the corpus's
-    # block_size<=256) — all four verified exact by the strict local
-    # driver check on this tree (146/146 full-registry sweep).
-    "multimodal_quarantine",
-    "multimodal_probe",
-    "bloom_prefilter_join",
-    "multimodal_video_mjpeg",
-    # (2) ALL 46 rows whose last driver-green is r5 — exactly two rounds
-    # old; every one must recertify in r8 or the ≤2-round staleness
-    # invariant breaks for the first time.
-    "anti_join_customers",
-    "asof_last_purchase",
-    "atr_14_daily",
-    "beta_vs_market_daily",
-    "copurchase_brand_pairs",
-    "dedup_embedding_cosine",
-    "dedup_last_write_wins",
-    "dedup_sorted_neighborhood",
-    "doc_train_eval_split",
-    "embedding_l2_normalized",
-    "embedding_quantized_int8",
-    "embedding_similar_pairs",
-    "entity_resolution_clusters",
-    "equidepth_bins_value",
-    "events_value_drift_psi",
-    "events_value_histogram",
-    "inverted_index_postings",
-    "kmv_distinct_users",
-    "kmv_jaccard_pairs",
-    "kpi_summary",
-    "point_in_time_enrich",
-    "q10_returned_item_customers",
-    "q14_promo_revenue_ratio",
-    "q15_top_suppliers",
-    "q16_brand_size_suppliers",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q22_idle_customers",
-    "q3_shipping_priority",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "regex_extract_brands",
-    "seasonal_baseline_backtest",
-    "semi_join_customers",
-    "sequence_pattern_counts",
-    "stats_price_quantity",
-    "token_weighted_sample",
-    "topk_per_type",
-    "triangle_count_supplier_graph",
-    "vwap_brand_month",
-    "zscore_outlier_events",
-    # (3) spillover — the late-r8 NEW decontamination_bloom first (its
-    # oracle is decontamination_8gram's verbatim, result-identical by
-    # the no-false-negatives argument and green in the strict local
-    # check; it certifies with the r6 decontamination sweep in r9),
-    # then changed-code-but-result-identical recertifications, then the
-    # r6-green rows (they rotate in r9 before turning three rounds old).
+    # r9 WINDOW (staleness-first; post-r8 distribution judge-recomputed:
+    # r8 x50, r7 x49, r6 x48, plus decontamination_bloom never
+    # driver-adjudicated).
+    # (1) NEW in r9 — 3 slots, all new semantics: the decode-stage
+    # quarantine pair (decode_media_routed / sample_video_frames_routed
+    # over the three-stripe fault corpus — null payload, magic cut,
+    # MID-STRUCTURE 3/4 truncation) and the ANN index-persistence
+    # equality contract (loaded-search == trained-search via two-way
+    # exceptAll + the usual recall floor):
+    "multimodal_quarantine_decode",
+    "multimodal_quarantine_frames",
+    "embedding_ann_ivf_persisted",
+    # (2) decontamination_bloom — late-r8 NEW, its FIRST driver
+    # adjudication (the one never-certified query in the registry;
+    # oracle shared verbatim with its r6 twin decontamination_8gram,
+    # which certifies beside it in this same window):
     "decontamination_bloom",
+    # (3) 46 of the 48 rows whose last driver-green is r6 — exactly two
+    # rounds old; every one must recertify in r9 or the <=2-round
+    # staleness invariant breaks. multimodal_features stays in-window
+    # deliberately: it sits on multimodal.py, which r9 changed (probe
+    # null guards, fill-byte walk, routed decode twins).
+    "bm25_top20",
+    "bollinger_breach_stats",
+    "counter_agg_1h",
+    "curation_pipeline",
+    "date_parts_orders",
+    "decontamination_8gram",
+    "dedup_clusters",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash32",
+    "distinct_counts",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_lm_scores",
+    "doc_quality_scores",
+    "doc_token_stats",
+    "ema_macd_daily",
+    "features_sliding_6h_1h",
+    "features_tumbling_1d",
+    "features_tumbling_1h",
+    "gapfill_interpolate_1m",
+    "gapfill_locf_1m",
+    "hybrid_search_rrf",
+    "json_props_stats",
+    "max_drawdown_per_symbol",
+    "multimodal_features",
+    "ohlc_rollup_1m_1h",
+    "pairwise_return_corr",
+    "pii_scrub",
+    "pivot_last_daily",
+    "props_key_counts",
+    "realized_vol_1d",
+    "region_revenue",
+    "rollup_returnflag_status",
+    "rsi_14_daily",
+    "sequence_packing_256",
+    "setop_active_both_years",
+    "setop_lapsed_customers",
+    "state_agg_user_event",
+    "stochastic_14_3",
+    "string_funcs_part",
+    "tfidf_top3_terms",
+    "twap_1h",
+    "unpivot_lineitem_measures",
+    # (4) spillover slots 51-52: the TWO r6 rows displaced by the three
+    # new queries + decontamination_bloom (50-slot budget). Displacement
+    # justification (the r8 precedent): both are pure Catalyst rollup
+    # constructs (GROUPING SETS / CUBE over readside aggregation) whose
+    # query functions and modules (operators/readside.py) r9 did not
+    # touch — git diff confirms zero changes under them — so their r6
+    # semantics are provably still what the driver certified; they are
+    # three rounds old at r9 close and MUST lead the r10 window.
+    "grouping_sets_flag_status",
+    "cube_brand_size",
+    # (5) then the r8-changed-code-results-unchanged refreshers from the
+    # r8 spillover, ahead of the r7 bulk:
     "embedding_ann_ivf",
     "multimodal_resize",
     "multimodal_decode_jpeg",
     "multimodal_decode_flac",
+    "multimodal_quarantine",
+    "multimodal_probe",
+    "bloom_prefilter_join",
+    "multimodal_video_mjpeg",
 ]
 
 # ---------------------------------------------------------------------------
-# STAGED r9 PLAN (staleness-first). Post-r8 distribution over the
-# 148-query registry: r8 ×50 (3 new + probe + 46 former-r5), r7 ×49
-# (the r7 window minus probe, which re-certified in r8), r6 ×48
-# (untouched this round — exactly two rounds old after r8), plus
-# decontamination_bloom (late-r8 NEW, spillover slot 51 — never
-# driver-adjudicated; it MUST take an r9 slot alongside its r6 twin).
-# The r9 window: slots for whatever code changes in r9 first +
-# decontamination_bloom, then ALL 48 r6-green rows (bm25_top20,
-# bollinger_breach_stats, counter_agg_1h, cube_brand_size,
-# curation_pipeline, date_parts_orders, decontamination_8gram,
-# dedup_clusters, dedup_edit_distance, dedup_exact, dedup_minhash_lsh,
-# dedup_ngram_jaccard, dedup_simhash32, distinct_counts,
-# doc_fingerprint, doc_lang_id, doc_lm_scores, doc_quality_scores,
-# doc_token_stats, ema_macd_daily, features_sliding_6h_1h,
-# features_tumbling_1d, features_tumbling_1h, gapfill_interpolate_1m,
-# gapfill_locf_1m, grouping_sets_flag_status, hybrid_search_rrf,
-# json_props_stats, max_drawdown_per_symbol, multimodal_features,
-# ohlc_rollup_1m_1h, pairwise_return_corr, pii_scrub, pivot_last_daily,
-# props_key_counts, realized_vol_1d, region_revenue,
-# rollup_returnflag_status, rsi_14_daily, sequence_packing_256,
-# setop_active_both_years, setop_lapsed_customers, state_agg_user_event,
-# stochastic_14_3, string_funcs_part, tfidf_top3_terms, twap_1h,
-# unpivot_lineitem_measures) — 48 + decontamination_bloom + ≤1
-# changed-code slot fills the 50; if r9 changes code under more
-# windowed queries, the overflow must come from r6 rows whose module
-# r9 did NOT touch, with the displacement justified here as r8 did for
-# ann_ivf/resize/jpeg/flac. The 49 r7-green rows then lead r10.
+# STAGED r10 PLAN (staleness-first). Post-r9 distribution over the
+# 152-query registry, assuming the r9 window above goes green:
+# r9 x50 (3 new + decontamination_bloom + 46 r6 recerts), r8 x46
+# (the r8 window minus the 4 that lead this round's spillover recerts
+# — they hold r8-green rows on results-unchanged code), r7 x49, plus
+# the TWO displaced r6 rows (grouping_sets_flag_status,
+# cube_brand_size) which are THREE rounds old at r9 close — the only
+# rows beyond the two-round budget, displaced with justification
+# above. The r10 window MUST therefore be, in order: (1) whatever
+# code changes in r10 first; (2) grouping_sets_flag_status +
+# cube_brand_size (oldest, non-negotiable); (3) the 49 r7-green rows
+# (events_time_range, features family recerts, sql_frontend_scan,
+# synthetic_gbm_features, top_orders_global, union_backfill_counts,
+# the graph family, ER clustering, KMV, as-of join, the r7 multimodal
+# decode family, heavy-hitters pair, tick_validation_counts, and the
+# rest of the r7 window). 2 + 49 = 51 > 50, so even with zero new
+# queries at least one r7 row spills to r11 — pick the spill from r7
+# rows whose modules r10 does NOT touch and justify the displacement
+# here, exactly as r9 did for the two rollup rows.
 # ---------------------------------------------------------------------------
 
 

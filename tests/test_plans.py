@@ -323,44 +323,45 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
-    # STALENESS-FIRST rotation: the r8 window must hold (a) queries whose
-    # code changed this round (probe's six-format corpus, resize GA
-    # branch, the progressive-JPEG refine fix, IVF persist), (b) EVERY
-    # query whose last driver row is r5 — two rounds old, the staleness
-    # budget's maximum
+    # STALENESS-FIRST rotation: the r9 window must hold (a) the three
+    # queries NEW in r9 (decode-stage quarantine pair + ANN index
+    # persistence), (b) decontamination_bloom's FIRST driver
+    # adjudication, (c) EVERY r6-green row except the two displaced
+    # rollup rows (grouping_sets_flag_status, cube_brand_size — modules
+    # untouched in r9, justified in the registry comment, staged to
+    # lead r10 at slots 51-52)
     names = list(Q.QUERIES)
     window = set(names[:50])
-    changed_r8 = {
-        "multimodal_quarantine", "multimodal_probe", "bloom_prefilter_join",
-        "multimodal_video_mjpeg",
+    new_r9 = {
+        "multimodal_quarantine_decode", "multimodal_quarantine_frames",
+        "embedding_ann_ivf_persisted", "decontamination_bloom",
     }
-    last_green_r5 = {
-        "anti_join_customers", "asof_last_purchase", "atr_14_daily",
-        "beta_vs_market_daily", "copurchase_brand_pairs",
-        "dedup_embedding_cosine", "dedup_last_write_wins",
-        "dedup_sorted_neighborhood", "doc_train_eval_split",
-        "embedding_l2_normalized", "embedding_quantized_int8",
-        "embedding_similar_pairs", "entity_resolution_clusters",
-        "equidepth_bins_value", "events_value_drift_psi",
-        "events_value_histogram", "inverted_index_postings",
-        "kmv_distinct_users", "kmv_jaccard_pairs", "kpi_summary",
-        "point_in_time_enrich", "q10_returned_item_customers",
-        "q14_promo_revenue_ratio", "q15_top_suppliers",
-        "q16_brand_size_suppliers", "q17_small_quantity_revenue",
-        "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
-        "q22_idle_customers", "q3_shipping_priority",
-        "q4_priority_with_returns", "q5_local_supplier_volume",
-        "q6_revenue_forecast", "q7_volume_shipping",
-        "q9_product_type_profit", "regex_extract_brands",
-        "seasonal_baseline_backtest", "semi_join_customers",
-        "sequence_pattern_counts", "stats_price_quantity",
-        "token_weighted_sample", "topk_per_type",
-        "triangle_count_supplier_graph", "vwap_brand_month",
-        "zscore_outlier_events",
+    last_green_r6 = {
+        "bm25_top20", "bollinger_breach_stats", "counter_agg_1h",
+        "curation_pipeline", "date_parts_orders", "decontamination_8gram",
+        "dedup_clusters", "dedup_edit_distance", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash32",
+        "distinct_counts", "doc_fingerprint", "doc_lang_id",
+        "doc_lm_scores", "doc_quality_scores", "doc_token_stats",
+        "ema_macd_daily", "features_sliding_6h_1h", "features_tumbling_1d",
+        "features_tumbling_1h", "gapfill_interpolate_1m",
+        "gapfill_locf_1m", "hybrid_search_rrf", "json_props_stats",
+        "max_drawdown_per_symbol", "multimodal_features",
+        "ohlc_rollup_1m_1h", "pairwise_return_corr", "pii_scrub",
+        "pivot_last_daily", "props_key_counts", "realized_vol_1d",
+        "region_revenue", "rollup_returnflag_status", "rsi_14_daily",
+        "sequence_packing_256", "setop_active_both_years",
+        "setop_lapsed_customers", "state_agg_user_event",
+        "stochastic_14_3", "string_funcs_part", "tfidf_top3_terms",
+        "twap_1h", "unpivot_lineitem_measures",
     }
-    assert len(last_green_r5) == 46
-    assert changed_r8 <= window, changed_r8 - window
-    assert last_green_r5 <= window, last_green_r5 - window
+    assert len(last_green_r6) == 46
+    assert new_r9 <= window, new_r9 - window
+    assert last_green_r6 <= window, last_green_r6 - window
+    # the displaced pair must sit at slots 51-52 so they lead r10
+    assert set(names[50:52]) == {
+        "grouping_sets_flag_status", "cube_brand_size"
+    }
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 
