@@ -112,6 +112,12 @@ HEADLINE = [
     "bloom_prefilter_join",
     "multimodal_video_mjpeg",
     "decontamination_bloom",
+    # r9 additions: quarantine-routed DECODE stage (scalar + row-expanding
+    # frame fan-out over the three-stripe fault corpus) and the persisted
+    # ANN index equality contract (train + save/load + both searches)
+    "multimodal_quarantine_decode",
+    "multimodal_quarantine_frames",
+    "embedding_ann_ivf_persisted",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -6803,8 +6803,19 @@ _REGISTRY_PRIORITY = [
     # three rounds old at r9 close and MUST lead the r10 window.
     "grouping_sets_flag_status",
     "cube_brand_size",
-    # (5) then the r8-changed-code-results-unchanged refreshers from the
-    # r8 spillover, ahead of the r7 bulk:
+    # (5) then the changed-code-but-results-unchanged refreshers ahead
+    # of the r7 bulk. r9 touched multimodal.py (probe null guards, mp3
+    # frames==0, JPEG fill-byte walk, BMP short-header ValueError, the
+    # routed decode twins) and bloom.py (null-key filter, single-scan
+    # persist) — every registered RESULT under those files is provably
+    # unchanged: the corpora contain no nulls/fill-bytes/degenerate
+    # payloads (r8-green multimodal_quarantine/probe re-verified exact
+    # in the r9 strict sweep on this tree), and the bloom changes alter
+    # only which jobs run, not the bitmap (pinned by
+    # test_bloom_build_ignores_null_keys equality). The error paths the
+    # r9 fixes DO exercise are driver-certified through the NEW
+    # fault-striped queries at slots 1-2, which plant null payloads and
+    # mid-structure cuts on purpose:
     "embedding_ann_ivf",
     "multimodal_resize",
     "multimodal_decode_jpeg",
@@ -6834,7 +6845,12 @@ _REGISTRY_PRIORITY = [
 # rest of the r7 window). 2 + 49 = 51 > 50, so even with zero new
 # queries at least one r7 row spills to r11 — pick the spill from r7
 # rows whose modules r10 does NOT touch and justify the displacement
-# here, exactly as r9 did for the two rollup rows.
+# here, exactly as r9 did for the two rollup rows. Suggested r10
+# new-query budget: complete the TPC-H corpus — q2 (correlated min-cost
+# supplier), q11 (HAVING vs global scalar), q12 (shipmode CASE agg),
+# q20 (nested semi-joins), q21 (multi-EXISTS waiting-supplier) — the
+# five shapes still missing from the 17 registered; add them EARLY in
+# r10 so they certify in r10's own window.
 # ---------------------------------------------------------------------------
 
 

@@ -619,3 +619,37 @@ def test_jpeg_random_raster_bounded_and_restart_property(seed, w, h, dri):
     # codes identical quantized coefficients -> identical pixels
     progressive = jpeg.decode_pixels(jpeg.encode_jpeg(img, progressive=True))
     assert np.array_equal(plain, progressive)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    nbytes=st.integers(0, 400),
+    magic=st.integers(0, 9),
+)
+@settings(max_examples=200, deadline=1000)
+def test_decoders_contract_on_arbitrary_bytes(seed, nbytes, magic):
+    """r9: the quarantine routers catch exactly ValueError /
+    NotImplementedError, so EVERY decoder must hold the two-exception
+    contract on fully ARBITRARY bytes — not just corrupted-valid
+    payloads (the older fuzz). Random buffers, optionally prefixed with
+    a real container magic so the parser commits to a branch before
+    the garbage starts, must never hang, never return from a clearly
+    impossible parse with raw IndexError/KeyError/struct.error, and
+    never kill the router with anything but the contract pair."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    body = bytes(rng.integers(0, 256, size=nbytes, dtype=np.uint8))
+    prefixes = [
+        b"", b"BM", b"P6", mm.PNG_SIG, b"\xff\xd8", b"RIFF", b"fLaC",
+        b"ID3", b"\xff\xfb", b"OggS",
+    ]
+    payload = prefixes[magic] + body
+    for dec in (mm.probe_media, mm.decode_image, mm.decode_audio,
+                mm.decode_avi):
+        try:
+            dec(payload)
+        except (ValueError, NotImplementedError):
+            pass
