@@ -5207,11 +5207,28 @@ def embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_t = sim.ann_topk_ivf(emb, queries_df, centers, k=_ANN_K, n_probe=6)
     ann_l = sim.ann_topk_ivf(emb, queries_df, loaded, k=_ANN_K, n_probe=6)
     exact = sim.cosine_topk(emb, queries_df, k=_ANN_K)
-    diff = ann_t.select(*cols).exceptAll(ann_l.select(*cols)).unionAll(
-        ann_l.select(*cols).exceptAll(ann_t.select(*cols))
-    )
-    eq = diff.agg(
-        (F.count(F.lit(1)) == 0).alias("loaded_equals_trained")
+    # multiset equality as ONE full-outer join of counted rows — a
+    # two-way exceptAll evaluates each ANN subplan twice (each
+    # evaluation re-runs the corpus assignment pass): equality leg
+    # measured 1.10 s (exceptAll) vs 0.79 s (this join) at sf0.1; the
+    # rest of the query's honest cost is the five ANN jobs themselves
+    # (train + two searches + exact + recall)
+    ct = ann_t.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt_t"))
+    cl = ann_l.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt_l"))
+    eq = (
+        ct.join(cl, cols, "full")
+        .agg(
+            (
+                F.count(
+                    F.when(
+                        F.coalesce("cnt_t", F.lit(0))
+                        != F.coalesce("cnt_l", F.lit(0)),
+                        1,
+                    )
+                )
+                == 0
+            ).alias("loaded_equals_trained")
+        )
     )
     return _ann_recall_summary(exact, ann_l).crossJoin(eq)
 
