@@ -118,6 +118,9 @@ HEADLINE = [
     "multimodal_quarantine_decode",
     "multimodal_quarantine_frames",
     "embedding_ann_ivf_persisted",
+    # late-r9: the adapted TPC-H Q21 double-correlated-existential shape
+    # (semi + anti self-joins sharing the l_orderkey exchange)
+    "q21_sole_returned_supplier",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -1641,6 +1641,80 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q21_sole_returned_supplier",
+    oracle="""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1, supplier, nation
+WHERE s_suppkey = l1.l_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 PLAN SHAPE, adapted (r9): the official Q21 (suppliers
+    who kept waiting multi-supplier orders) needs l_commitdate /
+    l_receiptdate, which the driver corpus lacks — this keeps the
+    double-correlated-existential structure on the columns that exist:
+    lines a supplier had RETURNED (l_returnflag='R') in orders that
+    involved ANOTHER supplier (EXISTS → left-semi self-join on
+    l_orderkey with a suppkey inequality) where NO other supplier's
+    line was returned (NOT EXISTS → left-anti on the returned subset,
+    same keys). That pair — semi and anti against the same self-joined
+    fact relation with an equi key + residual inequality — is the one
+    TPC-H join shape the registry was missing; Catalyst runs both as
+    SortMergeJoin LeftSemi/LeftAnti sharing the l_orderkey exchange.
+    Supplier + nation dims broadcast; top-20 by TakeOrdered. (q2/q11/
+    q20 remain structurally impossible: no PARTSUPP table; q12 also
+    lacks its date/shipmode columns.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    ret_others = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        ret_others,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    dim = F.broadcast(
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+            "s_suppkey", "s_name"
+        )
+    )
+    return (
+        waited.join(dim, waited.l_suppkey == dim.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@query(
     "q22_idle_customers",
     oracle="""
 WITH avg_bal AS (
@@ -6820,6 +6894,12 @@ _REGISTRY_PRIORITY = [
     # three rounds old at r9 close and MUST lead the r10 window.
     "grouping_sets_flag_status",
     "cube_brand_size",
+    # slot 53: q21_sole_returned_supplier — NEW late-r9 (the adapted
+    # TPC-H Q21 double-correlated-existential shape; q2/q11/q12/q20
+    # stay impossible on this corpus — no PARTSUPP or date/shipmode
+    # columns); never driver-adjudicated, strict-local-verified exact
+    # at sf0.01; MUST take an r10 slot right after the rollup pair:
+    "q21_sole_returned_supplier",
     # (5) then the changed-code-but-results-unchanged refreshers ahead
     # of the r7 bulk. r9 touched multimodal.py (probe null guards, mp3
     # frames==0, JPEG fill-byte walk, BMP short-header ValueError, the
@@ -6854,20 +6934,22 @@ _REGISTRY_PRIORITY = [
 # rows beyond the two-round budget, displaced with justification
 # above. The r10 window MUST therefore be, in order: (1) whatever
 # code changes in r10 first; (2) grouping_sets_flag_status +
-# cube_brand_size (oldest, non-negotiable); (3) the 49 r7-green rows
+# cube_brand_size (oldest, non-negotiable) + q21_sole_returned_supplier
+# (late-r9 NEW, never adjudicated); (3) the 49 r7-green rows
 # (events_time_range, features family recerts, sql_frontend_scan,
 # synthetic_gbm_features, top_orders_global, union_backfill_counts,
 # the graph family, ER clustering, KMV, as-of join, the r7 multimodal
 # decode family, heavy-hitters pair, tick_validation_counts, and the
-# rest of the r7 window). 2 + 49 = 51 > 50, so even with zero new
-# queries at least one r7 row spills to r11 — pick the spill from r7
+# rest of the r7 window). 3 + 49 = 52 > 50, so even with zero new
+# queries at least two r7 rows spill to r11 — pick the spill from r7
 # rows whose modules r10 does NOT touch and justify the displacement
-# here, exactly as r9 did for the two rollup rows. Suggested r10
-# new-query budget: complete the TPC-H corpus — q2 (correlated min-cost
-# supplier), q11 (HAVING vs global scalar), q12 (shipmode CASE agg),
-# q20 (nested semi-joins), q21 (multi-EXISTS waiting-supplier) — the
-# five shapes still missing from the 17 registered; add them EARLY in
-# r10 so they certify in r10's own window.
+# here, exactly as r9 did for the two rollup rows. Note on TPC-H
+# completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
+# q12/q21 need l_shipmode/l_commitdate/l_receiptdate) are structurally
+# impossible on the driver corpus — the 17 registered are every
+# official shape the tables can express; q21's double-correlated-
+# existential PLAN SHAPE is covered by the adapted
+# q21_sole_returned_supplier (r9).
 # ---------------------------------------------------------------------------
 
 

@@ -710,3 +710,19 @@ def test_er_levenshtein_runs_above_repartition(spark):
         "round-robin Exchange not found inside the levenshtein Filter's "
         "subtree — the DP was pushed below the repartition"
     )
+
+
+def test_q21_semi_anti_share_orderkey_exchange(spark):
+    """r9: the adapted Q21's double correlated existential must run as
+    LeftSemi + LeftAnti self-joins on l_orderkey (equi key + suppkey
+    inequality residual), with the supplier x nation dim BROADCAST and
+    the top-20 as TakeOrdered — never a cartesian or a Python eval."""
+    df = Q.QUERIES["q21_sole_returned_supplier"](spark, SF)
+    s = P.plan_string(df)
+    assert "LeftSemi" in s and "LeftAnti" in s
+    assert "BroadcastHashJoin" in s
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s and "BatchEvalPython" not in s
+    # the three lineitem branches shuffle on l_orderkey; the dim rides
+    # broadcast — keyed exchanges stay bounded
+    assert P.exchange_count(df) <= 4
