@@ -1773,3 +1773,81 @@ def test_streaming_decontamination_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == got
+
+
+def test_streaming_ann_search_with_persisted_index(spark, tmp_path):
+    """r9: query vectors arriving as a stream are searched per
+    micro-batch against the static corpus with the ONCE-persisted IVF
+    index; stream results across all batches equal the batch search
+    with the trained centroids (bit-exact index round-trip), and a
+    replayed batch rewrites its own partition."""
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from realtime_market_data_pipeline_spark.streaming import ann as sann
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    corpus_dir = str(tmp_path / "corpus")
+    emb.write.mode("overwrite").parquet(corpus_dir)
+    idx = str(tmp_path / "ivf_idx")
+    centers = sim.ivf_train_centroids(emb, n_centroids=8, n_iter=1)
+    sim.save_ann_index(spark, idx, centroids=centers)
+
+    q_in = str(tmp_path / "queries_in")
+    out = str(tmp_path / "hits_out")
+    ckpt = str(tmp_path / "ann_ckpt")
+    writer = sann.ann_search_writer(
+        spark, idx, corpus_dir, out, k=3, n_probe=3
+    )
+
+    qvecs = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 6).collect()
+    ]
+    schema = "query_id long, embedding array<float>"
+    spark.createDataFrame(qvecs[:3], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(q_in)
+    spark.createDataFrame(qvecs[3:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(q_in)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(q_in)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in sim.ann_topk_ivf(
+            emb,
+            spark.createDataFrame(qvecs, schema),
+            centers,
+            k=3,
+            n_probe=3,
+        ).collect()
+    )
+    assert got == want and len(got) == 18  # 6 queries x k=3
+    assert {r["batch_id"] for r in spark.read.parquet(out).collect()} == {
+        0, 1,
+    }
+
+    # replay of batch 1 rewrites in place — no duplicate hits
+    writer(spark.createDataFrame(qvecs[3:], schema), 1)
+    got2 = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == got
