@@ -1306,3 +1306,54 @@ def test_codec_per_payload_cost_pins():
     assert per_payload_us(mm.decode_image, png) < 300   # measured ~70
     assert per_payload_us(mm.decode_audio, flacs) < 500  # measured ~120
     assert per_payload_us(mm.probe_media, mixed) < 120  # measured ~10
+
+
+def test_decode_media_routed_compressed_formats(spark):
+    """r9: the routed decode holds its quarantine contract over the
+    COMPRESSED codecs too — PNG (zlib inflate), JPEG (entropy decode),
+    FLAC (rice decode) — under the same three stripes; classes measured
+    deterministic over 300-doc corpora: magic-cut -> unknown container
+    (NotImplementedError) except JPEG whose 2-byte SOI magic survives
+    (ValueError), mid-structure 3/4 cut -> ValueError for all three;
+    intact payloads decode identically to the unrouted path."""
+    docs = spark.createDataFrame([(i,) for i in range(44)], "doc_id long")
+    for planter, n_good_checked in ((mm.plant_png, 3), (mm.plant_jpeg, 3)):
+        media = mm.fault_stripe(planter(docs))
+        got = {r["media_id"]: r for r in mm.decode_media_routed(media).collect()}
+        ref = {
+            r["media_id"]: r
+            for r in mm.decode_media(planter(docs)).collect()
+        }
+        for did in range(44):
+            m = did % 11
+            if m == 3:
+                assert got[did]["error_class"] == "ValueError"  # null payload
+            elif m == 5:
+                expect = (
+                    "ValueError" if planter is mm.plant_jpeg
+                    else "NotImplementedError"
+                )
+                assert got[did]["error_class"] == expect, (planter, did)
+            elif m == 7:
+                assert got[did]["error_class"] == "ValueError"
+                assert got[did]["pixel_sum"] is None
+            else:
+                assert got[did]["error_class"] is None
+                assert got[did]["pixel_sum"] == ref[did]["pixel_sum"]
+    # FLAC corpus through the same router
+    media = mm.fault_stripe(mm.plant_flac(docs))
+    got = {r["media_id"]: r for r in mm.decode_media_routed(media).collect()}
+    ref = {
+        r["media_id"]: r for r in mm.decode_media(mm.plant_flac(docs)).collect()
+    }
+    for did in range(44):
+        m = did % 11
+        if m == 3:
+            assert got[did]["error_class"] == "ValueError"
+        elif m == 5:
+            assert got[did]["error_class"] == "NotImplementedError"
+        elif m == 7:
+            assert got[did]["error_class"] == "ValueError"
+        else:
+            assert got[did]["error_class"] is None
+            assert got[did]["sample_sum"] == ref[did]["sample_sum"]
