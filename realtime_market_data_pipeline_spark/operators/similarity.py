@@ -777,3 +777,106 @@ def load_ann_index(spark, path: str) -> dict:
         "planes": [v for _, v in planes],
         "n_tables": int(n_tables),
     }
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Build the FULL on-disk IVF index (r9): train centroids, persist
+    them (``save_ann_index`` under ``path/meta``), and write the corpus
+    CLUSTER-PARTITIONED under ``path/vectors`` — one parquet partition
+    per nearest-centroid bucket. This is what an IVF index actually IS
+    at rest: search only ever needs the ``n_probe`` probed buckets, and
+    a cluster-partitioned layout turns that into PARTITION PRUNING at
+    the scan (read n_probe/k of the corpus instead of all of it) —
+    the 100 TB lever the in-memory form (re-assigning the corpus per
+    search) cannot offer. Returns the trained centroids. Pass
+    ``centers`` to index with an already-trained codebook instead of
+    retraining."""
+    spark = corpus.sparkSession
+    if centers is None:
+        centers = ivf_train_centroids(
+            corpus, n_centroids=n_centroids, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+    save_ann_index(spark, f"{path}/meta", centroids=centers)
+    assign = ivf_assign(
+        corpus, centers, id_col=id_col, vec_col=vec_col, n_probe=1
+    )
+    (
+        corpus.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    return centers
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search against the ON-DISK index (``build_ivf_index``):
+    queries are assigned to their ``n_probe`` nearest centroid buckets
+    (centroids loaded once, driver-bounded) and joined to the
+    cluster-partitioned vector table on the PARTITION column, so the
+    scan reads only the probed buckets. The probed cluster set is
+    collected (bounded by n_queries x n_probe ints — the same
+    bounded-collect contract as the centroids) and pushed as a static
+    partition filter, which prunes at planning time on any Spark build;
+    the per-query (qid, cluster) equi-join then keeps candidate
+    semantics IDENTICAL to ``ann_topk_ivf`` with the same centroids —
+    equality is the oracle contract. Scoring/top-k are shared with the
+    in-memory form."""
+    centers = load_ann_index(spark, f"{index_dir}/meta")["centroids"]
+    if not centers:
+        raise ValueError(f"no centroids in index at {index_dir}/meta")
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("qid"),
+        as_double(vec_col).alias("qvec"),
+    )
+    q_assign = ivf_assign(
+        q, centers, id_col="qid", vec_col="qvec", n_probe=n_probe
+    )
+    probed = sorted(
+        r["cluster"] for r in q_assign.select("cluster").distinct().collect()
+    )
+    vectors = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("cluster").isin(probed))
+    )
+    c = vectors.select(
+        F.col(id_col).cast("long").alias("vid"),
+        as_double(vec_col).alias("cvec"),
+        "cluster",
+    )
+    cand = q_assign.join(c, "cluster").select("qid", "vid", "cvec")
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            F.round(
+                cosine(F.col("qvec"), F.col("cvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -280,3 +280,41 @@ def test_ann_ivf_loaded_index_identical_results(spark, tmp_path):
     )
     row = Q.QUERIES["embedding_ann_ivf"](spark, sf, index_path=p).collect()[0]
     assert row["recall_ge_floor"] is True
+
+
+def test_ivf_on_disk_index_partition_pruned_search(spark, tmp_path):
+    """r9: build_ivf_index writes the corpus CLUSTER-PARTITIONED next to
+    its centroids; ann_topk_ivf_indexed searches it reading ONLY the
+    probed buckets (partition filter pinned in the scan) and returns
+    rows IDENTICAL to the in-memory ann_topk_ivf with the same
+    centroids — the on-disk IVF lifecycle end-to-end."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_full")
+    centers = sim.build_ivf_index(emb, idx, n_centroids=8, n_iter=1)
+    # the vectors table is physically partitioned by cluster
+    parts = [
+        d for d in os.listdir(os.path.join(idx, "vectors"))
+        if d.startswith("cluster=")
+    ]
+    assert len(parts) >= 2
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_df = sim.ann_topk_ivf_indexed(spark, idx, q, k=3, n_probe=3)
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(
+        map(tuple, sim.ann_topk_ivf(emb, q, centers, k=3, n_probe=3).collect())
+    )
+    assert got == want and len(got) > 0
+    # the scan carries the probed-cluster partition filter: with 8
+    # buckets and <=4*3 probes, at least one bucket must be pruned
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the VECTORS scan must carry the probed-cluster IN filter (the
+    # queries-side embeddings scan is unpartitioned and reads empty
+    # PartitionFilters — match the cluster filter specifically)
+    m = re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*IN[^\]]*\]", plan)
+    assert m, "probed-cluster partition filter missing from vectors scan"
