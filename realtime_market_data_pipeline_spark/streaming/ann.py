@@ -1,22 +1,21 @@
-"""Streaming ANN search against a persisted index (r9).
+"""Streaming ANN search against a persisted on-disk IVF index (r9).
 
 The batch ANN operators (operators/similarity.py) answer "top-k corpus
 neighbors of these query vectors" one job at a time; a retrieval service
 over a 100 TB corpus gets its queries as a STREAM. This module is the
-online form: query vectors arrive in micro-batches, each batch searches
-the static corpus with the index that was trained ONCE and persisted
-(``save_ann_index``/``load_ann_index`` — the r9 index lifecycle), and
-results land batch_id-partitioned with dynamic overwrite so a replayed
-batch rewrites itself (the ``minhash_dedup_writer`` exactly-once
-pattern).
+online form: query vectors arrive in micro-batches and each batch
+searches the ON-DISK index built once by ``build_ivf_index`` (codebook
+parquet + the corpus CLUSTER-PARTITIONED by nearest centroid). Per
+micro-batch the search touches only the batch's probed buckets — the
+partition filter ``ann_topk_ivf_indexed`` pushes into the scan — so the
+steady-state cost is |batch| x n_probe bucket reads, NOT a corpus scan:
+the cost structure that survives 100 TB. Results land
+batch_id-partitioned with dynamic overwrite so a replayed batch
+rewrites itself (the ``minhash_dedup_writer`` exactly-once pattern).
 
-Scale shape per micro-batch: the query side is small (one batch), so
-``ann_topk_ivf`` broadcasts it against the corpus assignment; the
-corpus-side assignment is recomputed per batch here — at real scale the
-corpus bucket assignment is itself precomputed next to the index (one
-more parquet the index build step writes) and the per-batch cost drops
-to |batch| x n_probe bucket joins. The index load happens ONCE at
-writer construction (driver-bounded k x d doubles), not per batch.
+The codebook loads ONCE at writer construction (driver-bounded k x d
+doubles); the vectors stay on disk and are only ever read through the
+pruned scan.
 """
 
 from __future__ import annotations
@@ -25,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from realtime_market_data_pipeline_spark.operators.similarity import (
-    ann_topk_ivf,
+    ann_topk_ivf_indexed,
     load_ann_index,
 )
 from realtime_market_data_pipeline_spark.streaming.sinks import BatchWriter
@@ -33,8 +32,7 @@ from realtime_market_data_pipeline_spark.streaming.sinks import BatchWriter
 
 def ann_search_writer(
     spark,
-    index_path: str,
-    corpus_dir: str,
+    index_dir: str,
     out_dir: str,
     k: int = 5,
     n_probe: int = 4,
@@ -43,20 +41,21 @@ def ann_search_writer(
     query_id_col: str = "query_id",
 ) -> BatchWriter:
     """foreachBatch writer: search each micro-batch of query vectors
-    against the parquet corpus using the PERSISTED IVF index (loaded
-    once, here, at construction — bit-exact round-trip, so stream
-    results equal the batch search with the trained centroids)."""
-    centers = load_ann_index(spark, index_path)["centroids"]
-    if not centers:
-        raise ValueError(f"no centroids in index at {index_path}")
+    against the on-disk IVF index at ``index_dir`` (as written by
+    ``build_ivf_index``). The codebook is validated eagerly here — a
+    missing/empty index fails at construction, not in batch 17 — and
+    each batch's scan reads only its probed cluster partitions. Stream
+    results equal the batch search with the trained centroids (the
+    ``ann_topk_ivf_indexed`` equality contract)."""
+    if not load_ann_index(spark, f"{index_dir}/meta")["centroids"]:
+        raise ValueError(f"no centroids in index at {index_dir}/meta")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        corpus = sp.read.parquet(corpus_dir)
-        hits = ann_topk_ivf(
-            corpus,
+        hits = ann_topk_ivf_indexed(
+            sp,
+            index_dir,
             batch_df,
-            centers,
             k=k,
             n_probe=n_probe,
             id_col=id_col,
@@ -75,6 +74,8 @@ def ann_search_writer(
                 .parquet(out_dir)
             )
         finally:
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            sp.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
 
     return write

@@ -1777,10 +1777,11 @@ def test_streaming_decontamination_across_batches(spark, tmp_path):
 
 def test_streaming_ann_search_with_persisted_index(spark, tmp_path):
     """r9: query vectors arriving as a stream are searched per
-    micro-batch against the static corpus with the ONCE-persisted IVF
-    index; stream results across all batches equal the batch search
-    with the trained centroids (bit-exact index round-trip), and a
-    replayed batch rewrites its own partition."""
+    micro-batch against the ON-DISK IVF index (codebook + the corpus
+    cluster-partitioned, built once); each batch's scan reads only its
+    probed buckets, stream results across all batches equal the batch
+    search with the trained centroids, and a replayed batch rewrites
+    its own partition."""
     from realtime_market_data_pipeline_spark.io import load_table
     from realtime_market_data_pipeline_spark.operators import (
         similarity as sim,
@@ -1789,18 +1790,13 @@ def test_streaming_ann_search_with_persisted_index(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     emb = load_table(spark, sf, "embeddings")
-    corpus_dir = str(tmp_path / "corpus")
-    emb.write.mode("overwrite").parquet(corpus_dir)
     idx = str(tmp_path / "ivf_idx")
-    centers = sim.ivf_train_centroids(emb, n_centroids=8, n_iter=1)
-    sim.save_ann_index(spark, idx, centroids=centers)
+    centers = sim.build_ivf_index(emb, idx, n_centroids=8, n_iter=1)
 
     q_in = str(tmp_path / "queries_in")
     out = str(tmp_path / "hits_out")
     ckpt = str(tmp_path / "ann_ckpt")
-    writer = sann.ann_search_writer(
-        spark, idx, corpus_dir, out, k=3, n_probe=3
-    )
+    writer = sann.ann_search_writer(spark, idx, out, k=3, n_probe=3)
 
     qvecs = [
         (r["vec_id"], r["embedding"])
@@ -1851,3 +1847,9 @@ def test_streaming_ann_search_with_persisted_index(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got2 == got
+
+    # a missing index fails at writer CONSTRUCTION, not in a batch
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sann.ann_search_writer(spark, str(tmp_path / "nope"), out)
