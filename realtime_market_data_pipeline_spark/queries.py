@@ -5251,28 +5251,29 @@ def embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX PERSISTENCE (r9, closes r8 verdict #4): a 100 TB engine
     trains its IVF index ONCE, persists it, and searches the on-disk
     form — retraining k-means per query call re-scans the corpus for
-    nothing. This query exercises the whole index lifecycle and asserts
-    THREE contracts in one driver row:
+    nothing. This query exercises the whole index lifecycle
+    (``build_ivf_index``: codebook parquet + the corpus
+    CLUSTER-PARTITIONED at rest) and asserts three contracts in one
+    driver row:
 
-    - the usual recall floor vs the exact top-5;
-    - ``loaded_equals_trained`` — centroids round-tripped through the
-      parquet codebook (``save_ann_index``/``load_ann_index``, doubles
-      bit-exact) search ROW-IDENTICALLY to the in-memory trained ones;
-    - ``indexed_equals_trained`` — the FULL on-disk index
-      (``build_ivf_index``: codebook + the corpus CLUSTER-PARTITIONED
-      on disk) searched via ``ann_topk_ivf_indexed``, whose scan reads
-      ONLY the probed buckets through a partition filter (the n_probe/k
-      scan saving that is the point of IVF at rest), returns the same
-      rows again.
+    - ``loaded_equals_trained`` — the codebook reloaded from parquet is
+      BIT-EQUAL to the trained centroids (float == on every value).
+      Bit-equal codebooks make the flat searches identical BY
+      CONSTRUCTION (same closure values), so re-running a second flat
+      search would prove strictly less than this check; the
+      search-level equality is additionally pinned in pytest
+      (test_ann_ivf_loaded_index_identical_results).
+    - ``indexed_equals_trained`` — the on-disk index searched through
+      ``ann_topk_ivf_indexed`` (scan partition-pruned to the probed
+      buckets — the n_probe/k read that is the point of IVF at rest)
+      returns rows IDENTICAL to the in-memory trained search; multiset
+      equality as ONE counted full-outer join (a two-way exceptAll
+      evaluates every ANN subplan twice: 1.10 s vs 0.79 s at sf0.1).
+    - the usual recall floor of the indexed search vs the exact top-5.
 
-    Multiset equalities run as ONE counted full-outer join each — a
-    two-way exceptAll evaluates every ANN subplan twice (equality leg
-    measured 1.10 s exceptAll vs 0.79 s join at sf0.1); the rest of the
-    cost is the honest ANN jobs themselves (train + three searches +
-    exact + recall). The index lives at a FIXED per-sf path under the
-    warehouse dir, mode=overwrite — idempotent across calls, and the
-    indexed search must read it at execution time so it is not
-    deleted eagerly."""
+    The index lives at a FIXED per-sf path under the warehouse dir,
+    mode=overwrite — idempotent across calls; the indexed search reads
+    it at execution time, so it is not deleted eagerly."""
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5288,34 +5289,30 @@ def embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["query_id", "vec_id", "cosine_sim", "rank"]
     ann_t = sim.ann_topk_ivf(emb, queries_df, centers, k=_ANN_K, n_probe=6)
-    ann_l = sim.ann_topk_ivf(emb, queries_df, loaded, k=_ANN_K, n_probe=6)
     ann_i = sim.ann_topk_ivf_indexed(
         spark, path, queries_df, k=_ANN_K, n_probe=6
     )
     exact = sim.cosine_topk(emb, queries_df, k=_ANN_K)
-
     ct = ann_t.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt_t"))
-
-    def _eq(other: DataFrame, cnt: str, flag: str) -> DataFrame:
-        co = other.groupBy(*cols).agg(F.count(F.lit(1)).alias(cnt))
-        return ct.join(co, cols, "full").agg(
-            (
-                F.count(
-                    F.when(
-                        F.coalesce("cnt_t", F.lit(0))
-                        != F.coalesce(cnt, F.lit(0)),
-                        1,
-                    )
+    ci = ann_i.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt_i"))
+    eq = ct.join(ci, cols, "full").agg(
+        (
+            F.count(
+                F.when(
+                    F.coalesce("cnt_t", F.lit(0))
+                    != F.coalesce("cnt_i", F.lit(0)),
+                    1,
                 )
-                == 0
-            ).alias(flag)
-        )
-
-    return (
-        _ann_recall_summary(exact, ann_l)
-        .crossJoin(_eq(ann_l, "cnt_l", "loaded_equals_trained"))
-        .crossJoin(_eq(ann_i, "cnt_i", "indexed_equals_trained"))
+            )
+            == 0
+        ).alias("indexed_equals_trained")
     )
+    return (
+        _ann_recall_summary(exact, ann_i)
+        .withColumn("loaded_equals_trained", F.lit(loaded == centers))
+        .crossJoin(eq)
+    )
+
 
 
 # Single-table sign-LSH with the planes embedded as SQL literals: the one
