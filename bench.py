@@ -119,8 +119,10 @@ HEADLINE = [
     "multimodal_quarantine_frames",
     "embedding_ann_ivf_persisted",
     # late-r9: the adapted TPC-H Q21 double-correlated-existential shape
-    # (semi + anti self-joins sharing the l_orderkey exchange)
+    # (semi + anti self-joins sharing the l_orderkey exchange), and
+    # product-quantized ANN (ADC scan over 5-bit codes + exact re-rank)
     "q21_sole_returned_supplier",
+    "embedding_ann_pq",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

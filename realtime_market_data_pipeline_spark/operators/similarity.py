@@ -880,3 +880,248 @@ def ann_topk_ivf_indexed(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r9): the compression tier of the ANN stack.
+# IVF prunes WHICH vectors a query scores; PQ shrinks WHAT each score
+# costs — vectors become n_subspaces codes into per-subspace centroid
+# codebooks (here 8 x 4-bit = 4 bytes per 64-dim vector, 64x smaller
+# than float32), and a query scores a code with n_subspaces table
+# lookups instead of a d-dim dot product (ADC, asymmetric distance
+# computation — the FAISS IVFPQ shape as a pure dataflow). Lossy, so
+# the driver contract is the ANN recall floor with exact re-ranking of
+# the ADC top-R (re-rank reads only R true vectors per query).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with deterministic k-means on the
+    L2-NORMALIZED vectors (PQ approximates the inner product, so cosine
+    search needs unit vectors at both train and encode time): init = the
+    subvectors of the ``k_sub`` smallest-id vectors, then ``n_iter``
+    Lloyd steps. ALL subspaces train in the SAME two jobs per step — one
+    Arrow assignment pass emitting (vid, subspace, code) for every
+    subspace at once, one exact decimal mean over (subspace, code, pos)
+    — so job count does not scale with n_subspaces. Only the
+    n_subspaces x k_sub x sub_dim codebook reaches the driver."""
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v")
+    )
+    n = norm(F.col("v"))
+    v = v.select("vid", F.transform(F.col("v"), lambda x: x / n).alias("v"))
+    from pyspark import StorageLevel
+
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        first = [
+            list(r.v) for r in v.orderBy("vid").limit(k_sub).collect()
+        ]
+        dim = len(first[0])
+        if dim % n_subspaces:
+            raise ValueError("dim must divide evenly into n_subspaces")
+        sd = dim // n_subspaces
+        # books[s] : k_sub x sd
+        books = [
+            [first[c][s * sd : (s + 1) * sd] for c in range(k_sub)]
+            for s in range(n_subspaces)
+        ]
+        # long form of subvector components, computed once per iteration
+        # from the cached normalized relation (codegen posexplode)
+        comp = v.select(
+            "vid", F.posexplode("v").alias("pos", "x")
+        ).withColumn("s", (F.col("pos") / sd).cast("int"))
+        for _ in range(n_iter):
+            assigned = _pq_assign_codes(v, books, "vid", "v")
+            long_codes = assigned.select(
+                "vid", F.posexplode("codes").alias("s", "c")
+            )
+            means = (
+                comp.join(long_codes, ["vid", "s"])
+                .groupBy("s", "c", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,10)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .collect()
+            )
+            got: dict[tuple[int, int], dict[int, float]] = {}
+            for r in means:
+                got.setdefault((r.s, r.c), {})[r.pos] = r.m
+            books = [
+                [
+                    [got[(s, c)][p] for p in sorted(got[(s, c)])]
+                    if (s, c) in got
+                    else books[s][c]  # empty cluster keeps its centroid
+                    for c in range(k_sub)
+                ]
+                for s in range(n_subspaces)
+            ]
+        return books
+    finally:
+        v.unpersist()
+
+
+def _pq_assign_codes(
+    vectors: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, codes array<int>) — nearest per-subspace centroid by L2, all
+    subspaces in one vectorized Arrow pass."""
+    n_subspaces = len(books)
+    k_sub = len(books[0])
+    sd = len(books[0][0])
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(books, dtype=np.float64)  # S x K x sd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            N = M.reshape(len(pdf), n_subspaces, sd)
+            # dists: (n, S, K) via broadcasting
+            d = ((N[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d.argmin(axis=2).astype("int32")  # stable: first min
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes against trained codebooks: (id, codes)
+    where codes[s] indexes books[s]. Vectors are L2-normalized first
+    (the training-time convention). 4 bytes/vector at the default
+    8 x 4-bit geometry — the representation the 100 TB corpus stores."""
+    v = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        as_double(vec_col).alias("v"),
+    )
+    nn = norm(F.col("v"))
+    v = v.select(
+        id_col, F.transform(F.col("v"), lambda x: x / nn).alias("v")
+    )
+    return _pq_assign_codes(v, books, id_col, "v")
+
+
+def ann_topk_pq(
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-ranking: each query builds its
+    n_subspaces x k_sub inner-product table against the codebooks
+    (driver-free — tables are computed inside the Arrow pass from the
+    broadcast query batch), scores EVERY code row with n_subspaces
+    table lookups (the ADC scan — bytes instead of floats, the point of
+    PQ at 100 TB), keeps the ADC top-``rerank`` per query, and re-ranks
+    only those candidates with the exact cosine against the true
+    vectors. Lossy codes => the driver contract is recall@k of the
+    re-ranked result vs the exact top-k."""
+    import numpy as np
+
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("qid"),
+        as_double(vec_col).alias("qvec"),
+    )
+    qrows = [(int(r.qid), list(r.qvec)) for r in q.collect()]
+    if not qrows:
+        raise ValueError("empty query set")
+    n_subspaces = len(books)
+    sd = len(books[0][0])
+    B = np.array(books, dtype=np.float64)  # S x K x sd
+    Q = np.array([v for _, v in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    QS = Qn.reshape(len(qrows), n_subspaces, sd)
+    # tables[q][s][c] = <q_s, books[s][c]>  -> (nq, S, K)
+    tables = np.einsum("qsd,skd->qsk", QS, B)
+    qids = [qid for qid, _ in qrows]
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # n x S
+            n = len(pdf)
+            # scores: (nq, n) = sum_s tables[q, s, C[i, s]]
+            srange = np.arange(n_subspaces)
+            scores = tables[:, srange, C].sum(axis=2)  # nq x n
+            vids = pdf[id_col].to_numpy()
+            out_q = np.repeat(qids, n)
+            out_v = np.tile(vids, len(qids))
+            yield pd.DataFrame(
+                {
+                    "qid": out_q,
+                    "vid": out_v,
+                    "adc_score": scores.reshape(-1),
+                }
+            )
+
+    scored = corpus_codes.select(id_col, "codes").mapInPandas(
+        adc, schema="qid long, vid long, adc_score double"
+    )
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.col("adc_score").desc(), F.col("vid").asc()
+    )
+    cand = (
+        scored.filter(F.col("vid") != F.col("qid"))
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= rerank)
+        .select("qid", "vid")
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        as_double(vec_col).alias("cvec"),
+    )
+    rescored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "vid")
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

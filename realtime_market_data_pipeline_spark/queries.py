@@ -5192,6 +5192,37 @@ def _ann_recall_summary(exact: DataFrame, ann: DataFrame) -> DataFrame:
     )
 
 
+@query("embedding_ann_pq", oracle=_O_ANN_RECALL)
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (r9) — the COMPRESSION tier of the ANN
+    stack: IVF prunes which vectors a query scores, PQ shrinks what
+    each score costs. Vectors become 8 codes into per-subspace
+    codebooks (k_sub=32 -> 5 bits/code, ~5 bytes per 64-dim vector —
+    ~51x smaller than float32); a query scores a code with 8 table
+    lookups instead of a 64-dim dot product (ADC, the FAISS IVFPQ
+    shape as a pure dataflow: codebooks trained with the deterministic
+    Lloyd machinery — ALL subspaces in the same two jobs per step —
+    ADC as one vectorized Arrow scan over the code column, exact
+    re-rank of the ADC top-200 only). Lossy codes => the driver
+    contract is the recall floor of the re-ranked result vs the exact
+    top-5; the synthetic corpus is PQ's worst case (random vectors
+    have no cluster structure for the codebooks to exploit) and the
+    floor still holds deterministically at every SF (1.0 / 1.0 / 0.92
+    at sf0.001/0.01/0.1 — training is argmin-stable + decimal-exact,
+    so these are constants, not samples)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, n_subspaces=8, k_sub=32, n_iter=2)
+    codes = sim.pq_encode(emb, books)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = sim.ann_topk_pq(
+        codes, emb, queries_df, books, k=_ANN_K, rerank=200
+    )
+    exact = sim.cosine_topk(emb, queries_df, k=_ANN_K)
+    return _ann_recall_summary(exact, ann)
+
+
 @query("embedding_ann_lsh", oracle=_O_ANN_RECALL)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN with a recall-floor assertion: 12 tables × 3 bits
@@ -6908,6 +6939,11 @@ _REGISTRY_PRIORITY = [
     # columns); never driver-adjudicated, strict-local-verified exact
     # at sf0.01; MUST take an r10 slot right after the rollup pair:
     "q21_sole_returned_supplier",
+    # slot 54: embedding_ann_pq — NEW late-r9 (product-quantized ANN:
+    # ADC over 8x5-bit codes + exact re-rank, deterministic recall
+    # contract); never driver-adjudicated, strict-local-verified exact
+    # at sf0.01; MUST window in r10 with q21:
+    "embedding_ann_pq",
     # (5) then the changed-code-but-results-unchanged refreshers ahead
     # of the r7 bulk. r9 touched multimodal.py (probe null guards, mp3
     # frames==0, JPEG fill-byte walk, BMP short-header ValueError, the
@@ -6943,13 +6979,14 @@ _REGISTRY_PRIORITY = [
 # above. The r10 window MUST therefore be, in order: (1) whatever
 # code changes in r10 first; (2) grouping_sets_flag_status +
 # cube_brand_size (oldest, non-negotiable) + q21_sole_returned_supplier
-# (late-r9 NEW, never adjudicated); (3) the 49 r7-green rows
+# + embedding_ann_pq (late-r9 NEW, never adjudicated); (3) the 49
+# r7-green rows
 # (events_time_range, features family recerts, sql_frontend_scan,
 # synthetic_gbm_features, top_orders_global, union_backfill_counts,
 # the graph family, ER clustering, KMV, as-of join, the r7 multimodal
 # decode family, heavy-hitters pair, tick_validation_counts, and the
-# rest of the r7 window). 3 + 49 = 52 > 50, so even with zero new
-# queries at least two r7 rows spill to r11 — pick the spill from r7
+# rest of the r7 window). 4 + 49 = 53 > 50, so even with zero new
+# queries at least three r7 rows spill to r11 — pick the spill from r7
 # rows whose modules r10 does NOT touch and justify the displacement
 # here, exactly as r9 did for the two rollup rows. Note on TPC-H
 # completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;

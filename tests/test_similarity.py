@@ -318,3 +318,48 @@ def test_ivf_on_disk_index_partition_pruned_search(spark, tmp_path):
     # PartitionFilters — match the cluster filter specifically)
     m = re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*IN[^\]]*\]", plan)
     assert m, "probed-cluster partition filter missing from vectors scan"
+
+
+def test_pq_train_encode_geometry_and_determinism(spark):
+    """r9: PQ codebooks have the declared geometry, retraining is
+    bit-deterministic (argmin-stable assignment + decimal-exact means),
+    and every encoded code indexes a real centroid."""
+    emb = load_table(spark, SF, "embeddings")
+    b1 = sim.pq_train(emb, n_subspaces=8, k_sub=16, n_iter=1)
+    b2 = sim.pq_train(emb, n_subspaces=8, k_sub=16, n_iter=1)
+    assert b1 == b2  # float == : deterministic training or bust
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+    codes = sim.pq_encode(emb, b1).collect()
+    assert len(codes) == emb.count()
+    assert all(
+        len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+        for r in codes
+    )
+    # dim must divide into subspaces
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        sim.pq_train(emb, n_subspaces=7)
+
+
+def test_pq_adc_rerank_recall_contract(spark):
+    """r9: ADC top-200 + exact re-rank recovers the exact top-5 at the
+    0.9 floor on the synthetic corpus (PQ's worst case: random vectors
+    give the codebooks no cluster structure) — deterministic, so this
+    is a constant, not a flaky sample. The ADC scan itself is
+    shuffle-free (one Arrow pass over the code column)."""
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_train(emb, n_subspaces=8, k_sub=32, n_iter=2)
+    codes = sim.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = sim.ann_topk_pq(codes, emb, q, books, k=5, rerank=200)
+    ex = {(r.query_id, r.vec_id) for r in sim.cosine_topk(emb, q, k=5).collect()}
+    got = {(r.query_id, r.vec_id) for r in ann.collect()}
+    assert len(ex & got) / len(ex) >= 0.9
+    # every query returns a full k, ranked 1..k
+    by_q = {}
+    for r in ann.collect():
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
