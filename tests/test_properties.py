@@ -239,7 +239,11 @@ def test_funnel_matches_python_model(spark, events):
         t3 = ts_of("purchase", t2) if t2 is not None else None
         return t1, t2, t3
 
-    ms = lambda ts: None if ts is None else int(
+    # round, not int(): timestamp() is a float, and e.g. 130.593 s
+    # * 1000 = 130592.999... — int() truncation shaved a millisecond
+    # off the expected value (hypothesis found ts=130593; the operator
+    # was right, this conversion was wrong)
+    ms = lambda ts: None if ts is None else round(
         ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1000
     )
     got = {
