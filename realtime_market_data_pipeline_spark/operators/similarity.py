@@ -1042,14 +1042,16 @@ def ann_topk_pq(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """PQ-ADC top-k with exact re-ranking: each query builds its
-    n_subspaces x k_sub inner-product table against the codebooks
-    (driver-free — tables are computed inside the Arrow pass from the
-    broadcast query batch), scores EVERY code row with n_subspaces
-    table lookups (the ADC scan — bytes instead of floats, the point of
-    PQ at 100 TB), keeps the ADC top-``rerank`` per query, and re-ranks
-    only those candidates with the exact cosine against the true
-    vectors. Lossy codes => the driver contract is recall@k of the
+    """PQ-ADC top-k with exact re-ranking: the (small, fixed) query set
+    is collected once and its n_queries x n_subspaces x k_sub
+    inner-product tables against the codebooks ride in the task closure
+    (the same bounded-driver contract as the centroids — queries are
+    the broadcast side of every ANN form here); every code row is then
+    scored with n_subspaces table lookups per query in ONE shuffle-free
+    Arrow scan (the ADC pass — bytes instead of floats, the point of PQ
+    at 100 TB), the ADC top-``rerank`` per query survive, and only
+    those candidates are re-ranked with the exact cosine against the
+    true vectors. Lossy codes => the driver contract is recall@k of the
     re-ranked result vs the exact top-k."""
     import numpy as np
 

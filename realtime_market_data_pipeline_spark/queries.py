@@ -5309,7 +5309,10 @@ def embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centers = sim.ivf_train_centroids(emb, n_centroids=16, n_iter=2)
-    base = os.path.join(os.getcwd(), "spark-warehouse")
+    # anchor to the REPO's warehouse dir, not cwd — the driver may run
+    # from anywhere, and this engine must never write outside its tree
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo, "spark-warehouse")
     os.makedirs(base, exist_ok=True)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(base, f"ann_ivf_index_{tag}")
