@@ -1127,3 +1127,192 @@ def ann_topk_pq(
     return rescored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def save_pq_books(
+    spark, path: str, books: list[list[list[float]]]
+) -> None:
+    """Persist PQ codebooks next to an index's centroids: rows
+    (part='pqbook', idx = s*k_sub + c, vector = centroid), plus a
+    (part='pqshape', idx=k_sub) row so the nesting reconstructs."""
+    k_sub = len(books[0])
+    rows: list[tuple[str, int, list[float] | None]] = [
+        ("pqbook", s * k_sub + c, [float(x) for x in books[s][c]])
+        for s in range(len(books))
+        for c in range(k_sub)
+    ]
+    rows.append(("pqshape", k_sub, None))
+    spark.createDataFrame(
+        rows, "part string, idx int, vector array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_books(spark, path: str) -> list[list[list[float]]]:
+    """Load codebooks written by ``save_pq_books`` (bit-exact)."""
+    rows = spark.read.parquet(path).collect()
+    k_sub = next(int(r.idx) for r in rows if r.part == "pqshape")
+    flat = {int(r.idx): list(r.vector) for r in rows if r.part == "pqbook"}
+    n_subspaces = len(flat) // k_sub
+    return [
+        [flat[s * k_sub + c] for c in range(k_sub)]
+        for s in range(n_subspaces)
+    ]
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    n_subspaces: int = 8,
+    k_sub: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The FULL IVFPQ index at rest (r9): IVF centroids + PQ codebooks
+    persisted under ``path/meta`` / ``path/pq``, and the corpus written
+    CLUSTER-PARTITIONED under ``path/vectors`` carrying BOTH the raw
+    vector (for exact re-rank) and its PQ codes — so a search reads
+    only the probed buckets (partition pruning) and scores them by ADC
+    table lookups (code bytes), touching raw floats only for the
+    re-rank candidates. This is the FAISS IVFPQ layout as parquet +
+    pure dataflow."""
+    spark = corpus.sparkSession
+    centers = ivf_train_centroids(
+        corpus, n_centroids=n_centroids, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    books = pq_train(
+        corpus, n_subspaces=n_subspaces, k_sub=k_sub, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    save_ann_index(spark, f"{path}/meta", centroids=centers)
+    save_pq_books(spark, f"{path}/pq", books)
+    assign = ivf_assign(
+        corpus, centers, id_col=id_col, vec_col=vec_col, n_probe=1
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    (
+        corpus.join(assign, id_col)
+        .join(codes, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    return centers, books
+
+
+def ann_topk_ivfpq(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFPQ search against the on-disk index: each query probes its
+    ``n_probe`` nearest IVF buckets (assignment computed driver-side on
+    the collected query batch — the same bounded contract that builds
+    the ADC tables), the vectors scan is PARTITION-PRUNED to the union
+    of probed buckets, ADC scores each pruned code row ONLY for the
+    queries that probed its bucket (per-query candidate semantics, the
+    FAISS behavior), the ADC top-``rerank`` survive, and exact cosine
+    re-ranks them from the raw vectors carried in the same pruned rows.
+    Lossy + pruned => recall contract vs the exact top-k."""
+    import numpy as np
+
+    centers = load_ann_index(spark, f"{index_dir}/meta")["centroids"]
+    books = load_pq_books(spark, f"{index_dir}/pq")
+    if not centers:
+        raise ValueError(f"no centroids in index at {index_dir}/meta")
+    q = queries.select(
+        F.col(query_id_col).cast("long").alias("qid"),
+        as_double(vec_col).alias("qvec"),
+    )
+    qrows = [(int(r.qid), list(r.qvec)) for r in q.collect()]
+    if not qrows:
+        raise ValueError("empty query set")
+    n_subspaces = len(books)
+    sd = len(books[0][0])
+    B = np.array(books, dtype=np.float64)
+    C = np.array(centers, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    Q = np.array([v for _, v in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # per-query probed buckets — same argsort-stable rule as ivf_assign
+    S = Qn @ Cn.T
+    np_ = min(n_probe, S.shape[1])
+    probes = np.argsort(-S, axis=1, kind="stable")[:, :np_]  # nq x p
+    probed_union = sorted({int(c) for row in probes for c in row})
+    tables = np.einsum(
+        "qsd,skd->qsk", Qn.reshape(len(qrows), n_subspaces, sd), B
+    )
+    qids = np.array([qid for qid, _ in qrows], dtype=np.int64)
+    # bucket membership mask: ok[q][cluster] — tiny (nq x k_centroids)
+    ok = np.zeros((len(qrows), len(centers)), dtype=bool)
+    for qi, row in enumerate(probes):
+        ok[qi, row] = True
+
+    pruned = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("cluster").isin(probed_union))
+        .select(id_col, "cluster", "codes", vec_col)
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        srange = np.arange(n_subspaces)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            clusters = pdf["cluster"].to_numpy()
+            vids = pdf[id_col].to_numpy()
+            scores = tables[:, srange, codes].sum(axis=2)  # nq x n
+            mask = ok[:, clusters]  # nq x n — query probed this bucket?
+            qi, ri = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "qid": qids[qi],
+                    "vid": vids[ri],
+                    "adc_score": scores[qi, ri],
+                }
+            )
+
+    scored = pruned.select(id_col, "cluster", "codes").mapInPandas(
+        adc, schema="qid long, vid long, adc_score double"
+    )
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.col("adc_score").desc(), F.col("vid").asc()
+    )
+    cand = (
+        scored.filter(F.col("vid") != F.col("qid"))
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= rerank)
+        .select("qid", "vid")
+    )
+    c = pruned.select(
+        F.col(id_col).cast("long").alias("vid"),
+        as_double(vec_col).alias("cvec"),
+    )
+    rescored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "vid")
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            F.round(
+                cosine(F.col("qvec"), F.col("cvec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

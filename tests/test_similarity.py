@@ -363,3 +363,54 @@ def test_pq_adc_rerank_recall_contract(spark):
     for r in ann.collect():
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_ivfpq_on_disk_index_end_to_end(spark, tmp_path):
+    """r9: the full IVFPQ layout at rest — centroids + PQ codebooks
+    persisted, corpus cluster-partitioned carrying raw vectors AND
+    codes. Search prunes the scan to the probed buckets (partition
+    filter pinned), ADC-scores a pruned row only for the queries that
+    probed its bucket, exact-reranks from the same pruned rows — and
+    the recall floor holds vs the exact top-k. Codebooks round-trip
+    bit-exactly."""
+    import re
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    centers, books = sim.build_ivfpq_index(
+        emb, idx, n_centroids=8, n_iter=1, n_subspaces=8, k_sub=16
+    )
+    assert sim.load_pq_books(spark, f"{idx}/pq") == books  # bit-exact
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann_df = sim.ann_topk_ivfpq(spark, idx, q, k=5, n_probe=5, rerank=100)
+    got = {(r.query_id, r.vec_id) for r in ann_df.collect()}
+    ex = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(emb, q, k=5).collect()
+    }
+    recall = len(ex & got) / len(ex)
+    assert recall >= 0.8, f"ivfpq recall {recall}"
+    plan = ann_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*cluster[^\]]*IN[^\]]*\]", plan
+    ), "probed-bucket partition filter missing"
+    # per-query bucket semantics: every returned candidate's bucket was
+    # probed by that query (re-derive the probe sets in numpy)
+    import numpy as np
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    C = np.array(centers)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    assign = {
+        vid: int(
+            np.argmax((np.array(v) / np.linalg.norm(v)) @ Cn.T)
+        )
+        for vid, v in vecs.items()
+    }
+    for qid, vid in got:
+        qv = np.array(vecs[qid], dtype=float)
+        qn = qv / np.linalg.norm(qv)
+        order = np.argsort(-(qn @ Cn.T), kind="stable")[:5]
+        assert assign[vid] in set(int(x) for x in order), (qid, vid)
