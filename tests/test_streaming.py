@@ -1853,3 +1853,61 @@ def test_streaming_ann_search_with_persisted_index(spark, tmp_path):
 
     with _pytest.raises(Exception):
         sann.ann_search_writer(spark, str(tmp_path / "nope"), out)
+
+
+def test_streaming_writers_tolerate_empty_batches(spark, tmp_path):
+    """r9: availableNow triggers can hand foreachBatch an EMPTY batch
+    (no new files); the r9 writers must treat that as a no-op, not a
+    crash — and must not disturb previously landed partitions."""
+    from realtime_market_data_pipeline_spark.operators import bloom
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from realtime_market_data_pipeline_spark.operators.text import (
+        shingles_long,
+    )
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.streaming import ann as sann
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    # decontamination: land one real batch, then an empty one
+    ev_dir = str(tmp_path / "ev")
+    out1 = str(tmp_path / "decon")
+    ev_docs = spark.createDataFrame(
+        [(9, "benchmark words appear here in this exact held out row "
+              "and keep going long enough for eight gram shingles")],
+        "doc_id long, text string",
+    )
+    shingles_long(ev_docs, k=8).select("shingle").distinct().write.mode(
+        "overwrite"
+    ).parquet(ev_dir)
+    bm = bloom.bloom_build(
+        spark.read.parquet(ev_dir), "shingle", m_bits=1 << 12
+    )
+    w1 = sdedup.decontamination_writer(ev_dir, bm, 1 << 12, out1, k=8)
+    w1(spark.createDataFrame(
+        [(1, "a clean text about query engines and shuffles only")],
+        "doc_id long, text string"), 0)
+    before = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    w1(spark.createDataFrame([], "doc_id long, text string"), 1)
+    assert sorted(map(tuple, spark.read.parquet(out1).collect())) == before
+
+    # ANN search: empty query batch is a no-op
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    sim.build_ivf_index(emb, idx, n_centroids=4, n_iter=1)
+    out2 = str(tmp_path / "hits")
+    w2 = sann.ann_search_writer(spark, idx, out2, k=2, n_probe=2)
+    w2(
+        spark.createDataFrame(
+            [(r["vec_id"], r["embedding"])
+             for r in emb.filter(F.col("vec_id") < 2).collect()],
+            "query_id long, embedding array<float>",
+        ),
+        0,
+    )
+    hits_before = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    w2(spark.createDataFrame([], "query_id long, embedding array<float>"), 1)
+    assert (
+        sorted(map(tuple, spark.read.parquet(out2).collect())) == hits_before
+    )
