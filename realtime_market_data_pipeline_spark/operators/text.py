@@ -630,3 +630,100 @@ def hash_embed(df: DataFrame, text_col: str = "text", dims: int = 16) -> DataFra
             for i in range(dims)
         ],
     )
+
+
+def compress_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Gzip-compress document text into binary payloads — the planting
+    half of the compressed-ingest pair (real training corpora arrive as
+    .gz/.warc.gz members, not plain text). Deterministic: fixed level,
+    mtime pinned to 0 so the gzip header — and any oracle built on the
+    bytes — is byte-stable. Arrow mapInPandas, payloads produced where
+    the rows live."""
+    import gzip
+    import io as _io
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                buf = _io.BytesIO()
+                with gzip.GzipFile(
+                    fileobj=buf, mode="wb", compresslevel=level, mtime=0
+                ) as gz:
+                    gz.write(("" if t is None else str(t)).encode("utf-8"))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
+
+
+def decompress_documents_routed(
+    media: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quarantine-routed gzip ingest (r9): inflate binary document
+    payloads back to text under the engine's two-exception contract —
+    truncated/corrupt members and NULL payloads become ``error_class``
+    rows instead of killing a 100 TB decompression stage (the same
+    router shape as ``multimodal.decode_media_routed``). Good rows
+    carry the decoded text and its byte/char lengths; CRC and length
+    trailers are verified by the stdlib gzip reader, so silent
+    corruption cannot pass as healthy text. Shuffle-free Arrow
+    mapInPandas."""
+    import gzip
+    from typing import Iterator
+    from zlib import error as zlib_error
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                row = {
+                    id_col: None if pd.isna(did) else int(did),
+                    "text": None, "n_bytes": None, "n_chars": None,
+                    "error_class": None,
+                }
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    raw = bytes(payload)
+                    if raw[:2] != b"\x1f\x8b":
+                        raise NotImplementedError(
+                            "unknown compression container"
+                        )
+                    try:
+                        data = gzip.decompress(raw)
+                    except (EOFError, OSError, zlib_error) as e:
+                        raise ValueError(f"corrupt gzip member: {e}") from e
+                    # UnicodeDecodeError is a ValueError subclass, so
+                    # non-UTF-8 plaintext routes to quarantine too
+                    text = data.decode("utf-8", errors="strict")
+                    row.update(
+                        text=text, n_bytes=len(data), n_chars=len(text)
+                    )
+                except ValueError:
+                    row["error_class"] = "ValueError"
+                except NotImplementedError:
+                    row["error_class"] = "NotImplementedError"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run,
+        f"{id_col} long, text string, n_bytes long, n_chars long, "
+        "error_class string",
+    )
