@@ -123,6 +123,7 @@ HEADLINE = [
     # product-quantized ANN (ADC scan over 5-bit codes + exact re-rank)
     "q21_sole_returned_supplier",
     "embedding_ann_pq",
+    "text_ingest_gzip_quarantine",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

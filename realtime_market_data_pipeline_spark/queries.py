@@ -3944,6 +3944,67 @@ _O_SHINGLES = (
 
 
 @query(
+    "text_ingest_gzip_quarantine",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+SELECT doc_id, text,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS error_class
+FROM d WHERE doc_id % 11 NOT IN (3, 5, 7, 9)
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       CASE WHEN doc_id % 11 = 9 THEN 'NotImplementedError'
+            ELSE 'ValueError' END
+FROM d WHERE doc_id % 11 IN (3, 5, 7, 9)
+""",
+)
+def text_ingest_gzip_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-INGEST quarantine (r9): real training corpora arrive
+    as gzip members (.gz / .warc.gz), so the text pipeline's first
+    stage is decompress-with-quarantine. Every document's text is
+    gzip-planted (byte-stable: fixed level, mtime=0) and four fault
+    stripes corrupt the feed as pure Column arithmetic: NULLed payloads
+    (doc_id%11==3), a 2-byte cut that leaves only the gzip magic
+    (%11==5 — the member truncates inside the header, EOFError ->
+    ValueError), a mid-member 3/4 cut (%11==7 — the CRC/ISIZE trailer
+    is gone, so the stdlib reader ALWAYS fails loudly; silent
+    truncation cannot pass), and raw un-gzipped UTF-8 bytes (%11==9 —
+    unknown container -> NotImplementedError, route to a
+    codec-equipped pool). Good rows must round-trip the EXACT text
+    (CRC-verified) with its byte/char lengths; the oracle predicts the
+    text, both lengths, and every error class. Shuffle cost: one
+    doc_id equi-join to carry text next to its payload (at 100 TB the
+    compressor carries text through instead); the router itself is
+    shuffle-free Arrow mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    comp = tx.compress_documents(docs)
+    did = F.col("doc_id")
+    media = (
+        docs.join(comp, "doc_id")
+        .select(
+            "doc_id",
+            F.when(did % 11 == 3, F.lit(None).cast("binary"))
+            .when(did % 11 == 5, F.expr("substring(payload, 1, 2)"))
+            .when(
+                did % 11 == 7,
+                F.expr(
+                    "substring(payload, 1,"
+                    " CAST(3 * length(payload) / 4 AS INT))"
+                ),
+            )
+            .when(did % 11 == 9, F.encode(F.col("text"), "utf-8"))
+            .otherwise(F.col("payload"))
+            .alias("payload"),
+        )
+    )
+    return tx.decompress_documents_routed(media)
+
+
+@query(
     "doc_token_stats",
     oracle=f"""
 WITH toks AS (SELECT doc_id, text, {_O_TOKS} AS t FROM documents)
@@ -6947,6 +7008,12 @@ _REGISTRY_PRIORITY = [
     # contract); never driver-adjudicated, strict-local-verified exact
     # at sf0.01; MUST window in r10 with q21:
     "embedding_ann_pq",
+    # slot 55: text_ingest_gzip_quarantine — NEW late-r9 (compressed
+    # document ingest with the four-stripe fault oracle: exact text
+    # round-trip + every error class predicted); never
+    # driver-adjudicated, strict-local-verified exact at sf0.01; MUST
+    # window in r10 with the other late-r9 rows:
+    "text_ingest_gzip_quarantine",
     # (5) then the changed-code-but-results-unchanged refreshers ahead
     # of the r7 bulk. r9 touched multimodal.py (probe null guards, mp3
     # frames==0, JPEG fill-byte walk, BMP short-header ValueError, the
@@ -6982,14 +7049,14 @@ _REGISTRY_PRIORITY = [
 # above. The r10 window MUST therefore be, in order: (1) whatever
 # code changes in r10 first; (2) grouping_sets_flag_status +
 # cube_brand_size (oldest, non-negotiable) + q21_sole_returned_supplier
-# + embedding_ann_pq (late-r9 NEW, never adjudicated); (3) the 49
-# r7-green rows
+# + embedding_ann_pq + text_ingest_gzip_quarantine (late-r9 NEW, never
+# adjudicated); (3) the 49 r7-green rows
 # (events_time_range, features family recerts, sql_frontend_scan,
 # synthetic_gbm_features, top_orders_global, union_backfill_counts,
 # the graph family, ER clustering, KMV, as-of join, the r7 multimodal
 # decode family, heavy-hitters pair, tick_validation_counts, and the
-# rest of the r7 window). 4 + 49 = 53 > 50, so even with zero new
-# queries at least three r7 rows spill to r11 — pick the spill from r7
+# rest of the r7 window). 5 + 49 = 54 > 50, so even with zero new
+# queries at least four r7 rows spill to r11 — pick the spill from r7
 # rows whose modules r10 does NOT touch and justify the displacement
 # here, exactly as r9 did for the two rollup rows. Note on TPC-H
 # completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
