@@ -7058,7 +7058,11 @@ _REGISTRY_PRIORITY = [
 # rest of the r7 window). 5 + 49 = 54 > 50, so even with zero new
 # queries at least four r7 rows spill to r11 — pick the spill from r7
 # rows whose modules r10 does NOT touch and justify the displacement
-# here, exactly as r9 did for the two rollup rows. Note on TPC-H
+# here, exactly as r9 did for the two rollup rows (good default
+# candidates if their code stays untouched: sql_frontend_scan,
+# top_orders_global, union_backfill_counts, tick_validation_counts —
+# single-operator rows on historically quiet modules; r11 must then
+# open with them). Note on TPC-H
 # completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
 # q12/q21 need l_shipmode/l_commitdate/l_receiptdate) are structurally
 # impossible on the driver corpus — the 17 registered are every
