@@ -434,10 +434,13 @@ def decode_image(payload: bytes) -> dict:
         from realtime_market_data_pipeline_spark.operators import jpeg
 
         return jpeg.decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
         "only uncompressed BMP (BI_RGB 24/32bpp), binary PPM, 8-bit PNG, "
-        "and baseline/progressive JPEG decode without PIL/opencv; wire "
-        "the real decoder here on a cluster image that ships them"
+        "GIF (LZW), and baseline/progressive JPEG decode without "
+        "PIL/opencv; wire the real decoder here on a cluster image that "
+        "ships them"
     )
 
 
@@ -1061,6 +1064,61 @@ def _probe_media_impl(payload: bytes) -> dict:
     if payload[:8] == PNG_SIG:
         w, h = struct.unpack_from(">II", payload, 16)  # IHDR is first
         out.update(container="png", width=w, height=h)
+        return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # header-only: LSD dims + block walk counting image descriptors
+        # and summing GCE delays — no LZW decode (r9)
+        try:
+            w, h, packed = struct.unpack_from("<HHB", payload, 6)
+            pos = 13
+            if packed & 0x80:
+                pos += 3 * (2 << (packed & 0x07))
+            frames, delay_cs = 0, 0
+            while pos < len(payload):
+                block = payload[pos]
+                pos += 1
+                if block == 0x3B:
+                    break
+                if block == 0x21:
+                    label = payload[pos]
+                    pos += 1
+                    first = True
+                    while True:
+                        n = payload[pos]
+                        pos += 1
+                        if n == 0:
+                            break
+                        if label == 0xF9 and first and n >= 4:
+                            (d,) = struct.unpack_from(
+                                "<H", payload, pos + 1
+                            )
+                            delay_cs += d
+                        first = False
+                        pos += n
+                    continue
+                if block == 0x2C:
+                    ip = payload[pos + 8]
+                    pos += 9
+                    if ip & 0x80:
+                        pos += 3 * (2 << (ip & 0x07))
+                    pos += 1  # LZW min code size
+                    while True:
+                        n = payload[pos]
+                        pos += 1
+                        if n == 0:
+                            break
+                        pos += n
+                    frames += 1
+                    continue
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+            if frames == 0:
+                raise ValueError("GIF contains no image data")
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"malformed GIF ({type(e).__name__})") from e
+        out.update(
+            container="gif", width=w, height=h, n_frames=frames,
+            duration_ms=delay_cs * 10 if delay_cs else None,
+        )
         return out
     if payload[:2] == b"\xff\xd8":
         pos = 2
@@ -2065,3 +2123,261 @@ def audio_features_stub(media: DataFrame, frame_len: int = 32) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# GIF (r9): the LZW member of the no-codec-library decoder family.
+# Mixed media corpora are full of GIFs; the container is simple block
+# framing and the entropy layer is LZW with GIF's variable code widths
+# — implemented both ways (spec-valid encoder for deterministic
+# planting, full decoder incl. the KwKwK self-reference case, width
+# growth to 12 bits, and dictionary reset), so the roundtrip property
+# has the same teeth as the PNG/JPEG/FLAC codecs. Pixel model: indexed
+# 8-bit with a grayscale global color table (i,i,i), expanded to RGB on
+# decode like the PNG palette path (bpp=24, pixel_sum over channel
+# bytes).
+# ---------------------------------------------------------------------------
+
+
+class _LZWBitWriter:
+    """LSB-first bit packer (GIF's bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting min_code_size+1,
+    width bump when next_code exceeds the current code space (the
+    encoder runs one dictionary entry ahead of the decoder, hence the
+    ``next_code - 1`` comparison), CLEAR-reset at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _LZWBitWriter()
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bw.write(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            bw.write(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = wk[-1:]
+    if w:
+        bw.write(table[w], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
+    """Decode a GIF LZW stream to at most ``max_pixels`` indices.
+    Handles CLEAR resets, the KwKwK case (code == next_code), width
+    growth to 12 bits; raises ValueError on out-of-range codes or a
+    stream that ends mid-code before the pixels are complete."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    pos = 0  # bit position
+    nbits = len(data) * 8
+    out = bytearray()
+
+    def read() -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("LZW stream truncated mid-code")
+        byte0 = pos >> 3
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + 3], "little"
+        )  # width ≤ 12 spans ≤ 3 bytes
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1
+    prev: bytes | None = None
+    while len(out) < max_pixels:
+        code = read()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW first code after clear not literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < max_pixels:
+        raise ValueError("LZW pixel data incomplete")
+    return bytes(out[:max_pixels])
+
+
+def make_gif(doc_id: int, width: int, height: int) -> bytes:
+    """Spec-valid GIF89a: 256-entry grayscale global color table
+    (i,i,i), one non-interlaced frame, REAL LZW-compressed indices
+    ``(doc_id + x + 7y) % 256`` (the PNG planting arithmetic, so
+    oracles mirror)."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0xF7)  # global table, 8-bit resolution, 256 entries
+    out += b"\x00\x00"  # bg color, aspect
+    for i in range(256):
+        out += bytes([i, i, i])
+    out.append(0x2C)  # image descriptor
+    out += struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x00)  # no local table, not interlaced
+    idx = bytes(
+        (doc_id + x + 7 * y) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    out.append(8)  # LZW min code size
+    data = _lzw_encode(idx, 8)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0x00)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode the FIRST frame of a GIF87a/89a payload: block walk
+    (extensions skipped by sub-block framing), global or local color
+    table, full LZW decode, optional interlace de-permutation; indexed
+    pixels expand through the palette to RGB (bpp=24) so the stats
+    contract matches the other image decoders. Untrusted-bytes rules
+    apply: malformed structure raises ValueError, features beyond the
+    decoder (no color table at all) raise NotImplementedError."""
+    import struct
+
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = payload[pos : pos + 3 * n]
+            if len(gct) < 3 * n:
+                raise ValueError("global color table truncated")
+            pos += 3 * n
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF missing trailer/image")
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer before any image
+                raise ValueError("GIF contains no image data")
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("extension truncated")
+                    n = payload[pos]
+                    pos += 1
+                    if n == 0:
+                        break
+                    pos += n
+                continue
+            if block == 0x2C:
+                break
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = payload[pos : pos + 3 * n]
+            if len(table) < 3 * n:
+                raise ValueError("local color table truncated")
+            pos += 3 * n
+        if table is None:
+            raise NotImplementedError("GIF without any color table")
+        # interlace (ipacked & 0x40) is a pure ROW PERMUTATION of the
+        # raster; every stat this decoder reports (pixel_sum, n_px,
+        # dims) is permutation-invariant, so no de-permutation is
+        # needed here — a raster-returning GIF twin would reorder rows
+        # by the 8/8/4/2 pass pattern before returning them
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"bad LZW min code size {mcs}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("image data truncated")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            data += payload[pos : pos + n]
+            if len(payload) < pos + n:
+                raise ValueError("image sub-block truncated")
+            pos += n
+        idx = _lzw_decode(bytes(data), mcs, w * h)
+        n_entries = len(table) // 3
+        pixel_sum = 0
+        for i in idx:
+            if i >= n_entries:
+                raise ValueError("palette index out of range")
+            pixel_sum += (
+                table[3 * i] + table[3 * i + 1] + table[3 * i + 2]
+            )
+        return {
+            "format": "gif",
+            "width": w,
+            "height": h,
+            "bpp": 24,
+            "pixel_sum": pixel_sum,
+            "n_px": w * h,
+        }
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed GIF ({type(e).__name__})") from e

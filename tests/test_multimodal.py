@@ -1357,3 +1357,92 @@ def test_decode_media_routed_compressed_formats(spark):
         else:
             assert got[did]["error_class"] is None
             assert got[did]["sample_sum"] == ref[did]["sample_sum"]
+
+
+def test_gif_roundtrip_and_probe():
+    """r9: GIF joins the no-codec-library family — real LZW both ways.
+    decode(make_gif(id,w,h)) recovers dims and the arithmetic pixel sum
+    (grayscale palette => 3·Σ(id+x+7y)%256); the header-only prober
+    reads dims and frame count without touching the LZW stream."""
+    for did in (0, 7, 123, 10**9):
+        w, h = (did % 13) + 4, (did % 11) + 4
+        p = mm.make_gif(did, w, h)
+        d = mm.decode_image(p)  # dispatched by magic
+        want = 3 * sum(
+            (did + x + 7 * y) % 256 for y in range(h) for x in range(w)
+        )
+        assert (d["format"], d["width"], d["height"]) == ("gif", w, h)
+        assert (d["bpp"], d["pixel_sum"], d["n_px"]) == (24, want, w * h)
+        pr = mm.probe_media(p)
+        assert pr["container"] == "gif"
+        assert (pr["width"], pr["height"], pr["n_frames"]) == (w, h, 1)
+
+
+def test_gif_lzw_matches_hand_built_bitstream():
+    """Pin the LZW layer to the spec independently of our encoder (the
+    compensating-bug-pair rule every codec here follows): for
+    min_code_size=2 and input [1,1,1], the code sequence is
+    CLEAR(4),1,KwKwK(6),EOI(5) at width 3, which packs LSB-first into
+    exactly 0x8C 0x0B — derived by hand from the GIF89a spec appendix.
+    Decoding exercises the code==next_code self-reference case."""
+    assert mm._lzw_encode(b"\x01\x01\x01", 2) == bytes.fromhex("8c0b")
+    assert mm._lzw_decode(bytes.fromhex("8c0b"), 2, 3) == b"\x01\x01\x01"
+    # width growth + 4096-entry dictionary reset on a large stream
+    import random
+
+    rng = random.Random(42)
+    big = bytes(rng.randrange(256) for _ in range(12000))
+    assert mm._lzw_decode(mm._lzw_encode(big, 8), 8, len(big)) == big
+
+
+def test_gif_animated_probe_frames_and_duration():
+    """Multi-frame GIF with graphic control extensions: the header-only
+    prober counts every image descriptor and sums GCE delays (1/100 s
+    -> ms) without decoding a single LZW code."""
+    import struct
+
+    base = mm.make_gif(5, 6, 4)
+    # splice: take everything up to the trailer, then append a GCE
+    # (delay 25 cs) + a second copy of the frame blocks, then trailer
+    trailer = base[-1:]
+    assert trailer == b"\x3b"
+    body = base[:-1]
+    frame_start = 13 + 768  # header + LSD + 256-entry global table
+    assert body[frame_start] == 0x2C  # image descriptor, structurally
+    frame = body[frame_start:]
+    gce = b"\x21\xf9\x04\x00" + struct.pack("<H", 25) + b"\x00\x00"
+    two = body[:frame_start] + gce + frame + gce + frame + b"\x3b"
+    pr = mm.probe_media(two)
+    assert pr["n_frames"] == 2
+    assert pr["duration_ms"] == 500  # 2 x 25 cs
+    # the decoder still decodes the FIRST frame of the animation
+    d = mm.decode_gif(two)
+    assert d["pixel_sum"] == mm.decode_gif(base)["pixel_sum"]
+
+
+def test_gif_untrusted_bytes_contract():
+    """Malformed GIFs fail loudly with the two-exception contract:
+    truncated tables/blocks, missing image data, bogus block tags, and
+    out-of-range LZW codes are all ValueError; a GIF with no color
+    table anywhere is honestly NotImplementedError."""
+    p = mm.make_gif(3, 5, 4)
+    with pytest.raises(ValueError):
+        mm.decode_gif(p[:20])  # inside the global color table
+    with pytest.raises(ValueError):
+        mm.decode_gif(p[: len(p) * 3 // 4])  # inside the LZW stream
+    no_img = p[:13] + p[13 : 13 + 768] + b"\x3b"
+    with pytest.raises(ValueError, match="no image"):
+        mm.decode_gif(no_img)
+    bogus = bytearray(p)
+    bogus[13 + 768] = 0x7F  # unknown block tag where 0x2C lives
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        mm.decode_gif(bytes(bogus))
+    # no global table + no local table -> honest NotImplementedError
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+    lzw = mm._lzw_encode(bytes([0, 1, 2, 3]), 2)
+    naked = hdr + img + bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    with pytest.raises(NotImplementedError):
+        mm.decode_gif(naked)

@@ -510,7 +510,7 @@ def test_avi_codec_roundtrip_property(doc_id, w, h, nf):
 
 @given(
     seed=st.integers(0, 2**31 - 1),
-    kind=st.integers(0, 8),
+    kind=st.integers(0, 9),
     n_flips=st.integers(1, 8),
 )
 @settings(max_examples=200, deadline=1000)
@@ -554,8 +554,10 @@ def test_decoders_fail_loudly_under_corruption(seed, kind, n_flips):
         payload, dec = mm.make_ogg(did, 3), mm.probe_media
     elif kind == 7:
         payload, dec = mm.make_mp3_frames(did, 2), mm.probe_media
-    else:  # r8: MJPEG-in-AVI — corruption may land in container OR JPEG
+    elif kind == 8:  # r8: MJPEG-in-AVI — corruption in container OR JPEG
         payload, dec = mm.make_avi_mjpeg(did, 8, 8, 2), mm.decode_avi
+    else:  # r9: GIF — corruption in block framing OR the LZW stream
+        payload, dec = mm.make_gif(did, 6, 5), mm.decode_gif
     buf = bytearray(payload)
     for _ in range(n_flips):
         buf[int(rng.integers(2, len(buf)))] ^= int(rng.integers(1, 256))
@@ -628,7 +630,7 @@ def test_jpeg_random_raster_bounded_and_restart_property(seed, w, h, dri):
 @given(
     seed=st.integers(0, 2**31 - 1),
     nbytes=st.integers(0, 400),
-    magic=st.integers(0, 9),
+    magic=st.integers(0, 11),
 )
 @settings(max_examples=200, deadline=1000)
 def test_decoders_contract_on_arbitrary_bytes(seed, nbytes, magic):
@@ -648,7 +650,7 @@ def test_decoders_contract_on_arbitrary_bytes(seed, nbytes, magic):
     body = bytes(rng.integers(0, 256, size=nbytes, dtype=np.uint8))
     prefixes = [
         b"", b"BM", b"P6", mm.PNG_SIG, b"\xff\xd8", b"RIFF", b"fLaC",
-        b"ID3", b"\xff\xfb", b"OggS",
+        b"ID3", b"\xff\xfb", b"OggS", b"GIF89a", b"GIF87a",
     ]
     payload = prefixes[magic] + body
     for dec in (mm.probe_media, mm.decode_image, mm.decode_audio,
