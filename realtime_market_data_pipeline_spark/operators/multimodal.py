@@ -2381,3 +2381,32 @@ def decode_gif(payload: bytes) -> dict:
         }
     except (IndexError, struct.error) as e:
         raise ValueError(f"malformed GIF ({type(e).__name__})") from e
+
+
+def plant_gif(docs: DataFrame) -> DataFrame:
+    """Plant deterministic doc_id-derived GIFs over the documents spine
+    (the ``plant_png`` pattern, LZW edition): every doc gets a GIF89a
+    with dims per BMP_WIDTH/BMP_HEIGHT and indexed pixels
+    ``(doc_id + x + 7y) % 256`` through the grayscale palette — real
+    LZW streams any conformant GIF reader decodes. The oracle twin is
+    PNG's: pixel_sum = 3·Σ(doc_id+x+7y)%256 (staged as r10's
+    ``multimodal_decode_gif`` window budget)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                make_gif(int(d), (int(d) % 13) + 4, (int(d) % 11) + 4)
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )

@@ -1446,3 +1446,28 @@ def test_gif_untrusted_bytes_contract():
     naked = hdr + img + bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
     with pytest.raises(NotImplementedError):
         mm.decode_gif(naked)
+
+
+def test_plant_and_decode_gif_distributed(spark):
+    """r9: GIFs planted over the documents spine decode through the
+    standard dispatch (decode_media routes image/gif by magic) with the
+    PNG-mirror arithmetic pixel sums; plan stays shuffle-free. This is
+    the plumbing r10's multimodal_decode_gif oracle query registers."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 40  # limit() would add its own exchange
+    )
+    out = mm.decode_media(mm.plant_gif(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    for did, r in rows.items():
+        w, h = (did % 13) + 4, (did % 11) + 4
+        want = 3 * sum(
+            (did + x + 7 * y) % 256 for y in range(h) for x in range(w)
+        )
+        assert (r["width"], r["height"], r["pixel_sum"]) == (w, h, want)
