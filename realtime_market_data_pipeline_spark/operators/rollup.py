@@ -181,17 +181,24 @@ def gapfill_interpolate(ticks: DataFrame, grain: str = "minute") -> DataFrame:
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # "nearest observed bucket AFTER this row" via a DESCENDING
+    # running frame, NOT first(...) over (0, unboundedFollowing):
+    # Spark evaluates an unbounded-FOLLOWING frame by rescanning
+    # current..end for every row — O(rows²) per symbol (measured 198 s
+    # for a 43k-bucket symbol at sf0.01, 600x the engine-expected
+    # cost), while the unbounded-PRECEDING frame is incremental. Same
+    # exchange, one extra in-partition sort, O(n log n) total.
     wn = (
         Window.partitionBy("symbol")
-        .orderBy("bucket_ts")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_ts = F.when(F.col("n").isNotNull(), F.col("bucket_ts"))
     t = F.unix_timestamp("bucket_ts")
     tp = F.unix_timestamp(F.last(obs_ts, ignorenulls=True).over(wp))
-    tn = F.unix_timestamp(F.first(obs_ts, ignorenulls=True).over(wn))
+    tn = F.unix_timestamp(F.last(obs_ts, ignorenulls=True).over(wn))
     pp = F.last("avg_p", ignorenulls=True).over(wp)
-    pn = F.first("avg_p", ignorenulls=True).over(wn)
+    pn = F.last("avg_p", ignorenulls=True).over(wn)
     ratio = (t - tp).cast("double") / (tn - tp).cast("double")
     return j.select(
         "symbol",
