@@ -280,11 +280,23 @@ def pairwise_return_corr(bars: DataFrame) -> DataFrame:
     inside the collected array is irrelevant (every unordered pair is
     emitted exactly once via the sym_a < sym_b filter)."""
     lw = Window.partitionBy("symbol").orderBy("bucket_ts")
-    rets = bars.select(
-        "symbol",
-        "bucket_ts",
-        F.round(F.log(F.col("avg_p") / F.lag("avg_p").over(lw)), 6).alias("ret"),
-    ).where(F.col("ret").isNotNull())
+    # a zero-priced bar has no log return — and under ANSI mode a zero
+    # DIVISOR (the lagged bar) is a runtime DIVIDE_BY_ZERO that kills
+    # the stage, which is exactly what happened when sf0.1 produced 4
+    # bars whose 6-dp average rounded to 0 (r9; smaller SFs never hit
+    # it). Returns are defined over the positive-priced bar series; the
+    # lag spans excluded bars.
+    rets = (
+        bars.where(F.col("avg_p") > 0)
+        .select(
+            "symbol",
+            "bucket_ts",
+            F.round(
+                F.log(F.col("avg_p") / F.lag("avg_p").over(lw)), 6
+            ).alias("ret"),
+        )
+        .where(F.col("ret").isNotNull())
+    )
     per_bucket = rets.groupBy("bucket_ts").agg(
         F.collect_list(F.struct("symbol", "ret")).alias("a")
     )

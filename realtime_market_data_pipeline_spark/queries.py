@@ -403,7 +403,7 @@ WITH {_TICKS_CTE},
 r AS (
   SELECT symbol, bucket_ts,
          round(ln(avg_p / lag(avg_p) OVER (PARTITION BY symbol ORDER BY bucket_ts)), 6) AS ret
-  FROM b
+  FROM b WHERE avg_p > 0
 ),
 rr AS (SELECT * FROM r WHERE ret IS NOT NULL)
 SELECT r1.symbol AS sym_a, r2.symbol AS sym_b,
