@@ -670,14 +670,18 @@ DEC = "decimal(38,10)"
 
 
 def _dsum(col: F.Column) -> F.Column:
-    # Sum in exact decimal (associative → shuffle-order-independent), then
-    # finalize to double rounded to 6 dp: decimal output columns canonicalize
-    # differently per engine (driver hash artifact, VERDICT r1/r2) even when
-    # values are identical, and the raw decimal→double cast itself can differ
-    # in the last ulp (DuckDB's cast is not correctly rounded). round(·, 6)
-    # after the cast collapses that ulp — the pattern every green money query
-    # (_davg, twap_1h, ohlc_rollup) already uses.
-    return F.round(F.sum(col.cast(DEC)).cast("double"), 6)
+    # Sum in exact decimal (associative → shuffle-order-independent),
+    # round to 6 dp IN DECIMAL SPACE, then finalize to double. The
+    # round-then-cast order matters at scale (r9): rounding after the
+    # cast is an identity once the sum outgrows double's 6-dp
+    # resolution (~1e10), and the two engines' decimal→double casts of
+    # the UNROUNDED sum can land one ulp apart — the sf0.1 sweep caught
+    # exactly that on q1/unpivot/grouping-sets. Rounding the DECIMAL
+    # first makes both engines cast the IDENTICAL decimal value, and
+    # both casts are correctly rounded → bit-equal doubles at any
+    # magnitude. (Decimal output columns still must not be returned
+    # raw: they canonicalize differently per engine — VERDICT r1/r2.)
+    return F.round(F.sum(col.cast(DEC)), 6).cast("double")
 
 
 def _davg(col: F.Column) -> F.Column:
@@ -685,7 +689,8 @@ def _davg(col: F.Column) -> F.Column:
 
 
 def _osum(expr: str) -> str:
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE), 6)"
+    # round-then-cast, mirroring _dsum (see its comment)
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(38,10))), 6) AS DOUBLE)"
 
 
 def _oavg(expr: str) -> str:
