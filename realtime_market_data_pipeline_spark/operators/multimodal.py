@@ -491,6 +491,8 @@ def decode_image_pixels(payload: bytes):
 
         pix = jpeg.decode_pixels(payload)
         return pix[:, :, None] if pix.ndim == 2 else pix
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_pixels(payload)
     raise NotImplementedError("no pixel decoder for this format")
 
 
@@ -2287,14 +2289,11 @@ def make_gif(doc_id: int, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> dict:
-    """Decode the FIRST frame of a GIF87a/89a payload: block walk
-    (extensions skipped by sub-block framing), global or local color
-    table, full LZW decode, optional interlace de-permutation; indexed
-    pixels expand through the palette to RGB (bpp=24) so the stats
-    contract matches the other image decoders. Untrusted-bytes rules
-    apply: malformed structure raises ValueError, features beyond the
-    decoder (no color table at all) raise NotImplementedError."""
+def _decode_gif_core(payload: bytes):
+    """Shared GIF parse: block walk, color-table selection, LZW decode
+    of the FIRST frame. Returns (w, h, index_bytes, color_table,
+    interlaced) — the stats twin ignores the interlace flag (its
+    outputs are permutation-invariant), the raster twin de-permutes."""
     import struct
 
     try:
@@ -2341,11 +2340,7 @@ def decode_gif(payload: bytes) -> dict:
             pos += 3 * n
         if table is None:
             raise NotImplementedError("GIF without any color table")
-        # interlace (ipacked & 0x40) is a pure ROW PERMUTATION of the
-        # raster; every stat this decoder reports (pixel_sum, n_px,
-        # dims) is permutation-invariant, so no de-permutation is
-        # needed here — a raster-returning GIF twin would reorder rows
-        # by the 8/8/4/2 pass pattern before returning them
+        interlaced = bool(ipacked & 0x40)
         mcs = payload[pos]
         pos += 1
         if not 2 <= mcs <= 11:
@@ -2363,24 +2358,64 @@ def decode_gif(payload: bytes) -> dict:
                 raise ValueError("image sub-block truncated")
             pos += n
         idx = _lzw_decode(bytes(data), mcs, w * h)
-        n_entries = len(table) // 3
-        pixel_sum = 0
-        for i in idx:
-            if i >= n_entries:
-                raise ValueError("palette index out of range")
-            pixel_sum += (
-                table[3 * i] + table[3 * i + 1] + table[3 * i + 2]
-            )
-        return {
-            "format": "gif",
-            "width": w,
-            "height": h,
-            "bpp": 24,
-            "pixel_sum": pixel_sum,
-            "n_px": w * h,
-        }
+        return w, h, idx, table, interlaced
     except (IndexError, struct.error) as e:
         raise ValueError(f"malformed GIF ({type(e).__name__})") from e
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode the FIRST frame of a GIF87a/89a payload: block walk
+    (extensions skipped by sub-block framing), global or local color
+    table, full LZW decode; indexed pixels expand through the palette
+    to RGB (bpp=24) so the stats contract matches the other image
+    decoders. Interlace needs no handling here — it is a pure row
+    permutation and every reported stat is permutation-invariant (the
+    raster twin ``_decode_gif_pixels`` de-permutes). Untrusted-bytes
+    rules apply: malformed structure raises ValueError, features
+    beyond the decoder (no color table at all) NotImplementedError."""
+    w, h, idx, table, _il = _decode_gif_core(payload)
+    n_entries = len(table) // 3
+    pixel_sum = 0
+    for i in idx:
+        if i >= n_entries:
+            raise ValueError("palette index out of range")
+        pixel_sum += table[3 * i] + table[3 * i + 1] + table[3 * i + 2]
+    return {
+        "format": "gif",
+        "width": w,
+        "height": h,
+        "bpp": 24,
+        "pixel_sum": pixel_sum,
+        "n_px": w * h,
+    }
+
+
+def _decode_gif_pixels(payload: bytes):
+    """Raster-returning GIF decode (HxWx3 uint8, palette-expanded) —
+    the resize chain's entry point. Interlaced frames are de-permuted
+    by the four-pass 8/8/4/2 row pattern (rows arrive pass-by-pass in
+    the file; the raster must be top-down image order)."""
+    import numpy as np
+
+    w, h, idx, table, interlaced = _decode_gif_core(payload)
+    n_entries = len(table) // 3
+    arr = np.frombuffer(idx, dtype=np.uint8)
+    if int(arr.max(initial=0)) >= n_entries:
+        raise ValueError("palette index out of range")
+    pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+    rows = pal[arr].reshape(h, w, 3)
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        out = np.empty_like(rows)
+        for src_row, dst_row in enumerate(order):
+            out[dst_row] = rows[src_row]
+        rows = out
+    return rows
 
 
 def plant_gif(docs: DataFrame) -> DataFrame:

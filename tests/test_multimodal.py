@@ -1471,3 +1471,55 @@ def test_plant_and_decode_gif_distributed(spark):
             (did + x + 7 * y) % 256 for y in range(h) for x in range(w)
         )
         assert (r["width"], r["height"], r["pixel_sum"]) == (w, h, want)
+
+
+def test_gif_raster_twin_and_resize_chain():
+    """r9: the raster-returning GIF twin feeds the real resize chain
+    (decode -> NN-resize -> BMP re-encode), completing GIF's family
+    membership; interlaced frames de-permute by the 8/8/4/2 pass
+    pattern (raster order matters here, unlike the stats twin)."""
+    import struct
+
+    import numpy as np
+
+    did, w, h = 11, 9, 10
+    p = mm.make_gif(did, w, h)
+    pix = mm.decode_image_pixels(p)
+    assert pix.shape == (h, w, 3)
+    want = np.array(
+        [[(did + x + 7 * y) % 256 for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    assert (pix[:, :, 0] == want).all() and (pix[:, :, 2] == want).all()
+    # through the real resize chain
+    small = mm.resize_nn(pix, 4, 5)
+    assert small.shape == (5, 4, 3)
+    re = mm.decode_image(mm.encode_bmp_pixels(small))
+    assert re["pixel_sum"] == int(small.sum())
+
+    # interlaced variant: permute rows by the pass pattern, set the
+    # flag, and the raster twin must reconstruct the original image
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    frame_start = 13 + 768
+    ip_off = frame_start + 9  # image descriptor packed byte
+    idx_rows = [
+        bytes((did + x + 7 * y) % 256 for x in range(w)) for y in range(h)
+    ]
+    permuted = b"".join(idx_rows[r] for r in order)
+    lzw = mm._lzw_encode(permuted, 8)
+    out = bytearray(p[: ip_off + 1])
+    out[ip_off] = 0x40  # interlaced, no local table
+    out += bytes([8])
+    for i in range(0, len(lzw), 255):
+        b = lzw[i : i + 255]
+        out += bytes([len(b)]) + b
+    out += b"\x00\x3b"
+    pix2 = mm.decode_image_pixels(bytes(out))
+    assert (pix2 == pix).all(), "interlace de-permutation broken"
+    # and the stats twin agrees (permutation-invariant)
+    assert mm.decode_gif(bytes(out))["pixel_sum"] == int(pix.sum())
