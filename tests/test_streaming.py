@@ -1911,3 +1911,52 @@ def test_streaming_writers_tolerate_empty_batches(spark, tmp_path):
     assert (
         sorted(map(tuple, spark.read.parquet(out2).collect())) == hits_before
     )
+
+
+def test_streaming_decode_survives_poison_payloads(spark, tmp_path):
+    """r9: the routed DECODE stage holds its quarantine contract inside
+    a live stream — a micro-batch carrying corrupt and NULL payloads
+    produces error_class rows and the query keeps running (the
+    unrouted decoder would kill the stream on batch 1)."""
+    from realtime_market_data_pipeline_spark.operators import (
+        multimodal as mm,
+    )
+
+    d = str(tmp_path / "media_in")
+    ckpt = str(tmp_path / "media_ckpt")
+    good = mm.make_bmp(1, 5, 4)
+    b0 = [(1, bytearray(good), "image/bmp")]
+    b1 = [
+        (2, bytearray(good[:2]), "image/bmp"),     # poison: magic cut
+        (3, None, "image/bmp"),                    # poison: null payload
+        (4, bytearray(mm.make_wav(4, 10, 8000)), "audio/wav"),  # good
+    ]
+    schema = "media_id long, payload binary, media_type string"
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    got: dict = {}
+
+    def writer(batch_df, bid):
+        for r in mm.decode_media_routed(batch_df).collect():
+            got[r["media_id"]] = (r["error_class"], r["pixel_sum"],
+                                  r["sample_sum"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    assert q.exception() is None  # the stream SURVIVED the poison batch
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] is None and got[1][1] is not None
+    assert got[2][0] == "ValueError"
+    assert got[3][0] == "ValueError"
+    assert got[4][0] is None and got[4][2] is not None
