@@ -2373,13 +2373,20 @@ def decode_gif(payload: bytes) -> dict:
     raster twin ``_decode_gif_pixels`` de-permutes). Untrusted-bytes
     rules apply: malformed structure raises ValueError, features
     beyond the decoder (no color table at all) NotImplementedError."""
+    import numpy as np
+
     w, h, idx, table, _il = _decode_gif_core(payload)
     n_entries = len(table) // 3
-    pixel_sum = 0
-    for i in idx:
-        if i >= n_entries:
-            raise ValueError("palette index out of range")
-        pixel_sum += table[3 * i] + table[3 * i + 1] + table[3 * i + 2]
+    arr = np.frombuffer(idx, dtype=np.uint8)
+    if int(arr.max(initial=0)) >= n_entries:
+        raise ValueError("palette index out of range")
+    pal_sums = (
+        np.frombuffer(table, dtype=np.uint8)
+        .reshape(-1, 3)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+    pixel_sum = int(pal_sums[arr].sum())
     return {
         "format": "gif",
         "width": w,

@@ -62,6 +62,7 @@ def main(n: int = 200) -> dict:
                           (d % 5) + 2)
         for d in ids
     ]
+    gif = [mm.make_gif(d, (d % 13) + 4, (d % 11) + 4) for d in ids]
     mixed = [
         mm.make_bmp(d, 5, 4) if d % 6 == 0
         else mm.make_wav(d, 10, 8000) if d % 6 == 1
@@ -84,6 +85,7 @@ def main(n: int = 200) -> dict:
         "decode_flac": _time_per_payload(mm.decode_audio, flac),
         "decode_avi": _time_per_payload(mm.decode_avi, avi),
         "decode_avi_mjpeg": _time_per_payload(mm.decode_avi, mjpeg),
+        "decode_gif": _time_per_payload(mm.decode_image, gif),
         "probe_mixed": _time_per_payload(mm.probe_media, mixed),
         "encode_jpeg": None,  # filled below: planting cost, lru-cached
     }
