@@ -847,12 +847,19 @@ def ann_topk_ivf_indexed(
         F.col(query_id_col).cast("long").alias("qid"),
         as_double(vec_col).alias("qvec"),
     )
-    q_assign = ivf_assign(
-        q, centers, id_col="qid", vec_col="qvec", n_probe=n_probe
-    )
-    probed = sorted(
-        r["cluster"] for r in q_assign.select("cluster").distinct().collect()
-    )
+    # ONE assignment pass (r10, r9 verdict #5): collect the (qid,
+    # cluster) pairs — bounded by n_queries x n_probe ints, the same
+    # driver contract as the centroids — and reuse them BOTH for the
+    # static partition filter and as a literal relation in the join,
+    # instead of re-running the assignment scan lazily inside the plan.
+    pairs = [
+        (int(r["qid"]), int(r["cluster"]))
+        for r in ivf_assign(
+            q, centers, id_col="qid", vec_col="qvec", n_probe=n_probe
+        ).collect()
+    ]
+    probed = sorted({c for _, c in pairs})
+    q_assign = spark.createDataFrame(pairs, "qid long, cluster int")
     vectors = (
         spark.read.parquet(f"{index_dir}/vectors")
         .filter(F.col("cluster").isin(probed))
@@ -915,7 +922,10 @@ def pq_train(
     v = corpus.select(
         F.col(id_col).cast("long").alias("vid"), as_double(vec_col).alias("v")
     )
-    n = norm(F.col("v"))
+    # clamp like the numpy paths (1e-300): an all-zero embedding must
+    # normalize to zeros, not NaN subvectors that argmin silently maps
+    # to code 0 (r10, advisor)
+    n = F.greatest(norm(F.col("v")), F.lit(1e-300))
     v = v.select("vid", F.transform(F.col("v"), lambda x: x / n).alias("v"))
     from pyspark import StorageLevel
 
@@ -1024,11 +1034,83 @@ def pq_encode(
         F.col(id_col).cast("long").alias(id_col),
         as_double(vec_col).alias("v"),
     )
-    nn = norm(F.col("v"))
+    nn = F.greatest(norm(F.col("v")), F.lit(1e-300))  # zero-norm guard (r10)
     v = v.select(
         id_col, F.transform(F.col("v"), lambda x: x / nn).alias("v")
     )
     return _pq_assign_codes(v, books, id_col, "v")
+
+
+def _adc_local_topk(qids, vids, scores, rerank: int, mask=None):
+    """Per-partition ADC candidate cut (r10, r9 verdict #4): keep only
+    each query's LOCAL top-``rerank`` candidates — ordered exactly like
+    the global cut (adc_score desc, vid asc), self-matches excluded —
+    before any row leaves the Arrow task. Top-k distributes over
+    unions (the global top-rerank is contained in the union of
+    per-partition top-reranks), so the downstream window over the
+    union returns values IDENTICAL to cutting the full nq x n matrix;
+    the qid exchange now carries at most rerank rows per query per
+    partition instead of every scored code row. ``mask`` (optional,
+    nq x n bool) restricts each query to the rows whose bucket it
+    probed — the IVFPQ per-query candidate semantics."""
+    import numpy as np
+    import pandas as pd
+
+    out_q: list = []
+    out_v: list = []
+    out_s: list = []
+    all_idx = np.arange(len(vids))
+    for qi, qid in enumerate(qids):
+        idx = np.nonzero(mask[qi])[0] if mask is not None else all_idx
+        v = vids[idx]
+        keep = v != qid
+        v = v[keep]
+        s = scores[qi, idx][keep]
+        order = np.lexsort((v, -s))[:rerank]
+        out_q.append(np.full(len(order), qid, dtype=np.int64))
+        out_v.append(v[order])
+        out_s.append(s[order])
+    return pd.DataFrame(
+        {
+            "qid": np.concatenate(out_q),
+            "vid": np.concatenate(out_v),
+            "adc_score": np.concatenate(out_s),
+        }
+    )
+
+
+def adc_candidates(
+    corpus_codes: DataFrame,
+    tables,
+    qids: list[int],
+    rerank: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ADC scan with the two-phase top-k cut applied: one
+    shuffle-free Arrow pass scores every code row against the
+    precomputed (nq x S x K) lookup ``tables`` and emits only each
+    query's per-partition top-``rerank`` (qid, vid, adc_score) rows.
+    Exposed as its own function so the exchange row bound — at most
+    n_queries x rerank x n_partitions rows total — is directly
+    testable (tests/test_similarity.py pins it)."""
+    import numpy as np
+
+    n_subspaces = tables.shape[1]
+    qid_arr = list(qids)
+
+    def adc(batches):
+        srange = np.arange(n_subspaces)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # n x S
+            scores = tables[:, srange, C].sum(axis=2)  # nq x n
+            vids = pdf[id_col].to_numpy()
+            yield _adc_local_topk(qid_arr, vids, scores, rerank)
+
+    return corpus_codes.select(id_col, "codes").mapInPandas(
+        adc, schema="qid long, vid long, adc_score double"
+    )
 
 
 def ann_topk_pq(
@@ -1072,37 +1154,19 @@ def ann_topk_pq(
     tables = np.einsum("qsd,skd->qsk", QS, B)
     qids = [qid for qid, _ in qrows]
 
-    def adc(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.array(list(pdf["codes"]), dtype=np.int64)  # n x S
-            n = len(pdf)
-            # scores: (nq, n) = sum_s tables[q, s, C[i, s]]
-            srange = np.arange(n_subspaces)
-            scores = tables[:, srange, C].sum(axis=2)  # nq x n
-            vids = pdf[id_col].to_numpy()
-            out_q = np.repeat(qids, n)
-            out_v = np.tile(vids, len(qids))
-            yield pd.DataFrame(
-                {
-                    "qid": out_q,
-                    "vid": out_v,
-                    "adc_score": scores.reshape(-1),
-                }
-            )
-
-    scored = corpus_codes.select(id_col, "codes").mapInPandas(
-        adc, schema="qid long, vid long, adc_score double"
+    # two-phase top-k (r10): the Arrow scan itself cuts each query to
+    # its per-partition top-rerank (self-matches excluded) before the
+    # exchange, so the qid shuffle carries <= nq x rerank x P rows, not
+    # nq x |codes| — the 100 TB bound the r9 verdict asked for. The
+    # global window below then finishes the cut over the union.
+    scored = adc_candidates(
+        corpus_codes, tables, qids, rerank, id_col=id_col
     )
     w_adc = Window.partitionBy("qid").orderBy(
         F.col("adc_score").desc(), F.col("vid").asc()
     )
     cand = (
-        scored.filter(F.col("vid") != F.col("qid"))
-        .withColumn("adc_rank", F.row_number().over(w_adc))
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
         .filter(F.col("adc_rank") <= rerank)
         .select("qid", "vid")
     )
@@ -1263,8 +1327,6 @@ def ann_topk_ivfpq(
     )
 
     def adc(batches):
-        import pandas as pd
-
         srange = np.arange(n_subspaces)
         for pdf in batches:
             if not len(pdf):
@@ -1274,13 +1336,10 @@ def ann_topk_ivfpq(
             vids = pdf[id_col].to_numpy()
             scores = tables[:, srange, codes].sum(axis=2)  # nq x n
             mask = ok[:, clusters]  # nq x n — query probed this bucket?
-            qi, ri = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "qid": qids[qi],
-                    "vid": vids[ri],
-                    "adc_score": scores[qi, ri],
-                }
+            # two-phase top-k (r10): per-partition cut before the
+            # exchange, same bound as adc_candidates
+            yield _adc_local_topk(
+                list(qids), vids, scores, rerank, mask=mask
             )
 
     scored = pruned.select(id_col, "cluster", "codes").mapInPandas(
@@ -1290,8 +1349,7 @@ def ann_topk_ivfpq(
         F.col("adc_score").desc(), F.col("vid").asc()
     )
     cand = (
-        scored.filter(F.col("vid") != F.col("qid"))
-        .withColumn("adc_rank", F.row_number().over(w_adc))
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
         .filter(F.col("adc_rank") <= rerank)
         .select("qid", "vid")
     )

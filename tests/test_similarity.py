@@ -414,3 +414,93 @@ def test_ivfpq_on_disk_index_end_to_end(spark, tmp_path):
         qn = qv / np.linalg.norm(qv)
         order = np.argsort(-(qn @ Cn.T), kind="stable")[:5]
         assert assign[vid] in set(int(x) for x in order), (qid, vid)
+
+
+def test_adc_candidates_bounds_exchange_and_matches_full_cut(spark):
+    """r10 (r9 verdict #4): the ADC scan cuts each query to its LOCAL
+    top-rerank inside the Arrow task, so the qid exchange carries at
+    most n_queries x rerank x n_partitions rows — and the global
+    top-rerank over that union is IDENTICAL to cutting the full
+    nq x |codes| score matrix (top-k distributes over unions)."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_train(emb, n_subspaces=8, k_sub=16, n_iter=1)
+    codes = sim.pq_encode(emb, books).repartition(4)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qrows = [(int(r.query_id), list(r.embedding)) for r in q.collect()]
+    B = np.array(books, dtype=np.float64)
+    Q = np.array([v for _, v in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    sd = len(books[0][0])
+    tables = np.einsum(
+        "qsd,skd->qsk", Qn.reshape(len(qrows), len(books), sd), B
+    )
+    qids = [qid for qid, _ in qrows]
+    rerank = 7
+    cand = sim.adc_candidates(codes, tables, qids, rerank)
+    rows = cand.collect()
+    # the exchange row bound the two-phase cut exists to enforce
+    assert len(rows) <= len(qids) * rerank * 4
+    # global top-rerank from the union == full-matrix top-rerank
+    crows = codes.collect()
+    C = np.array([list(r["codes"]) for r in crows], dtype=np.int64)
+    vids = np.array([int(r["vec_id"]) for r in crows], dtype=np.int64)
+    scores = tables[:, np.arange(len(books)), C].sum(axis=2)
+    want = {}
+    for qi, qid in enumerate(qids):
+        keep = vids != qid
+        v, s = vids[keep], scores[qi][keep]
+        order = np.lexsort((v, -s))[:rerank]
+        want[qid] = list(zip(v[order].tolist(), np.round(s[order], 9)))
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.vid, round(r.adc_score, 9)))
+    for qid in qids:
+        top = sorted(got[qid], key=lambda t: (-t[1], t[0]))[:rerank]
+        assert top == want[qid], f"query {qid} candidate set diverged"
+
+
+def test_pq_zero_norm_vector_is_guarded(spark):
+    """r10 (advisor): an all-zero embedding must normalize to zeros via
+    the 1e-300 clamp — not to NaN subvectors that argmin silently maps
+    to code 0 — in BOTH the SQL normalization (pq_train/pq_encode) and
+    the numpy paths."""
+    import math
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.pq_train(df, n_subspaces=2, k_sub=2, n_iter=1)
+    flat = [x for s in books for c in s for x in c]
+    assert all(math.isfinite(x) for x in flat), "NaN leaked into codebooks"
+    codes = {r.vec_id: list(r.codes) for r in sim.pq_encode(df, books).collect()}
+    assert len(codes) == 9
+    assert all(
+        0 <= c < 2 for cs in codes.values() for c in cs
+    ), "code out of range"
+
+
+def test_ivf_indexed_search_plans_single_assignment_pass(spark, tmp_path):
+    """r10 (r9 verdict #5): ann_topk_ivf_indexed collects the bounded
+    (qid, cluster) assignment ONCE and joins a literal relation — the
+    search plan must contain NO MapInPandas re-assignment stage (the
+    old plan recomputed ivf_assign lazily inside the join)."""
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_single_pass")
+    centers = sim.build_ivf_index(emb, idx, n_centroids=8, n_iter=1)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_df = sim.ann_topk_ivf_indexed(spark, idx, q, k=3, n_probe=3)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "assignment recomputed inside the plan"
+    # values still identical to the in-memory trained search
+    want = sorted(
+        map(tuple, sim.ann_topk_ivf(emb, q, centers, k=3, n_probe=3).collect())
+    )
+    assert sorted(map(tuple, got_df.collect())) == want
