@@ -1437,6 +1437,60 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_image_full(media: DataFrame) -> DataFrame:
+    """One-pass image decode through BOTH twins (r10): the stats
+    decoder (``decode_image``) and the raster decoder
+    (``decode_image_pixels``) run on every payload in the same Arrow
+    task, their total sums are cross-checked against each other, and
+    the raster additionally yields ``row_weighted_sum`` =
+    Σ_y (y+1)·(sum of row y's channel bytes) — a checksum that is NOT
+    permutation-invariant, so it certifies ROW ORDER (GIF interlace
+    de-permutation, BMP bottom-up flips) which ``pixel_sum`` alone
+    cannot. Same 100 TB shape as decode_media: shuffle-free, payloads
+    never cross an exchange."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                b = bytes(payload)
+                d = decode_image(b)
+                arr = decode_image_pixels(b).astype(np.int64)
+                raster_sum = int(arr.sum())
+                if raster_sum != d["pixel_sum"]:
+                    raise ValueError(
+                        f"decode twins diverged on media_id={mid}: "
+                        f"stats={d['pixel_sum']} raster={raster_sum}"
+                    )
+                h = arr.shape[0]
+                rws = int(
+                    (
+                        arr.reshape(h, -1).sum(axis=1)
+                        * (np.arange(h, dtype=np.int64) + 1)
+                    ).sum()
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": mtype,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "pixel_sum": d["pixel_sum"],
+                        "row_weighted_sum": rws,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload", "media_type").mapInPandas(
+        run,
+        "media_id long, media_type string, width int, height int, "
+        "pixel_sum long, row_weighted_sum long",
+    )
+
+
 def decode_media_routed(media: DataFrame) -> DataFrame:
     """Decode WITH QUARANTINE (r9, closes the r8 verdict's decode-stage
     gap): ``probe_media_routed`` stopped one corrupt payload from
@@ -2194,6 +2248,14 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         w = wk[-1:]
     if w:
         bw.write(table[w], width)
+        # the decoder performs one more dictionary add after the final
+        # data code; if that add lands exactly on a code-width boundary
+        # an early-change reader bumps width BEFORE reading EOI — so
+        # EOI must be written at the post-bump width (r10, advisor:
+        # latent interop edge for strict external GIF readers; our own
+        # decoder exits at max_pixels and never hit it)
+        if next_code == (1 << width) and width < 12:
+            width += 1
     bw.write(eoi, width)
     return bw.flush()
 
@@ -2257,11 +2319,15 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
     return bytes(out[:max_pixels])
 
 
-def make_gif(doc_id: int, width: int, height: int) -> bytes:
+def make_gif(
+    doc_id: int, width: int, height: int, interlaced: bool = False
+) -> bytes:
     """Spec-valid GIF89a: 256-entry grayscale global color table
-    (i,i,i), one non-interlaced frame, REAL LZW-compressed indices
+    (i,i,i), one frame, REAL LZW-compressed indices
     ``(doc_id + x + 7y) % 256`` (the PNG planting arithmetic, so
-    oracles mirror)."""
+    oracles mirror). ``interlaced`` writes the rows in the four-pass
+    8/8/4/2 order with the descriptor flag set (r10) — the raster
+    decoder must de-permute them back to image order."""
     import struct
 
     out = bytearray(b"GIF89a")
@@ -2272,10 +2338,16 @@ def make_gif(doc_id: int, width: int, height: int) -> bytes:
         out += bytes([i, i, i])
     out.append(0x2C)  # image descriptor
     out += struct.pack("<HHHH", 0, 0, width, height)
-    out.append(0x00)  # no local table, not interlaced
+    out.append(0x40 if interlaced else 0x00)  # no local table
+    row_order = (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    ) if interlaced else range(height)
     idx = bytes(
         (doc_id + x + 7 * y) % 256
-        for y in range(height)
+        for y in row_order
         for x in range(width)
     )
     out.append(8)  # LZW min code size
@@ -2430,15 +2502,23 @@ def plant_gif(docs: DataFrame) -> DataFrame:
     (the ``plant_png`` pattern, LZW edition): every doc gets a GIF89a
     with dims per BMP_WIDTH/BMP_HEIGHT and indexed pixels
     ``(doc_id + x + 7y) % 256`` through the grayscale palette — real
-    LZW streams any conformant GIF reader decodes. The oracle twin is
-    PNG's: pixel_sum = 3·Σ(doc_id+x+7y)%256 (staged as r10's
-    ``multimodal_decode_gif`` window budget)."""
+    LZW streams any conformant GIF reader decodes. Odd doc_ids are
+    INTERLACED (r10): their rows sit in the file in four-pass order, so
+    the raster decoder's de-permutation is exercised by half the
+    corpus. The oracle twin is PNG's: pixel_sum = 3·Σ(doc_id+x+7y)%256
+    (interlace-invariant), plus the row-weighted checksum that is NOT
+    permutation-invariant (``multimodal_decode_gif``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
             payloads = [
-                make_gif(int(d), (int(d) % 13) + 4, (int(d) % 11) + 4)
+                make_gif(
+                    int(d),
+                    (int(d) % 13) + 4,
+                    (int(d) % 11) + 4,
+                    interlaced=bool(int(d) % 2),
+                )
                 for d in ids
             ]
             yield pd.DataFrame(

@@ -5804,6 +5804,53 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_gif",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+xs AS (SELECT CAST(i AS BIGINT) AS x FROM range(0, 17) AS t(i)),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 15) AS t(i)),
+s AS (
+  SELECT doc_id,
+         sum((doc_id + x + 7 * y) % 256) AS ps,
+         sum((y + 1) * ((doc_id + x + 7 * y) % 256)) AS rws
+  FROM d JOIN xs ON x < (doc_id % 13) + 4
+         JOIN ys ON y < (doc_id % 11) + 4
+  GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       'image/gif' AS media_type,
+       CAST((doc_id % 13) + 4 AS INTEGER) AS width,
+       CAST((doc_id % 11) + 4 AS INTEGER) AS height,
+       CAST(3 * ps AS BIGINT) AS pixel_sum,
+       CAST(3 * rws AS BIGINT) AS row_weighted_sum
+FROM s
+""",
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW-compressed media decode (r10, closes r9 verdict #2 — GIF was
+    the one codec the driver had never certified): plant deterministic
+    doc_id-derived GIF89a payloads — real LZW streams through a
+    256-entry grayscale palette, INTERLACED on odd doc_ids (rows in the
+    file in four-pass 8/8/4/2 order) — then decode them back through
+    BOTH pure-Python twins in one Arrow pass (``decode_image_full``):
+    the stats decoder (block walk, palette expansion, LZW with width
+    growth/CLEAR/KwKwK) and the raster decoder (palette-expanded HxWx3
+    with interlace de-permutation), cross-checked against each other
+    per payload. The oracle predicts pixel_sum = 3·Σ(doc_id+x+7y)%256
+    by integer arithmetic (interlace-invariant — certifies the LZW and
+    palette math) AND row_weighted_sum = 3·Σ(y+1)·((doc_id+x+7y)%256),
+    which is NOT permutation-invariant — a de-permutation bug on the
+    odd half of the corpus breaks the hash. Same 100 TB shape as the
+    other decode queries: shuffle-free Arrow mapInPandas, payload bytes
+    never cross an exchange (~145 µs/payload in the codec cost table).
+    The LZW layer is additionally pinned to the spec independently of
+    the encoder by the hand-built 0x8C0B bitstream test
+    (tests/test_multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_image_full(mm.plant_gif(docs))
+
+
+@query(
     "multimodal_video_frames",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),

@@ -1523,3 +1523,100 @@ def test_gif_raster_twin_and_resize_chain():
     assert (pix2 == pix).all(), "interlace de-permutation broken"
     # and the stats twin agrees (permutation-invariant)
     assert mm.decode_gif(bytes(out))["pixel_sum"] == int(pix.sum())
+
+
+def test_gif_interlaced_roundtrip_depermutes_rows():
+    """r10: make_gif(interlaced=True) writes rows in the four-pass
+    8/8/4/2 file order; the raster decoder must return them in image
+    order — identical to the non-interlaced twin — while the stats
+    decoder's outputs are interlace-invariant by construction."""
+    import numpy as np
+
+    for did, w, h in [(3, 6, 9), (7, 5, 14), (11, 4, 4), (42, 16, 13)]:
+        plain = mm._decode_gif_pixels(mm.make_gif(did, w, h))
+        inter = mm._decode_gif_pixels(mm.make_gif(did, w, h, interlaced=True))
+        assert np.array_equal(plain, inter), (did, w, h)
+        assert mm.decode_gif(mm.make_gif(did, w, h, interlaced=True)) == \
+            mm.decode_gif(mm.make_gif(did, w, h))
+
+
+def test_gif_lzw_eoi_written_at_post_bump_width():
+    """r10 (advisor): when the stream's final dictionary add lands
+    exactly on a code-width boundary, a strict early-change reader
+    bumps width BEFORE reading EOI — the encoder must write EOI at the
+    post-bump width. Replay the decoder's exact bookkeeping and read
+    through to EOI (our _lzw_decode exits at max_pixels, so only a
+    strict reader can see the misalignment)."""
+    # mcs=2: codes 0..3 literal, clear=4, eoi=5, first free=6, width=3.
+    # Three distinct literals -> 2 in-loop adds + the decoder's final
+    # add reaches next_code=8 == 1<<3 -> width bumps to 4 before EOI.
+    data = mm._lzw_encode(bytes([0, 1, 2]), 2)
+
+    def strict_read(data, mcs):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        width, pos, nbits = mcs + 1, 0, len(data) * 8
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        next_code, prev, out = eoi + 1, None, bytearray()
+        while True:
+            assert pos + width <= nbits, "stream ended before EOI"
+            b0 = pos >> 3
+            chunk = int.from_bytes(data[b0 : b0 + 3], "little")
+            code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+            pos += width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                next_code, width, prev = eoi + 1, mcs + 1, None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None or code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise AssertionError(f"code {code} out of range: EOI misaligned")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+
+    assert strict_read(data, 2) == bytes([0, 1, 2])
+    # the non-boundary pin is unchanged by the fix
+    assert mm._lzw_encode(b"\x01\x01\x01", 2) == bytes.fromhex("8c0b")
+    # and our own decoder still roundtrips both
+    assert mm._lzw_decode(data, 2, 3) == bytes([0, 1, 2])
+
+
+def test_decode_image_full_cross_checks_twins(spark):
+    """r10: decode_image_full runs BOTH decode twins per payload,
+    cross-checks their total sums, and emits the row-weighted checksum
+    that certifies row order — the values the multimodal_decode_gif
+    oracle predicts by arithmetic. Mixed interlaced/non-interlaced
+    corpus; plan must stay shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 20
+    )
+    out = mm.decode_image_full(mm.plant_gif(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "decode stage must be shuffle-free"
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 20
+    for did, r in rows.items():
+        w, h = (did % 13) + 4, (did % 11) + 4
+        ps = sum(
+            3 * ((did + x + 7 * y) % 256)
+            for y in range(h) for x in range(w)
+        )
+        rws = sum(
+            (y + 1) * 3 * ((did + x + 7 * y) % 256)
+            for y in range(h) for x in range(w)
+        )
+        assert (r.width, r.height) == (w, h)
+        assert r.pixel_sum == ps and r.row_weighted_sum == rws, did
