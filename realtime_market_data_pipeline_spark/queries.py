@@ -5332,6 +5332,22 @@ def embedding_ann_ivf(
     return _ann_recall_summary(exact, ann)
 
 
+def _warehouse_index_path(sf_dir: str, prefix: str) -> str:
+    """Repo-anchored, per-sf, per-PROCESS on-disk index path: the repo's
+    spark-warehouse (the driver may run from anywhere and this engine
+    never writes outside its tree), tagged by sf AND pid — mode=
+    overwrite is idempotent within a process, and the pid component
+    keeps two concurrent runs at the same SF (bench alongside pytest)
+    from deleting each other's in-flight pruned scans (r10, advisor)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo, "spark-warehouse")
+    os.makedirs(base, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(base, f"{prefix}_{tag}_{os.getpid()}")
+
+
 _O_ANN_RECALL_PERSISTED = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST({_ANN_K} AS INTEGER) AS k,
@@ -5368,20 +5384,16 @@ def embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
       evaluates every ANN subplan twice: 1.10 s vs 0.79 s at sf0.1).
     - the usual recall floor of the indexed search vs the exact top-5.
 
-    The index lives at a FIXED per-sf path under the warehouse dir,
-    mode=overwrite — idempotent across calls; the indexed search reads
-    it at execution time, so it is not deleted eagerly."""
-    import os
-
+    The index lives at a per-sf, PER-PROCESS path under the warehouse
+    dir (pid-suffixed, r10 advisor: two concurrent runs at the same SF
+    — e.g. bench alongside pytest — could otherwise race one run's
+    mode=overwrite against the other's in-flight pruned scan),
+    mode=overwrite — idempotent across calls within a process; the
+    indexed search reads it at execution time, so it is not deleted
+    eagerly."""
     emb = load_table(spark, sf_dir, "embeddings")
     centers = sim.ivf_train_centroids(emb, n_centroids=16, n_iter=2)
-    # anchor to the REPO's warehouse dir, not cwd — the driver may run
-    # from anywhere, and this engine must never write outside its tree
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    base = os.path.join(repo, "spark-warehouse")
-    os.makedirs(base, exist_ok=True)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(base, f"ann_ivf_index_{tag}")
+    path = _warehouse_index_path(sf_dir, "ann_ivf_index")
     sim.build_ivf_index(emb, path, centers=centers)
     loaded = sim.load_ann_index(spark, f"{path}/meta")["centroids"]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -5411,6 +5423,58 @@ def embedding_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ann_recall_summary(exact, ann_i)
         .withColumn("loaded_equals_trained", F.lit(loaded == centers))
         .crossJoin(eq)
+    )
+
+
+_O_ANN_RECALL_IVFPQ = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({_ANN_K} AS INTEGER) AS k,
+       CAST({_ANN_FLOOR} AS DOUBLE) AS recall_floor,
+       TRUE AS recall_ge_floor,
+       TRUE AS books_roundtrip,
+       TRUE AS centroids_roundtrip
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+@query("embedding_ann_ivfpq", oracle=_O_ANN_RECALL_IVFPQ)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVFPQ composition at rest (r10, closes r9 verdict #3 —
+    the one ANN form the driver had never seen): IVF prunes WHICH
+    vectors a query scores, PQ shrinks WHAT each score costs.
+    ``build_ivfpq_index`` persists centroids + per-subspace codebooks
+    and writes the corpus CLUSTER-PARTITIONED carrying both raw vectors
+    and PQ codes; ``ann_topk_ivfpq`` then probes 6 of 16 buckets per
+    query (partition-pruned scan — plan-pinned in pytest), ADC-scores
+    each pruned code row ONLY for the queries that probed its bucket
+    (8 table lookups per score instead of a 64-dim dot product), cuts
+    to the per-partition top-200 inside the Arrow task (the r10
+    two-phase bound), and exact-reranks the survivors from the raw
+    vectors in the same pruned rows — the FAISS IVFPQ shape as pure
+    dataflow. Lossy + pruned => the driver contract is the recall
+    floor vs the exact top-5 (0.96 / 0.92 / 0.96 at sf0.001/0.01/0.1 —
+    deterministic: argmin-stable assignment, decimal-exact means) plus
+    bit-exact round-trips of BOTH persisted codebooks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _warehouse_index_path(sf_dir, "ann_ivfpq_index")
+    centers, books = sim.build_ivfpq_index(
+        emb, path, n_centroids=16, n_iter=2, n_subspaces=8, k_sub=32
+    )
+    books_rt = sim.load_pq_books(spark, f"{path}/pq") == books
+    centers_rt = (
+        sim.load_ann_index(spark, f"{path}/meta")["centroids"] == centers
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = sim.ann_topk_ivfpq(
+        spark, path, queries_df, k=_ANN_K, n_probe=6, rerank=200
+    )
+    exact = sim.cosine_topk(emb, queries_df, k=_ANN_K)
+    return (
+        _ann_recall_summary(exact, ann)
+        .withColumn("books_roundtrip", F.lit(books_rt))
+        .withColumn("centroids_roundtrip", F.lit(centers_rt))
     )
 
 
