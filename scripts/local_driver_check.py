@@ -4,6 +4,14 @@ Runs each registered query at sf0.01 next to its DuckDB oracle and compares
 row count, column set, and EXACT values (no float tolerance — the driver
 hashes canonicalized values, so a 1-ulp difference fails there too).
 
+Every query also runs under a PER-QUERY WALL BUDGET (r10, r9 verdict #6:
+the O(rows²) gapfill frame hid in a value-green sweep until sf0.1 got
+timed — 198 s wall on correct output). A query exceeding the budget FAILS
+the sweep even when its values match, so the next accidental quadratic
+cannot hide. Default 60 s (generous vs the ~1 s/query norm and local[8]
+host noise; the r9 quadratic was 198 s); tighten via
+SPARK_GRAFT_QUERY_BUDGET_SEC, or set it <= 0 to disable.
+
 Usage: python scripts/local_driver_check.py [first_n] [name ...]
 """
 
@@ -17,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET_SEC", "60"))
 
 
 def _norm(v):
@@ -63,8 +72,13 @@ def main() -> int:
             s_cols = [c.lower() for c in sdf.columns]
             s_rows = [tuple(_norm(v) for v in r) for r in sdf.collect()]
             if name not in Q.ORACLES:
-                print(f"ROWS_ONLY {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
-                n_pass += 1
+                el = time.time() - t0
+                if 0 < BUDGET_SEC < el:
+                    print(f"BUDGET    {name}: {el:.1f}s > {BUDGET_SEC:.0f}s wall budget")
+                    n_hash += 1
+                else:
+                    print(f"ROWS_ONLY {name}: {len(s_rows)} rows ({el:.1f}s)")
+                    n_pass += 1
                 continue
             o = con.sql(Q.ORACLES[name])
             o_cols = [c.lower() for c in o.columns]
@@ -87,8 +101,13 @@ def main() -> int:
                 print(f"HASH      {name}: {bad}/{len(ss)} rows differ; e.g. {ex[0]} != {ex[1]}")
                 n_hash += 1
             else:
-                print(f"OK        {name}: {len(ss)} rows ({time.time()-t0:.1f}s)")
-                n_pass += 1
+                el = time.time() - t0
+                if 0 < BUDGET_SEC < el:
+                    print(f"BUDGET    {name}: values OK but {el:.1f}s > {BUDGET_SEC:.0f}s wall budget")
+                    n_hash += 1
+                else:
+                    print(f"OK        {name}: {len(ss)} rows ({el:.1f}s)")
+                    n_pass += 1
         except Exception as e:  # noqa: BLE001
             msg = str(e).split("\n")[0][:160]
             print(f"ERR       {name}: {msg}")
