@@ -130,6 +130,7 @@ HEADLINE = [
     # exact re-rank under one oracle row)
     "multimodal_decode_gif",
     "embedding_ann_ivfpq",
+    "embedding_ann_ivf_appended",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -818,6 +818,48 @@ def build_ivf_index(
     return centers
 
 
+def ivf_index_append(
+    corpus_delta: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_books: list[list[list[float]]] | None = None,
+) -> None:
+    """INCREMENTAL index maintenance (r10): append new vectors to an
+    existing on-disk IVF index WITHOUT retraining. At 100 TB the corpus
+    grows every ingest batch; re-running Lloyd over the full corpus per
+    batch is the retrain-per-call bug at a larger scale. Instead: load
+    the persisted centroids (bounded k x d), assign ONLY the delta, and
+    append its rows cluster-partitioned — parquet partition dirs merge,
+    so a subsequent ``ann_topk_ivf_indexed`` search over the grown
+    index is IDENTICAL to one over a full rebuild with the same
+    centroids (assignment is per-row and centroids are frozen; pinned
+    by test + the embedding_ann_ivf_appended oracle). Pass
+    ``codes_books`` to also append PQ codes (the IVFPQ layout).
+    Caveat by design: appends shift cluster occupancy but never the
+    codebook — after enough drift, retrain and rebuild (the standard
+    IVF maintenance contract, same as FAISS)."""
+    spark = corpus_delta.sparkSession
+    centers = load_ann_index(spark, f"{index_dir}/meta")["centroids"]
+    if not centers:
+        raise ValueError(f"no centroids in index at {index_dir}/meta")
+    assign = ivf_assign(
+        corpus_delta, centers, id_col=id_col, vec_col=vec_col, n_probe=1
+    )
+    grown = corpus_delta.join(assign, id_col)
+    if codes_books is not None:
+        grown = grown.join(
+            pq_encode(corpus_delta, codes_books, id_col=id_col,
+                      vec_col=vec_col),
+            id_col,
+        )
+    (
+        grown.write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
 def ann_topk_ivf_indexed(
     spark,
     index_dir: str,

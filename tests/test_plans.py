@@ -334,7 +334,10 @@ def test_registry_priority_window():
     # module rows never spill.
     names = list(Q.QUERIES)
     window = set(names[:50])
-    new_r10 = {"multimodal_decode_gif", "embedding_ann_ivfpq"}
+    new_r10 = {
+        "multimodal_decode_gif", "embedding_ann_ivfpq",
+        "embedding_ann_ivf_appended",
+    }
     changed_code = {"embedding_ann_ivf_persisted"}
     oldest_r6 = {"grouping_sets_flag_status", "cube_brand_size"}
     never_adjudicated = {
@@ -356,12 +359,12 @@ def test_registry_priority_window():
     for group in (new_r10, changed_code, oldest_r6, never_adjudicated,
                   changed_module_r7):
         assert group <= window, group - window
-    # the seven displaced r7 rows (quiet modules, justified in the
-    # registry comment) must sit at slots 51-57 so they lead r11
-    assert set(names[50:57]) == {
+    # the eight displaced r7 rows (quiet modules, justified in the
+    # registry comment) must sit at slots 51-58 so they lead r11
+    assert set(names[50:58]) == {
         "sql_frontend_scan", "top_orders_global", "union_backfill_counts",
         "tick_validation_counts", "synthetic_gbm_features",
-        "user_sessions_12h", "moving_avg_value_5",
+        "user_sessions_12h", "moving_avg_value_5", "approx_distinct_users",
     }
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)

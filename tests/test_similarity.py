@@ -504,3 +504,50 @@ def test_ivf_indexed_search_plans_single_assignment_pass(spark, tmp_path):
         map(tuple, sim.ann_topk_ivf(emb, q, centers, k=3, n_probe=3).collect())
     )
     assert sorted(map(tuple, got_df.collect())) == want
+
+
+def test_ivf_index_append_grows_without_retrain(spark, tmp_path):
+    """r10: ivf_index_append assigns ONLY the delta against the frozen
+    persisted centroids and appends cluster-partitioned files — a
+    search over the grown index is IDENTICAL to a full rebuild with
+    the same centroids, and the IVFPQ variant (codes_books) appends
+    codes that score identically too."""
+    emb = load_table(spark, SF, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # plain IVF: build on even, append odd == rebuild on all
+    grow = str(tmp_path / "grow")
+    full = str(tmp_path / "full")
+    centers = sim.build_ivf_index(even, grow, n_centroids=8, n_iter=1)
+    sim.ivf_index_append(odd, grow)
+    sim.build_ivf_index(emb, full, centers=centers)
+    got = sorted(map(tuple, sim.ann_topk_ivf_indexed(
+        spark, grow, q, k=3, n_probe=4).collect()))
+    want = sorted(map(tuple, sim.ann_topk_ivf_indexed(
+        spark, full, q, k=3, n_probe=4).collect()))
+    assert got == want and len(got) > 0
+    # the grown index holds every row exactly once
+    n = spark.read.parquet(f"{grow}/vectors").count()
+    assert n == emb.count()
+
+    # IVFPQ: append with codes; an index assembled ENTIRELY by append
+    # (meta + books saved, all vectors appended into an empty dir)
+    # searches identically to the built-then-grown one
+    ivfpq1 = str(tmp_path / "ivfpq1")
+    centers2, books = sim.build_ivfpq_index(
+        even, ivfpq1, n_centroids=8, n_iter=1, n_subspaces=8, k_sub=16
+    )
+    sim.ivf_index_append(odd, ivfpq1, codes_books=books)
+    ivfpq2 = str(tmp_path / "ivfpq2")
+    sim.save_ann_index(spark, f"{ivfpq2}/meta", centroids=centers2)
+    sim.save_pq_books(spark, f"{ivfpq2}/pq", books)
+    sim.ivf_index_append(emb, ivfpq2, codes_books=books)
+    a = sorted(map(tuple, sim.ann_topk_ivfpq(
+        spark, ivfpq1, q, k=3, n_probe=4, rerank=50).collect()))
+    b = sorted(map(tuple, sim.ann_topk_ivfpq(
+        spark, ivfpq2, q, k=3, n_probe=4, rerank=50).collect()))
+    assert a == b and len(a) > 0
