@@ -1960,3 +1960,62 @@ def test_streaming_decode_survives_poison_payloads(spark, tmp_path):
     assert got[2][0] == "ValueError"
     assert got[3][0] == "ValueError"
     assert got[4][0] is None and got[4][2] is not None
+
+
+def test_streaming_ann_search_sees_appended_index_growth(spark, tmp_path):
+    """r10: the on-disk index grows BETWEEN micro-batches
+    (ivf_index_append — assignment of only the delta against the frozen
+    centroids) and the very next batch's pruned scan sees the new
+    vectors with NO writer restart: the vectors relation is read lazily
+    per batch, so online corpus growth is free. Each batch's results
+    equal the batch search over the index state at that moment."""
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from realtime_market_data_pipeline_spark.streaming import ann as sann
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "grow_idx")
+    sim.build_ivf_index(even, idx, n_centroids=8, n_iter=1)
+
+    out = str(tmp_path / "hits_out")
+    writer = sann.ann_search_writer(spark, idx, out, k=3, n_probe=3)
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # batch 0: index holds the even half only
+    writer(queries_df, 0)
+    got0 = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got0 and all(v % 2 == 0 for _, v, _, _ in got0)
+
+    # grow the index, then batch 1 with the SAME writer and queries
+    sim.ivf_index_append(odd, idx)
+    writer(queries_df, 1)
+    by_batch = {
+        b: sorted(
+            (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+            for r in spark.read.parquet(out)
+            .filter(F.col("batch_id") == b)
+            .collect()
+        )
+        for b in (0, 1)
+    }
+    assert by_batch[0] == got0  # batch 0's partition untouched
+    want1 = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in sim.ann_topk_ivf_indexed(
+            spark, idx, queries_df, k=3, n_probe=3
+        ).collect()
+    )
+    assert by_batch[1] == want1
+    # growth is visible in the results (deterministic: odd vectors enter
+    # some query's top-3, which an even-only index cannot produce)
+    assert by_batch[1] != by_batch[0]
