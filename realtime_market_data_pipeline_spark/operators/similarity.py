@@ -860,6 +860,48 @@ def ivf_index_append(
     )
 
 
+def ivf_index_compact(
+    spark, index_dir: str, max_records_per_file: int = 0
+) -> tuple[int, int]:
+    """Compact the grown index (r10, the other half of the append
+    lifecycle): every ``ivf_index_append`` adds one file per touched
+    cluster partition, so N ingest batches leave N+1 small files per
+    bucket and the pruned search pays N+1 footer reads per probed
+    bucket — the classic small-files tax. Rewrite the vectors table
+    one-task-per-cluster (repartition on the partition column, so each
+    bucket lands as ONE file; set ``max_records_per_file`` at real
+    scale to cap file sizes instead) into a sibling temp dir, then
+    atomic rename swap — the ``maintenance.compact_parquet_dir``
+    pattern, partition-aware. Values, partition layout, and the pruned
+    search are IDENTICAL before and after (pinned). Returns
+    (files_before, files_after)."""
+    import os
+    import shutil
+
+    vec = f"{index_dir}/vectors"
+
+    def _count(p: str) -> int:
+        return sum(
+            1
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    files_before = _count(vec)
+    df = spark.read.parquet(vec).repartition("cluster")
+    writer = df.write.mode("overwrite").partitionBy("cluster")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    tmp = vec.rstrip("/") + "._compact_tmp"
+    old = vec.rstrip("/") + "._compact_old"
+    writer.parquet(tmp)
+    os.rename(vec, old)
+    os.rename(tmp, vec)
+    shutil.rmtree(old)
+    return files_before, _count(vec)
+
+
 def ann_topk_ivf_indexed(
     spark,
     index_dir: str,

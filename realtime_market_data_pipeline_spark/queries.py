@@ -7261,6 +7261,13 @@ _REGISTRY_PRIORITY = [
 # official shape the tables can express; q21's double-correlated-
 # existential PLAN SHAPE is covered by the adapted
 # q21_sole_returned_supplier (r9, driver-certified r10).
+# Also staged for r11: extend plant_mixed_media with a GIF stripe
+# (doc_id % 7) so the header-only prober's driver oracle covers every
+# container the decoders gate on — this CHANGES the results of
+# multimodal_probe, multimodal_quarantine, and the quarantine
+# decode/frames pair, so it must land in the SAME round those rows
+# window (probe/quarantine are r8-green; they rotate toward the
+# staleness floor anyway — update their oracles in the same commit).
 # ---------------------------------------------------------------------------
 
 

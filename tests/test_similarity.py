@@ -551,3 +551,44 @@ def test_ivf_index_append_grows_without_retrain(spark, tmp_path):
     b = sorted(map(tuple, sim.ann_topk_ivfpq(
         spark, ivfpq2, q, k=3, n_probe=4, rerank=50).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_index_compact_collapses_append_files(spark, tmp_path):
+    """r10: two appends leave >=3 files in touched cluster partitions;
+    ivf_index_compact rewrites each bucket as ONE file via an atomic
+    directory swap, with values, search results, and the pruned-scan
+    partition filter all identical before and after."""
+    import os
+    import re
+
+    emb = load_table(spark, SF, "embeddings")
+    third = [
+        emb.filter(F.col("vec_id") % 3 == i) for i in range(3)
+    ]
+    idx = str(tmp_path / "compact_idx")
+    sim.build_ivf_index(third[0], idx, n_centroids=8, n_iter=1)
+    sim.ivf_index_append(third[1], idx)
+    sim.ivf_index_append(third[2], idx)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before_rows = sorted(map(tuple, sim.ann_topk_ivf_indexed(
+        spark, idx, q, k=3, n_probe=4).collect()))
+
+    files_before, files_after = sim.ivf_index_compact(spark, idx)
+    assert files_before > files_after
+    # every cluster partition is exactly one data file now
+    vec = os.path.join(idx, "vectors")
+    for d in os.listdir(vec):
+        if d.startswith("cluster="):
+            n = sum(
+                1 for f in os.listdir(os.path.join(vec, d))
+                if f.endswith(".parquet")
+            )
+            assert n == 1, f"{d} has {n} files after compact"
+    # full contents and the pruned search are unchanged
+    assert spark.read.parquet(vec).count() == emb.count()
+    after_df = sim.ann_topk_ivf_indexed(spark, idx, q, k=3, n_probe=4)
+    assert sorted(map(tuple, after_df.collect())) == before_rows
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*IN[^\]]*\]", plan)
