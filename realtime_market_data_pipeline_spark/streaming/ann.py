@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from realtime_market_data_pipeline_spark.operators.similarity import (
     ann_topk_ivf_indexed,
+    ann_topk_ivfpq,
     load_ann_index,
+    load_pq_books,
 )
 from realtime_market_data_pipeline_spark.streaming.sinks import BatchWriter
 
@@ -58,6 +60,65 @@ def ann_search_writer(
             batch_df,
             k=k,
             n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+        prev = sp.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                hits.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            sp.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return write
+
+
+def ann_search_writer_ivfpq(
+    spark,
+    index_dir: str,
+    out_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> BatchWriter:
+    """The compressed-tier twin of ``ann_search_writer`` (r10): each
+    micro-batch searches the on-disk IVFPQ index (``build_ivfpq_index``
+    — centroids + PQ codebooks + cluster-partitioned vectors carrying
+    codes) via ``ann_topk_ivfpq``: the per-batch scan is pruned to the
+    batch's probed buckets AND scores code bytes by ADC table lookups,
+    touching raw vectors only for the re-rank candidates — the cost
+    structure of a PQ retrieval service. Both codebooks are validated
+    eagerly at construction; results land batch_id-partitioned with
+    dynamic overwrite (idempotent replay). The index may GROW between
+    batches via ``ivf_index_append(codes_books=...)`` — the vectors
+    relation is read lazily per batch."""
+    if not load_ann_index(spark, f"{index_dir}/meta")["centroids"]:
+        raise ValueError(f"no centroids in index at {index_dir}/meta")
+    if not load_pq_books(spark, f"{index_dir}/pq"):
+        raise ValueError(f"no PQ codebooks in index at {index_dir}/pq")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        hits = ann_topk_ivfpq(
+            sp,
+            index_dir,
+            batch_df,
+            k=k,
+            n_probe=n_probe,
+            rerank=rerank,
             id_col=id_col,
             vec_col=vec_col,
             query_id_col=query_id_col,

@@ -2019,3 +2019,57 @@ def test_streaming_ann_search_sees_appended_index_growth(spark, tmp_path):
     # growth is visible in the results (deterministic: odd vectors enter
     # some query's top-3, which an even-only index cannot produce)
     assert by_batch[1] != by_batch[0]
+
+
+def test_streaming_ivfpq_search_matches_batch_and_replays(spark, tmp_path):
+    """r10: the compressed-tier streaming search — query micro-batches
+    against the on-disk IVFPQ index (pruned scan + ADC + exact re-rank
+    per batch). Stream results equal the batch ann_topk_ivfpq, a
+    replayed batch rewrites its own partition idempotently, and a
+    missing codebook fails at writer construction."""
+    import pytest as _pytest
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from realtime_market_data_pipeline_spark.streaming import ann as sann
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    idx = str(tmp_path / "ivfpq_idx")
+    sim.build_ivfpq_index(
+        emb, idx, n_centroids=8, n_iter=1, n_subspaces=8, k_sub=16
+    )
+    out = str(tmp_path / "hits_out")
+    writer = sann.ann_search_writer_ivfpq(
+        spark, idx, out, k=3, n_probe=4, rerank=50
+    )
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    writer(queries_df, 0)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in sim.ann_topk_ivfpq(
+            spark, idx, queries_df, k=3, n_probe=4, rerank=50
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # idempotent replay: same batch id rewrites its partition in place
+    writer(queries_df, 0)
+    again = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == got
+    # missing codebooks fail at construction, not in batch 17
+    bare = str(tmp_path / "bare_idx")
+    sim.save_ann_index(spark, f"{bare}/meta", centroids=[[0.0] * 64])
+    sim.save_pq_books(spark, f"{bare}/pq", [[[0.0] * 8]])
+    with _pytest.raises(Exception, match="no centroids|no PQ|Path does not exist"):
+        sann.ann_search_writer_ivfpq(spark, str(tmp_path / "nope"), out)
