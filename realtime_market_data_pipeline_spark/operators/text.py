@@ -637,29 +637,45 @@ def compress_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     level: int = 6,
+    codec: str = "gzip",
 ) -> DataFrame:
-    """Gzip-compress document text into binary payloads — the planting
-    half of the compressed-ingest pair (real training corpora arrive as
-    .gz/.warc.gz members, not plain text). Deterministic: fixed level,
-    mtime pinned to 0 so the gzip header — and any oracle built on the
-    bytes — is byte-stable. Arrow mapInPandas, payloads produced where
-    the rows live."""
+    """Compress document text into binary payloads — the planting half
+    of the compressed-ingest pair (real training corpora arrive as
+    .gz/.warc.gz, .bz2 wiki dumps, or .xz members, not plain text).
+    ``codec`` in {'gzip','bz2','xz'} — all stdlib, all deterministic
+    byte output (gzip: fixed level + mtime=0; bz2: fixed compresslevel;
+    xz: fixed default preset), so any oracle built on the bytes is
+    byte-stable. Arrow mapInPandas, payloads produced where the rows
+    live."""
+    import bz2
     import gzip
     import io as _io
+    import lzma
     from typing import Iterator
 
     import pandas as pd
 
+    if codec not in ("gzip", "bz2", "xz"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def _one(data: bytes) -> bytes:
+        if codec == "bz2":
+            return bz2.compress(data, compresslevel=level)
+        if codec == "xz":
+            return lzma.compress(data)
+        buf = _io.BytesIO()
+        with gzip.GzipFile(
+            fileobj=buf, mode="wb", compresslevel=level, mtime=0
+        ) as gz:
+            gz.write(data)
+        return buf.getvalue()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for t in pdf[text_col]:
-                buf = _io.BytesIO()
-                with gzip.GzipFile(
-                    fileobj=buf, mode="wb", compresslevel=level, mtime=0
-                ) as gz:
-                    gz.write(("" if t is None else str(t)).encode("utf-8"))
-                payloads.append(buf.getvalue())
+            payloads = [
+                _one(("" if t is None else str(t)).encode("utf-8"))
+                for t in pdf[text_col]
+            ]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "payload": payloads}
             )
@@ -673,16 +689,21 @@ def decompress_documents_routed(
     media: DataFrame,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Quarantine-routed gzip ingest (r9): inflate binary document
-    payloads back to text under the engine's two-exception contract —
-    truncated/corrupt members and NULL payloads become ``error_class``
-    rows instead of killing a 100 TB decompression stage (the same
-    router shape as ``multimodal.decode_media_routed``). Good rows
-    carry the decoded text and its byte/char lengths; CRC and length
-    trailers are verified by the stdlib gzip reader, so silent
-    corruption cannot pass as healthy text. Shuffle-free Arrow
-    mapInPandas."""
+    """Quarantine-routed compressed ingest (r9; multi-codec r10):
+    inflate binary document payloads back to text under the engine's
+    two-exception contract — truncated/corrupt members and NULL
+    payloads become ``error_class`` rows instead of killing a 100 TB
+    decompression stage (the same router shape as
+    ``multimodal.decode_media_routed``). The container is detected by
+    magic — gzip (\\x1f\\x8b), bz2 (BZh), xz (\\xfd7zXZ\\x00) — and
+    anything else routes NotImplementedError to a codec-equipped pool.
+    Good rows carry the decoded text and its byte/char lengths; every
+    stdlib reader verifies its integrity trailer (gzip CRC+ISIZE, bz2
+    block CRCs, xz check field), so silent corruption cannot pass as
+    healthy text. Shuffle-free Arrow mapInPandas."""
+    import bz2
     import gzip
+    import lzma
     from typing import Iterator
     from zlib import error as zlib_error
 
@@ -701,14 +722,25 @@ def decompress_documents_routed(
                     if payload is None:
                         raise ValueError("null payload")
                     raw = bytes(payload)
-                    if raw[:2] != b"\x1f\x8b":
+                    if raw[:2] == b"\x1f\x8b":
+                        codec, inflate = "gzip", gzip.decompress
+                    elif raw[:3] == b"BZh":
+                        codec, inflate = "bz2", bz2.decompress
+                    elif raw[:6] == b"\xfd7zXZ\x00":
+                        codec, inflate = "xz", lzma.decompress
+                    else:
                         raise NotImplementedError(
                             "unknown compression container"
                         )
                     try:
-                        data = gzip.decompress(raw)
-                    except (EOFError, OSError, zlib_error) as e:
-                        raise ValueError(f"corrupt gzip member: {e}") from e
+                        data = inflate(raw)
+                    except (
+                        EOFError, OSError, zlib_error, lzma.LZMAError,
+                        ValueError,
+                    ) as e:
+                        raise ValueError(
+                            f"corrupt {codec} member: {e}"
+                        ) from e
                     # UnicodeDecodeError is a ValueError subclass, so
                     # non-UTF-8 plaintext routes to quarantine too
                     text = data.decode("utf-8", errors="strict")

@@ -47,3 +47,66 @@ def test_compressed_ingest_roundtrip_and_quarantine(spark):
     assert by[5]["error_class"] == "ValueError"  # UnicodeDecodeError ⊂ VE
     nid = next(r for r in res.collect() if r["doc_id"] is None)
     assert nid["text"] == "hello world"
+
+
+def test_compressed_ingest_multicodec_roundtrip_and_quarantine(spark):
+    """r10: the ingest pair speaks all three stdlib containers — gzip,
+    bz2 (wiki dumps), xz — detected by magic in one router. Each codec
+    round-trips the exact text (every stdlib reader verifies its
+    integrity trailer), truncated members of EVERY codec quarantine as
+    ValueError, and a payload cut to just its magic does too (member
+    truncates inside the header, never a silent pass)."""
+    import bz2
+    import gzip
+    import lzma
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(30)
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for codec in ("gzip", "bz2", "xz"):
+        out = tx.decompress_documents_routed(
+            tx.compress_documents(docs, codec=codec)
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert len(got) == len(want), codec
+        for did, text in want.items():
+            assert got[did]["error_class"] is None, (codec, did)
+            assert got[did]["text"] == text, (codec, did)
+
+    # per-codec fault classes: full member OK; 3/4 cut and magic-only
+    # cut both ValueError; magics are mutually exclusive
+    members = {
+        "gzip": (gzip.compress(b"hello multicodec"), 2),
+        "bz2": (bz2.compress(b"hello multicodec"), 3),
+        "xz": (lzma.compress(b"hello multicodec"), 6),
+    }
+    rows, expect = [], {}
+    i = 0
+    for codec, (m, magic_len) in members.items():
+        rows += [
+            (i, bytearray(m)),
+            (i + 1, bytearray(m[: 3 * len(m) // 4])),
+            (i + 2, bytearray(m[:magic_len])),
+        ]
+        expect[i] = None
+        expect[i + 1] = "ValueError"
+        expect[i + 2] = "ValueError"
+        i += 3
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    by = {
+        r["doc_id"]: r
+        for r in tx.decompress_documents_routed(df).collect()
+    }
+    for did, err in expect.items():
+        assert by[did]["error_class"] == err, (did, by[did])
+    assert by[0]["text"] == by[3]["text"] == by[6]["text"] == "hello multicodec"
+
+    # unsupported codec name fails loudly at plan build
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown codec"):
+        tx.compress_documents(docs, codec="zstd")
