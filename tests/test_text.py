@@ -110,3 +110,47 @@ def test_compressed_ingest_multicodec_roundtrip_and_quarantine(spark):
 
     with _pytest.raises(ValueError, match="unknown codec"):
         tx.compress_documents(docs, codec="zstd")
+
+
+def test_compressed_ingest_router_survives_arbitrary_bytes(spark):
+    """r10: the ingest router is fed untrusted bytes at 100 TB — ANY
+    payload must land as a row (good or error_class), never a raised
+    exception. Deterministic fuzz corpus: magic-prefixed garbage for
+    each codec, bit-flipped real members, random bytes, empty, and
+    whitespace — the media-router fuzz contract, text edition."""
+    import bz2
+    import gzip
+    import lzma
+    import random
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rng = random.Random(7)
+    real = {
+        "gzip": gzip.compress(b"fuzz body " * 20),
+        "bz2": bz2.compress(b"fuzz body " * 20),
+        "xz": lzma.compress(b"fuzz body " * 20),
+    }
+    rows = []
+    did = 0
+    for magic in (b"\x1f\x8b", b"BZh", b"\xfd7zXZ\x00", b""):
+        for _ in range(5):
+            junk = magic + bytes(rng.randrange(256) for _ in range(30))
+            rows.append((did, bytearray(junk)))
+            did += 1
+    for m in real.values():
+        for _ in range(5):
+            flipped = bytearray(m)
+            pos = rng.randrange(len(flipped))
+            flipped[pos] ^= 1 << rng.randrange(8)
+            rows.append((did, flipped))
+            did += 1
+    rows += [(did, bytearray(b"")), (did + 1, bytearray(b"   "))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = tx.decompress_documents_routed(df).collect()
+    assert len(out) == len(rows)  # every payload became a row
+    for r in out:
+        # each row is decisively good XOR quarantined
+        assert (r["error_class"] is None) == (r["text"] is not None), r
+        if r["error_class"] is not None:
+            assert r["error_class"] in ("ValueError", "NotImplementedError")
