@@ -5340,14 +5340,44 @@ def _warehouse_index_path(sf_dir: str, prefix: str) -> str:
     never writes outside its tree), tagged by sf AND pid — mode=
     overwrite is idempotent within a process, and the pid component
     keeps two concurrent runs at the same SF (bench alongside pytest)
-    from deleting each other's in-flight pruned scans (r10, advisor)."""
+    from deleting each other's in-flight pruned scans (r10, advisor).
+    Stale siblings left by DEAD pids (each run leaves a few MB) are
+    swept best-effort on the way in — a dir is only removed when its
+    pid component provably no longer runs, so live concurrent runs are
+    never touched."""
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.join(repo, "spark-warehouse")
     os.makedirs(base, exist_ok=True)
+    _sweep_dead_pid_dirs(base, prefix)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return os.path.join(base, f"{prefix}_{tag}_{os.getpid()}")
+
+
+def _sweep_dead_pid_dirs(base: str, prefix: str) -> None:
+    """Best-effort GC of pid-suffixed index dirs whose owning process
+    is gone (kill 0 via /proc-less os.kill probe — works on any POSIX).
+    Never raises; never touches a dir whose pid is alive or unparseable."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for d in entries:
+        if not d.startswith(prefix + "_"):
+            continue
+        pid_part = d.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        except OSError:
+            pass  # alive but not ours (EPERM) — leave it
 
 
 _O_ANN_RECALL_PERSISTED = f"""

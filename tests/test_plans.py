@@ -747,3 +747,25 @@ def test_gapfill_interpolate_no_shrinking_window_frame(spark):
     assert s.replace(" ", "").count(
         "unboundedpreceding$(),currentrow$()"
     ) >= 2  # both direction's running frames
+
+
+def test_warehouse_index_path_sweeps_dead_pid_dirs(tmp_path):
+    """r10: pid-suffixed index dirs from DEAD processes are GC'd on the
+    next path request; live-pid and unparseable dirs are never touched."""
+    import os
+
+    from realtime_market_data_pipeline_spark.queries import (
+        _sweep_dead_pid_dirs,
+    )
+
+    base = str(tmp_path)
+    dead = os.path.join(base, "ann_ivf_index_sf0.01_999999999")
+    alive = os.path.join(base, f"ann_ivf_index_sf0.01_{os.getpid()}")
+    weird = os.path.join(base, "ann_ivf_index_sf0.01_notapid")
+    other = os.path.join(base, "something_else_123")
+    for d in (dead, alive, weird, other):
+        os.makedirs(d)
+    _sweep_dead_pid_dirs(base, "ann_ivf_index")
+    assert not os.path.exists(dead)
+    assert os.path.exists(alive) and os.path.exists(weird)
+    assert os.path.exists(other)  # different prefix — untouched
