@@ -848,9 +848,18 @@ def ivf_index_append(
     )
     grown = corpus_delta.join(assign, id_col)
     if codes_books is not None:
+        # match the index's existing code representation (the vectors
+        # schema is self-describing); a fresh/empty index gets the
+        # build default, packed binary
+        try:
+            dt = dict(
+                spark.read.parquet(f"{index_dir}/vectors").dtypes
+            ).get("codes", "binary")
+        except Exception:
+            dt = "binary"
         grown = grown.join(
             pq_encode(corpus_delta, codes_books, id_col=id_col,
-                      vec_col=vec_col),
+                      vec_col=vec_col, packed=(dt == "binary")),
             id_col,
         )
     (
@@ -1072,9 +1081,11 @@ def _pq_assign_codes(
     books: list[list[list[float]]],
     id_col: str,
     vec_col: str,
+    packed: bool = False,
 ) -> DataFrame:
-    """(id, codes array<int>) — nearest per-subspace centroid by L2, all
-    subspaces in one vectorized Arrow pass."""
+    """(id, codes array<int>) — or (id, codes binary) when ``packed`` —
+    nearest per-subspace centroid by L2, all subspaces in one
+    vectorized Arrow pass."""
     n_subspaces = len(books)
     k_sub = len(books[0])
     sd = len(books[0][0])
@@ -1092,15 +1103,20 @@ def _pq_assign_codes(
             # dists: (n, S, K) via broadcasting
             d = ((N[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
             codes = d.argmin(axis=2).astype("int32")  # stable: first min
+            if packed:
+                out = [c.tobytes() for c in codes.astype(np.uint8)]
+            else:
+                out = list(codes)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "codes": list(codes),
+                    "codes": out,
                 }
             )
 
+    codes_type = "binary" if packed else "array<int>"
     return vectors.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, codes array<int>"
+        assign, schema=f"{id_col} long, codes {codes_type}"
     )
 
 
@@ -1109,11 +1125,20 @@ def pq_encode(
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = False,
 ) -> DataFrame:
     """Encode vectors to PQ codes against trained codebooks: (id, codes)
     where codes[s] indexes books[s]. Vectors are L2-normalized first
-    (the training-time convention). 4 bytes/vector at the default
-    8 x 4-bit geometry — the representation the 100 TB corpus stores."""
+    (the training-time convention). ``packed=True`` emits each code
+    vector as ONE binary value (uint8 per code — requires k_sub <= 256):
+    the representation the 100 TB corpus stores AT REST — 8 bytes/vector
+    at the default geometry instead of an array<int>'s per-element
+    overhead — and the one the ADC scan reads fastest (one
+    ``np.frombuffer`` over the concatenated column instead of
+    materializing Python lists per row). Code VALUES are identical
+    either way (packing is a lossless uint8 cast, pinned)."""
+    if packed and len(books[0]) > 256:
+        raise ValueError("packed codes require k_sub <= 256")
     v = corpus.select(
         F.col(id_col).cast("long").alias(id_col),
         as_double(vec_col).alias("v"),
@@ -1122,7 +1147,7 @@ def pq_encode(
     v = v.select(
         id_col, F.transform(F.col("v"), lambda x: x / nn).alias("v")
     )
-    return _pq_assign_codes(v, books, id_col, "v")
+    return _pq_assign_codes(v, books, id_col, "v", packed=packed)
 
 
 def _adc_local_topk(qids, vids, scores, rerank: int, mask=None):
@@ -1163,6 +1188,23 @@ def _adc_local_topk(qids, vids, scores, rerank: int, mask=None):
     )
 
 
+def _codes_matrix(col, n_subspaces: int):
+    """(n x S) int64 code matrix from a pandas column holding EITHER
+    array<int> rows or packed binary rows (one uint8 per code) — the
+    packed form decodes as a single ``np.frombuffer`` over the
+    concatenated column, no per-row Python lists."""
+    import numpy as np
+
+    first = col.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        return (
+            np.frombuffer(b"".join(col), dtype=np.uint8)
+            .reshape(len(col), n_subspaces)
+            .astype(np.int64)
+        )
+    return np.array(list(col), dtype=np.int64)
+
+
 def adc_candidates(
     corpus_codes: DataFrame,
     tables,
@@ -1187,7 +1229,7 @@ def adc_candidates(
         for pdf in batches:
             if not len(pdf):
                 continue
-            C = np.array(list(pdf["codes"]), dtype=np.int64)  # n x S
+            C = _codes_matrix(pdf["codes"], n_subspaces)  # n x S
             scores = tables[:, srange, C].sum(axis=2)  # nq x n
             vids = pdf[id_col].to_numpy()
             yield _adc_local_topk(qid_arr, vids, scores, rerank)
@@ -1339,7 +1381,13 @@ def build_ivfpq_index(
     assign = ivf_assign(
         corpus, centers, id_col=id_col, vec_col=vec_col, n_probe=1
     )
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    # codes at rest are PACKED binary (r10): one uint8 per code — 8
+    # bytes/vector at the default geometry instead of array<int>
+    # overhead, and the ADC scan decodes the whole column with one
+    # frombuffer. Lossless: code values identical to the array form.
+    codes = pq_encode(
+        corpus, books, id_col=id_col, vec_col=vec_col, packed=True
+    )
     (
         corpus.join(assign, id_col)
         .join(codes, id_col)
@@ -1415,7 +1463,7 @@ def ann_topk_ivfpq(
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            codes = _codes_matrix(pdf["codes"], n_subspaces)
             clusters = pdf["cluster"].to_numpy()
             vids = pdf[id_col].to_numpy()
             scores = tables[:, srange, codes].sum(axis=2)  # nq x n

