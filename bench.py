@@ -131,6 +131,7 @@ HEADLINE = [
     "multimodal_decode_gif",
     "embedding_ann_ivfpq",
     "embedding_ann_ivf_appended",
+    "doc_boilerplate_removal",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

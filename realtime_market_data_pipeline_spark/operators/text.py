@@ -632,6 +632,73 @@ def hash_embed(df: DataFrame, text_col: str = "text", dims: int = 16) -> DataFra
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """LINE-LEVEL boilerplate removal — the C4/CCNet corpus-frequency
+    trick: a line appearing verbatim in >= ``min_docs`` DISTINCT
+    documents is boilerplate (cookie banners, copyright footers,
+    navigation chrome) and is dropped from every document; document-
+    unique lines survive in order. Returns (id, clean_text, n_lines,
+    n_removed).
+
+    Scale shape: the line-frequency aggregation is map-side combined on
+    ``md5(line)`` — the exchange carries 16-byte digests, never line
+    text — and the frequent set after the HAVING cut is TINY by
+    definition (boilerplate = high doc-frequency), so the corpus-side
+    filter is a BROADCAST anti-join: no shuffle of the exploded corpus
+    on line keys. Reassembly is one exchange on the document id
+    (sort_array over collected (line_no, line) structs — no window).
+    At 100 TB this is exactly the CCNet paragraph-dedup plan with
+    digests instead of text on the wire."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("line_key", F.md5(F.col("line")))
+    frequent = (
+        lines.groupBy("line_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_key")
+    )
+    kept = lines.join(F.broadcast(frequent), "line_key", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(
+            df.select(
+                F.col(id_col),
+                F.size(F.split(F.col(text_col), "\n", -1)).alias("n_lines"),
+            ),
+            id_col,
+        )
+        .select(
+            id_col,
+            "clean_text",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.col("n_kept")).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def compress_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -3949,6 +3949,80 @@ _O_SHINGLES = (
 
 
 @query(
+    "doc_boilerplate_removal",
+    oracle="""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'subscribe to our newsletter for updates' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'copyright example corp - all rights reserved' END,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' unique footer') AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(len(string_split(t, chr(10))))) AS ord
+  FROM d
+),
+f AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM f))
+SELECT d.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.ord) AS clean_text,
+       CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(d.t, chr(10))) - count(k.line) AS BIGINT)
+         AS n_removed
+FROM d JOIN k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id, d.t
+""",
+)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-LEVEL boilerplate removal (r10) — the C4/CCNet corpus-
+    frequency step no prior round covered: a line appearing verbatim in
+    >= 3 DISTINCT documents (cookie banners, copyright footers,
+    navigation chrome) is dropped from every document; unique lines
+    survive in order. The synthetic documents are single-line, so the
+    corpus is PLANTED in pure Column arithmetic (the PII precedent):
+    every doc keeps its original text and gains a doc-unique footer;
+    docs with doc_id%3==0 gain a newsletter banner and %5==0 a
+    copyright footer — both land in far more than 3 docs at every SF
+    and must vanish, while the unique lines must survive byte-exactly.
+    FULLY ANSI-expressible, so the oracle is an EXACT VALUE twin (the
+    same plant + frequency cut + ordered reassembly in DuckDB), not a
+    contract. Scale shape (operators/text.remove_boilerplate_lines):
+    the frequency exchange carries md5 digests, never line text; the
+    post-HAVING frequent set is tiny by definition, so the corpus-side
+    filter is a BROADCAST anti-join; reassembly is one doc_id exchange
+    (sort_array over collected structs, no window) — the CCNet
+    paragraph-dedup plan with digests on the wire."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.lit("subscribe to our newsletter for updates"),
+            ),
+            F.when(
+                did % 5 == 0,
+                F.lit("copyright example corp - all rights reserved"),
+            ),
+            F.concat(
+                F.lit("doc "), did.cast("string"), F.lit(" unique footer")
+            ),
+        ).alias("text"),
+    )
+    return tx.remove_boilerplate_lines(planted, min_docs=3)
+
+
+@query(
     "text_ingest_gzip_quarantine",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
@@ -7144,18 +7218,18 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _REGISTRY_PRIORITY = [
     # r10 WINDOW (staleness-first; post-r9 distribution judge-recomputed
     # over the 154-query r9 registry: r9 x50, r8 x50, r7 x49, r6 x2 +
-    # 3 never-adjudicated; r10 adds 3 new -> 157).
+    # 3 never-adjudicated; r10 adds 4 new -> 158).
     #
     # FRESHNESS SLO (state it, don't imply it — r9 verdict #1): with
     # >150 queries and a 50-slot driver window, full coverage takes
-    # ceil(157/50) = 4 windows, so a 3-round max-staleness is the
+    # ceil(158/50) = 4 windows, so a 3-round max-staleness is the
     # arithmetic FLOOR, not a slip. The budget is therefore: zero
     # never-adjudicated rows older than one round, zero rows older than
     # 3 rounds, and rows whose CODE changed since their last green row
     # window immediately regardless of calendar age (changed-code
     # priority outranks staleness).
     #
-    # (1) NEW in r10 — 3 slots, all new semantics: the GIF decode
+    # (1) NEW in r10 — 3 + 1 late slots, all new semantics: the GIF decode
     # oracle (planted LZW corpus, interlaced on odd doc_ids, pixel_sum
     # + the non-permutation-invariant row-weighted checksum), the full
     # on-disk IVFPQ contract (recall floor + bit-exact codebook
@@ -7187,7 +7261,11 @@ _REGISTRY_PRIORITY = [
     "embedding_ann_pq",
     "q21_sole_returned_supplier",
     "text_ingest_gzip_quarantine",
-    # (5) 41 of the 49 rows whose last driver-green is r7 — exactly at
+    # (1b) late-r10 NEW: line-level boilerplate removal (C4/CCNet
+    # corpus-frequency cut) — planted-banner corpus, EXACT value
+    # oracle; takes the slot of the 9th justified spill below:
+    "doc_boilerplate_removal",
+    # (5) 40 of the 49 rows whose last driver-green is r7 — exactly at
     # the 3-round floor; every one must recertify in r10 or the SLO
     # breaks. The similarity.py rows (dedup_embedding_lsh,
     # embedding_ann_ivf/_lsh, embedding_bucket_pairs, embedding_
@@ -7225,7 +7303,6 @@ _REGISTRY_PRIORITY = [
     "multimodal_resize",
     "multimodal_video_frames",
     "pagerank_trade_graph",
-    "profile_events_numeric",
     "q13_customer_distribution",
     "q8_market_share",
     "quality_stratified_sample",
@@ -7237,7 +7314,7 @@ _REGISTRY_PRIORITY = [
     "trailing_7d_revenue",
     "value_percentiles_by_type",
     "word_counts_top100",
-    # (6) spillover slots 51-58: the EIGHT r7 rows displaced by the 3
+    # (6) spillover slots 51-59: the NINE r7 rows displaced by the 4
     # new queries + the changed-code recert + the rollup pair + the 3
     # never-adjudicated rows (50-slot budget). Displacement
     # justification (the r8/r9 precedent): every one is a single-
@@ -7247,8 +7324,9 @@ _REGISTRY_PRIORITY = [
     # union (union_backfill_counts), quality.py (tick_validation_
     # counts), sources/ticks.py + gbm_datasource.py (synthetic_gbm_
     # features), features.py's session_window (user_sessions_12h), and
-    # the inline bounded-frame analytic (moving_avg_value_5), and
-    # sketches.py's HLL contract row (approx_distinct_users) — so
+    # the inline bounded-frame analytic (moving_avg_value_5),
+    # sketches.py's HLL contract row (approx_distinct_users), and
+    # quality.py's numeric profiler (profile_events_numeric) — so
     # their r7 semantics are provably still what the driver certified.
     # They are 4 rounds old at r10 close — one past the floor — and
     # r11 MUST open with them:
@@ -7260,21 +7338,22 @@ _REGISTRY_PRIORITY = [
     "user_sessions_12h",
     "moving_avg_value_5",
     "approx_distinct_users",
+    "profile_events_numeric",
 ]
 
 # ---------------------------------------------------------------------------
 # STAGED r11 PLAN (staleness-first). Post-r10 distribution over the
-# 157-query registry, assuming the r10 window above goes green:
+# 158-query registry, assuming the r10 window above goes green:
 # r10 x50, r9 x49 (the r9 window minus embedding_ann_ivf_persisted,
 # which recertified in r10 as a changed-code row), r8 x50, plus the
-# EIGHT displaced r7 rows listed in (6) above — at 4 rounds old the
+# NINE displaced r7 rows listed in (6) above — at 4 rounds old the
 # only rows past the 3-round floor, displaced with justification.
 # The r11 window MUST therefore be, in order: (1) whatever code
 # changes in r11 first (changed-code priority outranks staleness);
-# (2) the eight spilled r7 rows (sql_frontend_scan, top_orders_global,
+# (2) the nine spilled r7 rows (sql_frontend_scan, top_orders_global,
 # union_backfill_counts, tick_validation_counts,
 # synthetic_gbm_features, user_sessions_12h, moving_avg_value_5,
-# approx_distinct_users) — non-negotiable; (3) top up to 50 with the oldest r8 rows (the r8
+# approx_distinct_users, profile_events_numeric) — non-negotiable; (3) top up to 50 with the oldest r8 rows (the r8
 # window: TPC-H corpus spine q1/q3/q4/q5/q6/q7/q9/q10/q14..q19/q22,
 # kpi_summary, topk_per_type, semi/anti joins, dedup_last_write_wins,
 # stats/regex/atr/beta/psi/histogram/zscore/backtest/sequence/vwap/

@@ -344,6 +344,7 @@ def test_registry_priority_window():
         "embedding_ann_pq", "q21_sole_returned_supplier",
         "text_ingest_gzip_quarantine",
     }
+    late_r10 = {"doc_boilerplate_removal"}
     changed_module_r7 = {
         # similarity.py (r10: ADC two-phase cut, zero-norm guard,
         # single-pass indexed search)
@@ -357,14 +358,15 @@ def test_registry_priority_window():
         "multimodal_resize", "multimodal_video_frames",
     }
     for group in (new_r10, changed_code, oldest_r6, never_adjudicated,
-                  changed_module_r7):
+                  late_r10, changed_module_r7):
         assert group <= window, group - window
-    # the eight displaced r7 rows (quiet modules, justified in the
-    # registry comment) must sit at slots 51-58 so they lead r11
-    assert set(names[50:58]) == {
+    # the nine displaced r7 rows (quiet modules, justified in the
+    # registry comment) must sit at slots 51-59 so they lead r11
+    assert set(names[50:59]) == {
         "sql_frontend_scan", "top_orders_global", "union_backfill_counts",
         "tick_validation_counts", "synthetic_gbm_features",
         "user_sessions_12h", "moving_avg_value_5", "approx_distinct_users",
+        "profile_events_numeric",
     }
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)

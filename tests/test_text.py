@@ -154,3 +154,34 @@ def test_compressed_ingest_router_survives_arbitrary_bytes(spark):
         assert (r["error_class"] is None) == (r["text"] is not None), r
         if r["error_class"] is not None:
             assert r["error_class"] in ("ValueError", "NotImplementedError")
+
+
+def test_boilerplate_removal_semantics_and_plan(spark):
+    """r10: lines in >= min_docs DISTINCT docs vanish from every doc,
+    unique lines survive byte-exactly in order (duplicates WITHIN one
+    doc don't count toward the threshold); the frequency exchange
+    carries md5 digests (never line text) and the corpus-side filter
+    is a broadcast anti-join."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "alpha\nCOMMON\nfoot one"),
+        (2, "beta\nCOMMON\nfoot two"),
+        (3, "gamma\nCOMMON\nfoot three"),
+        # doc 4 repeats a line 3x WITHIN itself: count_distinct(doc)=1,
+        # must survive
+        (4, "self\nself\nself\ndelta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.remove_boilerplate_lines(df, min_docs=3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].clean_text == "alpha\nfoot one"
+    assert got[2].clean_text == "beta\nfoot two"
+    assert got[3].clean_text == "gamma\nfoot three"
+    assert got[4].clean_text == "self\nself\nself\ndelta"
+    assert got[1].n_lines == 3 and got[1].n_removed == 1
+    assert got[4].n_removed == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the frequency aggregation exchanges the digest, not the text
+    assert "md5" in plan
