@@ -5632,6 +5632,17 @@ def embedding_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(grow, ignore_errors=True)
     centers = sim.build_ivf_index(even, grow, n_centroids=16, n_iter=2)
     sim.ivf_index_append(odd, grow)
+    # compact the grown index before searching (r10): the append left
+    # two files per touched bucket; compaction rewrites one file per
+    # bucket via atomic swap — folding it here puts the WHOLE grow
+    # lifecycle (build -> append -> compact -> pruned search) under
+    # this one driver row, since the searched bytes are now the
+    # compacted layout and the equality below still must hold
+    files_before, files_after = sim.ivf_index_compact(spark, grow)
+    if files_after > files_before:
+        raise ValueError(
+            f"compaction grew the index: {files_before} -> {files_after}"
+        )
     sim.build_ivf_index(emb, full, centers=centers)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
