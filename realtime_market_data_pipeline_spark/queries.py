@@ -5602,10 +5602,13 @@ def embedding_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ingest batch, and re-running Lloyd over the full corpus per
     batch is the retrain-per-call bug at a larger scale. This query
     certifies the grow path end-to-end: build the on-disk IVF index
-    over the EVEN vec_ids only (centroids trained on that half), then
+    over the EVEN vec_ids only (centroids trained on that half),
     ``ivf_index_append`` the odd half — assignment of ONLY the delta
     against the frozen persisted centroids, appended as new files in
-    the same cluster partitions — and assert under one driver row:
+    the same cluster partitions — then ``ivf_index_compact`` the grown
+    index (one file per bucket via atomic swap; the searched bytes
+    below are the COMPACTED layout, so compaction correctness sits
+    under the same equality), and assert under one driver row:
 
     - ``appended_equals_rebuilt`` — the partition-pruned search over
       the grown index returns rows IDENTICAL to a full rebuild with
