@@ -32,6 +32,25 @@ from realtime_market_data_pipeline_spark.operators.similarity import (
 from realtime_market_data_pipeline_spark.streaming.sinks import BatchWriter
 
 
+def _write_hits_partitioned(hits: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Shared sink tail for the ANN writers: hits land batch_id-
+    partitioned with dynamic overwrite, so a replayed batch rewrites
+    exactly its own partition (the minhash_dedup_writer exactly-once
+    pattern)."""
+    sp = hits.sparkSession
+    prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            hits.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+    finally:
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def ann_search_writer(
     spark,
     index_dir: str,
@@ -53,9 +72,8 @@ def ann_search_writer(
         raise ValueError(f"no centroids in index at {index_dir}/meta")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
         hits = ann_topk_ivf_indexed(
-            sp,
+            batch_df.sparkSession,
             index_dir,
             batch_df,
             k=k,
@@ -64,21 +82,7 @@ def ann_search_writer(
             vec_col=vec_col,
             query_id_col=query_id_col,
         )
-        prev = sp.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                hits.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
-            )
-        finally:
-            sp.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+        _write_hits_partitioned(hits, out_dir, batch_id)
 
     return write
 
@@ -111,9 +115,8 @@ def ann_search_writer_ivfpq(
         raise ValueError(f"no PQ codebooks in index at {index_dir}/pq")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
         hits = ann_topk_ivfpq(
-            sp,
+            batch_df.sparkSession,
             index_dir,
             batch_df,
             k=k,
@@ -123,20 +126,6 @@ def ann_search_writer_ivfpq(
             vec_col=vec_col,
             query_id_col=query_id_col,
         )
-        prev = sp.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                hits.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
-            )
-        finally:
-            sp.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+        _write_hits_partitioned(hits, out_dir, batch_id)
 
     return write
