@@ -132,6 +132,9 @@ HEADLINE = [
     "embedding_ann_ivfpq",
     "embedding_ann_ivf_appended",
     "doc_boilerplate_removal",
+    # late-r10: exact-substring dedup (Lee et al. 2022 duplicated-passage
+    # spans — stride-1 rolling windows + gaps-and-islands merge)
+    "dedup_exact_substrings",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -699,6 +699,164 @@ def remove_boilerplate_lines(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_frequent: bool = False,
+) -> DataFrame:
+    """EXACT-SUBSTRING duplicate-span detection — the suffix-array dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed as dataflow: any ``w``-token window
+    whose verbatim text occurs >= ``min_count`` times ANYWHERE in the
+    corpus (other documents AND within-document repeats both count, as
+    in the paper) marks its token range duplicated; overlapping and
+    abutting ranges are merged per document into maximal spans. A
+    suffix array is a shared-memory construction that does not
+    distribute; fixed-width rolling windows with stride 1 give the same
+    "every duplicated run of >= w tokens is found, with span boundaries
+    resolved to +-(w-1) tokens" guarantee as the paper's min-length
+    cut, and every step is a relational primitive.
+
+    Returns one row per MERGED span: (id, span_id, start_tok, end_tok,
+    n_tokens) with 0-based inclusive token offsets, span_id numbering
+    spans 1..n per document in token order.
+
+    Scale shape (100 TB): the window relation is built by the codegen'd
+    posexplode + lead form (``shingles_long``'s plan, positions kept) —
+    ONE exchange on the document id for the lead window's per-doc sort.
+    The occurrence count exchanges 8-byte xxhash64 digests with
+    map-side partial counts, never window text (the boilerplate-removal
+    wire rule; a 64-bit collision is the documented epsilon, and the
+    collision would have to fall inside one corpus to matter). The
+    marked-start join is keyed on the digest — pass
+    ``broadcast_frequent=True`` when the frequent set is known small
+    (planted/boilerplate-heavy corpora); left at False, AQE picks
+    broadcast vs shuffle from the measured build size. The island merge
+    (gaps-and-islands: break when the gap between sorted starts exceeds
+    w) and the span aggregation both reuse the id partitioning the lead
+    window already established — no further exchange."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.col("tok").alias("_t0")] + [
+        F.lead("tok", j).over(win).alias(f"_t{j}") for j in range(1, w)
+    ]
+    grams = (
+        toks.select(id_col, "pos", *lead_cols)
+        .filter(F.col(f"_t{w - 1}").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64(
+                F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(w)])
+            ).alias("h"),
+        )
+    )
+    frequent = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    starts = grams.join(frequent, "h").select(id_col, "pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(win) > w, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = starts.select(
+        F.col(id_col),
+        "pos",
+        F.sum(brk).over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(w - 1)).alias("end_tok"),
+            (F.max("pos") + F.lit(w) - F.min("pos")).alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            (F.col("island") + 1).cast("int").alias("span_id"),
+            F.col("start_tok").cast("int"),
+            F.col("end_tok").cast("int"),
+            F.col("n_tokens").cast("int"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_frequent: bool = False,
+) -> DataFrame:
+    """The removal twin of ``duplicate_spans``: drop every token covered
+    by a duplicated window and reassemble the survivors in order.
+    Returns (id, clean_text, n_tokens, n_removed) — one row per
+    document, including documents with nothing to remove.
+
+    The covered-position set is derived from the marked STARTS (each
+    start covers [pos, pos+w-1]; explode + distinct), so the
+    subtraction is an equi anti-join on (id, position) — codegen'd
+    hash join, never a range predicate that would force a nested-loop
+    plan. Reassembly reuses the boilerplate-removal tail (sort_array
+    over collected structs, one id exchange)."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    spans = duplicate_spans(
+        df,
+        w=w,
+        min_count=min_count,
+        text_col=text_col,
+        id_col=id_col,
+        broadcast_frequent=broadcast_frequent,
+    )
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("start_tok", "end_tok")).alias("pos"),
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(
+            df.select(F.col(id_col), token_count(text_col).alias("n_tokens")),
+            id_col,
+            "right",
+        )
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def compress_documents(
     df: DataFrame,
     text_col: str = "text",

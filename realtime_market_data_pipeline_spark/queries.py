@@ -4022,6 +4022,106 @@ def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.remove_boilerplate_lines(planted, min_docs=3)
 
 
+_DES_PARA = (
+    "training data should never contain verbatim copies"
+    " of other documents at scale"
+)
+_DES_REPEAT = "repeated phrase inside one single document body here"
+
+
+@query(
+    "dedup_exact_substrings",
+    oracle=rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id % 4 = 0 THEN '{_DES_PARA}' END,
+           CASE WHEN doc_id % 7 = 0
+                THEN '{_DES_REPEAT} {_DES_REPEAT}' END,
+           'doc ' || CAST(doc_id AS VARCHAR) ||
+             ' tail marker alpha beta gamma') AS t
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split_regex(t, '\s+') AS a FROM d),
+g AS (
+  SELECT doc_id, unnest(range(len(a) - 7)) AS p, a
+  FROM tk WHERE len(a) >= 8
+),
+gg AS (
+  SELECT doc_id, p, array_to_string(a[p+1:p+8], ' ') AS gram FROM g
+),
+f AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+s AS (SELECT doc_id, p FROM gg WHERE gram IN (SELECT gram FROM f)),
+b AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM s
+),
+i AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM b
+)
+SELECT doc_id, CAST(island + 1 AS INT) AS span_id,
+       CAST(min(p) AS INT) AS start_tok,
+       CAST(max(p) + 7 AS INT) AS end_tok,
+       CAST(max(p) + 8 - min(p) AS INT) AS n_tokens
+FROM i GROUP BY doc_id, island
+""",
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (r10) — the Lee et al. 2022 suffix-array
+    pass, the one canonical LLM-dedup form no prior round covered
+    (MinHash/SimHash/Jaccard catch near-dup DOCUMENTS; this catches
+    verbatim duplicated PASSAGES inside otherwise-distinct documents,
+    the form the paper shows matters most for memorization). Any
+    8-token window occurring >= 2 times anywhere in the corpus
+    (cross-document AND within-document, per the paper) marks its
+    range; overlapping/abutting ranges merge per document into maximal
+    spans (operators/text.duplicate_spans — gaps-and-islands over the
+    sorted starts). The synthetic documents are single-line, so the
+    corpus is PLANTED in pure Column arithmetic (the boilerplate
+    precedent): docs with doc_id%4==0 share a verbatim 12-token
+    paragraph (cross-doc duplication -> one merged 12-token span);
+    docs with doc_id%7==0 carry the same 8-token phrase TWICE in a row
+    (within-doc duplication: its two windows sit exactly w apart, so
+    they must MERGE into one 16-token span — pinning both the
+    within-doc counting and the abutting-merge rule); every doc gains
+    a doc-unique tail that must never mark. Natural duplicate 8-grams
+    in the synthetic text (~1k at sf0.01) are replayed identically by
+    the oracle — FULLY ANSI-expressible, EXACT value twin.
+
+    Scale shape: one id exchange for the lead window (reused by the
+    island merge and span aggregation — subset rule), one digest
+    exchange for the occurrence count (xxhash64, 8 bytes, map-side
+    combined — never window text), frequent set broadcast back. The
+    suffix array itself is a shared-memory construction; stride-1
+    rolling windows are its distributable twin with boundaries
+    resolved to +-(w-1) tokens."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(did % 4 == 0, F.lit(_DES_PARA)),
+            F.when(did % 7 == 0, F.lit(f"{_DES_REPEAT} {_DES_REPEAT}")),
+            F.concat(
+                F.lit("doc "),
+                did.cast("string"),
+                F.lit(" tail marker alpha beta gamma"),
+            ),
+        ).alias("text"),
+    )
+    return tx.duplicate_spans(
+        planted, w=8, min_count=2, broadcast_frequent=True
+    )
+
+
 @query(
     "text_ingest_gzip_quarantine",
     oracle="""
@@ -7279,6 +7379,14 @@ _REGISTRY_PRIORITY = [
     # corpus-frequency cut) — planted-banner corpus, EXACT value
     # oracle; takes the slot of the 9th justified spill below:
     "doc_boilerplate_removal",
+    # (1c) late-r10 NEW: exact-substring dedup (Lee et al. 2022 —
+    # duplicated >= w-token passages across AND within documents,
+    # merged to maximal spans), EXACT value oracle over the planted +
+    # natural corpus; takes the slot of the 10th justified spill below
+    # (heavy_hitters_merged — sketches.py untouched in r10 and its
+    # sibling heavy_hitters_topk stays in-window certifying the same
+    # module's hot path):
+    "dedup_exact_substrings",
     # (5) 40 of the 49 rows whose last driver-green is r7 — exactly at
     # the 3-round floor; every one must recertify in r10 or the SLO
     # breaks. The similarity.py rows (dedup_embedding_lsh,
@@ -7306,7 +7414,6 @@ _REGISTRY_PRIORITY = [
     "events_time_range",
     "funnel_time_to_convert",
     "funnel_view_click_purchase",
-    "heavy_hitters_merged",
     "heavy_hitters_topk",
     "hits_trade_authorities",
     "mixture_weights_by_source",
@@ -7328,7 +7435,7 @@ _REGISTRY_PRIORITY = [
     "trailing_7d_revenue",
     "value_percentiles_by_type",
     "word_counts_top100",
-    # (6) spillover slots 51-59: the NINE r7 rows displaced by the 4
+    # (6) spillover slots 51-60: the TEN r7 rows displaced by the 5
     # new queries + the changed-code recert + the rollup pair + the 3
     # never-adjudicated rows (50-slot budget). Displacement
     # justification (the r8/r9 precedent): every one is a single-
@@ -7339,11 +7446,13 @@ _REGISTRY_PRIORITY = [
     # counts), sources/ticks.py + gbm_datasource.py (synthetic_gbm_
     # features), features.py's session_window (user_sessions_12h), and
     # the inline bounded-frame analytic (moving_avg_value_5),
-    # sketches.py's HLL contract row (approx_distinct_users), and
-    # quality.py's numeric profiler (profile_events_numeric) — so
-    # their r7 semantics are provably still what the driver certified.
-    # They are 4 rounds old at r10 close — one past the floor — and
-    # r11 MUST open with them:
+    # sketches.py's HLL contract row (approx_distinct_users),
+    # quality.py's numeric profiler (profile_events_numeric), and
+    # sketches.py's merge-path variant (heavy_hitters_merged — its
+    # sibling heavy_hitters_topk STAYS in-window certifying the same
+    # module) — so their r7 semantics are provably still what the
+    # driver certified. They are 4 rounds old at r10 close — one past
+    # the floor — and r11 MUST open with them:
     "sql_frontend_scan",
     "top_orders_global",
     "union_backfill_counts",
@@ -7353,21 +7462,23 @@ _REGISTRY_PRIORITY = [
     "moving_avg_value_5",
     "approx_distinct_users",
     "profile_events_numeric",
+    "heavy_hitters_merged",
 ]
 
 # ---------------------------------------------------------------------------
 # STAGED r11 PLAN (staleness-first). Post-r10 distribution over the
-# 158-query registry, assuming the r10 window above goes green:
+# 159-query registry, assuming the r10 window above goes green:
 # r10 x50, r9 x49 (the r9 window minus embedding_ann_ivf_persisted,
 # which recertified in r10 as a changed-code row), r8 x50, plus the
-# NINE displaced r7 rows listed in (6) above — at 4 rounds old the
+# TEN displaced r7 rows listed in (6) above — at 4 rounds old the
 # only rows past the 3-round floor, displaced with justification.
 # The r11 window MUST therefore be, in order: (1) whatever code
 # changes in r11 first (changed-code priority outranks staleness);
-# (2) the nine spilled r7 rows (sql_frontend_scan, top_orders_global,
+# (2) the ten spilled r7 rows (sql_frontend_scan, top_orders_global,
 # union_backfill_counts, tick_validation_counts,
 # synthetic_gbm_features, user_sessions_12h, moving_avg_value_5,
-# approx_distinct_users, profile_events_numeric) — non-negotiable; (3) top up to 50 with the oldest r8 rows (the r8
+# approx_distinct_users, profile_events_numeric,
+# heavy_hitters_merged) — non-negotiable; (3) top up to 50 with the oldest r8 rows (the r8
 # window: TPC-H corpus spine q1/q3/q4/q5/q6/q7/q9/q10/q14..q19/q22,
 # kpi_summary, topk_per_type, semi/anti joins, dedup_last_write_wins,
 # stats/regex/atr/beta/psi/histogram/zscore/backtest/sequence/vwap/
@@ -7375,7 +7486,7 @@ _REGISTRY_PRIORITY = [
 # dedup_embedding_cosine, dedup_sorted_neighborhood,
 # doc_train_eval_split, token_weighted_sample,
 # inverted_index_postings, kmv_*, events_value_drift_psi,
-# union_backfill recerts). 7 + 50 > 50, so ~7 r8 rows spill to r12 —
+# union_backfill recerts). 10 + 50 > 50, so ~10 r8 rows spill to r12 —
 # pick them from modules r11 does not touch and justify the
 # displacement here, exactly as r9/r10 did. Note on TPC-H
 # completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;

@@ -81,6 +81,14 @@ DEFAULT_QUERIES = [
     "multimodal_decode_gif",
     "embedding_ann_ivfpq",
     "embedding_ann_ivf_appended",
+    # late-r10 text rows. NOTE the replication artifact both inherit
+    # from identical replica text (same class as dedup_minhash_lsh
+    # above): k copies of every document make EVERY window/line
+    # corpus-frequent, so at k>=2 these probe the all-marked WORST
+    # case (starts relation == every token position) — an upper bound,
+    # not the typical-growth slope.
+    "doc_boilerplate_removal",
+    "dedup_exact_substrings",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",

@@ -185,3 +185,118 @@ def test_boilerplate_removal_semantics_and_plan(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # the frequency aggregation exchanges the digest, not the text
     assert "md5" in plan
+
+
+def test_duplicate_spans_semantics_and_plan(spark):
+    """r10 exact-substring dedup (Lee et al. 2022 shape): any w-token
+    window occurring >= min_count times anywhere in the corpus marks
+    its range; overlapping AND abutting ranges merge into maximal
+    spans; within-doc repeats count toward the threshold. Plan: the
+    occurrence-count exchange carries xxhash64 digests (never window
+    text) and the frequent set comes back as a broadcast join."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    shared = "one two three four"  # 4 tokens, w=4 -> exactly one window
+    rows = [
+        # cross-doc duplicate: the shared window sits at offsets 1..4
+        (1, f"a {shared} b"),
+        (2, f"x y {shared}"),
+        # within-doc ABUTTING duplicate: the same 4 tokens twice in a
+        # row -> starts at 0 and 4 (gap == w) must MERGE into ONE span
+        (3, "p q r s p q r s"),
+        # all-unique doc: no rows
+        (4, "u v w x y z aa bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.duplicate_spans(df, w=4, min_count=2, broadcast_frequent=True)
+    got = sorted(
+        (r.doc_id, r.span_id, r.start_tok, r.end_tok, r.n_tokens)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, 1, 4, 4),  # "one two three four" inside doc 1
+        (2, 1, 2, 5, 4),  # same window at a different offset in doc 2
+        (3, 1, 0, 7, 8),  # two abutting starts merged into one span
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan
+    # the gram relation (corpus-dominant: one row per token) hangs two
+    # consumers — the occurrence count and the marked-start join. Both
+    # must share ONE doc_id exchange: under the static ReuseExchange
+    # rule that is a deterministic ReusedExchange node (AQE dedups the
+    # same canonical subtree at stage materialization — the minhash
+    # precedent); a refactor that de-canonicalizes the branches would
+    # silently scan and window the corpus twice per job.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df2 = tx.duplicate_spans(
+            df, w=4, min_count=2, broadcast_frequent=True
+        )
+        static = df2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert static.count("ReusedExchange") >= 1
+    assert static.count("Scan ") - static.count("ReusedExchange") <= 1
+
+
+def test_duplicate_spans_overlap_merge_and_gap_split(spark):
+    """Overlapping starts (gap < w) merge; a gap > w splits spans. A
+    6-token run duplicated across docs with w=4 yields starts {0,1,2}
+    (every 4-window inside it) -> ONE span of 6 tokens; a second
+    duplicated run later in the same doc, separated by > w unique
+    tokens, becomes its OWN span with span_id 2."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    run1 = "a1 a2 a3 a4 a5 a6"  # 6 tokens
+    run2 = "b1 b2 b3 b4"  # 4 tokens
+    rows = [
+        (1, f"{run1} u1 u2 u3 u4 u5 {run2}"),
+        (2, f"{run1} q1 q2 q3 q4 q5 {run2}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.duplicate_spans(df, w=4, min_count=2)
+    got = sorted(
+        (r.doc_id, r.span_id, r.start_tok, r.end_tok, r.n_tokens)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, 0, 5, 6),
+        (1, 2, 11, 14, 4),
+        (2, 1, 0, 5, 6),
+        (2, 2, 11, 14, 4),
+    ]
+
+
+def test_remove_duplicate_spans_reconstruction(spark):
+    """The removal twin drops exactly the covered tokens and keeps
+    every document (even span-free ones) with clean text in order;
+    n_removed == sum of its span lengths."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    shared = "one two three four"
+    rows = [
+        (1, f"a {shared} b"),
+        (2, f"x y {shared}"),
+        (3, "all unique tokens here nothing repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.remove_duplicate_spans(df, w=4, min_count=2)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].clean_text == "a b" and got[1].n_removed == 4
+    assert got[2].clean_text == "x y" and got[2].n_removed == 4
+    assert got[3].clean_text == rows[2][1] and got[3].n_removed == 0
+    assert got[1].n_tokens == 6 and got[3].n_tokens == 8
+    # removal is consistent with the span relation
+    spans = tx.duplicate_spans(df, w=4, min_count=2)
+    per_doc = {
+        r.doc_id: r.s
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    for doc_id, r in got.items():
+        assert r.n_removed == per_doc.get(doc_id, 0)
