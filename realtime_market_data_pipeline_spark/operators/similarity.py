@@ -420,10 +420,14 @@ def ivf_train_centroids(
     + one exact per-dimension mean (posexplode + decimal sums); only the
     k×d centroid matrix ever reaches the driver — the standard k-means
     dataflow at any scale (MLlib does the same). The projected vector
-    relation is persisted for the loop (init + 2 relations per Lloyd
-    step read it; without the cache every iteration re-scans the raw
-    corpus — the one thing you cannot afford at 100 TB) and released
-    before returning, per the engine's storage-lifecycle rule."""
+    relation is persisted for the loop (the init collect + one
+    assignment pass per Lloyd step read it; without the cache every
+    iteration re-scans the raw corpus — the one thing you cannot afford
+    at 100 TB) and released before returning, per the engine's
+    storage-lifecycle rule. r10: the mean step consumes the assignment
+    pass's emitted vector directly — the earlier vid join back to the
+    vector relation cost two full-width n-row exchanges per iteration
+    for rows the Arrow task already held."""
     from pyspark import StorageLevel
 
     v = corpus.select(
@@ -434,9 +438,16 @@ def ivf_train_centroids(
             list(r.v) for r in v.orderBy("vid").limit(n_centroids).collect()
         ]
         for _ in range(n_iter):
-            assigned = ivf_assign(v, centers, id_col="vid", vec_col="v")
+            # the assignment pass already holds each vector in its Arrow
+            # batch — emit it through rather than joining back on vid
+            # (a full-width exchange of both n-row relations per
+            # iteration, r10); the decimal sums see the identical
+            # multiset, so centroids are bit-identical either way
+            assigned = ivf_assign(
+                v, centers, id_col="vid", vec_col="v", emit_vector=True
+            )
             means = (
-                v.join(assigned, "vid")
+                assigned
                 .select("cluster", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cluster", "pos")
                 .agg(
@@ -467,11 +478,17 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    emit_vector: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine
     (n_probe=1 for indexing, >1 for query-time multi-probe). Vectorized
     numpy matmul per Arrow batch; centroids ride in the closure (k×d
-    doubles — broadcast-free)."""
+    doubles — broadcast-free). ``emit_vector`` passes the input vector
+    through alongside the assignment — the Lloyd-loop consumer needs
+    (cluster, vector) pairs for the mean step, and emitting them here
+    costs one Arrow column while a vid join back to the vector relation
+    costs a full-width exchange of BOTH n-row relations per iteration
+    (r10)."""
 
     def assign(batches):
         import numpy as np
@@ -488,13 +505,15 @@ def ivf_assign(
             k = min(n_probe, S.shape[1])
             top = np.argsort(-S, axis=1, kind="stable")[:, :k]
             ids = np.repeat(pdf[id_col].to_numpy(), k)
-            yield pd.DataFrame(
-                {id_col: ids, "cluster": top.reshape(-1).astype("int32")}
-            )
+            out = {id_col: ids, "cluster": top.reshape(-1).astype("int32")}
+            if emit_vector:
+                out[vec_col] = pdf[vec_col].to_numpy().repeat(k)
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, cluster int"
-    )
+    schema = f"{id_col} long, cluster int"
+    if emit_vector:
+        schema += f", {vec_col} array<double>"
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def ann_topk_ivf(
@@ -1036,18 +1055,22 @@ def pq_train(
             [first[c][s * sd : (s + 1) * sd] for c in range(k_sub)]
             for s in range(n_subspaces)
         ]
-        # long form of subvector components, computed once per iteration
-        # from the cached normalized relation (codegen posexplode)
-        comp = v.select(
-            "vid", F.posexplode("v").alias("pos", "x")
-        ).withColumn("s", (F.col("pos") / sd).cast("int"))
         for _ in range(n_iter):
-            assigned = _pq_assign_codes(v, books, "vid", "v")
-            long_codes = assigned.select(
-                "vid", F.posexplode("codes").alias("s", "c")
+            # the assignment pass already holds each normalized vector in
+            # its Arrow batch — emit it through and index codes[s] per
+            # exploded component rather than joining the component
+            # relation back on (vid, s) (two full-width exchanges per
+            # iteration, r10); the decimal sums see the identical
+            # multiset, so books are bit-identical either way
+            assigned = _pq_assign_codes(
+                v, books, "vid", "v", emit_vector=True
             )
             means = (
-                comp.join(long_codes, ["vid", "s"])
+                assigned.select(
+                    "codes", F.posexplode("v").alias("pos", "x")
+                )
+                .withColumn("s", (F.col("pos") / sd).cast("int"))
+                .withColumn("c", F.element_at("codes", F.col("s") + 1))
                 .groupBy("s", "c", "pos")
                 .agg(
                     (
@@ -1082,10 +1105,14 @@ def _pq_assign_codes(
     id_col: str,
     vec_col: str,
     packed: bool = False,
+    emit_vector: bool = False,
 ) -> DataFrame:
     """(id, codes array<int>) — or (id, codes binary) when ``packed`` —
     nearest per-subspace centroid by L2, all subspaces in one
-    vectorized Arrow pass."""
+    vectorized Arrow pass. ``emit_vector`` passes the input vector
+    through for the Lloyd mean step (same rationale as ``ivf_assign``:
+    one Arrow column here beats a full-width vid join per iteration,
+    r10)."""
     n_subspaces = len(books)
     k_sub = len(books[0])
     sd = len(books[0][0])
@@ -1107,16 +1134,20 @@ def _pq_assign_codes(
                 out = [c.tobytes() for c in codes.astype(np.uint8)]
             else:
                 out = list(codes)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "codes": out,
-                }
-            )
+            row = {
+                id_col: pdf[id_col].to_numpy(),
+                "codes": out,
+            }
+            if emit_vector:
+                row[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(row)
 
     codes_type = "binary" if packed else "array<int>"
+    schema = f"{id_col} long, codes {codes_type}"
+    if emit_vector:
+        schema += f", {vec_col} array<double>"
     return vectors.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, codes {codes_type}"
+        assign, schema=schema
     )
 
 

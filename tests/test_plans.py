@@ -570,10 +570,12 @@ def test_graph_queries_release_cached_storage(spark):
 
 def test_ivf_training_persists_and_releases_vectors(spark):
     """IVF k-means (r8, verdict #4): the vector relation must be CACHED
-    across Lloyd iterations — each step reads it twice (assignment pass
-    + mean join), so an unpersisted loop re-scans the raw corpus
-    2·n_iter times, which at 100 TB is the whole job cost — and released
-    before ivf_train_centroids returns (storage-lifecycle rule)."""
+    across Lloyd iterations — the init collect + each step's assignment
+    pass read it (the mean step consumes the assignment's pass-through
+    vector since r10, no join back), so an unpersisted loop re-scans
+    the raw corpus n_iter+1 times, which at 100 TB is the whole job
+    cost — and released before ivf_train_centroids returns
+    (storage-lifecycle rule)."""
     from realtime_market_data_pipeline_spark.io import load_table
     from realtime_market_data_pipeline_spark.operators import similarity as S
 
