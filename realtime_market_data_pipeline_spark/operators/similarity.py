@@ -930,6 +930,73 @@ def ivf_index_compact(
     return files_before, _count(vec)
 
 
+def ivf_index_delete(
+    spark,
+    index_dir: str,
+    delete_ids,
+    id_col: str = "vec_id",
+) -> tuple[int, int]:
+    """Delete vectors from the on-disk IVF/IVFPQ index (r10, closing
+    the maintenance lifecycle: build -> append -> compact -> DELETE).
+    GDPR erasure and upsert-by-delete+append both need this, and a full
+    rebuild per delete batch is the retrain-per-call bug again. Instead
+    the delete is PARTITION-SURGICAL: find which cluster buckets hold
+    any doomed id (one broadcast-join pass over the index — the delete
+    set is bounded by assumption, like a query batch), rewrite ONLY
+    those buckets with the doomed rows anti-joined out, and swap each
+    rewritten bucket dir atomically. Untouched buckets keep their
+    bytes — at 100 TB a delete batch touching d of k buckets rewrites
+    d/k of the index, not all of it. No tombstones: the searched bytes
+    never contain the deleted rows, so search needs no filter-on-read
+    (tombstone masks are the alternative when rewrite latency matters;
+    this engine prefers the read-path-clean form the oracle can
+    certify). A crash between per-bucket renames leaves a
+    ``._delete_old`` sibling to recover from, never a half-written
+    bucket. Returns (n_buckets_rewritten, n_rows_deleted).
+
+    ``delete_ids``: a DataFrame carrying ``id_col``, or an iterable of
+    ids (becomes a one-column relation)."""
+    import os
+    import shutil
+
+    vec = f"{index_dir}/vectors"
+    if isinstance(delete_ids, DataFrame):
+        ids = delete_ids.select(
+            F.col(id_col).cast("long").alias(id_col)
+        ).distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], f"{id_col} long"
+        ).distinct()
+    ids = F.broadcast(ids)
+    df = spark.read.parquet(vec)
+    doomed = df.join(ids, id_col)
+    touched = sorted(
+        r["cluster"] for r in doomed.select("cluster").distinct().collect()
+    )
+    if not touched:
+        return 0, 0
+    n_deleted = doomed.count()
+    # partition-pruned scan of ONLY the touched buckets; one task per
+    # rewritten bucket so each lands as one file (the compact layout)
+    part = df.filter(F.col("cluster").isin([int(c) for c in touched]))
+    kept = part.join(ids, id_col, "left_anti").repartition("cluster")
+    tmp = vec.rstrip("/") + "._delete_tmp"
+    kept.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    for c in touched:
+        src = os.path.join(tmp, f"cluster={c}")
+        dst = os.path.join(vec, f"cluster={c}")
+        old = dst + "._delete_old"
+        os.rename(dst, old)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        # else: the bucket's rows were ALL deleted — the partition dir
+        # simply disappears (partition discovery treats it as empty)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(touched), int(n_deleted)
+
+
 def ann_topk_ivf_indexed(
     spark,
     index_dir: str,

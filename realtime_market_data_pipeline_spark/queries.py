@@ -7495,7 +7495,12 @@ _REGISTRY_PRIORITY = [
 # official shape the tables can express; q21's double-correlated-
 # existential PLAN SHAPE is covered by the adapted
 # q21_sole_returned_supplier (r9, driver-certified r10).
-# Also staged for r11: extend plant_mixed_media with a GIF stripe
+# Also staged for r11: fold an ivf_index_delete leg into
+# embedding_ann_ivf_appended when it rotates (build -> append ->
+# compact -> DELETE -> pruned search == rebuild over the filtered
+# corpus with frozen centroids — the delete operator is late-r10,
+# pytest-pinned byte-surgical, test_ivf_index_delete_is_partition_
+# surgical). Also staged for r11: extend plant_mixed_media with a GIF stripe
 # (doc_id % 7) so the header-only prober's driver oracle covers every
 # container the decoders gate on — this CHANGES the results of
 # multimodal_probe, multimodal_quarantine, and the quarantine

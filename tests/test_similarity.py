@@ -632,3 +632,90 @@ def test_pq_packed_codes_identical_and_at_rest(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="k_sub"):
         sim.pq_encode(emb, [[[0.0] * 8] * 257], packed=True)
+
+
+def test_ivf_index_delete_is_partition_surgical(spark, tmp_path):
+    """r10 (lifecycle close): ivf_index_delete rewrites ONLY the
+    buckets holding doomed ids — untouched bucket files keep their
+    exact bytes (path+size+mtime) — and the searched index afterwards
+    is IDENTICAL to a rebuild over the filtered corpus with the same
+    frozen centroids. A fully-emptied bucket disappears cleanly, and
+    the IVFPQ layout (codes column) survives the rewrite."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "del_idx")
+    centers = sim.build_ivf_index(emb, idx, n_centroids=8, n_iter=1)
+    vec = f"{idx}/vectors"
+    before = spark.read.parquet(vec)
+    # doom: every vector of ONE whole bucket + a few ids from another
+    by_cluster = {
+        r.cluster: r.ids
+        for r in before.groupBy("cluster")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .collect()
+    }
+    clusters = sorted(by_cluster)
+    whole, partial = clusters[0], clusters[1]
+    doomed = list(by_cluster[whole]) + list(by_cluster[partial])[:3]
+    # survivors must include the queries (they search post-delete)
+    doomed = [i for i in doomed if i >= 4]
+    untouched = {
+        c: sorted(
+            (f, os.path.getsize(os.path.join(vec, f"cluster={c}", f)),
+             os.path.getmtime(os.path.join(vec, f"cluster={c}", f)))
+            for f in os.listdir(os.path.join(vec, f"cluster={c}"))
+            if f.endswith(".parquet")
+        )
+        for c in clusters
+        if c not in (whole, partial)
+    }
+    n_buckets, n_rows = sim.ivf_index_delete(spark, idx, doomed)
+    assert n_rows == len(doomed)
+    assert n_buckets in (1, 2)  # whole may have been emptied of >=4 only
+    # untouched buckets: exact same files, sizes, mtimes
+    after_untouched = {
+        c: sorted(
+            (f, os.path.getsize(os.path.join(vec, f"cluster={c}", f)),
+             os.path.getmtime(os.path.join(vec, f"cluster={c}", f)))
+            for f in os.listdir(os.path.join(vec, f"cluster={c}"))
+            if f.endswith(".parquet")
+        )
+        for c in untouched
+    }
+    assert after_untouched == untouched
+    # the index now equals a rebuild over the filtered corpus with the
+    # SAME centroids
+    kept_corpus = emb.filter(~F.col("vec_id").isin(doomed))
+    rebuilt = str(tmp_path / "del_rebuilt")
+    sim.build_ivf_index(kept_corpus, rebuilt, centers=centers)
+    got = sorted(map(tuple, sim.ann_topk_ivf_indexed(
+        spark, idx, q, k=3, n_probe=8).collect()))
+    want = sorted(map(tuple, sim.ann_topk_ivf_indexed(
+        spark, rebuilt, q, k=3, n_probe=8).collect()))
+    assert got == want and len(got) > 0
+    assert not {r[1] for r in got} & set(doomed)
+    # row accounting: nothing else vanished
+    assert spark.read.parquet(vec).count() == emb.count() - len(doomed)
+    # empty delete set is a no-op
+    assert sim.ivf_index_delete(spark, idx, []) == (0, 0)
+
+    # IVFPQ layout: codes survive the surgical rewrite and the ADC
+    # search never returns a deleted id
+    pq_idx = str(tmp_path / "del_ivfpq")
+    centers2, books = sim.build_ivfpq_index(
+        emb, pq_idx, n_centroids=8, n_iter=1, n_subspaces=8, k_sub=16
+    )
+    doomed2 = [int(r.vec_id) for r in emb.select("vec_id")
+               .filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 4))
+               .collect()][:20]
+    nb, nr = sim.ivf_index_delete(spark, pq_idx, doomed2)
+    assert nr == len(doomed2) and nb >= 1
+    assert dict(spark.read.parquet(f"{pq_idx}/vectors").dtypes)["codes"]
+    hits = sim.ann_topk_ivfpq(
+        spark, pq_idx, q, k=3, n_probe=8, rerank=50
+    ).collect()
+    assert hits and not {r.vec_id for r in hits} & set(doomed2)
