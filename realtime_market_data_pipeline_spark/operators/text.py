@@ -699,6 +699,79 @@ def remove_boilerplate_lines(
     )
 
 
+def gram_hashes(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, h) — one row per w-token window start, h = xxhash64 of
+    the space-joined window text. The codegen'd posexplode + lead form
+    (``shingles_long``'s plan with positions kept): ONE exchange on the
+    document id for the per-doc sort, which downstream per-doc
+    consumers (the span merge) reuse. Shared by the batch
+    ``duplicate_spans`` and the streaming exact-substring writer."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.col("tok").alias("_t0")] + [
+        F.lead("tok", j).over(win).alias(f"_t{j}") for j in range(1, w)
+    ]
+    return (
+        toks.select(id_col, "pos", *lead_cols)
+        .filter(F.col(f"_t{w - 1}").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64(
+                F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(w)])
+            ).alias("h"),
+        )
+    )
+
+
+def merge_spans(
+    starts: DataFrame, w: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge marked w-token window starts (id, pos) into maximal spans
+    per document — gaps-and-islands over the sorted starts: a new
+    island begins when the gap between consecutive starts exceeds w
+    (equal-width intervals overlap or abut iff the gap is <= w).
+    Returns (id, span_id, start_tok, end_tok, n_tokens); the windows
+    reuse whatever id partitioning the caller's plan established."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(win) > w, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = starts.select(
+        F.col(id_col),
+        "pos",
+        F.sum(brk).over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(w - 1)).alias("end_tok"),
+            (F.max("pos") + F.lit(w) - F.min("pos")).alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            (F.col("island") + 1).cast("int").alias("span_id"),
+            F.col("start_tok").cast("int"),
+            F.col("end_tok").cast("int"),
+            F.col("n_tokens").cast("int"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     w: int = 8,
@@ -738,26 +811,7 @@ def duplicate_spans(
     (gaps-and-islands: break when the gap between sorted starts exceeds
     w) and the span aggregation both reuse the id partitioning the lead
     window already established — no further exchange."""
-    from pyspark.sql.window import Window
-
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    win = Window.partitionBy(id_col).orderBy("pos")
-    lead_cols = [F.col("tok").alias("_t0")] + [
-        F.lead("tok", j).over(win).alias(f"_t{j}") for j in range(1, w)
-    ]
-    grams = (
-        toks.select(id_col, "pos", *lead_cols)
-        .filter(F.col(f"_t{w - 1}").isNotNull())
-        .select(
-            id_col,
-            "pos",
-            F.xxhash64(
-                F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(w)])
-            ).alias("h"),
-        )
-    )
+    grams = gram_hashes(df, w=w, text_col=text_col, id_col=id_col)
     frequent = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -767,31 +821,7 @@ def duplicate_spans(
     if broadcast_frequent:
         frequent = F.broadcast(frequent)
     starts = grams.join(frequent, "h").select(id_col, "pos")
-    brk = F.when(
-        F.col("pos") - F.lag("pos").over(win) > w, F.lit(1)
-    ).otherwise(F.lit(0))
-    islands = starts.select(
-        F.col(id_col),
-        "pos",
-        F.sum(brk).over(
-            win.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("island"),
-    )
-    return (
-        islands.groupBy(id_col, "island")
-        .agg(
-            F.min("pos").alias("start_tok"),
-            (F.max("pos") + F.lit(w - 1)).alias("end_tok"),
-            (F.max("pos") + F.lit(w) - F.min("pos")).alias("n_tokens"),
-        )
-        .select(
-            id_col,
-            (F.col("island") + 1).cast("int").alias("span_id"),
-            F.col("start_tok").cast("int"),
-            F.col("end_tok").cast("int"),
-            F.col("n_tokens").cast("int"),
-        )
-    )
+    return merge_spans(starts, w, id_col=id_col)
 
 
 def remove_duplicate_spans(

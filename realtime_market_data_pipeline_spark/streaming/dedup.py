@@ -358,3 +358,84 @@ def decontamination_writer(
             )
 
     return write
+
+
+def exact_substring_writer(
+    store_dir: str,
+    out_dir: str,
+    w: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> BatchWriter:
+    """Streaming exact-substring dedup (late r10) — the online form of
+    ``text.duplicate_spans`` (Lee et al. 2022): as documents stream in,
+    flag every w-token span of a NEW document whose window text was
+    already seen — in this batch (>= ``min_count`` occurrences, within-
+    doc repeats included) or anywhere in ingestion history (one
+    historical occurrence + the new one = duplicated). First-seen-wins,
+    like the MinHash writer: history is never retro-flagged, which is
+    the online contract (a batch re-run of ``duplicate_spans`` over
+    docs ingested so far reproduces exactly the spans this writer
+    flags for the newest batch — pinned in tests).
+
+    Per micro-batch: gram digests of the new docs (``gram_hashes`` —
+    the one id exchange), in-batch occurrence counts, a semi-join
+    against the persistent digest STORE (8-byte xxhash64 per window,
+    never text — bounded, privacy-friendly, the MinHash-store rule),
+    span merge (``merge_spans``), spans to ``out_dir/batch_id=N`` and
+    the batch's DISTINCT digests appended to ``store_dir/batch_id=N``
+    — both dynamic-partition overwrites, so a replayed batch rewrites
+    itself, and the store read filters ``batch_id < current`` so a
+    crashed attempt's own half-written digests are invisible to its
+    replay (the writer-contract pattern shared by every writer in this
+    module). At 100 TB the store becomes a bucketed-by-digest table so
+    the per-batch semi-join co-locates; the parquet form keeps this
+    container-runnable."""
+    from realtime_market_data_pipeline_spark.operators.text import (
+        gram_hashes,
+        merge_spans,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grams = gram_hashes(batch_df, w=w, text_col=text_col, id_col=id_col)
+        in_batch = (
+            grams.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= min_count)
+            .select("h")
+        )
+        seen = read_store(spark, store_dir, before_batch=batch_id)
+        dup_h = (
+            in_batch
+            if seen is None
+            else in_batch.unionByName(seen.select("h")).distinct()
+        )
+        starts = grams.join(dup_h, "h", "left_semi").select(id_col, "pos")
+        spans = merge_spans(starts, w, id_col=id_col)
+
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spans.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                grams.select("h").distinct()
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return write

@@ -2073,3 +2073,98 @@ def test_streaming_ivfpq_search_matches_batch_and_replays(spark, tmp_path):
     sim.save_pq_books(spark, f"{bare}/pq", [[[0.0] * 8]])
     with _pytest.raises(Exception, match="no centroids|no PQ|Path does not exist"):
         sann.ann_search_writer_ivfpq(spark, str(tmp_path / "nope"), out)
+
+
+def test_streaming_exact_substring_dedup_across_batches(spark, tmp_path):
+    """Online exact-substring dedup (late r10): spans of a NEW doc whose
+    w-token windows were seen in this batch or anywhere in ingestion
+    history are flagged; history is never retro-flagged (first-seen-
+    wins), the flagged spans for the newest batch equal a batch
+    duplicate_spans over everything ingested so far RESTRICTED to the
+    new docs, and a replayed batch rewrites itself."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    d = str(tmp_path / "docs_in")
+    store = str(tmp_path / "gram_store")
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "es_ckpt")
+    W = 4
+
+    shared = "one two three four"  # one w=4 window
+    rows_b0 = [
+        (1, f"alpha {shared} beta"),
+        (2, f"x y {shared}"),          # cross-doc dup WITHIN batch 0
+        (3, "all unique tokens in here nothing repeats"),
+    ]
+    rows_b1 = [
+        (4, f"gamma delta {shared} epsilon"),  # dup vs HISTORY only
+        (5, "another fully unique document body with fresh words"),
+    ]
+
+    writer = sdedup.exact_substring_writer(store, out, w=W, min_count=2)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    def spans(batch=None):
+        df = spark.read.parquet(out)
+        if batch is not None:
+            df = df.filter(F.col("batch_id") == batch)
+        return sorted(
+            (r.doc_id, r.span_id, r.start_tok, r.end_tok, r.n_tokens)
+            for r in df.collect()
+        )
+
+    write_file(rows_b0)
+    run()
+    # in-batch duplication flagged on BOTH sides (the batch op's
+    # semantics within one batch)
+    assert spans(batch=0) == [(1, 1, 1, 4, 4), (2, 1, 2, 5, 4)]
+
+    write_file(rows_b1)
+    run()
+    # doc 4's shared window exists only once in batch 1 — the store
+    # supplies the second occurrence; doc 5 stays clean; history is
+    # not retro-flagged (batch 0 partition unchanged)
+    assert spans(batch=1) == [(4, 1, 2, 5, 4)]
+    assert spans(batch=0) == [(1, 1, 1, 4, 4), (2, 1, 2, 5, 4)]
+
+    # online contract: newest batch's spans == batch duplicate_spans
+    # over everything ingested so far, restricted to the new docs
+    all_docs = spark.createDataFrame(
+        rows_b0 + rows_b1, "doc_id long, text string"
+    )
+    batch_all = {
+        (r.doc_id, r.span_id, r.start_tok, r.end_tok, r.n_tokens)
+        for r in tx.duplicate_spans(all_docs, w=W, min_count=2).collect()
+        if r.doc_id in (4, 5)
+    }
+    assert set(spans(batch=1)) == batch_all
+
+    # replay of batch 1 rewrites itself: same spans, store partition
+    # rewritten not duplicated
+    writer(
+        spark.createDataFrame(rows_b1, "doc_id long, text string"), 1
+    )
+    assert spans(batch=1) == [(4, 1, 2, 5, 4)]
+    st = spark.read.parquet(store)
+    assert {r.batch_id for r in st.select("batch_id").distinct().collect()} == {0, 1}
+    # store carries digests only — 8-byte longs, never text
+    assert set(st.columns) == {"h", "batch_id"}
