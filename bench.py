@@ -133,8 +133,10 @@ HEADLINE = [
     "embedding_ann_ivf_appended",
     "doc_boilerplate_removal",
     # late-r10: exact-substring dedup (Lee et al. 2022 duplicated-passage
-    # spans — stride-1 rolling windows + gaps-and-islands merge)
+    # spans — stride-1 rolling windows + gaps-and-islands merge) and
+    # perceptual image dedup (dHash + pigeonhole banding)
     "dedup_exact_substrings",
+    "multimodal_dedup_dhash",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -6611,6 +6611,74 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_dedup_dhash",
+    oracle="""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+c AS (
+  SELECT d % 10 AS cls, CAST(min(d) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS n
+  FROM m GROUP BY d % 10
+)
+SELECT a.rep AS rep_a, b.rep AS rep_b, a.n AS n_a, b.n AS n_b,
+       CAST(8 AS INTEGER) AS hamming
+FROM c a JOIN c b ON b.cls = a.cls + 5 AND a.cls < 5
+""",
+)
+def multimodal_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL IMAGE DEDUP (late r10) — dedup for the image modality,
+    completing the family (text: exact/minhash/simhash/spans;
+    embeddings: cosine/LSH; now pixels): real BMP payloads decode to
+    rasters, hash to 64-bit dHashes (``image_dhash`` — integer-mean
+    gray, NN resample, horizontal neighbor comparisons), exact-dup
+    groups collapse by hash equality, and near-dup pairs come from the
+    PIGEONHOLE BANDING join (``hash_hamming_pairs``: max_hamming+1
+    disjoint bit bands, any pair within budget agrees on >= 1 band —
+    no false negatives — then ``bit_count(xor)`` verifies exactly; the
+    MinHash-LSH band-then-verify shape with the sketch swapped for the
+    perceptual hash, never an all-pairs join).
+
+    Planted corpus (``make_phash_bmp``): 9x8 BMPs in five base
+    patterns (g = doc_id%5, cubic-residue values, min cross-group
+    hamming 19), odd doc_ids reflecting row 3 — hamming EXACTLY 8 from
+    their group's base (all 8 row-3 comparisons strictly invert; no
+    adjacent tie exists at these multipliers). So: 10 distinct hashes
+    corpus-wide, each exact-dup group is a doc_id%10 class, and the
+    threshold-10 banding must surface EXACTLY the five base<->variant
+    pairs at hamming 8 — cross-group pairs (hamming >= 19) must not
+    appear. The oracle predicts reps, group sizes, and the hamming
+    from doc_id arithmetic alone; a decode, grayscale, resample,
+    bit-pack, banding, or bit_count bug on either side breaks the
+    match. Scale shape: hashing is shuffle-free mapInPandas; the
+    banding self-join runs over the DISTINCT-hash reps (group-collapse
+    first, the dedup_exact precedent), so its cost is bands x
+    |distinct hashes|, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    hashes = mm.image_dhash(mm.plant_phash(docs))
+    groups = hashes.groupBy("dhash").agg(
+        F.min("media_id").alias("rep"), F.count(F.lit(1)).alias("n")
+    )
+    pairs = mm.hash_hamming_pairs(
+        groups.select(F.col("rep").alias("media_id"), "dhash"),
+        max_hamming=10,
+    )
+    ga = groups.select(F.col("rep").alias("id_a"), F.col("n").alias("n_a"))
+    gb = groups.select(F.col("rep").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.col("id_a").alias("rep_a"),
+            F.col("id_b").alias("rep_b"),
+            "n_a",
+            "n_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Source surface (SURVEY.md §2.1 S7 / §2.2 K3): synthetic GBM generator and
 # the Kafka payload codec. The GBM draw comes from xxhash64 (no DuckDB twin),
@@ -7387,6 +7455,14 @@ _REGISTRY_PRIORITY = [
     # sibling heavy_hitters_topk stays in-window certifying the same
     # module's hot path):
     "dedup_exact_substrings",
+    # (1d) late-r10 NEW: perceptual image dedup (dHash + pigeonhole
+    # banding over distinct-hash reps), EXACT value oracle over the
+    # planted 9x8 BMP corpus; takes the slot of the 11th justified
+    # spill below (funnel_time_to_convert — inline function body
+    # unchanged since its r7 green row, git-verifiable, and its
+    # sibling funnel_view_click_purchase stays in-window certifying
+    # the funnel window shape):
+    "multimodal_dedup_dhash",
     # (5) 40 of the 49 rows whose last driver-green is r7 — exactly at
     # the 3-round floor; every one must recertify in r10 or the SLO
     # breaks. The similarity.py rows (dedup_embedding_lsh,
@@ -7412,7 +7488,6 @@ _REGISTRY_PRIORITY = [
     "events_distribution_ranks",
     "events_lag_lead_rank",
     "events_time_range",
-    "funnel_time_to_convert",
     "funnel_view_click_purchase",
     "heavy_hitters_topk",
     "hits_trade_authorities",
@@ -7435,7 +7510,7 @@ _REGISTRY_PRIORITY = [
     "trailing_7d_revenue",
     "value_percentiles_by_type",
     "word_counts_top100",
-    # (6) spillover slots 51-60: the TEN r7 rows displaced by the 5
+    # (6) spillover slots 51-61: the ELEVEN r7 rows displaced by the 6
     # new queries + the changed-code recert + the rollup pair + the 3
     # never-adjudicated rows (50-slot budget). Displacement
     # justification (the r8/r9 precedent): every one is a single-
@@ -7450,9 +7525,12 @@ _REGISTRY_PRIORITY = [
     # quality.py's numeric profiler (profile_events_numeric), and
     # sketches.py's merge-path variant (heavy_hitters_merged — its
     # sibling heavy_hitters_topk STAYS in-window certifying the same
-    # module) — so their r7 semantics are provably still what the
-    # driver certified. They are 4 rounds old at r10 close — one past
-    # the floor — and r11 MUST open with them:
+    # module), and the inline funnel duration variant
+    # (funnel_time_to_convert — body unchanged since its r7 row,
+    # sibling funnel_view_click_purchase stays in-window) — so their
+    # r7 semantics are provably still what the driver certified. They
+    # are 4 rounds old at r10 close — one past the floor — and r11
+    # MUST open with them:
     "sql_frontend_scan",
     "top_orders_global",
     "union_backfill_counts",
@@ -7463,22 +7541,24 @@ _REGISTRY_PRIORITY = [
     "approx_distinct_users",
     "profile_events_numeric",
     "heavy_hitters_merged",
+    "funnel_time_to_convert",
 ]
 
 # ---------------------------------------------------------------------------
 # STAGED r11 PLAN (staleness-first). Post-r10 distribution over the
-# 159-query registry, assuming the r10 window above goes green:
+# 161-query registry, assuming the r10 window above goes green:
 # r10 x50, r9 x49 (the r9 window minus embedding_ann_ivf_persisted,
 # which recertified in r10 as a changed-code row), r8 x50, plus the
-# TEN displaced r7 rows listed in (6) above — at 4 rounds old the
+# ELEVEN displaced r7 rows listed in (6) above — at 4 rounds old the
 # only rows past the 3-round floor, displaced with justification.
 # The r11 window MUST therefore be, in order: (1) whatever code
 # changes in r11 first (changed-code priority outranks staleness);
-# (2) the ten spilled r7 rows (sql_frontend_scan, top_orders_global,
-# union_backfill_counts, tick_validation_counts,
+# (2) the eleven spilled r7 rows (sql_frontend_scan,
+# top_orders_global, union_backfill_counts, tick_validation_counts,
 # synthetic_gbm_features, user_sessions_12h, moving_avg_value_5,
 # approx_distinct_users, profile_events_numeric,
-# heavy_hitters_merged) — non-negotiable; (3) top up to 50 with the oldest r8 rows (the r8
+# heavy_hitters_merged, funnel_time_to_convert) — non-negotiable;
+# (3) top up to 50 with the oldest r8 rows (the r8
 # window: TPC-H corpus spine q1/q3/q4/q5/q6/q7/q9/q10/q14..q19/q22,
 # kpi_summary, topk_per_type, semi/anti joins, dedup_last_write_wins,
 # stats/regex/atr/beta/psi/histogram/zscore/backtest/sequence/vwap/
@@ -7486,7 +7566,7 @@ _REGISTRY_PRIORITY = [
 # dedup_embedding_cosine, dedup_sorted_neighborhood,
 # doc_train_eval_split, token_weighted_sample,
 # inverted_index_postings, kmv_*, events_value_drift_psi,
-# union_backfill recerts). 10 + 50 > 50, so ~10 r8 rows spill to r12 —
+# union_backfill recerts). 11 + 50 > 50, so ~11 r8 rows spill to r12 —
 # pick them from modules r11 does not touch and justify the
 # displacement here, exactly as r9/r10 did. Note on TPC-H
 # completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;

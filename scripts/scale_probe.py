@@ -89,6 +89,10 @@ DEFAULT_QUERIES = [
     # not the typical-growth slope.
     "doc_boilerplate_removal",
     "dedup_exact_substrings",
+    # perceptual image dedup: hashing is row-linear mapInPandas; the
+    # banding join runs over DISTINCT hashes (10 in the planted
+    # corpus at any k), so growth probes the hash stage only.
+    "multimodal_dedup_dhash",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",

@@ -1620,3 +1620,102 @@ def test_decode_image_full_cross_checks_twins(spark):
         )
         assert (r.width, r.height) == (w, h)
         assert r.pixel_sum == ps and r.row_weighted_sum == rws, did
+
+
+def test_image_dhash_matches_numpy_rederivation(spark):
+    """late r10: the distributed dHash equals an independent numpy
+    re-derivation of gray -> NN-resample -> neighbor bits -> MSB-first
+    pack (two's complement into a signed long), over planted BMPs AND
+    a non-trivially-sized PNG (exercising the real resample)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    hashes = {
+        r.media_id: r.dhash
+        for r in mm.image_dhash(mm.plant_phash(docs)).collect()
+    }
+
+    def expect(payload: bytes) -> int:
+        arr = mm.decode_image_pixels(payload)
+        if arr.dtype != np.uint8:
+            arr = (arr >> 8).astype(np.uint8)
+        a = arr.astype(np.int64)
+        gray = a.sum(axis=2) // a.shape[2]
+        g = mm.resize_nn(gray, 9, 8)
+        bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    for did in range(24):
+        assert hashes[did] == expect(mm.make_phash_bmp(did)), did
+    # doc_id%10 classes collapse to one hash; distinct across classes
+    assert len(set(hashes.values())) == 10
+    for did in range(10, 24):
+        assert hashes[did] == hashes[did % 10]
+
+    # the real-resample path: hash a planted PNG through the operator
+    # vs the same numpy pipeline
+    png = mm.plant_png(docs.filter(F.col("doc_id") == 7))
+    got = mm.image_dhash(png).collect()[0]
+    row = png.collect()[0]
+    assert got.dhash == expect(bytes(row.payload))
+
+
+def test_image_dhash_invariant_under_integer_nn_upscale(spark):
+    """dHash's headline robustness property, EXACTLY: NN-upscaling an
+    image by an integer factor then hashing gives the same hash
+    (floor(floor(a/b)/c) == floor(a/(b*c))) — the resized-duplicate
+    catcher."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    base = mm.make_phash_bmp(3)
+    pix = mm.decode_image_pixels(base)
+    up = np.repeat(np.repeat(pix, 3, axis=0), 3, axis=1)  # 3x NN upscale
+    up_payload = mm.encode_bmp_pixels(up)
+    rows = [(0, bytearray(base), "image/bmp"),
+            (1, bytearray(up_payload), "image/bmp")]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string"
+    )
+    got = {r.media_id: r.dhash for r in mm.image_dhash(df).collect()}
+    assert got[0] == got[1]
+
+
+def test_hash_hamming_pairs_pigeonhole_exact(spark):
+    """The banded join is exact: against a brute-force all-pairs
+    hamming computation over deterministic 64-bit hashes (including
+    negative longs and a pair at EXACTLY max_hamming — the pigeonhole
+    boundary), it returns precisely the within-budget pairs."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    hs = []
+    x = 0x9E3779B97F4A7C15
+    for i in range(40):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        hs.append(x - (1 << 64) if x >= 1 << 63 else x)
+    # plant a pair at exactly max_hamming=7 bits apart
+    h7 = hs[0] ^ 0b1010101010101  # 7 bits set
+    h7 = h7 - (1 << 64) if h7 >= 1 << 63 else h7
+    hs.append(h7)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hs)], "media_id long, dhash long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.hash_hamming_pairs(df, max_hamming=7).collect()
+    }
+    want = {
+        (a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+        for a, b in combinations(range(len(hs)), 2)
+        if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert got == want
+    assert (0, len(hs) - 1, 7) in got  # the boundary pair survived

@@ -344,7 +344,10 @@ def test_registry_priority_window():
         "embedding_ann_pq", "q21_sole_returned_supplier",
         "text_ingest_gzip_quarantine",
     }
-    late_r10 = {"doc_boilerplate_removal", "dedup_exact_substrings"}
+    late_r10 = {
+        "doc_boilerplate_removal", "dedup_exact_substrings",
+        "multimodal_dedup_dhash",
+    }
     changed_module_r7 = {
         # similarity.py (r10: ADC two-phase cut, zero-norm guard,
         # single-pass indexed search)
@@ -360,13 +363,14 @@ def test_registry_priority_window():
     for group in (new_r10, changed_code, oldest_r6, never_adjudicated,
                   late_r10, changed_module_r7):
         assert group <= window, group - window
-    # the ten displaced r7 rows (quiet modules, justified in the
-    # registry comment) must sit at slots 51-60 so they lead r11
-    assert set(names[50:60]) == {
+    # the eleven displaced r7 rows (quiet modules, justified in the
+    # registry comment) must sit at slots 51-61 so they lead r11
+    assert set(names[50:61]) == {
         "sql_frontend_scan", "top_orders_global", "union_backfill_counts",
         "tick_validation_counts", "synthetic_gbm_features",
         "user_sessions_12h", "moving_avg_value_5", "approx_distinct_users",
         "profile_events_numeric", "heavy_hitters_merged",
+        "funnel_time_to_convert",
     }
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
