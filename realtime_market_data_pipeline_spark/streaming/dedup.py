@@ -439,3 +439,97 @@ def exact_substring_writer(
             )
 
     return write
+
+
+def image_dedup_writer(
+    store_dir: str,
+    out_dir: str,
+    max_hamming: int = 8,
+    id_col: str = "media_id",
+) -> BatchWriter:
+    """Streaming perceptual image dedup (late r10) — the online form of
+    the ``multimodal.image_dhash`` + ``hash_hamming_pairs`` pair, and
+    the image-modality member of this module's writer family: as media
+    payloads stream in, drop any whose dHash is within ``max_hamming``
+    bits of a previously ACCEPTED image's hash (or of a lower-id image
+    in the same micro-batch — first-accepted-wins, the MinHash-writer
+    rule). The store keeps ONE 8-byte hash per accepted image, never
+    pixels — the signature-store privacy/size rule at its extreme.
+
+    Per micro-batch: hash the new payloads (shuffle-free Arrow pass),
+    union with the accepted-hash store, pigeonhole-banded candidate
+    join + exact bit_count verify (no false negatives, never
+    all-pairs), survivors' rows to ``out_dir/batch_id=N`` and their
+    hashes to ``store_dir/batch_id=N`` (dynamic overwrite; the store
+    read filters batch_id < current — the replay guard every writer
+    here shares). Greedy-by-id within a batch can over-drop on chains,
+    the same documented trade as the MinHash writer."""
+    from realtime_market_data_pipeline_spark.operators.multimodal import (
+        hash_hamming_pairs,
+        image_dhash,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashes = image_dhash(batch_df).select(id_col, "dhash")
+        allh = hashes.withColumn("_hist", F.lit(False))
+        store = read_store(spark, store_dir, before_batch=batch_id)
+        if store is not None:
+            allh = allh.unionByName(
+                store.select(id_col, "dhash").withColumn(
+                    "_hist", F.lit(True)
+                )
+            )
+        pairs = hash_hamming_pairs(allh, max_hamming, id_col=id_col)
+        flags = allh.select(F.col(id_col), F.col("_hist"))
+        p = pairs.join(
+            flags.select(
+                F.col(id_col).alias("id_a"), F.col("_hist").alias("ha")
+            ),
+            "id_a",
+        ).join(
+            flags.select(
+                F.col(id_col).alias("id_b"), F.col("_hist").alias("hb")
+            ),
+            "id_b",
+        )
+        # history beats batch in either orientation; within the batch
+        # the larger id (id_b) is dropped; history-history pairs are
+        # impossible by induction (the store is already deduped) but
+        # map to NULL and vanish anyway
+        drops = (
+            p.select(
+                F.when(F.col("ha") & ~F.col("hb"), F.col("id_b"))
+                .when(F.col("hb") & ~F.col("ha"), F.col("id_a"))
+                .when(~F.col("ha") & ~F.col("hb"), F.col("id_b"))
+                .alias(id_col)
+            )
+            .filter(F.col(id_col).isNotNull())
+            .distinct()
+        )
+        survivors = batch_df.join(drops, id_col, "left_anti")
+        surviving_hashes = hashes.join(drops, id_col, "left_anti")
+
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                surviving_hashes.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return write

@@ -2168,3 +2168,94 @@ def test_streaming_exact_substring_dedup_across_batches(spark, tmp_path):
     assert {r.batch_id for r in st.select("batch_id").distinct().collect()} == {0, 1}
     # store carries digests only — 8-byte longs, never text
     assert set(st.columns) == {"h", "batch_id"}
+
+
+def test_streaming_image_dedup_across_batches(spark, tmp_path):
+    """Online perceptual image dedup (late r10): images within
+    max_hamming dHash bits of accepted history — or of a lower-id
+    image in the same batch — are dropped, first-accepted-wins; a
+    genuinely novel image survives; the store carries one 8-byte hash
+    per accepted image (never pixels); a replayed batch rewrites
+    itself."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import (
+        multimodal as mm,
+    )
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    d = str(tmp_path / "media_in")
+    store = str(tmp_path / "hash_store")
+    out = str(tmp_path / "accepted_media")
+    ckpt = str(tmp_path / "img_ckpt")
+
+    def row(mid, payload):
+        return (mid, bytearray(payload), "image/bmp")
+
+    # batch 0: the five base patterns (ids 0..4) + id 10 (exact dup of
+    # id 0's pattern: 10 % 10 == 0)
+    b0 = [row(i, mm.make_phash_bmp(i)) for i in (0, 1, 2, 3, 4, 10)]
+    # batch 1: id 5 = group-0 VARIANT (hamming exactly 8 from id 0),
+    # id 21 = exact dup of id 1's pattern (21 % 10 == 1), id 99 = a
+    # genuinely novel raster (checkerboard, far from every plant)
+    novel = np.zeros((8, 9, 3), dtype=np.uint8)
+    novel[::2, 1::2] = 255
+    novel[1::2, ::2] = 255
+    b1 = [
+        row(5, mm.make_phash_bmp(5)),
+        row(21, mm.make_phash_bmp(21)),
+        row(99, mm.encode_bmp_pixels(novel)),
+    ]
+
+    writer = sdedup.image_dedup_writer(store, out, max_hamming=8)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "media_id long, payload binary, media_type string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "media_id long, payload binary, media_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    def accepted():
+        return {
+            r.media_id for r in spark.read.parquet(out).collect()
+        }
+
+    write_file(b0)
+    run()
+    assert accepted() == {0, 1, 2, 3, 4}  # 10 dropped vs in-batch id 0
+
+    write_file(b1)
+    run()
+    # 5 dropped vs history (hamming 8 <= budget), 21 dropped vs
+    # history (hamming 0), the novel raster survives
+    assert accepted() == {0, 1, 2, 3, 4, 99}
+
+    st = spark.read.parquet(store)
+    assert set(st.columns) == {"media_id", "dhash", "batch_id"}
+    assert {r.media_id for r in st.collect()} == {0, 1, 2, 3, 4, 99}
+
+    # replay of batch 1 rewrites itself
+    writer(
+        spark.createDataFrame(
+            b1, "media_id long, payload binary, media_type string"
+        ),
+        1,
+    )
+    assert accepted() == {0, 1, 2, 3, 4, 99}
+    st2 = spark.read.parquet(store)
+    assert {r.media_id for r in st2.collect()} == {0, 1, 2, 3, 4, 99}
