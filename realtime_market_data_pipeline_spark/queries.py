@@ -7546,7 +7546,7 @@ _REGISTRY_PRIORITY = [
 
 # ---------------------------------------------------------------------------
 # STAGED r11 PLAN (staleness-first). Post-r10 distribution over the
-# 161-query registry, assuming the r10 window above goes green:
+# 160-query registry, assuming the r10 window above goes green:
 # r10 x50, r9 x49 (the r9 window minus embedding_ann_ivf_persisted,
 # which recertified in r10 as a changed-code row), r8 x50, plus the
 # ELEVEN displaced r7 rows listed in (6) above — at 4 rounds old the
