@@ -872,7 +872,14 @@ def remove_duplicate_spans(
             F.count(F.lit(1)).alias("n_kept"),
         )
         .join(
-            df.select(F.col(id_col), token_count(text_col).alias("n_tokens")),
+            df.select(
+                F.col(id_col),
+                # NULL text carries no tokens (a poisoned row must not
+                # propagate NULL accounting into the corpus stats)
+                F.coalesce(
+                    token_count(text_col), F.lit(0)
+                ).alias("n_tokens"),
+            ),
             id_col,
             "right",
         )

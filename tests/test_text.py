@@ -300,3 +300,32 @@ def test_remove_duplicate_spans_reconstruction(spark):
     }
     for doc_id, r in got.items():
         assert r.n_removed == per_doc.get(doc_id, 0)
+
+
+def test_duplicate_spans_null_and_short_docs(spark):
+    """Poison-row hygiene: NULL text yields no spans and zeroed removal
+    accounting (never NULL propagation); docs shorter than w yield no
+    windows but survive removal untouched."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (1, None),
+        (2, "short doc"),
+        (3, "one two three four"),
+        (4, "z one two three four q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in tx.duplicate_spans(df, w=4, min_count=2).collect()
+    )
+    assert spans == [(3, 0, 3), (4, 1, 4)]
+    got = {
+        r.doc_id: r
+        for r in tx.remove_duplicate_spans(df, w=4, min_count=2).collect()
+    }
+    assert len(got) == 4  # every doc kept, poisoned ones included
+    assert (got[1].clean_text, got[1].n_tokens, got[1].n_removed) == ("", 0, 0)
+    assert (got[2].clean_text, got[2].n_removed) == ("short doc", 0)
+    assert (got[3].clean_text, got[3].n_removed) == ("", 4)
+    assert (got[4].clean_text, got[4].n_removed) == ("z q", 4)
