@@ -1491,6 +1491,101 @@ def decode_image_full(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_audio_mono(payload: bytes):
+    """Mono twin of ``decode_audio_samples``: the decoded MONO sample
+    array (numpy int64; multi-channel audio integer-mean-mixed per
+    frame) plus the sample rate — what the fingerprint and any DSP
+    stage consume. Same format coverage and two-exception contract as
+    decode_audio (decode_audio_samples returns the flat interleaved
+    list; this one mixes down and carries the rate)."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    if payload[:4] == b"fLaC":
+        from realtime_market_data_pipeline_spark.operators import flac
+
+        chans = flac.decode_flac_samples(payload)
+        rate = flac.decode_flac(payload)["sample_rate"]
+        a = np.array(chans, dtype=np.int64)
+        return a.sum(axis=0) // a.shape[0], rate
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM and native FLAC decode without libsndfile"
+        )
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            ch = w.getnchannels()
+            rate = w.getframerate()
+            flat = _pcm_samples(w.readframes(n), w.getsampwidth(), n, ch)
+    except (wave.Error, struct.error, EOFError, RuntimeError) as e:
+        raise ValueError(f"malformed WAV ({type(e).__name__}: {e})") from e
+    a = np.array(flat, dtype=np.int64).reshape(n, ch)
+    return a.sum(axis=1) // ch, rate
+
+
+def audio_fingerprint(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual AUDIO fingerprint (late r10) — the audio member of
+    the dedup-hash family: decode payload to mono samples, cut the
+    |sample| sequence into hash_size²+1 equal windows (boundaries
+    j·n // (hash_size²+1), the NN-index convention), integer-mean the
+    energy per window, one bit per consecutive-window comparison
+    e[j+1] > e[j] — a 64-bit envelope dHash at the default size,
+    packed into a signed BIGINT exactly like ``image_dhash``, so
+    ``hash_hamming_pairs`` gives banded near-dup search unchanged.
+    The envelope comparison is EXACTLY invariant under positive
+    amplitude scaling without clipping (order-preserving) and under
+    sample-rate relabeling (windows are relative). Clips shorter than
+    hash_size²+1 samples raise ValueError (quarantine class — too
+    short to fingerprint). Shuffle-free Arrow mapInPandas."""
+    import numpy as np
+
+    n_win = hash_size * hash_size + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_audio_mono(bytes(payload))
+                n = len(s)
+                if n < n_win:
+                    raise ValueError(
+                        f"clip too short to fingerprint: {n} < {n_win}"
+                    )
+                mag = np.abs(s)
+                b = (np.arange(n_win + 1) * n) // n_win
+                e = np.array(
+                    [
+                        int(mag[b[j]:b[j + 1]].sum()) // (b[j + 1] - b[j])
+                        for j in range(n_win)
+                    ],
+                    dtype=np.int64,
+                )
+                bits = e[1:] > e[:-1]
+                h = 0
+                for x in bits:
+                    h = (h << 1) | int(x)
+                n_bits = hash_size * hash_size
+                if n_bits == 64 and h >= 1 << 63:
+                    h -= 1 << 64
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": int(rate),
+                        "n_samples": int(n),
+                        "fp": h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, sample_rate int, n_samples int, fp long"
+    )
+
+
 def make_phash_bmp(doc_id: int) -> bytes:
     """Deterministic 9x8 grayscale BMP for the perceptual-dedup oracle
     corpus. Pattern: v(g,x,y) = (11 + (2g+3)*(x+9y+5)^3) % 256 with

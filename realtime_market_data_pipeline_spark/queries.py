@@ -7575,6 +7575,11 @@ _REGISTRY_PRIORITY = [
 # official shape the tables can express; q21's double-correlated-
 # existential PLAN SHAPE is covered by the adapted
 # q21_sole_returned_supplier (r9, driver-certified r10).
+# Also staged for r11: register dedup_audio_fingerprint — the audio
+# member of the dedup-hash family (multimodal.audio_fingerprint,
+# late-r10, pytest-only) — over a planted make_wav corpus; the
+# envelope bits of the sawtooth plant are integer-SQL-predictable, so
+# an EXACT oracle in the multimodal_dedup_dhash style is available.
 # Also staged for r11: fold an ivf_index_delete leg into
 # embedding_ann_ivf_appended when it rotates (build -> append ->
 # compact -> DELETE -> pruned search == rebuild over the filtered

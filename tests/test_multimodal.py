@@ -1719,3 +1719,120 @@ def test_hash_hamming_pairs_pigeonhole_exact(spark):
     }
     assert got == want
     assert (0, len(hs) - 1, 7) in got  # the boundary pair survived
+
+
+def test_audio_fingerprint_matches_numpy_and_flac_twin(spark):
+    """late r10: the distributed envelope dHash equals an independent
+    numpy re-derivation over planted WAVs; the SAME samples encoded as
+    FLAC fingerprint identically (the decode path is lossless); exact
+    duplicates collapse and the banded pair search finds them."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    def expect(payload: bytes) -> int:
+        s, _ = mm.decode_audio_mono(payload)
+        n = len(s)
+        mag = np.abs(s)
+        b = (np.arange(66) * n) // 65
+        e = [int(mag[b[j]:b[j + 1]].sum()) // (b[j + 1] - b[j])
+             for j in range(65)]
+        h = 0
+        for j in range(64):
+            h = (h << 1) | int(e[j + 1] > e[j])
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    import io
+    import struct
+    import wave
+
+    def wav_of(samples, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    rising = [(i % 2 * 2 - 1) * (10 + i * 70) for i in range(400)]
+    falling = list(reversed(rising))
+    rows = [
+        (0, bytearray(mm.make_wav(0, 400, 8000)), "audio/wav"),
+        (1, bytearray(mm.make_wav(1, 500, 16000)), "audio/wav"),
+        (2, bytearray(mm.make_wav(0, 400, 8000)), "audio/wav"),  # dup of 0
+        (3, bytearray(wav_of(rising)), "audio/wav"),
+        (4, bytearray(wav_of(falling)), "audio/wav"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string"
+    )
+    got = {r.media_id: r for r in mm.audio_fingerprint(df).collect()}
+    for mid, payload, _ in rows:
+        assert got[mid].fp == expect(bytes(payload)), mid
+    assert got[0].fp == got[2].fp
+    assert got[0].n_samples == 400 and got[0].sample_rate == 8000
+
+    # banded near-dup search: the exact dup pair surfaces at hamming 0;
+    # opposite-envelope clips (rising vs falling |s|: every comparison
+    # bit inverts) stay far outside the budget
+    fps = spark.createDataFrame(
+        [(m, r.fp) for m, r in got.items()], "media_id long, dhash long"
+    )
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.hash_hamming_pairs(fps, max_hamming=4).collect()
+    }
+    assert (0, 2, 0) in pairs
+    assert not any({a, b} == {3, 4} for a, b, _ in pairs)
+
+    # FLAC twin: identical samples through the lossless codec give the
+    # identical fingerprint
+    from realtime_market_data_pipeline_spark.operators import flac
+
+    samples = [((7 * i * i + 3 * i) % 4001) - 2000 for i in range(300)]
+    flac_payload = flac.encode_flac([samples], sample_rate=8000, bps=16)
+    df2 = spark.createDataFrame(
+        [(10, bytearray(wav_of(samples)), "audio/wav"),
+         (11, bytearray(flac_payload), "audio/flac")],
+        "media_id long, payload binary, media_type string",
+    )
+    two = {r.media_id: r.fp for r in mm.audio_fingerprint(df2).collect()}
+    assert two[10] == two[11]
+
+
+def test_audio_fingerprint_amplitude_invariance_and_short_clip(spark):
+    """The envelope comparison is exactly invariant under positive
+    amplitude scaling without clipping; clips shorter than 65 samples
+    are a ValueError quarantine class."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    def wav_of(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    base = [((13 * i * i + 5 * i) % 2001) - 1000 for i in range(200)]
+    doubled = [2 * s for s in base]  # no clipping at these magnitudes
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_of(base)), "audio/wav"),
+         (1, bytearray(wav_of(doubled)), "audio/wav")],
+        "media_id long, payload binary, media_type string",
+    )
+    got = {r.media_id: r.fp for r in mm.audio_fingerprint(df).collect()}
+    assert got[0] == got[1]
+
+    short = spark.createDataFrame(
+        [(0, bytearray(wav_of(base[:50])), "audio/wav")],
+        "media_id long, payload binary, media_type string",
+    )
+    with _pytest.raises(Exception, match="too short"):
+        mm.audio_fingerprint(short).collect()
