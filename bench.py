@@ -137,6 +137,7 @@ HEADLINE = [
     # perceptual image dedup (dHash + pigeonhole banding)
     "dedup_exact_substrings",
     "multimodal_dedup_dhash",
+    "dedup_audio_fingerprint",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

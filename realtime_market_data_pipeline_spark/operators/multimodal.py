@@ -1586,6 +1586,55 @@ def audio_fingerprint(media: DataFrame, hash_size: int = 8) -> DataFrame:
     )
 
 
+def make_envelope_wav(doc_id: int) -> bytes:
+    """Deterministic 130-sample mono 16-bit WAV for the audio-dedup
+    oracle corpus: window j of the 65-window fingerprint covers samples
+    2j and 2j+1, both set to the envelope value
+    E(g,j) = (11 + (2g+3)*(j+5)^3) % 251 with g = doc_id % 5 (positive,
+    so |s| = s and the per-window integer mean is E itself); ODD
+    doc_ids REFLECT windows 24..31 (E -> 250-E). Ten distinct
+    fingerprints corpus-wide: within-group hamming 7-9 (the reflected
+    region's internal + boundary comparisons), min cross-group hamming
+    26 — an exact-replay oracle predicts every fingerprint BIT from
+    this arithmetic."""
+    import io
+    import struct
+    import wave
+
+    g = doc_id % 5
+    env = [(11 + (2 * g + 3) * (j + 5) ** 3) % 251 for j in range(65)]
+    if doc_id % 2:
+        env[24:32] = [250 - e for e in env[24:32]]
+    samples = [e for e in env for _ in (0, 1)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000 + (doc_id % 3) * 4000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def plant_audio_fp(docs: DataFrame) -> DataFrame:
+    """Plant the audio-dedup corpus over the documents spine (the
+    ``plant_media`` pattern): one ``make_envelope_wav`` per doc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [make_envelope_wav(int(d)) for d in ids],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
 def make_phash_bmp(doc_id: int) -> bytes:
     """Deterministic 9x8 grayscale BMP for the perceptual-dedup oracle
     corpus. Pattern: v(g,x,y) = (11 + (2g+3)*(x+9y+5)^3) % 256 with

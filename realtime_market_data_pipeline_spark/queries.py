@@ -4123,6 +4123,102 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_audio_fingerprint",
+    oracle="""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+cls AS (
+  SELECT d % 10 AS c, CAST(min(d) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS n
+  FROM m GROUP BY d % 10
+),
+e AS (
+  SELECT c.c, t.j,
+         CASE WHEN c.c % 2 = 1 AND t.j BETWEEN 24 AND 31
+              THEN 250 - ((11 + (2*(c.c % 5)+3)
+                           * (t.j+5)*(t.j+5)*(t.j+5)) % 251)
+              ELSE (11 + (2*(c.c % 5)+3)
+                    * (t.j+5)*(t.j+5)*(t.j+5)) % 251 END AS en
+  FROM cls c, generate_series(0, 64) t(j)
+),
+b AS (
+  SELECT a.c, a.j, CASE WHEN nx.en > a.en THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e nx ON nx.c = a.c AND nx.j = a.j + 1
+  WHERE a.j < 64
+),
+f AS (
+  SELECT c, CAST(sum(CASE WHEN j = 0
+                 THEN bit * CAST(-9223372036854775807 - 1 AS BIGINT)
+                 ELSE bit * (CAST(1 AS BIGINT) << (63 - j)) END)
+         AS BIGINT) AS fp
+  FROM b GROUP BY c
+),
+r AS (SELECT cls.c, cls.rep, cls.n, f.fp FROM cls JOIN f USING (c))
+SELECT a.rep AS rep_a, bb.rep AS rep_b, a.n AS n_a, bb.n AS n_b,
+       a.fp AS fp_a, bb.fp AS fp_b,
+       CAST(bit_count(xor(a.fp, bb.fp)) AS INTEGER) AS hamming
+FROM r a JOIN r bb ON a.rep < bb.rep
+WHERE bit_count(xor(a.fp, bb.fp)) <= 12
+""",
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL AUDIO DEDUP (late r10) — the audio modality joins the
+    dedup-hash family (text spans, embeddings, image dHash): real WAV
+    payloads decode to mono PCM, fingerprint to the 64-bit envelope
+    dHash (``audio_fingerprint``: 65 equal windows over |sample|,
+    integer-mean energy, consecutive-window comparison bits), exact-dup
+    groups collapse by fingerprint equality, and near-dup pairs come
+    from the same pigeonhole banding + bit_count verify as the image
+    query. Planted corpus (``make_envelope_wav``): each doc's window-j
+    energy IS the cubic-residue value E(doc_id%5, j) (two equal
+    samples per window, so the integer mean is exact), odd doc_ids
+    reflecting windows 24..31 — ten distinct fingerprints, within-group
+    hamming 7-9, min cross-group 26, threshold 12. UNLIKE the image
+    oracle's derived constant, this oracle REPLAYS THE WHOLE PIPELINE:
+    it recomputes every envelope value, every comparison bit, the
+    two's-complement 64-bit pack, and the hamming via
+    bit_count(xor(...)) in integer SQL — a decode, mean-mix,
+    windowing, bit-pack, banding, or bit_count bug on either side
+    breaks the value hash. Registered BELOW the r10 window (the three
+    in-window late additions already displace eleven rows); strict
+    local receipts at all three SFs; MUST lead the r11 window."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    fps = mm.audio_fingerprint(mm.plant_audio_fp(docs))
+    groups = fps.groupBy("fp").agg(
+        F.min("media_id").alias("rep"), F.count(F.lit(1)).alias("n")
+    )
+    pairs = mm.hash_hamming_pairs(
+        groups.select(F.col("rep").alias("media_id"), "fp"),
+        max_hamming=12,
+        hash_col="fp",
+    )
+    ga = groups.select(
+        F.col("rep").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("fp").alias("fp_a"),
+    )
+    gb = groups.select(
+        F.col("rep").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("fp").alias("fp_b"),
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.col("id_a").alias("rep_a"),
+            F.col("id_b").alias("rep_b"),
+            "n_a",
+            "n_b",
+            "fp_a",
+            "fp_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+@query(
     "text_ingest_gzip_quarantine",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
@@ -7575,11 +7671,11 @@ _REGISTRY_PRIORITY = [
 # official shape the tables can express; q21's double-correlated-
 # existential PLAN SHAPE is covered by the adapted
 # q21_sole_returned_supplier (r9, driver-certified r10).
-# Also staged for r11: register dedup_audio_fingerprint — the audio
-# member of the dedup-hash family (multimodal.audio_fingerprint,
-# late-r10, pytest-only) — over a planted make_wav corpus; the
-# envelope bits of the sawtooth plant are integer-SQL-predictable, so
-# an EXACT oracle in the multimodal_dedup_dhash style is available.
+# Also for r11: dedup_audio_fingerprint IS registered (late-r10,
+# below the window — the three in-window late additions already
+# displace eleven rows) with a FULL exact-replay oracle, strict-local
+# at all three SFs; it has never been driver-adjudicated and MUST
+# lead the r11 window alongside the eleven spilled rows.
 # Also staged for r11: fold an ivf_index_delete leg into
 # embedding_ann_ivf_appended when it rotates (build -> append ->
 # compact -> DELETE -> pruned search == rebuild over the filtered

@@ -93,6 +93,7 @@ DEFAULT_QUERIES = [
     # banding join runs over DISTINCT hashes (10 in the planted
     # corpus at any k), so growth probes the hash stage only.
     "multimodal_dedup_dhash",
+    "dedup_audio_fingerprint",
 ]
 # tables each probe query reads — replicate only what's needed
 TABLES = ("events", "lineitem", "orders", "customer", "documents", "embeddings",
