@@ -950,9 +950,21 @@ def ivf_index_delete(
     never contain the deleted rows, so search needs no filter-on-read
     (tombstone masks are the alternative when rewrite latency matters;
     this engine prefers the read-path-clean form the oracle can
-    certify). A crash between per-bucket renames leaves a
-    ``._delete_old`` sibling to recover from, never a half-written
-    bucket. Returns (n_buckets_rewritten, n_rows_deleted).
+    certify). Displaced bucket dirs are staged OUTSIDE the vectors/
+    table (``vectors._delete_old/cluster={c}``, mirroring compact's
+    ``._compact_old``) so a crash mid-swap never leaves a stray
+    ``cluster=N._delete_old`` partition value visible to Spark
+    partition discovery (which would flip the inferred cluster column
+    to string and break pruned reads) and never keeps doomed bytes
+    under the table path (the GDPR-erasure point). Entry first
+    RECOVERS from a prior crashed delete: any bucket present in the
+    staging dir but missing from vectors/ is renamed back, then stale
+    staging dirs are removed — a retry after any crash point sees a
+    complete index. Per-bucket swaps are atomic per bucket but NOT
+    atomic across buckets (rename-atomic local FS/HDFS semantics; on
+    object stores use a staged-copy variant): a crash can leave some
+    buckets rewritten and others not, and the recovery-then-retry path
+    is the contract. Returns (n_buckets_rewritten, n_rows_deleted).
 
     ``delete_ids``: a DataFrame carrying ``id_col``, or an iterable of
     ids (becomes a one-column relation)."""
@@ -960,6 +972,19 @@ def ivf_index_delete(
     import shutil
 
     vec = f"{index_dir}/vectors"
+    tmp = vec.rstrip("/") + "._delete_tmp"
+    old_root = vec.rstrip("/") + "._delete_old"
+    # recover from a prior crashed delete: a bucket staged here whose
+    # live dir is missing was displaced but never replaced — restore it
+    # (its doomed rows come back; the retry will re-delete them), then
+    # drop the stale staging dirs
+    if os.path.isdir(old_root):
+        for entry in os.listdir(old_root):
+            live = os.path.join(vec, entry)
+            if entry.startswith("cluster=") and not os.path.isdir(live):
+                os.rename(os.path.join(old_root, entry), live)
+        shutil.rmtree(old_root)
+    shutil.rmtree(tmp, ignore_errors=True)
     if isinstance(delete_ids, DataFrame):
         ids = delete_ids.select(
             F.col(id_col).cast("long").alias(id_col)
@@ -981,18 +1006,17 @@ def ivf_index_delete(
     # rewritten bucket so each lands as one file (the compact layout)
     part = df.filter(F.col("cluster").isin([int(c) for c in touched]))
     kept = part.join(ids, id_col, "left_anti").repartition("cluster")
-    tmp = vec.rstrip("/") + "._delete_tmp"
     kept.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    os.makedirs(old_root)
     for c in touched:
         src = os.path.join(tmp, f"cluster={c}")
         dst = os.path.join(vec, f"cluster={c}")
-        old = dst + "._delete_old"
-        os.rename(dst, old)
+        os.rename(dst, os.path.join(old_root, f"cluster={c}"))
         if os.path.isdir(src):
             os.rename(src, dst)
         # else: the bucket's rows were ALL deleted — the partition dir
         # simply disappears (partition discovery treats it as empty)
-        shutil.rmtree(old)
+    shutil.rmtree(old_root)
     shutil.rmtree(tmp, ignore_errors=True)
     return len(touched), int(n_deleted)
 

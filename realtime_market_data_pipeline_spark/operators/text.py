@@ -900,6 +900,7 @@ def compress_documents(
     id_col: str = "doc_id",
     level: int = 6,
     codec: str = "gzip",
+    codec_col: str | None = None,
 ) -> DataFrame:
     """Compress document text into binary payloads — the planting half
     of the compressed-ingest pair (real training corpora arrive as
@@ -907,8 +908,11 @@ def compress_documents(
     ``codec`` in {'gzip','bz2','xz'} — all stdlib, all deterministic
     byte output (gzip: fixed level + mtime=0; bz2: fixed compresslevel;
     xz: fixed default preset), so any oracle built on the bytes is
-    byte-stable. Arrow mapInPandas, payloads produced where the rows
-    live."""
+    byte-stable. Pass ``codec_col`` to choose the codec PER ROW from a
+    string column (a mixed feed — the real shape of a crawl bucket
+    where .warc.gz, .bz2 dumps, and .xz members land side by side);
+    the fixed ``codec`` is then only the fallback for NULL entries.
+    Arrow mapInPandas, payloads produced where the rows live."""
     import bz2
     import gzip
     import io as _io
@@ -920,11 +924,13 @@ def compress_documents(
     if codec not in ("gzip", "bz2", "xz"):
         raise ValueError(f"unknown codec {codec!r}")
 
-    def _one(data: bytes) -> bytes:
-        if codec == "bz2":
+    def _one(data: bytes, c: str) -> bytes:
+        if c == "bz2":
             return bz2.compress(data, compresslevel=level)
-        if codec == "xz":
+        if c == "xz":
             return lzma.compress(data)
+        if c != "gzip":
+            raise ValueError(f"unknown codec {c!r}")
         buf = _io.BytesIO()
         with gzip.GzipFile(
             fileobj=buf, mode="wb", compresslevel=level, mtime=0
@@ -934,15 +940,21 @@ def compress_documents(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            codecs = (
+                [codec if pd.isna(c) else str(c) for c in pdf[codec_col]]
+                if codec_col is not None
+                else [codec] * len(pdf)
+            )
             payloads = [
-                _one(("" if t is None else str(t)).encode("utf-8"))
-                for t in pdf[text_col]
+                _one(("" if t is None else str(t)).encode("utf-8"), c)
+                for t, c in zip(pdf[text_col], codecs)
             ]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "payload": payloads}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    cols = [id_col, text_col] + ([codec_col] if codec_col else [])
+    return df.select(*cols).mapInPandas(
         run, f"{id_col} long, payload binary"
     )
 

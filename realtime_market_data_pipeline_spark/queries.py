@@ -4236,34 +4236,55 @@ FROM d WHERE doc_id % 11 IN (3, 5, 7, 9)
 """,
 )
 def text_ingest_gzip_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPRESSED-INGEST quarantine (r9): real training corpora arrive
-    as gzip members (.gz / .warc.gz), so the text pipeline's first
-    stage is decompress-with-quarantine. Every document's text is
-    gzip-planted (byte-stable: fixed level, mtime=0) and four fault
-    stripes corrupt the feed as pure Column arithmetic: NULLed payloads
-    (doc_id%11==3), a 2-byte cut that leaves only the gzip magic
-    (%11==5 — the member truncates inside the header, EOFError ->
-    ValueError), a mid-member 3/4 cut (%11==7 — the CRC/ISIZE trailer
-    is gone, so the stdlib reader ALWAYS fails loudly; silent
-    truncation cannot pass), and raw un-gzipped UTF-8 bytes (%11==9 —
-    unknown container -> NotImplementedError, route to a
-    codec-equipped pool). Good rows must round-trip the EXACT text
-    (CRC-verified) with its byte/char lengths; the oracle predicts the
-    text, both lengths, and every error class. Shuffle cost: one
-    doc_id equi-join to carry text next to its payload (at 100 TB the
-    compressor carries text through instead); the router itself is
-    shuffle-free Arrow mapInPandas."""
+    """COMPRESSED-INGEST quarantine (r9; MULTI-CODEC stripes r11 — the
+    staged fold, closing the bz2/xz pytest-only gap): real training
+    corpora arrive as a MIXED feed of gzip members (.gz / .warc.gz),
+    bz2 wiki dumps, and xz members side by side, so the text
+    pipeline's first stage is magic-routed
+    decompress-with-quarantine. Every document's text is planted with
+    the codec chosen by doc_id%3 (0=gzip, 1=bz2, 2=xz — all
+    byte-stable: gzip fixed level + mtime=0, bz2 fixed compresslevel,
+    xz default preset) and four fault stripes corrupt the feed as
+    pure Column arithmetic: NULLed payloads (doc_id%11==3), a
+    CODEC-LENGTH magic cut that leaves only the container magic
+    (%11==5 — 2 bytes gzip / 3 bytes bz2 / 6 bytes xz, so detection
+    succeeds and the member truncates immediately after: EOFError /
+    ValueError / LZMAError all -> ValueError), a mid-member 3/4 cut
+    (%11==7 — the integrity trailer is gone in EVERY codec: gzip
+    CRC+ISIZE, bz2 end-of-stream marker, xz footer — so the stdlib
+    reader ALWAYS fails loudly; silent truncation cannot pass), and
+    raw uncompressed UTF-8 bytes (%11==9 — unknown container ->
+    NotImplementedError, route to a codec-equipped pool). Good rows
+    must round-trip the EXACT text (trailer-verified) with its
+    byte/char lengths; the oracle predicts the text, both lengths,
+    and every error class, and is CODEC-INVARIANT — the whole point:
+    which container carried the bytes must not change the relation.
+    Shuffle cost: one doc_id equi-join to carry text next to its
+    payload (at 100 TB the compressor carries text through instead);
+    the router itself is shuffle-free Arrow mapInPandas."""
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    comp = tx.compress_documents(docs)
     did = F.col("doc_id")
+    codec = (
+        F.when(did % 3 == 0, F.lit("gzip"))
+        .when(did % 3 == 1, F.lit("bz2"))
+        .otherwise(F.lit("xz"))
+    )
+    comp = tx.compress_documents(
+        docs.withColumn("codec", codec), codec_col="codec"
+    )
+    magic_len = (
+        F.when(did % 3 == 0, F.lit(2))
+        .when(did % 3 == 1, F.lit(3))
+        .otherwise(F.lit(6))
+    )
     media = (
         docs.join(comp, "doc_id")
         .select(
             "doc_id",
             F.when(did % 11 == 3, F.lit(None).cast("binary"))
-            .when(did % 11 == 5, F.expr("substring(payload, 1, 2)"))
+            .when(did % 11 == 5, F.expr("payload").substr(F.lit(1), magic_len))
             .when(
                 did % 11 == 7,
                 F.expr(
@@ -5787,7 +5808,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST({_ANN_K} AS INTEGER) AS k,
        CAST({_ANN_APPEND_FLOOR} AS DOUBLE) AS recall_floor,
        TRUE AS recall_ge_floor,
-       TRUE AS appended_equals_rebuilt
+       TRUE AS appended_equals_rebuilt,
+       TRUE AS delete_surgical
 FROM embeddings WHERE vec_id < 5
 """
 
@@ -5804,24 +5826,38 @@ def embedding_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same cluster partitions — then ``ivf_index_compact`` the grown
     index (one file per bucket via atomic swap; the searched bytes
     below are the COMPACTED layout, so compaction correctness sits
-    under the same equality), and assert under one driver row:
+    under the same equality), then ``ivf_index_delete`` a
+    deterministic doomed set (vec_id % 7 == 3, queries spared — the
+    r11 leg closing the last pytest-only step of the lifecycle:
+    build -> append -> compact -> DELETE -> pruned search), and
+    assert under one driver row:
 
     - ``appended_equals_rebuilt`` — the partition-pruned search over
-      the grown index returns rows IDENTICAL to a full rebuild with
-      the same centroids (multiset equality as one counted full-outer
-      join, the embedding_ann_ivf_persisted pattern). This is the
-      operator's whole contract: append must be indistinguishable
-      from rebuild when the codebook is frozen.
-    - the recall floor vs the exact top-5, at the HALF-TRAINED
-      codebook's honest operating point: centroids saw only half the
-      corpus, so the floor is {floor} at n_probe=10 (measured
-      0.96/0.88/0.96 at sf0.001/0.01/0.1 — deterministic constants,
-      not samples). After enough drift a real deployment retrains and
-      rebuilds; that boundary is the documented FAISS-style
-      maintenance contract, not a gap.""".format(floor=_ANN_APPEND_FLOOR)
+      the grown-then-deleted index returns rows IDENTICAL to a full
+      rebuild over the FILTERED corpus with the same centroids
+      (multiset equality as one counted full-outer join, the
+      embedding_ann_ivf_persisted pattern). This is the lifecycle's
+      whole contract: append+delete must be indistinguishable from
+      rebuild when the codebook is frozen — and it proves no doomed
+      id can ever surface from the searched bytes.
+    - ``delete_surgical`` — the delete's accounting holds: row count
+      deleted == the doomed-set size, >=1 bucket rewritten, and a
+      semi-join of the post-delete index against the doomed set is
+      EMPTY (erasure is physical, not masked).
+    - the recall floor vs the exact top-5 over the KEPT corpus, at
+      the HALF-TRAINED codebook's honest operating point: centroids
+      saw only half the corpus, so the floor is {floor} at n_probe=10
+      (measured 0.96/0.92/0.96 at sf0.001/0.01/0.1 — deterministic
+      constants, not samples). After enough drift a real deployment
+      retrains and rebuilds; that boundary is the documented
+      FAISS-style maintenance contract, not a gap.""".format(
+        floor=_ANN_APPEND_FLOOR
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     even = emb.filter(F.col("vec_id") % 2 == 0)
     odd = emb.filter(F.col("vec_id") % 2 == 1)
+    doomed_pred = (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 5)
+    kept = emb.filter(~doomed_pred)
     grow = _warehouse_index_path(sf_dir, "ann_ivf_grow")
     full = _warehouse_index_path(sf_dir, "ann_ivf_full")
     # the grow path must not accumulate rows across repeated calls in
@@ -5834,15 +5870,28 @@ def embedding_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact the grown index before searching (r10): the append left
     # two files per touched bucket; compaction rewrites one file per
     # bucket via atomic swap — folding it here puts the WHOLE grow
-    # lifecycle (build -> append -> compact -> pruned search) under
-    # this one driver row, since the searched bytes are now the
-    # compacted layout and the equality below still must hold
+    # lifecycle (build -> append -> compact -> delete -> pruned
+    # search) under this one driver row, since the searched bytes are
+    # the compacted-then-deleted layout and the equality below still
+    # must hold
     files_before, files_after = sim.ivf_index_compact(spark, grow)
     if files_after > files_before:
         raise ValueError(
             f"compaction grew the index: {files_before} -> {files_after}"
         )
-    sim.build_ivf_index(emb, full, centers=centers)
+    doomed_df = emb.filter(doomed_pred).select("vec_id")
+    n_doomed = doomed_df.count()
+    n_buckets, n_rows = sim.ivf_index_delete(spark, grow, doomed_df)
+    remaining_doomed = (
+        spark.read.parquet(f"{grow}/vectors")
+        .join(F.broadcast(doomed_df), "vec_id", "semi")
+        .count()
+    )
+    delete_surgical = (
+        n_rows == n_doomed and n_doomed > 0 and n_buckets >= 1
+        and remaining_doomed == 0
+    )
+    sim.build_ivf_index(kept, full, centers=centers)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -5863,10 +5912,12 @@ def embedding_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("appended_equals_rebuilt")
     )
-    exact = sim.cosine_topk(emb, queries_df, k=_ANN_K)
-    return _ann_recall_summary(
-        exact, ann_g, floor=_ANN_APPEND_FLOOR
-    ).crossJoin(eq)
+    exact = sim.cosine_topk(kept, queries_df, k=_ANN_K)
+    return (
+        _ann_recall_summary(exact, ann_g, floor=_ANN_APPEND_FLOOR)
+        .crossJoin(eq)
+        .withColumn("delete_surgical", F.lit(bool(delete_surgical)))
+    )
 
 
 

@@ -719,3 +719,50 @@ def test_ivf_index_delete_is_partition_surgical(spark, tmp_path):
         spark, pq_idx, q, k=3, n_probe=8, rerank=50
     ).collect()
     assert hits and not {r.vec_id for r in hits} & set(doomed2)
+
+
+def test_ivf_index_delete_stages_outside_table_and_recovers(spark, tmp_path):
+    """r11 (advice item): displaced buckets are staged OUTSIDE the
+    vectors/ table dir (a stray ``cluster=N._delete_old`` INSIDE it
+    would flip partition discovery's inferred cluster type to string
+    and keep doomed bytes under the table path), and entry RECOVERS
+    from a crash between the two per-bucket renames: the displaced
+    bucket is restored, stale staging removed, and the retry deletes
+    cleanly."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "rec_idx")
+    sim.build_ivf_index(emb, idx, n_centroids=8, n_iter=1)
+    vec = f"{idx}/vectors"
+    total = spark.read.parquet(vec).count()
+    clusters = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(vec)
+        if d.startswith("cluster=")
+    )
+    c = clusters[0]
+    # simulate the crash window: one bucket displaced to staging but
+    # never replaced (the exact gap between the two os.rename calls)
+    old_root = vec + "._delete_old"
+    os.makedirs(old_root)
+    os.rename(
+        os.path.join(vec, f"cluster={c}"),
+        os.path.join(old_root, f"cluster={c}"),
+    )
+    # during the crash window the TABLE dir holds only clean partition
+    # values — nothing for discovery to mis-infer
+    assert all(
+        d.startswith("cluster=") and "._" not in d
+        for d in os.listdir(vec)
+        if os.path.isdir(os.path.join(vec, d))
+    )
+    # the retry recovers the displaced bucket before deleting
+    doomed = [int(r.vec_id) for r in emb.select("vec_id").limit(3).collect()]
+    nb, nr = sim.ivf_index_delete(spark, idx, doomed)
+    assert nr == len(doomed)
+    assert not os.path.exists(old_root)
+    assert not os.path.exists(vec + "._delete_tmp")
+    assert spark.read.parquet(vec).count() == total - len(doomed)
+    # pruned reads still see an integer-typed partition column
+    assert dict(spark.read.parquet(vec).dtypes)["cluster"] == "int"

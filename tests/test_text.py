@@ -112,6 +112,52 @@ def test_compressed_ingest_multicodec_roundtrip_and_quarantine(spark):
         tx.compress_documents(docs, codec="zstd")
 
 
+def test_compress_documents_codec_col_mixed_feed(spark):
+    """r11: the codec is chosen PER ROW from a string column — the
+    mixed-feed plant the multi-codec oracle row uses (doc_id%3 ->
+    gzip/bz2/xz side by side, the real shape of a crawl bucket). Each
+    row's payload carries ITS codec's magic and round-trips its exact
+    text through the magic-routed decompressor; NULL codec entries
+    fall back to the call-level default."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(30)
+        .withColumn(
+            "codec",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("gzip"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("bz2"))
+            .when(F.col("doc_id") % 9 == 5, F.lit(None).cast("string"))
+            .otherwise(F.lit("xz")),
+        )
+    )
+    comp = tx.compress_documents(docs, codec_col="codec")
+    magics = {
+        "gzip": b"\x1f\x8b",
+        "bz2": b"BZh",
+        "xz": b"\xfd7zXZ\x00",
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["codec"] or "gzip")
+        for r in docs.collect()
+    }
+    for r in comp.collect():
+        _, codec = want[r["doc_id"]]
+        assert bytes(r["payload"]).startswith(magics[codec]), r["doc_id"]
+    got = {
+        r["doc_id"]: r
+        for r in tx.decompress_documents_routed(comp).collect()
+    }
+    for did, (text, _) in want.items():
+        assert got[did]["error_class"] is None
+        assert got[did]["text"] == text
+
+
 def test_compressed_ingest_router_survives_arbitrary_bytes(spark):
     """r10: the ingest router is fed untrusted bytes at 100 TB — ANY
     payload must land as a row (good or error_class), never a raised
