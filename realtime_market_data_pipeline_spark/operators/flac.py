@@ -420,6 +420,18 @@ def decode_flac_samples(payload: bytes) -> list[list[int]]:
         raise ValueError(f"malformed FLAC ({type(e).__name__}: {e})") from e
 
 
+def decode_flac_samples_rate(payload: bytes) -> tuple[list[list[int]], int]:
+    """Per-channel samples PLUS the sample rate from ONE decode pass —
+    the hot-path entry for DSP consumers (audio fingerprinting mixes to
+    mono and needs the rate next to the samples; calling decode_flac +
+    decode_flac_samples separately decodes the whole stream twice)."""
+    try:
+        rate, _nch, _bps, _md5, channels_out, _n = _decode_flac_core(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed FLAC ({type(e).__name__}: {e})") from e
+    return channels_out, rate
+
+
 def _encode_subframe(bw: _BitsW, samples: list[int], bps: int) -> None:
     """Pick CONSTANT for constant blocks, else FIXED with the best of
     orders 0-2 under a single-partition rice residual."""

@@ -36,7 +36,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1507,8 +1507,8 @@ def decode_audio_mono(payload: bytes):
     if payload[:4] == b"fLaC":
         from realtime_market_data_pipeline_spark.operators import flac
 
-        chans = flac.decode_flac_samples(payload)
-        rate = flac.decode_flac(payload)["sample_rate"]
+        # one decode pass for samples AND rate (the fingerprint hot path)
+        chans, rate = flac.decode_flac_samples_rate(payload)
         a = np.array(chans, dtype=np.int64)
         return a.sum(axis=0) // a.shape[0], rate
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1527,6 +1527,51 @@ def decode_audio_mono(payload: bytes):
     return a.sum(axis=1) // ch, rate
 
 
+def _pack_hash_words(bits) -> list[int]:
+    """Pack a bit sequence (first bit = most significant) into
+    little-endian signed 64-bit words — element 0 carries bits 0..63 of
+    the value, each word two's-complemented into a signed BIGINT. For a
+    64-bit sequence, word 0 IS the single-long pack ``image_dhash`` /
+    ``audio_fingerprint`` emit."""
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    n_words = (len(bits) + 63) // 64
+    words = []
+    for k in range(n_words):
+        w = (h >> (64 * k)) & ((1 << 64) - 1)
+        if w >= 1 << 63:
+            w -= 1 << 64
+        words.append(w)
+    return words
+
+
+def _audio_fp_bits(payload: bytes, hash_size: int):
+    """Shared fingerprint core: decode to mono, window the |sample|
+    envelope into hash_size²+1 equal windows, integer-mean each, one
+    bit per consecutive-window comparison. Returns (rate, n_samples,
+    bits). Raises ValueError for clips shorter than hash_size²+1
+    samples (too short to fingerprint) and the decoders' two-exception
+    contract otherwise."""
+    import numpy as np
+
+    n_win = hash_size * hash_size + 1
+    s, rate = decode_audio_mono(payload)
+    n = len(s)
+    if n < n_win:
+        raise ValueError(f"clip too short to fingerprint: {n} < {n_win}")
+    mag = np.abs(s)
+    b = (np.arange(n_win + 1) * n) // n_win
+    e = np.array(
+        [
+            int(mag[b[j]:b[j + 1]].sum()) // (b[j + 1] - b[j])
+            for j in range(n_win)
+        ],
+        dtype=np.int64,
+    )
+    return rate, n, e[1:] > e[:-1]
+
+
 def audio_fingerprint(media: DataFrame, hash_size: int = 8) -> DataFrame:
     """Perceptual AUDIO fingerprint (late r10) — the audio member of
     the dedup-hash family: decode payload to mono samples, cut the
@@ -1539,50 +1584,104 @@ def audio_fingerprint(media: DataFrame, hash_size: int = 8) -> DataFrame:
     The envelope comparison is EXACTLY invariant under positive
     amplitude scaling without clipping (order-preserving) and under
     sample-rate relabeling (windows are relative). Clips shorter than
-    hash_size²+1 samples raise ValueError (quarantine class — too
-    short to fingerprint). Shuffle-free Arrow mapInPandas."""
-    import numpy as np
-
-    n_win = hash_size * hash_size + 1
+    hash_size²+1 samples raise ValueError MID-TASK (callers must
+    pre-filter; for an untrusted feed use ``audio_fingerprint_routed``,
+    which quarantines them instead of poisoning the stage). Shuffle-
+    free Arrow mapInPandas."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                s, rate = decode_audio_mono(bytes(payload))
-                n = len(s)
-                if n < n_win:
-                    raise ValueError(
-                        f"clip too short to fingerprint: {n} < {n_win}"
-                    )
-                mag = np.abs(s)
-                b = (np.arange(n_win + 1) * n) // n_win
-                e = np.array(
-                    [
-                        int(mag[b[j]:b[j + 1]].sum()) // (b[j + 1] - b[j])
-                        for j in range(n_win)
-                    ],
-                    dtype=np.int64,
-                )
-                bits = e[1:] > e[:-1]
-                h = 0
-                for x in bits:
-                    h = (h << 1) | int(x)
-                n_bits = hash_size * hash_size
-                if n_bits == 64 and h >= 1 << 63:
-                    h -= 1 << 64
+                rate, n, bits = _audio_fp_bits(bytes(payload), hash_size)
                 rows.append(
                     {
                         "media_id": int(mid),
                         "sample_rate": int(rate),
                         "n_samples": int(n),
-                        "fp": h,
+                        "fp": _pack_hash_words(bits)[0],
                     }
                 )
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(
         run, "media_id long, sample_rate int, n_samples int, fp long"
+    )
+
+
+def audio_fingerprint_routed(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Quarantine-routed twin of ``audio_fingerprint`` (r11, advice
+    item): at 100 TB the fingerprint stage is fed untrusted clips, and
+    one too-short/undecodable payload must become an ``error_class``
+    row, not a failed Spark job — the same router contract as
+    ``decode_media_routed``. Good rows carry the fingerprint; bad rows
+    carry 'ValueError' (malformed/too short — quarantine) or
+    'NotImplementedError' (no decoder for the container — route to a
+    codec-equipped pool) with NULL fingerprint columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": None if pd.isna(mid) else int(mid),
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "fp": None,
+                    "error_class": None,
+                }
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    rate, n, bits = _audio_fp_bits(
+                        bytes(payload), hash_size
+                    )
+                    row.update(
+                        sample_rate=int(rate),
+                        n_samples=int(n),
+                        fp=_pack_hash_words(bits)[0],
+                    )
+                except ValueError:
+                    row["error_class"] = "ValueError"
+                except NotImplementedError:
+                    row["error_class"] = "NotImplementedError"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, sample_rate int, n_samples int, fp long, "
+        "error_class string",
+    )
+
+
+def audio_fingerprint_wide(media: DataFrame, hash_size: int = 16) -> DataFrame:
+    """WIDE envelope fingerprint (r11): hash_size²-bit fingerprint as
+    little-endian array<bigint> words — the 100 TB form for
+    ``hash_hamming_pairs``, where the 64-bit pack's bands collapse to
+    5-7 bits at real hamming budgets (see the scale bound there). The
+    default 16 gives 256 bits: budget 12 keeps every band >= 19 bits.
+    Same envelope arithmetic as ``audio_fingerprint`` at its
+    hash_size, not a different algorithm."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, bits = _audio_fp_bits(bytes(payload), hash_size)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": int(rate),
+                        "n_samples": int(n),
+                        "fp": _pack_hash_words(bits),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, sample_rate int, n_samples int, fp array<long>",
     )
 
 
@@ -1728,12 +1827,85 @@ def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     )
 
 
+def image_dhash_wide(media: DataFrame, hash_size: int = 16) -> DataFrame:
+    """WIDE difference hash (r11): hash_size²-bit dHash packed as
+    little-endian array<bigint> words — the 100 TB form for
+    ``hash_hamming_pairs``, where the 64-bit pack's bands collapse to
+    5-7 bits at real hamming budgets (see the scale bound there). The
+    default 16 gives a 256-bit hash: budget 12 keeps every band
+    >= 19 bits (>= 524288 buckets per band). Same decode / grayscale /
+    NN-resample / neighbor-comparison arithmetic as ``image_dhash`` at
+    its hash_size — a wider sample of the same signal, not a different
+    algorithm."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image_pixels(bytes(payload))
+                if arr.dtype != np.uint8:  # 16-bit PNG -> high byte
+                    arr = (arr >> 8).astype(np.uint8)
+                a = arr.astype(np.int64)
+                gray = a.sum(axis=2) // a.shape[2]
+                g = resize_nn(gray, hash_size + 1, hash_size)
+                bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]),
+                        "dhash": _pack_hash_words(bits),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, width int, height int, dhash array<long>"
+    )
+
+
+def _word_band_expr(hash_col: str, off: int, wdt: int) -> Column:
+    """Band value [off, off+wdt) of a multi-word hash column
+    (array<bigint>, LITTLE-ENDIAN words: element 0 carries bits 0..63).
+    A band may span a word boundary; both parts mask to non-negative
+    longs, so the equi-join key is sign-free."""
+    lo_word, lo_bit = off // 64, off % 64
+    in_lo = min(wdt, 64 - lo_bit)
+    part = F.shiftrightunsigned(
+        F.element_at(F.col(hash_col), lo_word + 1), lo_bit
+    ).bitwiseAND(F.lit((1 << in_lo) - 1))
+    if in_lo < wdt:
+        hi_bits = wdt - in_lo
+        hi = F.element_at(F.col(hash_col), lo_word + 2).bitwiseAND(
+            F.lit((1 << hi_bits) - 1)
+        )
+        part = part.bitwiseOR(F.shiftleft(hi, in_lo))
+    return part
+
+
+def _words_hamming(a: str | Column, b: str | Column) -> Column:
+    """Hamming distance between two multi-word hashes (array<bigint>):
+    per-word bit_count(xor) summed JVM-side (zip_with + aggregate —
+    whole-stage codegen, no Python in the verify path)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a) if isinstance(a, str) else a,
+            F.col(b) if isinstance(b, str) else b,
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hash_hamming_pairs(
     hashes: DataFrame,
     max_hamming: int,
     hash_col: str = "dhash",
     id_col: str = "media_id",
     n_bits: int = 64,
+    min_band_bits: int = 0,
 ) -> DataFrame:
     """All id pairs whose ``n_bits``-bit hashes differ in at most
     ``max_hamming`` bits — WITHOUT the all-pairs join: the hash is cut
@@ -1742,21 +1914,52 @@ def hash_hamming_pairs(
     (no false negatives); the band equi-join proposes candidates and
     ``bit_count(a XOR b)`` verifies exactly. The same band-then-verify
     shape as the MinHash-LSH dedup, with the sketch replaced by the
-    perceptual hash. Returns (id_a, id_b, hamming), id_a < id_b."""
+    perceptual hash. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    SCALE BOUND (r11, the honest form — this replaces the earlier
+    "bands x |distinct|" claim, which was the candidate-GENERATION
+    scan cost, not the join cost): with D distinct hashes roughly
+    uniform over band values, the band equi-join produces about
+    n_bands * D^2 / 2^width candidate pairs — QUADRATIC in D with
+    constant 1/2^width. At n_bits=64 and the budgets this engine
+    plants (8-12), bands are only 5-7 bits wide (32-128 buckets per
+    band): exact and fine at any plausible single-table scale, but a
+    billion-distinct-hash corpus would see ~10^7-row band buckets.
+    The 100 TB path is a WIDER hash at the same budget: pass the hash
+    as array<bigint> (``image_dhash_wide`` / ``audio_fingerprint_wide``,
+    little-endian words) with the matching ``n_bits`` — a 256-bit hash
+    at budget 12 keeps every band >= 19 bits (>= 524288 buckets), and
+    the pigeonhole guarantee is unchanged. ``min_band_bits`` turns
+    that floor into a hard guard: a call whose bands would be narrower
+    raises instead of silently running a small-constant quadratic.
+    """
     n_bands = max_hamming + 1
     width = n_bits // n_bands
+    if min_band_bits and width < min_band_bits:
+        raise ValueError(
+            f"band width {width} < min_band_bits {min_band_bits}: "
+            f"{n_bits}-bit hashes over {n_bands} bands cannot bound the "
+            "candidate join at this budget — widen the hash (e.g. "
+            "image_dhash_wide / audio_fingerprint_wide) or lower "
+            "max_hamming"
+        )
     rem = n_bits % n_bands
+    multiword = n_bits > 64
     bands = []
     off = 0
     for i in range(n_bands):
         wdt = width + (1 if i < rem else 0)
-        # arithmetic shift then mask: band value as a non-negative long
-        bands.append(
-            (
-                F.shiftrightunsigned(F.col(hash_col), off)
-                .bitwiseAND(F.lit((1 << wdt) - 1))
-            ).alias(f"b{i}")
-        )
+        if multiword:
+            bands.append(_word_band_expr(hash_col, off, wdt).alias(f"b{i}"))
+        else:
+            # arithmetic shift then mask: band value as a non-negative
+            # long
+            bands.append(
+                (
+                    F.shiftrightunsigned(F.col(hash_col), off)
+                    .bitwiseAND(F.lit((1 << wdt) - 1))
+                ).alias(f"b{i}")
+            )
         off += wdt
     h = hashes.select(
         F.col(id_col), F.col(hash_col), *bands
@@ -1775,15 +1978,18 @@ def hash_hamming_pairs(
         )
         cand = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b"))
         pairs = cand if pairs is None else pairs.unionByName(cand)
+    hamming = (
+        _words_hamming("h_a", "h_b")
+        if multiword
+        else F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    )
     return (
         pairs.select("id_a", "id_b", "h_a", "h_b")
         .distinct()  # a pair can agree on several bands
         .select(
             "id_a",
             "id_b",
-            F.bit_count(
-                F.col("h_a").bitwiseXOR(F.col("h_b"))
-            ).alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -1836,3 +1836,148 @@ def test_audio_fingerprint_amplitude_invariance_and_short_clip(spark):
     )
     with _pytest.raises(Exception, match="too short"):
         mm.audio_fingerprint(short).collect()
+
+
+def test_hash_hamming_pairs_wide_multiword_matches_bruteforce(spark):
+    """r11 (band-width fix): the multi-word path — hashes as
+    little-endian array<bigint> — returns EXACTLY the brute-force
+    within-budget pairs at n_bits=256, where each of the 13 bands at
+    budget 12 is >= 19 bits wide (the 100 TB operating point the
+    64-bit pack cannot reach). Includes pairs at exactly the budget
+    and pairs whose agreeing band spans a word boundary."""
+    from itertools import combinations
+
+    rng_state = 0x9E3779B97F4A7C15
+    vals = []
+    for i in range(30):
+        rng_state = (
+            rng_state * 6364136223846793005 + 1442695040888963407
+        ) % (1 << 256)
+        vals.append(rng_state)
+    # plant: a pair at exactly 12 bits apart, with the flipped bits
+    # straddling word boundaries (bits 60..71 cross words 0/1)
+    v = vals[0] ^ (((1 << 12) - 1) << 60)
+    vals.append(v)
+    # and an 8-bit-apart pair entirely inside word 3
+    v2 = vals[1] ^ (0xFF << 200)
+    vals.append(v2)
+
+    def words(x):
+        out = []
+        for k in range(4):
+            w = (x >> (64 * k)) & ((1 << 64) - 1)
+            out.append(w - (1 << 64) if w >= 1 << 63 else w)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, words(x)) for i, x in enumerate(vals)],
+        "media_id long, dhash array<long>",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.hash_hamming_pairs(
+            df, max_hamming=12, n_bits=256, min_band_bits=16
+        ).collect()
+    }
+    want = {
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a, b in combinations(range(len(vals)), 2)
+        if bin(vals[a] ^ vals[b]).count("1") <= 12
+    }
+    assert got == want
+    assert (0, 30, 12) in got and (1, 31, 8) in got
+
+
+def test_hash_hamming_pairs_min_band_bits_guard(spark):
+    """r11: the band-width floor is a hard guard — a 64-bit hash at
+    budget 12 gives 4-bit bands (16 buckets: a small-constant
+    quadratic at corpus scale), so asking for >= 8-bit bands raises
+    with the widen-the-hash guidance instead of running it."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2)], "media_id long, dhash long"
+    )
+    with _pytest.raises(ValueError, match="widen the hash"):
+        mm.hash_hamming_pairs(df, max_hamming=12, min_band_bits=8)
+    # the wide form at the same budget clears a 16-bit floor
+    wdf = spark.createDataFrame(
+        [(0, [1, 2, 3, 4]), (1, [1, 2, 3, 5])],
+        "media_id long, dhash array<long>",
+    )
+    out = mm.hash_hamming_pairs(
+        wdf, max_hamming=12, n_bits=256, min_band_bits=16
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(0, 1, 1)]
+
+
+def test_wide_hashes_extend_narrow_packs(spark):
+    """r11: at hash_size 8 the wide variants' word 0 IS the single-long
+    pack (same arithmetic, same two's complement), and at hash_size 16
+    they emit 4 words — so narrow and wide interoperate through
+    hash_hamming_pairs without re-decoding."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    media = mm.plant_phash(docs)
+    narrow = {r.media_id: r.dhash for r in mm.image_dhash(media).collect()}
+    wide8 = {
+        r.media_id: r.dhash
+        for r in mm.image_dhash_wide(media, hash_size=8).collect()
+    }
+    assert {k: v[0] for k, v in wide8.items()} == narrow
+    assert all(len(v) == 1 for v in wide8.values())
+    wide16 = {
+        r.media_id: r.dhash
+        for r in mm.image_dhash_wide(media, hash_size=16).collect()
+    }
+    assert all(len(v) == 4 for v in wide16.values())
+
+    audio = mm.plant_audio_fp(docs)
+    nfp = {r.media_id: r.fp for r in mm.audio_fingerprint(audio).collect()}
+    wfp = {
+        r.media_id: r.fp
+        for r in mm.audio_fingerprint_wide(audio, hash_size=8).collect()
+    }
+    assert {k: v[0] for k, v in wfp.items()} == nfp
+
+
+def test_audio_fingerprint_routed_quarantines_bad_clips(spark):
+    """r11 (advice item): the routed twin turns too-short clips, NULL
+    payloads, and unknown containers into error_class rows instead of
+    failing the stage; good rows carry the identical fingerprint to
+    the raising form."""
+    import io
+    import struct
+    import wave
+
+    def wav_of(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    base = [((13 * i * i + 5 * i) % 2001) - 1000 for i in range(200)]
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(wav_of(base)), "audio/wav"),
+            (1, bytearray(wav_of(base[:50])), "audio/wav"),  # too short
+            (2, None, "audio/wav"),
+            (3, bytearray(b"OggS" + b"\x00" * 40), "audio/ogg"),
+        ],
+        "media_id long, payload binary, media_type string",
+    )
+    by = {
+        r.media_id: r for r in mm.audio_fingerprint_routed(df).collect()
+    }
+    assert by[0].error_class is None
+    good = mm.audio_fingerprint(
+        df.filter("media_id = 0")
+    ).collect()[0]
+    assert by[0].fp == good.fp and by[0].n_samples == good.n_samples
+    assert by[1].error_class == "ValueError" and by[1].fp is None
+    assert by[2].error_class == "ValueError"
+    assert by[3].error_class == "NotImplementedError"
