@@ -38,7 +38,15 @@ streaming/sinks.py):
 new-batch band keys are small (broadcastable), so the join is one pruned
 scan of the store. At real scale the store becomes a bucketed table (or
 Delta/Iceberg with a band-key z-order) so the join co-locates instead of
-scanning; the parquet form keeps this container-runnable. Greedy-by-id
+scanning; the parquet form keeps this container-runnable. Bucketing is
+EXPLICITLY DEFERRED, not staged: Spark bucketing needs ``saveAsTable``
+into a metastore, whose overwrite semantics do not compose with the
+per-partition ``batch_id=N`` replay guard these writers rely on — a
+table-format store (Delta/Iceberg MERGE with a transaction log) is the
+right production swap, out of scope for a plain-FS engine. What IS real
+(r11): ``compact_store`` folds committed batch partitions into one, so
+the store read stops paying one parquet footer per historical batch —
+the maintenance hook every writer here shares. Greedy-by-id
 within a batch can over-drop on chains (A~B~C, A≁C drops both B and C);
 sequential greedy would keep C but needs a per-doc loop — the standard
 large-scale trade (same choice as the batch min-id canonicalization).
@@ -47,6 +55,7 @@ large-scale trade (same choice as the batch min-id canonicalization).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,6 +126,91 @@ def read_store(
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < before_batch)
     return df
+
+
+def compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    upto_batch: int,
+    max_records_per_file: int = 0,
+) -> tuple[int, int]:
+    """Maintenance for the writers' batch_id-partitioned stores (r11,
+    verdict item): every micro-batch appends one ``batch_id=N``
+    partition, and the per-batch store read is a full directory scan —
+    after 10⁴ batches that is 10⁴ parquet footer reads PER BATCH, the
+    same small-files tax ``ivf_index_compact`` solved for the ANN
+    index. This folds every partition with ``batch_id <= upto_batch``
+    into ONE partition ``batch_id=upto_batch`` (a plain union of the
+    rows — signature/hash/digest-count stores are all append-only
+    relations, so the fold changes no dedup decision; the
+    exact-substring store's per-digest counts survive as multiple rows
+    that the reader's SUM already aggregates).
+
+    REPLAY SAFETY: the writers' replay guard filters
+    ``batch_id < current``, and Structured Streaming only ever replays
+    the most recent uncommitted batch — so pass the LAST COMMITTED
+    batch_id (or smaller). Rows folded to ``batch_id=upto_batch``
+    remain visible to every batch > upto_batch and invisible to a
+    replay of upto_batch itself — which cannot happen once it is
+    committed. Partitions above ``upto_batch`` are untouched (they may
+    still be replayed).
+
+    Crash safety mirrors ``ivf_index_delete``: displaced partition
+    dirs are staged OUTSIDE the table
+    (``<store>._compact_old/batch_id=N``), entry restores any bucket a
+    prior crash displaced but never replaced, and the new folded
+    partition is written to a sibling tmp dir first. Returns
+    (files_before, files_after)."""
+    from realtime_market_data_pipeline_spark.maintenance import (
+        parquet_dir_stats,
+    )
+
+    tmp = store_dir.rstrip("/") + "._compact_tmp"
+    old_root = store_dir.rstrip("/") + "._compact_old"
+    # recover from a prior crashed compaction, then clear staging
+    if os.path.isdir(old_root):
+        for entry in os.listdir(old_root):
+            live = os.path.join(store_dir, entry)
+            if entry.startswith("batch_id=") and not os.path.isdir(live):
+                os.rename(os.path.join(old_root, entry), live)
+        shutil.rmtree(old_root)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    files_before = parquet_dir_stats(store_dir)[0]
+    folded = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_dir)
+        if d.startswith("batch_id=")
+        and os.path.isdir(os.path.join(store_dir, d))
+        and int(d.split("=", 1)[1]) <= upto_batch
+    )
+    if len(folded) <= 1:
+        return files_before, files_before
+    low = (
+        spark.read.parquet(store_dir)
+        .filter(F.col("batch_id") <= upto_batch)
+        .withColumn("batch_id", F.lit(upto_batch))
+    )
+    writer = low.write.mode("overwrite").partitionBy("batch_id")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    else:
+        low = low.coalesce(1)
+        writer = low.write.mode("overwrite").partitionBy("batch_id")
+    writer.parquet(tmp)
+    os.makedirs(old_root)
+    for b in folded:
+        os.rename(
+            os.path.join(store_dir, f"batch_id={b}"),
+            os.path.join(old_root, f"batch_id={b}"),
+        )
+    os.rename(
+        os.path.join(tmp, f"batch_id={upto_batch}"),
+        os.path.join(store_dir, f"batch_id={upto_batch}"),
+    )
+    shutil.rmtree(old_root)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return files_before, parquet_dir_stats(store_dir)[0]
 
 
 def minhash_dedup_writer(
@@ -370,28 +464,34 @@ def exact_substring_writer(
 ) -> BatchWriter:
     """Streaming exact-substring dedup (late r10) — the online form of
     ``text.duplicate_spans`` (Lee et al. 2022): as documents stream in,
-    flag every w-token span of a NEW document whose window text was
-    already seen — in this batch (>= ``min_count`` occurrences, within-
-    doc repeats included) or anywhere in ingestion history (one
-    historical occurrence + the new one = duplicated). First-seen-wins,
-    like the MinHash writer: history is never retro-flagged, which is
-    the online contract (a batch re-run of ``duplicate_spans`` over
-    docs ingested so far reproduces exactly the spans this writer
-    flags for the newest batch — pinned in tests).
+    flag every w-token span of a NEW document whose window text has
+    been seen at least ``min_count`` times in TOTAL — historical
+    occurrences (the persistent store keeps a COUNT per digest, r11)
+    plus this batch's occurrences, within-doc repeats included.
+    First-seen-wins, like the MinHash writer: history is never
+    retro-flagged, which is the online contract (a batch re-run of
+    ``duplicate_spans`` over docs ingested so far, at the same
+    ``min_count``, reproduces exactly the spans this writer flags for
+    the newest batch — pinned in tests, and now true for EVERY
+    min_count, not just 2: the r10 form thresholded only within a
+    batch and treated any single historical occurrence as enough,
+    which broke the contract for min_count > 2).
 
     Per micro-batch: gram digests of the new docs (``gram_hashes`` —
-    the one id exchange), in-batch occurrence counts, a semi-join
-    against the persistent digest STORE (8-byte xxhash64 per window,
-    never text — bounded, privacy-friendly, the MinHash-store rule),
-    span merge (``merge_spans``), spans to ``out_dir/batch_id=N`` and
-    the batch's DISTINCT digests appended to ``store_dir/batch_id=N``
-    — both dynamic-partition overwrites, so a replayed batch rewrites
-    itself, and the store read filters ``batch_id < current`` so a
-    crashed attempt's own half-written digests are invisible to its
-    replay (the writer-contract pattern shared by every writer in this
-    module). At 100 TB the store becomes a bucketed-by-digest table so
-    the per-batch semi-join co-locates; the parquet form keeps this
-    container-runnable."""
+    the one id exchange), in-batch occurrence counts, a count-join
+    against the persistent digest STORE ((8-byte xxhash64, count) per
+    window — never text: bounded, privacy-friendly, the MinHash-store
+    rule), span merge (``merge_spans``), spans to
+    ``out_dir/batch_id=N`` and the batch's per-digest counts appended
+    to ``store_dir/batch_id=N`` — both dynamic-partition overwrites,
+    so a replayed batch rewrites itself, and the store read filters
+    ``batch_id < current`` so a crashed attempt's own half-written
+    digests are invisible to its replay (the writer-contract pattern
+    shared by every writer in this module). At 100 TB the store
+    becomes a bucketed-by-digest table so the per-batch join
+    co-locates — and ``compact_store`` folds committed batch
+    partitions into one (summing counts), so the store read never
+    pays one footer per historical batch."""
     from realtime_market_data_pipeline_spark.operators.text import (
         gram_hashes,
         merge_spans,
@@ -399,44 +499,54 @@ def exact_substring_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        grams = gram_hashes(batch_df, w=w, text_col=text_col, id_col=id_col)
-        in_batch = (
-            grams.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= min_count)
-            .select("h")
-        )
-        seen = read_store(spark, store_dir, before_batch=batch_id)
-        dup_h = (
-            in_batch
-            if seen is None
-            else in_batch.unionByName(seen.select("h")).distinct()
-        )
-        starts = grams.join(dup_h, "h", "left_semi").select(id_col, "pos")
-        spans = merge_spans(starts, w, id_col=id_col)
-
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        grams = gram_hashes(
+            batch_df, w=w, text_col=text_col, id_col=id_col
+        ).persist()
         try:
-            (
-                spans.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
+            batch_counts = grams.groupBy("h").agg(
+                F.count(F.lit(1)).alias("c")
             )
-            (
-                grams.select("h").distinct()
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(store_dir)
+            seen = read_store(spark, store_dir, before_batch=batch_id)
+            if seen is None:
+                total = batch_counts
+            else:
+                hist = seen.groupBy("h").agg(F.sum("c").alias("hc"))
+                total = batch_counts.join(hist, "h", "left").select(
+                    "h",
+                    (
+                        F.col("c") + F.coalesce(F.col("hc"), F.lit(0))
+                    ).alias("c"),
+                )
+            dup_h = total.filter(F.col("c") >= min_count).select("h")
+            starts = grams.join(dup_h, "h", "left_semi").select(id_col, "pos")
+            spans = merge_spans(starts, w, id_col=id_col)
+
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
-        finally:
             spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
+            try:
+                (
+                    spans.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                (
+                    batch_counts
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(store_dir)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            grams.unpersist()
 
     return write
 
@@ -471,7 +581,11 @@ def image_dedup_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hashes = image_dhash(batch_df).select(id_col, "dhash")
+        # persist: the survivors write AND the hash-store write both
+        # consume this lineage — uncached, the payload decode + dHash
+        # pass and the banded candidate join would execute twice per
+        # micro-batch (advice item, r11)
+        hashes = image_dhash(batch_df).select(id_col, "dhash").persist()
         allh = hashes.withColumn("_hist", F.lit(False))
         store = read_store(spark, store_dir, before_batch=batch_id)
         if store is not None:
@@ -506,30 +620,37 @@ def image_dedup_writer(
             )
             .filter(F.col(id_col).isNotNull())
             .distinct()
+            .persist()
         )
-        survivors = batch_df.join(drops, id_col, "left_anti")
-        surviving_hashes = hashes.join(drops, id_col, "left_anti")
-
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            (
-                survivors.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
+            survivors = batch_df.join(drops, id_col, "left_anti")
+            surviving_hashes = hashes.join(drops, id_col, "left_anti")
+
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
-            (
-                surviving_hashes.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(store_dir)
-            )
-        finally:
             spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
+            try:
+                (
+                    survivors.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                (
+                    surviving_hashes.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(store_dir)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            drops.unpersist()
+            hashes.unpersist()
 
     return write

@@ -2166,8 +2166,9 @@ def test_streaming_exact_substring_dedup_across_batches(spark, tmp_path):
     assert spans(batch=1) == [(4, 1, 2, 5, 4)]
     st = spark.read.parquet(store)
     assert {r.batch_id for r in st.select("batch_id").distinct().collect()} == {0, 1}
-    # store carries digests only — 8-byte longs, never text
-    assert set(st.columns) == {"h", "batch_id"}
+    # store carries (digest, count) only — never text (r11: counts make
+    # min_count > 2 honest across batches)
+    assert set(st.columns) == {"h", "c", "batch_id"}
 
 
 def test_streaming_image_dedup_across_batches(spark, tmp_path):
@@ -2259,3 +2260,111 @@ def test_streaming_image_dedup_across_batches(spark, tmp_path):
     assert accepted() == {0, 1, 2, 3, 4, 99}
     st2 = spark.read.parquet(store)
     assert {r.media_id for r in st2.collect()} == {0, 1, 2, 3, 4, 99}
+
+
+def test_exact_substring_writer_min_count_across_batches(spark, tmp_path):
+    """r11 (advice item): the online form now honors min_count ACROSS
+    batches — the digest store keeps per-digest counts, and a window is
+    flagged only when history + in-batch occurrences reach min_count.
+    At min_count=3 the second total sighting stays clean and the third
+    is flagged, matching a batch duplicate_spans re-run restricted to
+    the newest docs."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    store = str(tmp_path / "mc_store")
+    out = str(tmp_path / "mc_out")
+    shared = "one two three four"
+    batches = [
+        [(1, f"alpha {shared} beta"), (2, "unique words only in here")],
+        [(3, f"second sighting {shared} now")],
+        [(4, f"third time {shared} lucky")],
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    writer = sdedup.exact_substring_writer(store, out, w=4, min_count=3)
+    for i, rows in enumerate(batches):
+        writer(mk(rows), i)
+
+    spans = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.batch_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    # occurrences 1 and 2 (docs 1, 3) stay clean; occurrence 3 (doc 4)
+    # crosses the threshold
+    assert [s[0] for s in spans] == [4]
+    # contract: newest batch == batch re-run at the same min_count,
+    # restricted to the new docs
+    all_docs = mk([r for rows in batches for r in rows])
+    twin = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in tx.duplicate_spans(all_docs, w=4, min_count=3).collect()
+        if r.doc_id == 4
+    }
+    assert {(s[0], s[1], s[2]) for s in spans} == twin
+
+
+def test_compact_store_preserves_decisions_and_shrinks_files(spark, tmp_path):
+    """r11 (verdict item): the batch_id-partitioned dedup stores get a
+    maintenance hook — compact_store folds committed batch partitions
+    into one (summing nothing; the reader aggregates), so the per-batch
+    store read stops paying one footer per historical batch. Dedup
+    decisions are IDENTICAL with and without compaction, the file count
+    drops, the replay guard still works, and a crashed compaction
+    recovers at the next call."""
+    import os
+
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    shared = "one two three four"
+    batches = [
+        [(1, f"alpha {shared} beta"), (2, "unique words only in here")],
+        [(3, f"second sighting {shared} now")],
+        [(4, f"third time {shared} lucky")],
+        [(5, f"fourth {shared} indeed"), (6, "still a novel body text")],
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(store, out, compact_before=None):
+        w = sdedup.exact_substring_writer(store, out, w=4, min_count=3)
+        for i, rows in enumerate(batches):
+            if compact_before is not None and i == compact_before:
+                fb, fa = sdedup.compact_store(
+                    spark, store, upto_batch=i - 1
+                )
+                assert fa < fb
+            w(mk(rows), i)
+        return sorted(
+            (r.doc_id, r.start_tok, r.end_tok)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    plain = run(str(tmp_path / "s0"), str(tmp_path / "o0"))
+    store1 = str(tmp_path / "s1")
+    compacted = run(store1, str(tmp_path / "o1"), compact_before=2)
+    assert compacted == plain and [d for d, *_ in plain] == [4, 5]
+    # the folded store still sums to the true historical counts
+    st = spark.read.parquet(store1)
+    parts = {
+        r.batch_id for r in st.select("batch_id").distinct().collect()
+    }
+    assert 0 not in parts and 1 in parts  # 0 folded into 1
+    # idempotent: nothing below upto_batch left to fold
+    fb, fa = sdedup.compact_store(spark, store1, upto_batch=1)
+    assert fb == fa
+    # crash recovery: displace a partition as a crashed compaction
+    # would, then a fresh compact_store call restores it first
+    old_root = store1.rstrip("/") + "._compact_old"
+    os.makedirs(old_root)
+    os.rename(
+        os.path.join(store1, "batch_id=1"),
+        os.path.join(old_root, "batch_id=1"),
+    )
+    n_before = spark.read.parquet(store1).count()
+    sdedup.compact_store(spark, store1, upto_batch=1)
+    assert not os.path.exists(old_root)
+    assert spark.read.parquet(store1).count() > n_before
