@@ -1344,9 +1344,12 @@ def truncate_subset(
 
 
 def plant_mixed_media(docs: DataFrame) -> DataFrame:
-    """Plant a MIXED six-format corpus over the documents spine
-    (doc_id % 6 -> BMP / WAV / JPEG / AVI / mp3-framing / Ogg-Vorbis
-    framing), the input shape the inventory prober is for."""
+    """Plant a MIXED seven-format corpus over the documents spine
+    (doc_id % 7 -> BMP / WAV / JPEG / AVI / mp3-framing / Ogg-Vorbis
+    framing / GIF — the GIF stripe is the r11 staged extension, so the
+    header-only prober's driver oracle covers every container the
+    decoders gate on; odd GIF doc_ids are interlaced), the input shape
+    the inventory prober is for."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1354,7 +1357,7 @@ def plant_mixed_media(docs: DataFrame) -> DataFrame:
             payloads, types = [], []
             for d in ids:
                 d = int(d)
-                k = d % 6
+                k = d % 7
                 if k == 0:
                     payloads.append(make_bmp(d, (d % 13) + 4, (d % 11) + 4))
                     types.append("image/bmp")
@@ -1374,9 +1377,19 @@ def plant_mixed_media(docs: DataFrame) -> DataFrame:
                 elif k == 4:
                     payloads.append(make_mp3_frames(d, (d % 7) + 2))
                     types.append("audio/mpeg")
-                else:
+                elif k == 5:
                     payloads.append(make_ogg(d, (d % 7) + 2))
                     types.append("audio/ogg")
+                else:
+                    payloads.append(
+                        make_gif(
+                            d,
+                            (d % 13) + 4,
+                            (d % 11) + 4,
+                            interlaced=bool(d % 2),
+                        )
+                    )
+                    types.append("image/gif")
             yield pd.DataFrame(
                 {"media_id": ids, "payload": payloads, "media_type": types}
             )

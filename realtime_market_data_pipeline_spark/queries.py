@@ -6479,36 +6479,41 @@ SELECT doc_id AS media_id, 'bmp' AS container,
        CAST(NULL AS BIGINT) AS n_frames,
        CAST(NULL AS INTEGER) AS sample_rate,
        CAST(NULL AS BIGINT) AS duration_ms
-FROM d WHERE doc_id % 6 = 0
+FROM d WHERE doc_id % 7 = 0
 UNION ALL
 SELECT doc_id, 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST((doc_id % 23) + 8 AS BIGINT),
        CAST(8000 + (doc_id % 5) * 1000 AS INTEGER),
        CAST(((doc_id % 23) + 8) * 1000
             // (8000 + (doc_id % 5) * 1000) AS BIGINT)
-FROM d WHERE doc_id % 6 = 1
+FROM d WHERE doc_id % 7 = 1
 UNION ALL
 SELECT doc_id, 'jpeg', CAST(8 * ((doc_id % 3) + 1) AS INTEGER),
        CAST(8 * ((doc_id % 2) + 1) AS INTEGER), CAST(NULL AS BIGINT),
        CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
-FROM d WHERE doc_id % 6 = 2
+FROM d WHERE doc_id % 7 = 2
 UNION ALL
 SELECT doc_id, 'avi', CAST((doc_id % 6) + 2 AS INTEGER),
        CAST((doc_id % 4) + 2 AS INTEGER), CAST((doc_id % 7) + 2 AS BIGINT),
        CAST(NULL AS INTEGER), CAST(40 * ((doc_id % 7) + 2) AS BIGINT)
-FROM d WHERE doc_id % 6 = 3
+FROM d WHERE doc_id % 7 = 3
 UNION ALL
 SELECT doc_id, 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST((doc_id % 7) + 2 AS BIGINT), CAST(32000 AS INTEGER),
        CAST(36 * ((doc_id % 7) + 2) AS BIGINT)
-FROM d WHERE doc_id % 6 = 4
+FROM d WHERE doc_id % 7 = 4
 UNION ALL
 SELECT doc_id, 'ogg', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST((doc_id % 7) + 2 AS BIGINT),
        CAST(8000 + (doc_id % 3) * 4000 AS INTEGER),
        CAST(((doc_id % 7) + 2) * (960 + (doc_id % 5) * 64) * 1000
             // (8000 + (doc_id % 3) * 4000) AS BIGINT)
-FROM d WHERE doc_id % 6 = 5
+FROM d WHERE doc_id % 7 = 5
+UNION ALL
+SELECT doc_id, 'gif', CAST((doc_id % 13) + 4 AS INTEGER),
+       CAST((doc_id % 11) + 4 AS INTEGER), CAST(1 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+FROM d WHERE doc_id % 7 = 6
 """,
 )
 def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6535,8 +6540,8 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_quarantine",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
-good AS (SELECT doc_id FROM d WHERE doc_id % 7 <> 3),
-bad AS (SELECT doc_id FROM d WHERE doc_id % 7 = 3)
+good AS (SELECT doc_id FROM d WHERE doc_id % 11 <> 3),
+bad AS (SELECT doc_id FROM d WHERE doc_id % 11 = 3)
 SELECT doc_id AS media_id, 'bmp' AS container,
        CAST((doc_id % 13) + 4 AS INTEGER) AS width,
        CAST((doc_id % 11) + 4 AS INTEGER) AS height,
@@ -6544,7 +6549,7 @@ SELECT doc_id AS media_id, 'bmp' AS container,
        CAST(NULL AS INTEGER) AS sample_rate,
        CAST(NULL AS BIGINT) AS duration_ms,
        CAST(NULL AS VARCHAR) AS error_class
-FROM good WHERE doc_id % 6 = 0
+FROM good WHERE doc_id % 7 = 0
 UNION ALL
 SELECT doc_id, 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST((doc_id % 23) + 8 AS BIGINT),
@@ -6552,23 +6557,23 @@ SELECT doc_id, 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST(((doc_id % 23) + 8) * 1000
             // (8000 + (doc_id % 5) * 1000) AS BIGINT),
        CAST(NULL AS VARCHAR)
-FROM good WHERE doc_id % 6 = 1
+FROM good WHERE doc_id % 7 = 1
 UNION ALL
 SELECT doc_id, 'jpeg', CAST(8 * ((doc_id % 3) + 1) AS INTEGER),
        CAST(8 * ((doc_id % 2) + 1) AS INTEGER), CAST(NULL AS BIGINT),
        CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
-FROM good WHERE doc_id % 6 = 2
+FROM good WHERE doc_id % 7 = 2
 UNION ALL
 SELECT doc_id, 'avi', CAST((doc_id % 6) + 2 AS INTEGER),
        CAST((doc_id % 4) + 2 AS INTEGER), CAST((doc_id % 7) + 2 AS BIGINT),
        CAST(NULL AS INTEGER), CAST(40 * ((doc_id % 7) + 2) AS BIGINT),
        CAST(NULL AS VARCHAR)
-FROM good WHERE doc_id % 6 = 3
+FROM good WHERE doc_id % 7 = 3
 UNION ALL
 SELECT doc_id, 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST((doc_id % 7) + 2 AS BIGINT), CAST(32000 AS INTEGER),
        CAST(36 * ((doc_id % 7) + 2) AS BIGINT), CAST(NULL AS VARCHAR)
-FROM good WHERE doc_id % 6 = 4
+FROM good WHERE doc_id % 7 = 4
 UNION ALL
 SELECT doc_id, 'ogg', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST((doc_id % 7) + 2 AS BIGINT),
@@ -6576,31 +6581,43 @@ SELECT doc_id, 'ogg', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
        CAST(((doc_id % 7) + 2) * (960 + (doc_id % 5) * 64) * 1000
             // (8000 + (doc_id % 3) * 4000) AS BIGINT),
        CAST(NULL AS VARCHAR)
-FROM good WHERE doc_id % 6 = 5
+FROM good WHERE doc_id % 7 = 5
+UNION ALL
+SELECT doc_id, 'gif', CAST((doc_id % 13) + 4 AS INTEGER),
+       CAST((doc_id % 11) + 4 AS INTEGER), CAST(1 AS BIGINT),
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM good WHERE doc_id % 7 = 6
 UNION ALL
 SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
        CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
        CAST(NULL AS BIGINT),
-       CASE WHEN doc_id % 6 IN (0, 2) THEN 'ValueError'
+       CASE WHEN doc_id % 7 IN (0, 2) THEN 'ValueError'
             ELSE 'NotImplementedError' END
 FROM bad
 """,
 )
 def multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quarantine-routing inventory (r8): the six-format corpus with a
-    planted fault stripe — payloads of doc_id%7==3 truncated to their
-    2-byte magic prefix — probed through the router that classifies
-    failures as DATA instead of throwing. Good rows carry the header
-    inventory; corrupted rows land with error_class (ValueError for the
-    branches whose magic survives 2 bytes and then hits malformed
-    structure — BMP's short header, JPEG's SOF-less walk — and
-    NotImplementedError where the magic itself is cut and the payload
-    reads as an unknown container). At 100 TB a single throwing payload
-    would kill the scan stage and lose the whole pass; the oracle
-    predicts every inventory field AND every error class by planting
-    arithmetic. Shuffle-free Arrow mapInPandas."""
+    """Quarantine-routing inventory (r8; SEVEN-format corpus r11 — the
+    staged GIF stripe): the mixed corpus with a planted fault stripe —
+    payloads of doc_id%11==3 truncated to their 2-byte magic prefix
+    (the stripe moved off %7 in r11 because the plant is now %7-keyed:
+    a %7 stripe would only ever corrupt one container class) — probed
+    through the router that classifies failures as DATA instead of
+    throwing. Good rows carry the header inventory, now including the
+    GIF arm (LSD dims + block-walk frame count, interlaced on odd
+    doc_ids — header-invariant); corrupted rows land with error_class
+    (ValueError for the branches whose magic survives 2 bytes and then
+    hits malformed structure — BMP's short header, JPEG's SOF-less
+    walk — and NotImplementedError where the magic itself is cut and
+    the payload reads as an unknown container: 'RI', 'ID', 'Og', 'GI'
+    prefixes). At 100 TB a single throwing payload would kill the scan
+    stage and lose the whole pass; the oracle predicts every inventory
+    field AND every error class by planting arithmetic. Shuffle-free
+    Arrow mapInPandas."""
     docs = load_table(spark, sf_dir, "documents")
-    media = mm.truncate_subset(mm.plant_mixed_media(docs))
+    media = mm.truncate_subset(
+        mm.plant_mixed_media(docs), modulus=11, residue=3
+    )
     return mm.probe_media_routed(media)
 
 

@@ -876,7 +876,9 @@ def test_probe_media_untrusted_bytes_contract():
 
 def test_probe_media_distributed(spark):
     """Mixed-corpus inventory through Spark stays shuffle-free and
-    classifies every planted format per the doc_id%6 contract."""
+    classifies every planted format per the doc_id%7 contract (r11:
+    the GIF stripe joins the mix — interlaced on odd doc_ids, which
+    the header probe must not care about)."""
     from realtime_market_data_pipeline_spark.io import load_table
 
     docs = load_table(spark, SF, "documents")
@@ -885,9 +887,16 @@ def test_probe_media_distributed(spark):
     assert "Exchange" not in plan, "probe must be shuffle-free"
     rows = {r["media_id"]: r for r in probed.collect()}
     assert len(rows) == docs.count()
-    expect = {0: "bmp", 1: "wav", 2: "jpeg", 3: "avi", 4: "mp3", 5: "ogg"}
+    expect = {
+        0: "bmp", 1: "wav", 2: "jpeg", 3: "avi", 4: "mp3", 5: "ogg",
+        6: "gif",
+    }
     for did, r in rows.items():
-        assert r["container"] == expect[did % 6], did
+        assert r["container"] == expect[did % 7], did
+        if did % 7 == 6:
+            assert r["n_frames"] == 1
+            assert r["width"] == (did % 13) + 4
+            assert r["height"] == (did % 11) + 4
 
 
 def test_decode_audio_ffmpeg_stub_injection(spark, tmp_path):

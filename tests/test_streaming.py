@@ -1640,7 +1640,9 @@ def test_streaming_quarantine_survives_corrupt_payloads(spark, tmp_path):
         for r in routed.collect():
             got[r["media_id"]] = (r["container"], r["error_class"])
 
-    # ids 3 and 10 hit the doc_id%7==3 fault stripe
+    # ids 3 and 10 hit the doc_id%7==3 fault stripe (both avi under the
+    # r11 %7-keyed plant — this test is about stream survival, not
+    # per-container class coverage, which the quarantine oracle pins)
     ids = [0, 1, 2, 3, 4, 5, 10, 11]
     spark.createDataFrame([(i,) for i in ids], "doc_id long").coalesce(
         1
@@ -1658,8 +1660,8 @@ def test_streaming_quarantine_survives_corrupt_payloads(spark, tmp_path):
     )
     q.awaitTermination(timeout=300)
     assert set(got) == set(ids)
-    assert got[3] == (None, "NotImplementedError")  # 3%6=3 avi, magic cut
-    assert got[10] == (None, "NotImplementedError")  # 10%6=4 mp3, tag cut
+    assert got[3] == (None, "NotImplementedError")  # 3%7=3 avi, 'RI' cut
+    assert got[10] == (None, "NotImplementedError")  # 10%7=3 avi, 'RI' cut
     assert got[0] == ("bmp", None) and got[5] == ("ogg", None)
     expected = {
         r["media_id"]: (r["container"], r["error_class"])
