@@ -138,6 +138,11 @@ HEADLINE = [
     "dedup_exact_substrings",
     "multimodal_dedup_dhash",
     "dedup_audio_fingerprint",
+    # late-r11: SemDeDup (within-cluster semantic dedup) and the Gopher
+    # doc-quality rules (per-rule structural filters over a decorated
+    # corpus)
+    "dedup_semantic_semdedup",
+    "doc_gopher_rules",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

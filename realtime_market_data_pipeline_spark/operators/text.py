@@ -99,6 +99,118 @@ def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", Appendix A —
+    the public doc-level heuristics every large-scale text pipeline
+    reimplements; as dataflow, not a port): per-document repetition-free
+    structural filters, each a pure codegen Column so the gate runs as
+    a shuffle-free ``filter`` over a 100 TB scan:
+
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+      (Σ token chars / n, rounded 6 dp like every cross-engine ratio);
+    - symbol-to-word ratio ('#' occurrences + '...' occurrences) / n
+      <= max_symbol_ratio;
+    - <= max_bullet_ratio of lines start with a bullet ('- ', '* ',
+      '• '); paper: reject if > 90% bulleted;
+    - <= max_ellipsis_ratio of lines end with '...';
+    - >= min_alpha_ratio of words contain at least one alphabetic
+      character;
+    - >= min_required_hits distinct required stop words present
+      (paper: 2 of the/be/to/of/and/that/have/with — the "stop word"
+      rule that kills lorem-ipsum-like and navigational pages).
+
+    Output: one row per doc with every measured signal, each rule's
+    boolean, and the conjunction ``keep`` — signals stay inspectable
+    (the paper's rules are tuned per corpus; a pipeline retunes on the
+    signal columns without re-scanning). Ratios are exact rational
+    count arithmetic in double, so a DuckDB twin replays them
+    bit-identically."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.round(sum_len.cast("double") / n, 6)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_dots = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_dots).cast("double") / n, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("• "),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    bullet_ratio = F.round(n_bullet.cast("double") / n_lines, 6)
+    ellipsis_ratio = F.round(n_ellipsis.cast("double") / n_lines, 6)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(n_alpha.cast("double") / n, 6)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in required_words]),
+        )
+    )
+    r_words = (n >= min_words) & (n <= max_words)
+    r_mean = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_bullet = bullet_ratio <= max_bullet_ratio
+    r_ellipsis = ellipsis_ratio <= max_ellipsis_ratio
+    r_alpha = alpha_ratio >= min_alpha_ratio
+    r_stop = stop_hits >= min_required_hits
+    return df.select(
+        id_col,
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("n_required_stopwords"),
+        r_words.alias("pass_word_count"),
+        r_mean.alias("pass_mean_word_len"),
+        r_symbol.alias("pass_symbol_ratio"),
+        r_bullet.alias("pass_bullet_lines"),
+        r_ellipsis.alias("pass_ellipsis_lines"),
+        r_alpha.alias("pass_alpha_words"),
+        r_stop.alias("pass_stopwords"),
+        (
+            r_words & r_mean & r_symbol & r_bullet & r_ellipsis
+            & r_alpha & r_stop
+        ).alias("keep"),
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score = hits of each language's marker list;
     CJK-codepoint presence short-circuits to 'zh'; argmax with fixed-order

@@ -7511,6 +7511,153 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.funnel_conversion_times(load_table(spark, sf_dir, "events"))
 
 
+@query(
+    "dedup_semantic_semdedup",
+    oracle="""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e))
+         * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+)
+SELECT e.vec_id, CAST(e.label AS INTEGER) AS cluster,
+       COALESCE(p.dup_of, e.vec_id) AS canonical_id,
+       p.dup_of IS NOT NULL AS is_dup
+FROM embeddings e
+LEFT JOIN (SELECT id_b AS vec_id, min(id_a) AS dup_of
+           FROM pairs GROUP BY id_b) p USING (vec_id)
+""",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (late r11, Abbas et al. 2023): prune near-duplicate
+    embeddings WITHIN semantic clusters — the paper's web-scale
+    semantic-dedup recipe as dataflow (similarity.semdedup). The
+    cluster source is pluggable; THIS oracle row runs the
+    ``cluster_col`` form over the corpus's label column, which makes
+    assignment float-free so the whole relation — cluster membership,
+    within-cluster cosine pairs at τ=0.35, min-id canonicalization —
+    is EXACT-value-replayable in SQL (the k-means form is certified
+    separately: test_semdedup_centroid_path_matches_bruteforce pins
+    Lloyd-assigned semdedup ≡ per-cluster brute force, and its
+    centroids reuse the driver-certified ivf_train_centroids /
+    ivf_assign machinery). Scale shape: one exchange on cluster;
+    candidate volume Σ bucket² over clusters rather than the global
+    all-pairs of dedup_embedding_cosine. Registered BELOW the r11
+    window (the window budget is spent on the staleness plan); strict
+    local receipts at all three SFs; MUST lead the r12 window as a
+    never-adjudicated row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, threshold=0.35, cluster_col="label")
+
+
+_GOPHER_REQUIRED = ("the", "a", "data", "value", "key", "join", "row", "line")
+_O_GOPHER_REQ = "['" + "', '".join(_GOPHER_REQUIRED) + "']"
+
+
+@query(
+    "doc_gopher_rules",
+    oracle=f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+dec AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 1 THEN '- ' || text || chr(10) || '- end point'
+                  || chr(10) || '- fin point'
+      WHEN 5 THEN '- intro point' || chr(10) || 'mid line' || chr(10) || text
+      WHEN 2 THEN text || '...'
+      WHEN 6 THEN 'lead line...' || chr(10) || 'second line'
+                  || chr(10) || 'third' || chr(10) || text
+      WHEN 3 THEN text || ' # # # # # # # # # # # #'
+      WHEN 7 THEN text || ' #'
+      ELSE text END AS text
+  FROM base),
+m AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM dec),
+sig AS (
+  SELECT doc_id,
+    CAST(len(t) AS INTEGER) AS n_words,
+    round(CAST(list_sum(list_transform(t, x -> strlen(x))) AS DOUBLE)
+          / len(t), 6) AS mean_word_len,
+    round(((strlen(text) - strlen(replace(text, '#', '')))
+           + (strlen(text) - strlen(replace(text, '...', ''))) / 3)
+          / len(t), 6) AS symbol_ratio,
+    round(CAST(len(list_filter(lines,
+               l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+          AS DOUBLE) / len(lines), 6) AS bullet_line_ratio,
+    round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+          / len(lines), 6) AS ellipsis_line_ratio,
+    round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+          AS DOUBLE) / len(t), 6) AS alpha_word_ratio,
+    CAST(len(list_intersect(list_distinct(t), {_O_GOPHER_REQ}))
+         AS INTEGER) AS n_required_stopwords
+  FROM m)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio, n_required_stopwords,
+       n_words >= 20 AND n_words <= 80 AS pass_word_count,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mean_word_len,
+       symbol_ratio <= 0.1 AS pass_symbol_ratio,
+       bullet_line_ratio <= 0.9 AS pass_bullet_lines,
+       ellipsis_line_ratio <= 0.3 AS pass_ellipsis_lines,
+       alpha_word_ratio >= 0.8 AS pass_alpha_words,
+       n_required_stopwords >= 2 AS pass_stopwords,
+       (n_words >= 20 AND n_words <= 80)
+       AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+       AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+       AND n_required_stopwords >= 2 AS keep
+FROM sig
+""",
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (late r11, Rae et al. 2021 Appendix A —
+    text.gopher_quality): the standard doc-level structural filters of
+    a large-scale text pipeline, each a pure codegen Column so the
+    gate is a shuffle-free filter over the scan. Because the raw
+    corpus is single-line word soup, a DECORATION stripe (pure Column
+    concat keyed on doc_id%8) plants the structures the rules exist to
+    catch — all-bullet documents, ellipsis-terminated lines, symbol
+    runs — and the oracle replays the decoration AND every rule's
+    count arithmetic in SQL, so the relation (signals + per-rule
+    booleans + keep) is exact, non-vacuous, and varies per rule.
+    required_words is retuned to corpus vocabulary (the paper tunes
+    per corpus; the default English set would zero out on this
+    synthetic text). Registered BELOW the r11 window; strict local
+    receipts at all three SFs; MUST lead the r12 window as a
+    never-adjudicated row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    t = F.col("text")
+    nl = F.lit("\n")
+    decorated = docs.withColumn(
+        "text",
+        F.when(did % 8 == 1, F.concat(F.lit("- "), t, nl,
+                                      F.lit("- end point"), nl,
+                                      F.lit("- fin point")))
+        .when(did % 8 == 5, F.concat(F.lit("- intro point"), nl,
+                                     F.lit("mid line"), nl, t))
+        .when(did % 8 == 2, F.concat(t, F.lit("...")))
+        .when(did % 8 == 6, F.concat(F.lit("lead line..."), nl,
+                                     F.lit("second line"), nl,
+                                     F.lit("third"), nl, t))
+        .when(did % 8 == 3, F.concat(t, F.lit(" # # # # # # # # # # # #")))
+        .when(did % 8 == 7, F.concat(t, F.lit(" #")))
+        .otherwise(t),
+    )
+    return tx.gopher_quality(
+        decorated,
+        min_words=20,
+        max_words=80,
+        required_words=_GOPHER_REQUIRED,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry points used by __spark_entry__.py
 # ---------------------------------------------------------------------------
@@ -7695,8 +7842,15 @@ _REGISTRY_PRIORITY = [
 # past the 3-round floor, displaced with justification) + any queries
 # registered late in r11 below the window. The r12 window MUST
 # therefore be, in order: (1) whatever code changes in r12
-# (changed-code priority outranks staleness); (2) any late-r11
-# registrations that have never been driver-adjudicated; (3) the
+# (changed-code priority outranks staleness); (2) the TWO late-r11
+# registrations that have never been driver-adjudicated —
+# dedup_semantic_semdedup (SemDeDup: exact-value oracle over the
+# float-free cluster_col form; the k-means form pytest-pinned against
+# per-cluster brute force) and doc_gopher_rules (Gopher Appendix-A
+# structural filters over a Column-decorated corpus, every rule
+# non-vacuous, exact oracle) — both strict-local at all three SFs,
+# registered below the r11 window because the window budget was spent
+# on the staleness plan; (3) the
 # fifteen spilled r8 rows (atr_14_daily, beta_vs_market_daily,
 # copurchase_brand_pairs, equidepth_bins_value, events_value_drift_psi,
 # events_value_histogram, inverted_index_postings, kmv_jaccard_pairs,

@@ -766,3 +766,66 @@ def test_ivf_index_delete_stages_outside_table_and_recovers(spark, tmp_path):
     assert spark.read.parquet(vec).count() == total - len(doomed)
     # pruned reads still see an integer-typed partition column
     assert dict(spark.read.parquet(vec).dtypes)["cluster"] == "int"
+
+
+def test_semdedup_centroid_path_matches_bruteforce(spark):
+    """late r11: the k-means form of SemDeDup — Lloyd-trained centroids,
+    one ivf_assign pass, within-cluster cosine prune — returns EXACTLY
+    the per-cluster brute-force reduction (pairs restricted to
+    cluster-mates, min-id canonicalization), and its survivor set obeys
+    the paper's invariants: no surviving pair within a cluster at
+    cosine >= tau, every dropped id has a surviving lower-id duplicate
+    in its cluster."""
+    emb = load_table(spark, SF, "embeddings")
+    centers = sim.ivf_train_centroids(emb, n_centroids=8, n_iter=2)
+    tau = 0.3
+    got = {
+        r.vec_id: (r.cluster, r.canonical_id, r.is_dup)
+        for r in sim.semdedup(emb, tau, centers=centers).collect()
+    }
+    # brute-force reference over the same assignment
+    assign = {
+        r.vec_id: r.cluster
+        for r in sim.ivf_assign(emb, centers, n_probe=1).collect()
+    }
+    import math
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = {}
+    for vid in sorted(vecs):
+        dup_of = None
+        for other in sorted(vecs):
+            if other >= vid or assign[other] != assign[vid]:
+                continue
+            if cos(vecs[vid], vecs[other]) >= tau:
+                dup_of = other
+                break
+        want[vid] = (
+            assign[vid],
+            dup_of if dup_of is not None else vid,
+            dup_of is not None,
+        )
+    assert got == want
+    # paper invariants on the survivor set
+    survivors = [v for v, (_, _, dup) in got.items() if not dup]
+    by_cluster: dict = {}
+    for v in survivors:
+        by_cluster.setdefault(assign[v], []).append(v)
+    for members in by_cluster.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                assert cos(vecs[a], vecs[b]) < tau
+    # misuse guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        sim.semdedup(emb, tau)
+    with _pytest.raises(ValueError, match="exactly one"):
+        sim.semdedup(emb, tau, cluster_col="label", centers=centers)

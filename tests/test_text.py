@@ -375,3 +375,51 @@ def test_duplicate_spans_null_and_short_docs(spark):
     assert (got[2].clean_text, got[2].n_removed) == ("short doc", 0)
     assert (got[3].clean_text, got[3].n_removed) == ("", 4)
     assert (got[4].clean_text, got[4].n_removed) == ("z q", 4)
+
+
+def test_gopher_quality_rules_and_signals(spark):
+    """late r11: the Gopher rules fire on planted structures and the
+    signals are exact count arithmetic — an all-bullet doc fails the
+    bullet rule, an ellipsis-terminated doc fails the ellipsis rule, a
+    symbol-run doc fails symbol AND alpha, short docs fail word count,
+    and keep is the conjunction."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "the data value " + " ".join(f"word{i}" for i in range(22))),
+        (1, "- the data\n- value row\n- key line"),     # all-bullet
+        (2, "the data value key row line more words here..."),  # ellipsis
+        (3, "the data value " + "# " * 12),              # symbols
+        (4, "tiny the data"),                            # too short
+        (5, "zz qq " + " ".join(f"w{i}" for i in range(25))),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.gopher_quality(
+            df,
+            min_words=5,
+            max_words=80,
+            required_words=("the", "data", "value"),
+        ).collect()
+    }
+    assert out[0].keep
+    assert not out[1].pass_bullet_lines and out[1].bullet_line_ratio == 1.0
+    assert not out[2].pass_ellipsis_lines
+    assert not out[3].pass_symbol_ratio and not out[3].pass_alpha_words
+    assert not out[4].pass_word_count and out[4].n_words == 3
+    assert not out[5].pass_stopwords and out[5].n_required_stopwords == 0
+    for r in out.values():
+        assert r.keep == (
+            r.pass_word_count and r.pass_mean_word_len
+            and r.pass_symbol_ratio and r.pass_bullet_lines
+            and r.pass_ellipsis_lines and r.pass_alpha_words
+            and r.pass_stopwords
+        )
+    # signal exactness spot check: doc 3 has 12 '#' among 16 tokens (the
+    # \s+ split keeps the trailing empty token — the corpus-wide _O_TOKS
+    # semantics)
+    assert out[3].n_words == 16
+    assert out[3].symbol_ratio == 0.75
