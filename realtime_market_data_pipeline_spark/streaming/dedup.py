@@ -556,6 +556,8 @@ def image_dedup_writer(
     out_dir: str,
     max_hamming: int = 8,
     id_col: str = "media_id",
+    hash_bits: int = 64,
+    min_band_bits: int = 0,
 ) -> BatchWriter:
     """Streaming perceptual image dedup (late r10) — the online form of
     the ``multimodal.image_dhash`` + ``hash_hamming_pairs`` pair, and
@@ -563,8 +565,17 @@ def image_dedup_writer(
     payloads stream in, drop any whose dHash is within ``max_hamming``
     bits of a previously ACCEPTED image's hash (or of a lower-id image
     in the same micro-batch — first-accepted-wins, the MinHash-writer
-    rule). The store keeps ONE 8-byte hash per accepted image, never
-    pixels — the signature-store privacy/size rule at its extreme.
+    rule). The store keeps ONE hash per accepted image, never pixels —
+    the signature-store privacy/size rule at its extreme.
+
+    ``hash_bits`` selects the hash form (r11, the band-width fix): 64
+    keeps the single-BIGINT dHash; a multiple of 64 above that (256 =
+    ``image_dhash_wide`` at hash_size 16) stores little-endian
+    array<bigint> words, which keeps the pigeonhole bands wide at real
+    hamming budgets — the 100 TB operating point where a
+    billion-image store would otherwise see the narrow-band quadratic
+    (see the scale bound on ``hash_hamming_pairs``). ``min_band_bits``
+    passes through as the hard guard.
 
     Per micro-batch: hash the new payloads (shuffle-free Arrow pass),
     union with the accepted-hash store, pigeonhole-banded candidate
@@ -577,7 +588,14 @@ def image_dedup_writer(
     from realtime_market_data_pipeline_spark.operators.multimodal import (
         hash_hamming_pairs,
         image_dhash,
+        image_dhash_wide,
     )
+
+    if hash_bits != 64 and (hash_bits % 64 or hash_bits < 128):
+        raise ValueError(f"hash_bits must be 64 or a multiple of 64: {hash_bits}")
+    hash_size = int(hash_bits ** 0.5)
+    if hash_size * hash_size != hash_bits:
+        raise ValueError(f"hash_bits must be a square (dHash grid): {hash_bits}")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -585,7 +603,13 @@ def image_dedup_writer(
         # consume this lineage — uncached, the payload decode + dHash
         # pass and the banded candidate join would execute twice per
         # micro-batch (advice item, r11)
-        hashes = image_dhash(batch_df).select(id_col, "dhash").persist()
+        if hash_bits == 64:
+            hashes = image_dhash(batch_df).select(id_col, "dhash")
+        else:
+            hashes = image_dhash_wide(batch_df, hash_size=hash_size).select(
+                id_col, "dhash"
+            )
+        hashes = hashes.persist()
         allh = hashes.withColumn("_hist", F.lit(False))
         store = read_store(spark, store_dir, before_batch=batch_id)
         if store is not None:
@@ -594,7 +618,13 @@ def image_dedup_writer(
                     "_hist", F.lit(True)
                 )
             )
-        pairs = hash_hamming_pairs(allh, max_hamming, id_col=id_col)
+        pairs = hash_hamming_pairs(
+            allh,
+            max_hamming,
+            id_col=id_col,
+            n_bits=hash_bits,
+            min_band_bits=min_band_bits,
+        )
         flags = allh.select(F.col(id_col), F.col("_hist"))
         p = pairs.join(
             flags.select(

@@ -2370,3 +2370,52 @@ def test_compact_store_preserves_decisions_and_shrinks_files(spark, tmp_path):
     sdedup.compact_store(spark, store1, upto_batch=1)
     assert not os.path.exists(old_root)
     assert spark.read.parquet(store1).count() > n_before
+
+
+def test_streaming_image_dedup_wide_hash_path(spark, tmp_path):
+    """r11 (band-width fix, writer leg): the online image dedup can run
+    on the 256-bit wide dHash — the 100 TB form where the 64-bit
+    pack's pigeonhole bands collapse — with a >= 16-bit band floor
+    enforced, an array<bigint> hash store, and the same
+    first-accepted-wins decisions (exact dups collapse in-batch and
+    against history)."""
+    from realtime_market_data_pipeline_spark.operators import (
+        multimodal as mm,
+    )
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    store = str(tmp_path / "wide_store")
+    out = str(tmp_path / "wide_out")
+    writer = sdedup.image_dedup_writer(
+        store, out, max_hamming=12, hash_bits=256, min_band_bits=16
+    )
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(i, bytearray(mm.make_phash_bmp(i)), "image/bmp") for i in ids],
+            "media_id long, payload binary, media_type string",
+        )
+
+    # batch 0: five base patterns + id 10 (10 % 10 == 0: exact dup of 0)
+    writer(df_of([0, 1, 2, 3, 4, 10]), 0)
+    acc0 = {
+        r.media_id
+        for r in spark.read.parquet(out).filter("batch_id = 0").collect()
+    }
+    assert acc0 == {0, 1, 2, 3, 4}
+    # batch 1: id 30 (30 % 10 == 0, even: exact dup of accepted 0) and
+    # id 32 (32 % 10 == 2, even: exact dup of accepted 2)
+    writer(df_of([30, 32]), 1)
+    acc1 = {
+        r.media_id
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    assert acc1 == set()  # both are history dups
+    st = spark.read.parquet(store)
+    assert dict(st.dtypes)["dhash"] == "array<bigint>"
+    assert st.count() == 5
+    # config guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        sdedup.image_dedup_writer(store, out, hash_bits=96)
