@@ -777,3 +777,27 @@ def test_warehouse_index_path_sweeps_dead_pid_dirs(tmp_path):
     assert not os.path.exists(dead)
     assert os.path.exists(alive) and os.path.exists(weird)
     assert os.path.exists(other)  # different prefix — untouched
+
+
+def test_gopher_rules_gate_is_shuffle_free(spark):
+    """late r11: the Gopher quality gate is pure per-row Column work —
+    zero shuffle exchanges (a quality filter that shuffles a 100 TB
+    scan is wrong) and the whole gate inside one codegen stage."""
+    with P.aqe_disabled(spark):
+        df = Q.QUERIES["doc_gopher_rules"](spark, SF)
+        assert P.exchange_count(df) == 0
+        assert P.codegen_stage_count(df) >= 1
+        assert P.join_strategies(df) == []
+
+
+def test_semdedup_exchanges_bounded_no_cartesian(spark):
+    """late r11: SemDeDup's candidate generation is the within-cluster
+    equi-join — the plan must carry a bounded number of shuffle
+    exchanges (cluster self-join + the min-id reduction) and NEVER a
+    cartesian/nested-loop product."""
+    with P.aqe_disabled(spark):
+        df = Q.QUERIES["dedup_semantic_semdedup"](spark, SF)
+        assert P.exchange_count(df) <= 3
+        js = P.join_strategies(df)
+        assert "CartesianProduct" not in js
+        assert "BroadcastNestedLoopJoin" not in js
