@@ -138,11 +138,13 @@ HEADLINE = [
     "dedup_exact_substrings",
     "multimodal_dedup_dhash",
     "dedup_audio_fingerprint",
-    # late-r11: SemDeDup (within-cluster semantic dedup) and the Gopher
+    # late-r11: SemDeDup (within-cluster semantic dedup), the Gopher
     # doc-quality rules (per-rule structural filters over a decorated
-    # corpus)
+    # corpus), and fuzzy benchmark decontamination (MinHash-banded
+    # train x eval near-dup sweep)
     "dedup_semantic_semdedup",
     "doc_gopher_rules",
+    "decontamination_fuzzy",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

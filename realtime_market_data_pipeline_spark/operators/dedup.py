@@ -607,3 +607,78 @@ def snm_candidate_payload_pairs(
         )
         .distinct()
     )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY benchmark decontamination (late r11): flag every train
+    document whose shingle-set Jaccard against ANY eval document is
+    >= ``threshold``. The exact sweep
+    (``text.decontaminate_against_eval``) catches verbatim k-gram
+    overlap; real leakage is often a truncated/lightly-edited COPY of
+    a benchmark item that shares most-but-not-all windows — the
+    near-duplicate form (GPT-3's appendix documents fuzzy 13-gram
+    dedup against its benchmarks; this is that sweep with the engine's
+    md5-portable MinHash family). Candidates come from a MinHash-LSH
+    band equi-join of the TRAIN side against the EVAL side — never an
+    all-pairs train x eval product; a genuine benchmark set is tiny
+    next to the corpus, so its banded side broadcasts and the sweep
+    costs one corpus scan + one keyed join, the same 100 TB shape as
+    the exact sweep. Candidates verify with EXACT Jaccard on the
+    distinct shingle sets (``minhash_sig_sets`` supplies signature and
+    set in one pass per side), so banding can only lose pairs (tunable
+    recall), never invent them.
+
+    Output: one row per train doc — (id, n_similar_eval = eval docs at
+    or above the threshold, max_jaccard rounded 6 dp — NULL when
+    clean, contaminated bool)."""
+    ts = minhash_sig_sets(train, text_col, id_col, num_hashes, shingle_k)
+    es = minhash_sig_sets(eval_df, text_col, id_col, num_hashes, shingle_k)
+    tb = band_key_rows(ts, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("train_id"), "band_id", "band_key"
+    )
+    eb = band_key_rows(es, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("eval_id"), "band_id", "band_key"
+    )
+    cand = (
+        tb.join(eb, ["band_id", "band_key"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    a = ts.select(F.col(id_col).alias("train_id"), F.col("sh").alias("sh_a"))
+    b = es.select(F.col(id_col).alias("eval_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    scored = (
+        cand.join(a, "train_id")
+        .join(b, "eval_id")
+        .select(
+            "train_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    hits = scored.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_similar_eval"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("train_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_similar_eval", F.lit(0))
+            .cast("long")
+            .alias("n_similar_eval"),
+            "max_jaccard",
+            F.col("n_similar_eval").isNotNull().alias("contaminated"),
+        )
+    )

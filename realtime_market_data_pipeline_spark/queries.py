@@ -7553,6 +7553,111 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup(emb, threshold=0.35, cluster_col="label")
 
 
+def _o_band_union(sig_table: str) -> str:
+    """Side-specific twin of _O_BANDS: band the given signature CTE."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, "
+        + " || '|' || ".join(f"mh{b * _BAND + j}" for j in range(_BAND))
+        + f" AS band_key FROM {sig_table}"
+        for b in range(_N_MINHASH // _BAND)
+    )
+
+
+@query(
+    "decontamination_fuzzy",
+    oracle=f"""
+WITH ev AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+            WHERE doc_id % 5 = 0),
+tr AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(
+           list_slice({_O_TOKS}, 1, greatest((4 * len({_O_TOKS})) // 5, 1)),
+           ' ')
+  FROM ev
+),
+ttoks AS (SELECT doc_id, {_O_TOKS} AS t FROM tr),
+tshs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM ttoks),
+tshx AS (SELECT doc_id,
+                list_transform(list_transform(sh, s -> md5(s)),
+                               h -> {_O_HEXFOLD} % 2147483647) AS hx
+         FROM tshs),
+tsig AS (SELECT doc_id, {_O_SIG_COLS} FROM tshx),
+etoks AS (SELECT doc_id, {_O_TOKS} AS t FROM ev),
+eshs AS (SELECT doc_id, {_O_SHINGLES} AS sh FROM etoks),
+eshx AS (SELECT doc_id,
+                list_transform(list_transform(sh, s -> md5(s)),
+                               h -> {_O_HEXFOLD} % 2147483647) AS hx
+         FROM eshs),
+esig AS (SELECT doc_id, {_O_SIG_COLS} FROM eshx),
+tbands AS (
+{{TBANDS}}
+),
+ebands AS (
+{{EBANDS}}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS train_id, r.doc_id AS eval_id
+  FROM tbands l JOIN ebands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+),
+verified AS (
+  SELECT train_id,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM cand JOIN tshs a ON cand.train_id = a.doc_id
+            JOIN eshs b ON cand.eval_id = b.doc_id
+),
+hits AS (
+  SELECT train_id, CAST(count(*) AS BIGINT) AS n_similar_eval,
+         round(max(j), 6) AS max_jaccard
+  FROM verified WHERE j >= 0.5 GROUP BY train_id
+)
+SELECT tr.doc_id, COALESCE(h.n_similar_eval, 0) AS n_similar_eval,
+       h.max_jaccard AS max_jaccard,
+       h.n_similar_eval IS NOT NULL AS contaminated
+FROM tr LEFT JOIN hits h ON tr.doc_id = h.train_id
+""".replace("{TBANDS}", _o_band_union("tsig")).replace(
+        "{EBANDS}", _o_band_union("esig")
+    ),
+)
+def decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (late r11 — dedup.decontaminate_
+    fuzzy): flags train docs that are NEAR-DUPLICATES of any eval doc
+    (shingle-set Jaccard >= 0.5 via MinHash-LSH banding + exact
+    verify), the sweep that catches truncated/lightly-edited benchmark
+    copies the exact k-gram sweep (decontamination_8gram) can miss.
+    Corpus: eval = doc_id%5==0; train = the rest PLUS a planted
+    contamination stripe — each eval doc's 4/5-token prefix
+    re-entering as train doc_id+100000 (the _neardup_corpus
+    truncation). ~80% of planted rows flag at these (16,4) MinHash
+    parameters — the HONEST banding recall at prefix Jaccard ≈0.7-0.8
+    (per-band collision p = J⁴, miss = (1-p)⁴; banding can only lose
+    pairs, never invent them — raise n_tables/num_hashes to buy
+    recall) — and the md5-portable MinHash family keeps the whole
+    relation — bands, candidates, exact Jaccard, per-doc aggregation —
+    EXACT-value-replayable in SQL, so the oracle certifies precisely
+    the banded semantics, misses included. Registered BELOW the r11
+    window; strict local receipts at all three SFs; MUST lead the r12
+    window as a never-adjudicated row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    toks = tx.tokens("text")
+    prefix_n = F.greatest(
+        F.expr(r"(4 * size(split(text, '\\s+'))) div 5"), F.lit(1)
+    ).cast("int")
+    planted = ev.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, prefix_n)).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0).unionByName(planted)
+    return dd.decontaminate_fuzzy(train, ev, threshold=0.5)
+
+
 _GOPHER_REQUIRED = ("the", "a", "data", "value", "key", "join", "row", "line")
 _O_GOPHER_REQ = "['" + "', '".join(_GOPHER_REQUIRED) + "']"
 
@@ -7842,15 +7947,18 @@ _REGISTRY_PRIORITY = [
 # past the 3-round floor, displaced with justification) + any queries
 # registered late in r11 below the window. The r12 window MUST
 # therefore be, in order: (1) whatever code changes in r12
-# (changed-code priority outranks staleness); (2) the TWO late-r11
+# (changed-code priority outranks staleness); (2) the THREE late-r11
 # registrations that have never been driver-adjudicated —
 # dedup_semantic_semdedup (SemDeDup: exact-value oracle over the
 # float-free cluster_col form; the k-means form pytest-pinned against
-# per-cluster brute force) and doc_gopher_rules (Gopher Appendix-A
+# per-cluster brute force), doc_gopher_rules (Gopher Appendix-A
 # structural filters over a Column-decorated corpus, every rule
-# non-vacuous, exact oracle) — both strict-local at all three SFs,
-# registered below the r11 window because the window budget was spent
-# on the staleness plan; (3) the
+# non-vacuous, exact oracle), and decontamination_fuzzy (MinHash-banded
+# train x eval near-dup sweep with planted prefix contamination; the
+# oracle replays bands + exact Jaccard, so the ~80% planted-recall at
+# (16,4) parameters is certified semantics, not slack) — all
+# strict-local at all three SFs, registered below the r11 window
+# because the window budget was spent on the staleness plan; (3) the
 # fifteen spilled r8 rows (atr_14_daily, beta_vs_market_daily,
 # copurchase_brand_pairs, equidepth_bins_value, events_value_drift_psi,
 # events_value_histogram, inverted_index_postings, kmv_jaccard_pairs,

@@ -82,3 +82,45 @@ def test_split_agreement_with_split_assignment(spark):
         .collect()
     }
     assert out_ids == train_ids
+
+
+def test_fuzzy_decontamination_flags_near_copies_not_verbatim_only(spark):
+    """late r11: the fuzzy sweep flags train docs that are NEAR
+    duplicates of eval items — a truncated benchmark copy (which shares
+    most but not all 8-grams) and a verbatim copy both flag; an
+    unrelated doc stays clean; n_similar_eval counts the matching eval
+    docs and max_jaccard is the exact verified value."""
+    from realtime_market_data_pipeline_spark.operators import dedup as dd
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+    eval_df = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    prefix = " ".join(base.split()[:14])  # 14/18-token truncated copy
+    train = spark.createDataFrame(
+        [
+            (10, base),        # verbatim copy of eval 1
+            (11, prefix),      # near copy (J ~= 12/16 = 0.75 on 3-shingles)
+            (12, "totally different words about ships sailing the sea "
+                 "with wind and salt and gulls overhead at dusk"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.decontaminate_fuzzy(train, eval_df, threshold=0.5)
+        .collect()
+    }
+    assert out[10].contaminated and out[10].max_jaccard == 1.0
+    assert out[10].n_similar_eval == 1
+    assert out[11].contaminated and 0.5 <= out[11].max_jaccard < 1.0
+    assert not out[12].contaminated and out[12].n_similar_eval == 0
+    assert out[12].max_jaccard is None
+    # exact check of the near copy's Jaccard: distinct 3-shingles
+    sh = lambda s: {tuple(s.split()[i:i+3]) for i in range(len(s.split())-2)}
+    a, b = sh(prefix), sh(base)
+    want = round(len(a & b) / len(a | b), 6)
+    assert abs(out[11].max_jaccard - want) < 1e-9
