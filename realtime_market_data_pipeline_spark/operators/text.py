@@ -118,6 +118,7 @@ def gopher_quality(
     min_alpha_ratio: float = 0.8,
     required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
     min_required_hits: int = 2,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
     Methods, Analysis & Insights from Training Gopher", Appendix A —
@@ -190,6 +191,7 @@ def gopher_quality(
     r_stop = stop_hits >= min_required_hits
     return df.select(
         id_col,
+        *extra_cols,
         n.alias("n_words"),
         mean_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

@@ -7987,6 +7987,12 @@ _REGISTRY_PRIORITY = [
 # the 17 registered are every official shape the tables can express;
 # q21's double-correlated-existential PLAN SHAPE is covered by the
 # adapted q21_sole_returned_supplier (r9, driver-certified r10).
+# Also staged for r12: hoist per-row norms out of lsh_bucket_dedup's
+# pair verify (the r11 semdedup/embedding_dedup_writer optimization —
+# one fold + one division per candidate instead of three folds, same
+# expression tree so values are bit-identical); it sits under the
+# driver-green dedup_embedding_lsh row, so make the change in r12
+# where the changed-code row windows with the other r12 leads.
 # ---------------------------------------------------------------------------
 
 

@@ -300,8 +300,9 @@ def embedding_dedup_writer(
     identical to ``minhash_dedup_writer``."""
     from realtime_market_data_pipeline_spark.operators.similarity import (
         as_double,
-        cosine,
+        dot,
         lsh_bucket_rows,
+        norm,
     )
 
     def _dups(new_v: DataFrame, old_v: DataFrame, in_batch: bool) -> DataFrame:
@@ -315,16 +316,22 @@ def embedding_dedup_writer(
         if in_batch:
             cand = cand.filter(F.col("old_id") < F.col("new_id"))
         cand = cand.distinct()
+        # per-row norms hoisted out of the pair filter (the r11 semdedup
+        # optimization): one dot + one division per candidate instead of
+        # three array folds — same expression tree, identical results
         nv = new_v.select(
             F.col(id_col).alias("new_id"), as_double(vec_col).alias("nv")
-        )
+        ).withColumn("nn", norm(F.col("nv")))
         ov = old_v.select(
             F.col(id_col).alias("old_id"), as_double(vec_col).alias("ov")
-        )
+        ).withColumn("on", norm(F.col("ov")))
         verified = (
             cand.join(nv, "new_id")
             .join(ov, "old_id")
-            .filter(cosine(F.col("nv"), F.col("ov")) >= F.lit(threshold))
+            .filter(
+                dot(F.col("nv"), F.col("ov")) / (F.col("nn") * F.col("on"))
+                >= F.lit(threshold)
+            )
         )
         return verified.select(F.col("new_id").alias(id_col)).distinct()
 

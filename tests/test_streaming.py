@@ -2419,3 +2419,69 @@ def test_streaming_image_dedup_wide_hash_path(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="multiple of 64"):
         sdedup.image_dedup_writer(store, out, hash_bits=96)
+
+
+def test_streaming_quality_gate_routes_and_replays(spark, tmp_path):
+    """r11: the Gopher quality gate as an ingestion writer — keepers
+    land with their signal columns, rejects land with the per-rule
+    booleans naming why, the accumulated split equals the batch
+    operator over the same docs, and a replayed batch rewrites
+    itself."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    d = str(tmp_path / "docs_in")
+    out = str(tmp_path / "curated")
+    rej = str(tmp_path / "rejected")
+    ckpt = str(tmp_path / "qg_ckpt")
+    kw = dict(min_words=5, max_words=80, required_words=("the", "data"))
+
+    rows_b0 = [
+        (0, "the data " + " ".join(f"word{i}" for i in range(20))),  # keep
+        (1, "- the data\n- some rows\n- all bullets here"),          # reject
+    ]
+    rows_b1 = [
+        (2, "the data " + " ".join(f"token{i}" for i in range(30))),  # keep
+        (3, "zz qq " + " ".join(f"word{i}" for i in range(25))),      # reject
+    ]
+    writer = curation.quality_gate_writer(out, rej, **kw)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    def run():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    write_file(rows_b0)
+    run()
+    write_file(rows_b1)
+    run()
+    kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_id: r for r in spark.read.parquet(rej).collect()}
+    assert set(kept) == {0, 2} and set(dropped) == {1, 3}
+    assert not dropped[1].pass_bullet_lines     # why doc 1 was cut
+    assert not dropped[3].pass_stopwords        # why doc 3 was cut
+    assert kept[0].text.startswith("the data")  # original text carried
+    # accumulated split == the batch operator over all docs
+    all_docs = spark.createDataFrame(
+        rows_b0 + rows_b1, "doc_id long, text string"
+    )
+    twin = {
+        r.doc_id: r.keep
+        for r in tx.gopher_quality(all_docs, **kw).collect()
+    }
+    assert {i: True for i in kept} | {i: False for i in dropped} == twin
+    # replay rewrites itself
+    writer(spark.createDataFrame(rows_b1, "doc_id long, text string"), 1)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {0, 2}
