@@ -370,6 +370,110 @@ def embedding_dedup_writer(
     return write
 
 
+def semdedup_writer(
+    index_dir: str,
+    store_dir: str,
+    out_dir: str,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> BatchWriter:
+    """Streaming SemDeDup (r11) — the ONLINE form of
+    ``similarity.semdedup``'s k-means path, and the cluster-scoped
+    sibling of ``embedding_dedup_writer``: as vectors stream in, each
+    micro-batch is assigned to the FROZEN centroids of a persisted ANN
+    index (``load_ann_index`` — the artifact the retrieval side
+    already maintains, so the dedup filter and the search index share
+    one codebook), and a new vector is dropped iff some accepted
+    CLUSTER-MATE (or a lower-id cluster-mate in the same batch) is
+    within cosine >= threshold. Candidates join on the cluster id —
+    the SemDeDup bound: Σ bucket² over clusters instead of LSH-band
+    collisions, with the paper's k-scales-with-corpus rule governing
+    the centroid count (see ``similarity.semdedup``). Verification is
+    exact cosine with hoisted per-row norms. The store keeps
+    (id, vector, cluster) per accepted vector — the vectors double as
+    the retrieval corpus, and the cluster column lets the per-batch
+    history join prune to the batch's touched clusters. Store/out
+    partitioning, replay guard, and idempotent overwrite are the
+    writer-family contract."""
+    from realtime_market_data_pipeline_spark.operators.similarity import (
+        as_double,
+        dot,
+        ivf_assign,
+        load_ann_index,
+        norm,
+    )
+
+    def _with_cluster(df: DataFrame, centers) -> DataFrame:
+        assign = ivf_assign(
+            df, centers, id_col=id_col, vec_col=vec_col, n_probe=1
+        )
+        return df.join(assign, id_col)
+
+    def _dups(new_v: DataFrame, old_v: DataFrame, in_batch: bool) -> DataFrame:
+        a = new_v.select(
+            F.col(id_col).alias("new_id"), "cluster",
+            as_double(vec_col).alias("nv"),
+        ).withColumn("nn", norm(F.col("nv")))
+        b = old_v.select(
+            F.col(id_col).alias("old_id"), "cluster",
+            as_double(vec_col).alias("ov"),
+        ).withColumn("on", norm(F.col("ov")))
+        cand = a.join(b, "cluster")
+        if in_batch:
+            cand = cand.filter(F.col("old_id") < F.col("new_id"))
+        verified = cand.filter(
+            dot(F.col("nv"), F.col("ov")) / (F.col("nn") * F.col("on"))
+            >= F.lit(threshold)
+        )
+        return verified.select(F.col("new_id").alias(id_col)).distinct()
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        centers = load_ann_index(spark, f"{index_dir}/meta")["centroids"]
+        if not centers:
+            raise ValueError(f"no centroids in index at {index_dir}/meta")
+        vecs = _with_cluster(batch_df.select(id_col, vec_col), centers)
+        dups = _dups(vecs, vecs, in_batch=True)
+        store = read_store(spark, store_dir, before_batch=batch_id)
+        if store is not None:
+            dups = dups.unionByName(
+                _dups(
+                    vecs,
+                    store.select(id_col, vec_col, "cluster"),
+                    in_batch=False,
+                )
+            )
+        dups = dups.distinct()
+        survivors = batch_df.join(dups, id_col, "left_anti")
+        surviving_vecs = vecs.join(dups, id_col, "left_anti")
+
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                surviving_vecs.select(id_col, vec_col, "cluster")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return write
+
+
 def decontamination_writer(
     eval_shingles_dir: str,
     bitmap: list[int],

@@ -2485,3 +2485,69 @@ def test_streaming_quality_gate_routes_and_replays(spark, tmp_path):
     # replay rewrites itself
     writer(spark.createDataFrame(rows_b1, "doc_id long, text string"), 1)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {0, 2}
+
+
+def test_streaming_semdedup_against_persisted_index(spark, tmp_path):
+    """r11: the online SemDeDup writer — micro-batches assign to the
+    FROZEN centroids of a persisted ANN index (dedup filter and search
+    index share one codebook), exact copies of accepted history drop,
+    novel vectors survive, a replayed batch rewrites itself, and the
+    store keeps (id, vector, cluster)."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "sd_idx")
+    sim.build_ivf_index(emb, idx, n_centroids=8, n_iter=1)
+    store = str(tmp_path / "sd_store")
+    out = str(tmp_path / "sd_out")
+    writer = sdedup.semdedup_writer(idx, store, out, threshold=0.98)
+
+    b0 = emb.filter(F.col("vec_id") < 50)
+    writer(b0, 0)
+    acc0 = {r.vec_id for r in spark.read.parquet(out).collect()}
+    # this corpus's natural pairwise cosine tops out ~0.48, far below
+    # 0.98 — nothing in batch 0 collides
+    assert acc0 == set(range(50))
+
+    # batch 1: ten novel vectors + exact copies of five ACCEPTED ones
+    novel = emb.filter(
+        (F.col("vec_id") >= 50) & (F.col("vec_id") < 60)
+    )
+    copies = (
+        emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    b1 = novel.unionByName(copies)
+    writer(b1, 1)
+    acc1 = {
+        r.vec_id
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    assert acc1 == set(range(50, 60))  # copies of history dropped
+
+    # replay rewrites itself
+    writer(b1, 1)
+    acc1b = {
+        r.vec_id
+        for r in spark.read.parquet(out).filter("batch_id = 1").collect()
+    }
+    assert acc1b == acc1
+    st = spark.read.parquet(store)
+    assert set(st.columns) == {"vec_id", "embedding", "cluster", "batch_id"}
+    assert st.count() == 60
+    # a missing index fails loudly at the first batch
+    import pytest as _pytest
+
+    bad = sdedup.semdedup_writer(
+        str(tmp_path / "nope"), store, out, threshold=0.98
+    )
+    with _pytest.raises(Exception):
+        bad(b0, 2)
