@@ -391,11 +391,14 @@ def semdedup_writer(
     collisions, with the paper's k-scales-with-corpus rule governing
     the centroid count (see ``similarity.semdedup``). Verification is
     exact cosine with hoisted per-row norms. The store keeps
-    (id, vector, cluster) per accepted vector — the vectors double as
-    the retrieval corpus, and the cluster column lets the per-batch
-    history join prune to the batch's touched clusters. Store/out
-    partitioning, replay guard, and idempotent overwrite are the
-    writer-family contract."""
+    (id, vector, cluster) per accepted vector, PARTITIONED BY
+    (batch_id, cluster) — the vectors double as the retrieval corpus,
+    and the history read filters to the batch's touched cluster ids
+    (bounded by k, collected like a query batch), so the store SCAN is
+    partition-pruned to the clusters this batch can collide with —
+    the `ann_topk_ivf_indexed` pruned-read pattern applied to the
+    dedup store. Store/out partitioning, replay guard, and idempotent
+    overwrite are the writer-family contract."""
     from realtime_market_data_pipeline_spark.operators.similarity import (
         as_double,
         dot,
@@ -433,43 +436,58 @@ def semdedup_writer(
         centers = load_ann_index(spark, f"{index_dir}/meta")["centroids"]
         if not centers:
             raise ValueError(f"no centroids in index at {index_dir}/meta")
-        vecs = _with_cluster(batch_df.select(id_col, vec_col), centers)
-        dups = _dups(vecs, vecs, in_batch=True)
-        store = read_store(spark, store_dir, before_batch=batch_id)
-        if store is not None:
-            dups = dups.unionByName(
-                _dups(
-                    vecs,
-                    store.select(id_col, vec_col, "cluster"),
-                    in_batch=False,
-                )
-            )
-        dups = dups.distinct()
-        survivors = batch_df.join(dups, id_col, "left_anti")
-        surviving_vecs = vecs.join(dups, id_col, "left_anti")
-
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        vecs = _with_cluster(
+            batch_df.select(id_col, vec_col), centers
+        ).persist()
         try:
-            (
-                survivors.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
+            dups = _dups(vecs, vecs, in_batch=True)
+            store = read_store(spark, store_dir, before_batch=batch_id)
+            if store is not None:
+                # partition-pruned history read: only the clusters this
+                # batch touches can hold a colliding vector (bounded by
+                # k — collected like a query batch)
+                touched = [
+                    int(r["cluster"])
+                    for r in vecs.select("cluster").distinct().collect()
+                ]
+                dups = dups.unionByName(
+                    _dups(
+                        vecs,
+                        store.filter(F.col("cluster").isin(touched))
+                        .select(id_col, vec_col, "cluster"),
+                        in_batch=False,
+                    )
+                )
+            dups = dups.distinct()
+            survivors = batch_df.join(dups, id_col, "left_anti")
+            surviving_vecs = vecs.join(dups, id_col, "left_anti")
+
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
-            (
-                surviving_vecs.select(id_col, vec_col, "cluster")
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(store_dir)
-            )
-        finally:
             spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
+            try:
+                (
+                    survivors.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                (
+                    surviving_vecs.select(id_col, vec_col, "cluster")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id", "cluster")
+                    .parquet(store_dir)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            vecs.unpersist()
 
     return write
 
