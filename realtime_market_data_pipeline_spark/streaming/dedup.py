@@ -133,6 +133,7 @@ def compact_store(
     store_dir: str,
     upto_batch: int,
     max_records_per_file: int = 0,
+    partition_cols: tuple[str, ...] = ("batch_id",),
 ) -> tuple[int, int]:
     """Maintenance for the writers' batch_id-partitioned stores (r11,
     verdict item): every micro-batch appends one ``batch_id=N``
@@ -155,6 +156,12 @@ def compact_store(
     committed. Partitions above ``upto_batch`` are untouched (they may
     still be replayed).
 
+    ``partition_cols`` must name EVERY partition column of the store,
+    batch_id first — the MinHash/digest/hash stores are batch_id-only
+    (the default), the semdedup store is ``("batch_id", "cluster")``;
+    the fold preserves the secondary layout so pruned reads keep
+    working.
+
     Crash safety mirrors ``ivf_index_delete``: displaced partition
     dirs are staged OUTSIDE the table
     (``<store>._compact_old/batch_id=N``), entry restores any bucket a
@@ -165,6 +172,8 @@ def compact_store(
         parquet_dir_stats,
     )
 
+    if partition_cols[0] != "batch_id":
+        raise ValueError("partition_cols must lead with batch_id")
     tmp = store_dir.rstrip("/") + "._compact_tmp"
     old_root = store_dir.rstrip("/") + "._compact_old"
     # recover from a prior crashed compaction, then clear staging
@@ -186,17 +195,25 @@ def compact_store(
     )
     if len(folded) <= 1:
         return files_before, files_before
+    # partition_cols names EVERY partition column of the store —
+    # batch_id first, plus any secondary layout (the semdedup store is
+    # (batch_id, cluster)-partitioned): folding through a batch_id-only
+    # write would demote the secondary column to a data column in the
+    # folded subtree while it stays a path column in unfolded ones,
+    # which breaks partition discovery
     low = (
         spark.read.parquet(store_dir)
         .filter(F.col("batch_id") <= upto_batch)
         .withColumn("batch_id", F.lit(upto_batch))
     )
-    writer = low.write.mode("overwrite").partitionBy("batch_id")
+    if not max_records_per_file and len(partition_cols) == 1:
+        low = low.coalesce(1)
+    elif len(partition_cols) > 1:
+        # one task per secondary partition value -> one file each
+        low = low.repartition(*[F.col(c) for c in partition_cols[1:]])
+    writer = low.write.mode("overwrite").partitionBy(*partition_cols)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    else:
-        low = low.coalesce(1)
-        writer = low.write.mode("overwrite").partitionBy("batch_id")
     writer.parquet(tmp)
     os.makedirs(old_root)
     for b in folded:

@@ -2551,3 +2551,68 @@ def test_streaming_semdedup_against_persisted_index(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         bad(b0, 2)
+
+
+def test_compact_store_preserves_secondary_partitioning(spark, tmp_path):
+    """r11: compacting the semdedup writer's (batch_id, cluster)-
+    partitioned store keeps the cluster layout — the folded partition
+    still has cluster= subdirs (pruned history reads keep working),
+    dedup decisions after compaction are identical, and the file count
+    drops."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "cp_idx")
+    sim.build_ivf_index(emb, idx, n_centroids=8, n_iter=1)
+    batches = [
+        emb.filter(F.col("vec_id") < 30),
+        emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60)),
+        # batch 2 carries copies of batch-0 vectors (must drop) and
+        # novel ones (must survive) — the decisions the fold must keep
+        emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 70))
+        .unionByName(
+            emb.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + 2000).alias("vec_id"), "embedding"
+            )
+        ),
+    ]
+
+    def run(store, out, compact_before=None):
+        w = sdedup.semdedup_writer(idx, store, out, threshold=0.98)
+        for i, b in enumerate(batches):
+            if compact_before is not None and i == compact_before:
+                fb, fa = sdedup.compact_store(
+                    spark, store, upto_batch=i - 1,
+                    partition_cols=("batch_id", "cluster"),
+                )
+                assert fa < fb
+            w(b, i)
+        return sorted(
+            r.vec_id for r in spark.read.parquet(out).collect()
+        )
+
+    plain = run(str(tmp_path / "cs0"), str(tmp_path / "co0"))
+    store1 = str(tmp_path / "cs1")
+    compacted = run(store1, str(tmp_path / "co1"), compact_before=2)
+    assert compacted == plain
+    assert not any(v >= 2000 for v in plain)  # history copies dropped
+    # the folded partition keeps its cluster= layout
+    folded = os.path.join(store1, "batch_id=1")
+    assert any(d.startswith("cluster=") for d in os.listdir(folded))
+    # misuse guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lead with batch_id"):
+        sdedup.compact_store(
+            spark, store1, upto_batch=1, partition_cols=("cluster",)
+        )
