@@ -145,6 +145,18 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "doc_gopher_rules",
     "decontamination_fuzzy",
+    # r12 additions: the WIDE perceptual dedup path (256-bit multi-word
+    # banding, the 100 TB band-width fix under the driver hash), the
+    # SemDeDup k-means production-form contract, and the two
+    # online-writer batch certification twins (quality gate + SemDeDup
+    # fold — writer state on disk, so these join the certification
+    # subtotal)
+    "multimodal_dedup_dhash_wide",
+    "dedup_semantic_semdedup_kmeans",
+    "online_quality_gate_fold",
+    "online_semdedup_fold",
+    # r12: DSIR importance-resampling data selection (Xie 2023)
+    "doc_dsir_weights",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint
@@ -177,6 +189,14 @@ CERTIFICATION = (
     "embedding_ann_ivf_persisted",
     "embedding_ann_ivfpq",
     "embedding_ann_ivf_appended",
+    # r12: equality-certificate harnesses, not operator timings — the
+    # k-means twin runs semdedup TWICE (centers + cluster_col over the
+    # same assignment) plus a full compare join; the fold rows run a
+    # foreachBatch writer over 3+1 batches with parquet landings plus
+    # a batch-operator twin compare
+    "dedup_semantic_semdedup_kmeans",
+    "online_quality_gate_fold",
+    "online_semdedup_fold",
 )
 
 
@@ -486,24 +506,36 @@ def main() -> None:
         sum(t for n, t in timings.items() if n in CERTIFICATION), 3
     )
     op_total = round(total - cert_total, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": RUNS,
-                "operator_path_sec": op_total,
-                "certification_path_sec": cert_total,
-                "certification_rows": list(CERTIFICATION),
-                "features_stream_batches": stream_breakdown,
-                "features_stream_socket_batches": socket_breakdown,
-                "materialize_cold_sec": cold_timings,
-            }
-        )
-    )
+    full_payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": RUNS,
+        "operator_path_sec": op_total,
+        "certification_path_sec": cert_total,
+        "certification_rows": list(CERTIFICATION),
+        "features_stream_batches": stream_breakdown,
+        "features_stream_socket_batches": socket_breakdown,
+        "materialize_cold_sec": cold_timings,
+    }
+    print(json.dumps(full_payload))
+    # r12 (r11 verdict #5): the driver's BENCH_r{N}.json keeps only a
+    # ~2KB stdout tail, which cuts the per-query map mid-dict — so the
+    # COMPLETE structured payload also lands in a repo file the round
+    # commits (BENCH_FULL.json, overwritten per run). Regression
+    # tracking and judging read the full {query: sec} map from here.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as fh:
+            json.dump(full_payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries both lines
     # The driver records only the ~2KB TAIL of stdout, and the line above
     # puts the totals at its HEAD — r4/r5 both landed with "parsed": null.
     # A second, compact, totals-last line guarantees the headline numbers

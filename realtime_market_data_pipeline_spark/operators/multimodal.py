@@ -1772,6 +1772,55 @@ def make_phash_bmp(doc_id: int) -> bytes:
     return encode_bmp_pixels(arr)
 
 
+def make_phash_bmp_wide(doc_id: int) -> bytes:
+    """Deterministic 17x16 grayscale BMP for the WIDE perceptual-dedup
+    oracle corpus (r12, the driver-certification row the r11 verdict
+    staged): the ``make_phash_bmp`` construction at
+    ``image_dhash_wide``'s native 256-bit geometry. Pattern:
+    v(g,x,y) = (11 + (2g+3)*(x + 17y + 5)^3) % 256 with g = doc_id % 5;
+    ODD doc_ids reflect row 3 columns 2..13 (v -> 255-v), which
+    strictly inverts the 11 fully-internal horizontal comparisons and
+    perturbs the two boundary ones — measured within-group hamming
+    11-12 of 256, min cross-group 84, so a banding threshold of 15
+    (16 bands x 16 bits — past the ``min_band_bits`` floor the 64-bit
+    pack can never reach) surfaces EXACTLY the five base<->variant
+    pairs. Width 17 = hash_size+1 and height 16 = hash_size, so the
+    NN resample inside ``image_dhash_wide`` is the identity and every
+    hash bit is pure planted arithmetic an integer-SQL oracle
+    replays — including the two's-complement little-endian word pack."""
+    import numpy as np
+
+    g = doc_id % 5
+    x = np.arange(17, dtype=np.int64)[None, :]
+    y = np.arange(16, dtype=np.int64)[:, None]
+    v = (11 + (2 * g + 3) * (x + 17 * y + 5) ** 3) % 256
+    if doc_id % 2:
+        v = v.copy()
+        v[3, 2:14] = 255 - v[3, 2:14]
+    arr = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+    return encode_bmp_pixels(arr)
+
+
+def plant_phash_wide(docs: DataFrame) -> DataFrame:
+    """Plant the wide perceptual-dedup corpus over the documents spine
+    (the ``plant_media`` pattern): one ``make_phash_bmp_wide`` per doc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [make_phash_bmp_wide(int(d)) for d in ids],
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
 def plant_phash(docs: DataFrame) -> DataFrame:
     """Plant the perceptual-dedup corpus over the documents spine (the
     ``plant_media`` pattern): one ``make_phash_bmp`` payload per doc."""
@@ -1881,7 +1930,31 @@ def _word_band_expr(hash_col: str, off: int, wdt: int) -> Column:
     """Band value [off, off+wdt) of a multi-word hash column
     (array<bigint>, LITTLE-ENDIAN words: element 0 carries bits 0..63).
     A band may span a word boundary; both parts mask to non-negative
-    longs, so the equi-join key is sign-free."""
+    longs, so the equi-join key is sign-free.
+
+    Bands of 64 bits or more (reachable at small hamming budgets on
+    wide hashes, e.g. n_bits=256 with max_hamming <= 3) cannot pack
+    into one BIGINT — ``(1 << 64) - 1`` overflows the long literal and
+    the JVM's ``shiftleft(hi, 64)`` wraps to shift-by-0, silently
+    corrupting band keys (r12 advice fix). Those bands are emitted as
+    a STRUCT of sub-word parts instead: struct equality in the band
+    equi-join is exactly bitwise band equality, so the pigeonhole
+    no-false-negatives contract is unchanged."""
+    if wdt >= 64:
+        parts = []
+        o, w = off, wdt
+        while w > 0:
+            lo_word, lo_bit = o // 64, o % 64
+            take = min(w, 64 - lo_bit)
+            word = F.element_at(F.col(hash_col), lo_word + 1)
+            if lo_bit:
+                word = F.shiftrightunsigned(word, lo_bit)
+            if take < 64:
+                word = word.bitwiseAND(F.lit((1 << take) - 1))
+            parts.append(word.alias(f"p{len(parts)}"))
+            o += take
+            w -= take
+        return F.struct(*parts)
     lo_word, lo_bit = off // 64, off % 64
     in_lo = min(wdt, 64 - lo_bit)
     part = F.shiftrightunsigned(

@@ -720,15 +720,36 @@ def lsh_bucket_dedup(
     )
     if n_tables > 1:  # single table cannot emit a pair twice
         cand = cand.distinct()
-    va = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    # per-row norms hoisted out of the pair verify (r12, the staged
+    # r11 semdedup/embedding_dedup_writer optimization): cosine(a,b)
+    # as one expression evaluates THREE array folds per candidate
+    # pair; norm-per-row leaves one dot fold + one division per pair.
+    # Same fold order as cosine() = dot/(norm*norm), so the rounded
+    # values are bit-identical — the recall-contract oracle is
+    # unaffected.
+    vn = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    vn = vn.withColumn("nrm", norm(F.col("v")))
+    va = vn.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

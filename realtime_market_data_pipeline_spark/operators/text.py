@@ -651,6 +651,126 @@ def bigram_lm_scores(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    top_frac: float = 0.25,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — as dataflow): weight
+    every RAW document by how target-like its hashed n-gram profile
+    is, then keep the top fraction. The feature map is the paper's:
+    unigrams + bigrams hashed into ``n_buckets`` buckets; two
+    bag-of-buckets models fit by counting (p on the ``target_col``
+    split, q on the rest, add-one smoothing); a document's importance
+    weight is log w = Σ_g [ln p(bucket(g)) − ln q(bucket(g))] over its
+    gram INSTANCES. Deterministic selection: the paper samples with
+    Gumbel noise; the certified form here takes the exact top
+    ``top_frac`` of the raw pool by weight (ties broken by id) — the
+    standard deterministic variant, and the one an oracle can replay.
+
+    Output: (id, is_target, n_grams, log_w, selected) — target docs are
+    scored too (useful for calibration) but never selected.
+
+    Scale shape: the models are TWO B-row count relations (B = 4096
+    here — bounded, broadcast) built by one map-side-combined agg over
+    the exploded gram relation; scoring is the same explode joined to
+    the broadcast counts and re-aggregated per doc — one id exchange.
+    The bucket hash is the md5 fold shared with ``hash_embed``, so an
+    ANSI engine replays it bit-for-bit. Cross-engine float discipline
+    (the ``bigram_lm_scores`` rule): each ln() is 9-dp-rounded, the
+    per-doc sum runs in DECIMAL(38,10) (exact, order-free), ranking
+    compares the EXACT decimals, and only the output rounds to 6 dp.
+    The global top-k rank here is a single-partition sort over one row
+    per doc — fine for certification; at 100 TB use the same weights
+    with a TakeOrdered top-k or an approx-quantile threshold."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("is_target"),
+        tokens(text_col).alias("t"),
+    )
+    uni = base.select(id_col, "is_target", F.explode("t").alias("g"))
+    bi = base.filter(F.size("t") >= 2).select(
+        id_col,
+        "is_target",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i+1]))"
+            )
+        ).alias("g"),
+    )
+    x = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    gb = uni.unionByName(bi).select(
+        id_col, "is_target", (x % n_buckets).alias("b")
+    )
+    cp = gb.filter(F.col("is_target")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    cq = gb.filter(~F.col("is_target")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cq")
+    )
+    tot = gb.agg(
+        F.sum(F.col("is_target").cast("long")).alias("tp"),
+        F.sum((~F.col("is_target")).cast("long")).alias("tq"),
+    )
+    lam = F.round(
+        F.log(
+            (F.coalesce(F.col("cp"), F.lit(0)) + 1).cast("double")
+            / (F.col("tp") + n_buckets).cast("double")
+        ),
+        9,
+    ).cast("decimal(38,10)") - F.round(
+        F.log(
+            (F.coalesce(F.col("cq"), F.lit(0)) + 1).cast("double")
+            / (F.col("tq") + n_buckets).cast("double")
+        ),
+        9,
+    ).cast("decimal(38,10)")
+    scored = (
+        gb.join(F.broadcast(cp), "b", "left")
+        .join(F.broadcast(cq), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, "is_target", lam.alias("lam"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.first("is_target").alias("is_target"),
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("lam").alias("wd"),
+    )
+    n_raw = per_doc.filter(~F.col("is_target")).agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    rk = F.when(
+        ~F.col("is_target"),
+        F.row_number().over(
+            Window.partitionBy("is_target").orderBy(
+                F.col("wd").desc(), F.col(id_col)
+            )
+        ),
+    )
+    return (
+        per_doc.withColumn("r", rk)
+        .crossJoin(F.broadcast(n_raw))
+        .select(
+            id_col,
+            "is_target",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(F.col("wd").cast("double"), 6).alias("log_w"),
+            F.coalesce(
+                F.col("r")
+                <= F.ceil(F.lit(top_frac) * F.col("n_raw")).cast("long"),
+                F.lit(False),
+            ).alias("selected"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprints: full-text md5 + a content-defined fingerprint
     (lexicographic min/max md5 over k-shingles — a 2-permutation minhash),

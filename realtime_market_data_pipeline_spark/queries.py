@@ -6843,6 +6843,130 @@ def multimodal_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_dedup_dhash_wide",
+    oracle="""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+cls AS (
+  SELECT d % 10 AS c, CAST(min(d) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS n
+  FROM m GROUP BY d % 10
+),
+px AS (
+  SELECT c.c, x.x, y.y,
+    CASE WHEN c.c % 2 = 1 AND y.y = 3 AND x.x BETWEEN 2 AND 13
+         THEN 255 - ((11 + (2*(c.c % 5)+3) * (x.x + 17*y.y + 5)
+                      * (x.x + 17*y.y + 5) * (x.x + 17*y.y + 5)) % 256)
+         ELSE (11 + (2*(c.c % 5)+3) * (x.x + 17*y.y + 5)
+               * (x.x + 17*y.y + 5) * (x.x + 17*y.y + 5)) % 256 END AS v
+  FROM cls c,
+       (SELECT CAST(i AS BIGINT) AS x FROM range(0, 17) t(i)) x,
+       (SELECT CAST(i AS BIGINT) AS y FROM range(0, 16) t(i)) y
+),
+b AS (
+  SELECT a.c, a.y * 16 + a.x AS i,
+         CASE WHEN nx.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px nx ON nx.c = a.c AND nx.y = a.y AND nx.x = a.x + 1
+  WHERE a.x < 16
+),
+w AS (
+  SELECT c, CAST(3 - i // 64 AS INTEGER) AS k,
+         CAST(sum(CASE WHEN i % 64 = 0
+              THEN bit * CAST(-9223372036854775807 - 1 AS BIGINT)
+              ELSE bit * (CAST(1 AS BIGINT) << (63 - (i % 64))) END)
+         AS BIGINT) AS wd
+  FROM b GROUP BY c, 3 - i // 64
+),
+f AS (
+  SELECT c,
+         max(CASE WHEN k = 0 THEN wd END) AS w0,
+         max(CASE WHEN k = 1 THEN wd END) AS w1,
+         max(CASE WHEN k = 2 THEN wd END) AS w2,
+         max(CASE WHEN k = 3 THEN wd END) AS w3
+  FROM w GROUP BY c
+),
+r AS (SELECT cls.c, cls.rep, cls.n, f.w0, f.w1, f.w2, f.w3
+      FROM cls JOIN f USING (c))
+SELECT a.rep AS rep_a, bb.rep AS rep_b, a.n AS n_a, bb.n AS n_b,
+       a.w0 AS fa_w0, a.w1 AS fa_w1, a.w2 AS fa_w2, a.w3 AS fa_w3,
+       bb.w0 AS fb_w0, bb.w1 AS fb_w1, bb.w2 AS fb_w2, bb.w3 AS fb_w3,
+       CAST(bit_count(xor(a.w0, bb.w0)) + bit_count(xor(a.w1, bb.w1))
+          + bit_count(xor(a.w2, bb.w2)) + bit_count(xor(a.w3, bb.w3))
+          AS INTEGER) AS hamming
+FROM r a JOIN r bb ON a.rep < bb.rep
+WHERE bit_count(xor(a.w0, bb.w0)) + bit_count(xor(a.w1, bb.w1))
+    + bit_count(xor(a.w2, bb.w2)) + bit_count(xor(a.w3, bb.w3)) <= 15
+""",
+)
+def multimodal_dedup_dhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE perceptual image dedup (r12 — driver-certifies the 100 TB
+    band-width path the r11 verdict staged): real 17x16 BMP payloads
+    decode and hash through ``image_dhash_wide`` to 256-bit dHashes as
+    little-endian ``array<bigint>`` words, exact-dup groups collapse by
+    (array) hash equality, and near-dup pairs come from the MULTI-WORD
+    pigeonhole banding (``hash_hamming_pairs(n_bits=256)``): 16 bands
+    of 16 bits at budget 15 — every band past the ``min_band_bits=16``
+    hard floor, the operating point where the 64-bit pack's bands
+    collapse to 4-5 bits and the candidate join degrades to a
+    small-constant quadratic (the r10 scale flaw this path fixes) —
+    then the zip_with/aggregate ``bit_count`` fold verifies exactly.
+
+    Planted corpus (``make_phash_bmp_wide``): 17x16 pixels = identity
+    NN resample, cubic-residue pattern per g = doc_id%5, odd doc_ids
+    reflecting row 3 cols 2..13 — within-group hamming 11-12, min
+    cross-group 84, so exactly the five base<->variant pairs surface.
+    The oracle REPLAYS THE WHOLE PIPELINE in integer SQL: every pixel,
+    every comparison bit, the two's-complement LITTLE-ENDIAN 4-word
+    pack (emitted as fa_w*/fb_w* columns so a word-order or sign bug
+    cannot hide), and the per-word bit_count sum — the
+    ``dedup_audio_fingerprint`` exact-replay pattern extended to
+    multi-word hashes. Scale shape: hashing is shuffle-free
+    mapInPandas; banding runs over DISTINCT-hash reps (group-collapse
+    first), Σ bucket² bounded with >= 65536 buckets per band."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    hashes = mm.image_dhash_wide(mm.plant_phash_wide(docs), hash_size=16)
+    groups = hashes.groupBy("dhash").agg(
+        F.min("media_id").alias("rep"), F.count(F.lit(1)).alias("n")
+    )
+    pairs = mm.hash_hamming_pairs(
+        groups.select(F.col("rep").alias("media_id"), "dhash"),
+        max_hamming=15,
+        n_bits=256,
+        min_band_bits=16,
+    )
+    ga = groups.select(
+        F.col("rep").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("dhash").alias("ha"),
+    )
+    gb = groups.select(
+        F.col("rep").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("dhash").alias("hb"),
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.col("id_a").alias("rep_a"),
+            F.col("id_b").alias("rep_b"),
+            "n_a",
+            "n_b",
+            *[
+                F.element_at("ha", k + 1).alias(f"fa_w{k}")
+                for k in range(4)
+            ],
+            *[
+                F.element_at("hb", k + 1).alias(f"fb_w{k}")
+                for k in range(4)
+            ],
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Source surface (SURVEY.md §2.1 S7 / §2.2 K3): synthetic GBM generator and
 # the Kafka payload codec. The GBM draw comes from xxhash64 (no DuckDB twin),
@@ -7553,6 +7677,102 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup(emb, threshold=0.35, cluster_col="label")
 
 
+@query(
+    "dedup_semantic_semdedup_kmeans",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       TRUE AS kmeans_matches_clustercol_twin,
+       CAST(0 AS BIGINT) AS n_canonical_order_violations,
+       CAST(0 AS BIGINT) AS n_survivor_self_violations,
+       TRUE AS found_dups,
+       TRUE AS used_multiple_clusters
+FROM embeddings
+""",
+)
+def dedup_semantic_semdedup_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup k-means PRODUCTION form (r12 — the driver-certification
+    row the r11 verdict staged): ``similarity.semdedup(centers=)`` is
+    the paper's actual pipeline — Lloyd-train k centroids
+    (``ivf_train_centroids``, deterministic: min-id init,
+    argmin-stable, decimal-exact means), assign each vector to its
+    nearest centroid in one pass, prune within clusters. The exact
+    oracle row (``dedup_semantic_semdedup``) certifies the float-free
+    ``cluster_col`` reduction; THIS row ties the k-means form to it
+    with a driver-hashable contract (the ``embedding_ann_ivf``
+    recall-contract pattern):
+
+    - ``kmeans_matches_clustercol_twin``: the centers form equals, row
+      for row, ``semdedup(cluster_col=)`` run over the SAME Lloyd
+      assignment materialized by ``ivf_assign`` — linking the
+      production path to the driver-certified exact reduction (the
+      only degree of freedom left is the assignment itself, which is
+      the already-certified IVF machinery);
+    - ``n_canonical_order_violations`` = dups whose canonical is not a
+      strictly lower id (must be 0: min-id greedy);
+    - ``n_survivor_self_violations`` = survivors whose canonical is
+      not themselves (must be 0);
+    - ``found_dups`` / ``used_multiple_clusters``: non-vacuity — the
+      pruning fired and the clustering is real (deterministic at every
+      SF, so constants, not samples).
+
+    Scale shape: k=16 here; at 100 TB k scales with the corpus (the
+    paper's k ~ |corpus|/1e5 rule — Σ bucket² receipts in SURVEY §9),
+    and the centroids come off a persisted ANN index instead of a
+    fresh Lloyd run."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centers = sim.ivf_train_centroids(
+        emb, n_centroids=16, n_iter=2
+    )
+    out = sim.semdedup(emb, threshold=0.35, centers=centers)
+    assign = sim.ivf_assign(emb, centers, n_probe=1)
+    twin = sim.semdedup(
+        emb.join(assign, "vec_id"),
+        threshold=0.35,
+        cluster_col="cluster",
+    )
+    mism = (
+        out.select("vec_id", "cluster", "canonical_id", "is_dup")
+        .exceptAll(
+            twin.select("vec_id", "cluster", "canonical_id", "is_dup")
+        )
+        .union(
+            twin.select(
+                "vec_id", "cluster", "canonical_id", "is_dup"
+            ).exceptAll(
+                out.select("vec_id", "cluster", "canonical_id", "is_dup")
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    summary = out.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(
+            (
+                F.col("is_dup") & (F.col("canonical_id") >= F.col("vec_id"))
+            ).cast("long")
+        ).alias("n_canonical_order_violations"),
+        F.sum(
+            (
+                ~F.col("is_dup") & (F.col("canonical_id") != F.col("vec_id"))
+            ).cast("long")
+        ).alias("n_survivor_self_violations"),
+        (F.sum(F.col("is_dup").cast("long")) > 0).alias("found_dups"),
+        (F.countDistinct("cluster") > 1).alias("used_multiple_clusters"),
+    )
+    return summary.crossJoin(mism).select(
+        "n_vectors",
+        (F.col("n_mismatch") == 0).alias("kmeans_matches_clustercol_twin"),
+        "n_canonical_order_violations",
+        "n_survivor_self_violations",
+        "found_dups",
+        "used_multiple_clusters",
+    )
+
+
 def _o_band_union(sig_table: str) -> str:
     """Side-specific twin of _O_BANDS: band the given signature CTE."""
     return "\n  UNION ALL\n".join(
@@ -7734,13 +7954,27 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic text). Registered BELOW the r11 window; strict local
     receipts at all three SFs; MUST lead the r12 window as a
     never-adjudicated row."""
+    return tx.gopher_quality(
+        _gopher_decorated(spark, sf_dir),
+        min_words=20,
+        max_words=80,
+        required_words=_GOPHER_REQUIRED,
+    )
+
+
+def _gopher_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decorated documents corpus shared by ``doc_gopher_rules`` and
+    ``online_quality_gate_fold`` (value-identical r12 factor-out of the
+    former's inline Columns): a doc_id%8-keyed decoration stripe plants
+    the structures the Gopher rules exist to catch, all in pure Column
+    concat the oracles replay in SQL."""
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     did = F.col("doc_id")
     t = F.col("text")
     nl = F.lit("\n")
-    decorated = docs.withColumn(
+    return docs.withColumn(
         "text",
         F.when(did % 8 == 1, F.concat(F.lit("- "), t, nl,
                                       F.lit("- end point"), nl,
@@ -7755,12 +7989,324 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(did % 8 == 7, F.concat(t, F.lit(" #")))
         .otherwise(t),
     )
-    return tx.gopher_quality(
-        decorated,
+
+
+def _writer_state_dirs(sf_dir: str, prefix: str, *names: str) -> list[str]:
+    """Fresh pid-scoped on-disk dirs for a driver row that exercises a
+    foreachBatch writer in batch form (the ``_warehouse_index_path``
+    pattern): writers APPEND batch partitions, so each call clears its
+    own state first — idempotent within a process, race-free across
+    concurrent runs (pid-tagged)."""
+    import os
+    import shutil as _sh
+
+    root = _warehouse_index_path(sf_dir, prefix)
+    _sh.rmtree(root, ignore_errors=True)
+    out = [os.path.join(root, n) for n in names]
+    return out
+
+
+@query(
+    "online_quality_gate_fold",
+    oracle=f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+dec AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 1 THEN '- ' || text || chr(10) || '- end point'
+                  || chr(10) || '- fin point'
+      WHEN 5 THEN '- intro point' || chr(10) || 'mid line' || chr(10) || text
+      WHEN 2 THEN text || '...'
+      WHEN 6 THEN 'lead line...' || chr(10) || 'second line'
+                  || chr(10) || 'third' || chr(10) || text
+      WHEN 3 THEN text || ' # # # # # # # # # # # #'
+      WHEN 7 THEN text || ' #'
+      ELSE text END AS text
+  FROM base),
+m AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM dec),
+sig AS (
+  SELECT doc_id,
+    CAST(len(t) AS INTEGER) AS n_words,
+    round(CAST(list_sum(list_transform(t, x -> strlen(x))) AS DOUBLE)
+          / len(t), 6) AS mean_word_len,
+    round(((strlen(text) - strlen(replace(text, '#', '')))
+           + (strlen(text) - strlen(replace(text, '...', ''))) / 3)
+          / len(t), 6) AS symbol_ratio,
+    round(CAST(len(list_filter(lines,
+               l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+          AS DOUBLE) / len(lines), 6) AS bullet_line_ratio,
+    round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+          / len(lines), 6) AS ellipsis_line_ratio,
+    round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+          AS DOUBLE) / len(t), 6) AS alpha_word_ratio,
+    CAST(len(list_intersect(list_distinct(t), {_O_GOPHER_REQ}))
+         AS INTEGER) AS n_required_stopwords
+  FROM m),
+k AS (
+  SELECT doc_id,
+    n_words >= 20 AND n_words <= 80 AS p1,
+    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS p2,
+    symbol_ratio <= 0.1 AS p3,
+    bullet_line_ratio <= 0.9 AS p4,
+    ellipsis_line_ratio <= 0.3 AS p5,
+    alpha_word_ratio >= 0.8 AS p6,
+    n_required_stopwords >= 2 AS p7
+  FROM sig)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 AND p6 AND p7
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 AND p6 AND p7
+           THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+  TRUE AS accumulated_equals_batch_operator,
+  CAST(sum(CASE WHEN p1 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_word_count,
+  CAST(sum(CASE WHEN p2 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_mean_word_len,
+  CAST(sum(CASE WHEN p3 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_symbol_ratio,
+  CAST(sum(CASE WHEN p4 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_bullet_lines,
+  CAST(sum(CASE WHEN p5 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_ellipsis_lines,
+  CAST(sum(CASE WHEN p6 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_alpha_words,
+  CAST(sum(CASE WHEN p7 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stopwords
+FROM k
+""",
+)
+def online_quality_gate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CERTIFICATION TWIN of the streaming quality gate (r12 —
+    the r11 verdict's writer-family item, the ``heavy_hitters_merged``
+    precedent): ``streaming.curation.quality_gate_writer`` is
+    pytest-only by nature (foreachBatch), so this row runs the SAME
+    fold in batch — the decorated Gopher corpus split into three
+    deterministic micro-batches (doc_id%3), each pushed through the
+    writer exactly as foreachBatch would, batch 1 REPLAYED (the
+    idempotence contract: a replay rewrites itself, so the final
+    accumulated state is unchanged) — then reads the accumulated
+    curated/rejects tables and certifies:
+
+    - exact split counts (n_docs/n_curated/n_rejected) and exact
+      per-rule failure counts summed over the rejects' why-booleans —
+      all replayed by the oracle from the decoration arithmetic;
+    - ``accumulated_equals_batch_operator``: the accumulated
+      (signals + booleans + keep + text) relation across all batches
+      equals one ``gopher_quality`` run over the whole corpus — the
+      writer-family "accumulated split ≡ batch operator" contract
+      under the driver hash.
+
+    Scale shape: the gate is zero-shuffle per batch (pure codegen
+    Columns); the fold here adds only the parquet landing."""
+    out_dir, rej_dir = _writer_state_dirs(
+        sf_dir, "qgate_fold", "curated", "rejects"
+    )
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    docs = _gopher_decorated(spark, sf_dir)
+    writer = curation.quality_gate_writer(
+        out_dir,
+        rej_dir,
         min_words=20,
         max_words=80,
         required_words=_GOPHER_REQUIRED,
     )
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        writer(b, i)
+    writer(batches[1], 1)  # replay: must rewrite itself
+    kept = spark.read.parquet(out_dir).drop("batch_id")
+    rej = spark.read.parquet(rej_dir).drop("batch_id")
+    acc = kept.unionByName(rej)
+    twin = tx.gopher_quality(
+        docs,
+        min_words=20,
+        max_words=80,
+        required_words=_GOPHER_REQUIRED,
+        extra_cols=("text",),
+    ).select(*sorted(acc.columns))
+    acc = acc.select(*sorted(acc.columns))
+    mism = (
+        acc.exceptAll(twin)
+        .union(twin.exceptAll(acc))
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+    fails = acc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_curated"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_rejected"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(
+                "n_fail_" + c.removeprefix("pass_")
+            )
+            for c in (
+                "pass_word_count",
+                "pass_mean_word_len",
+                "pass_symbol_ratio",
+                "pass_bullet_lines",
+                "pass_ellipsis_lines",
+                "pass_alpha_words",
+                "pass_stopwords",
+            )
+        ],
+    )
+    return fails.crossJoin(mism).select(
+        "n_docs",
+        "n_curated",
+        "n_rejected",
+        (F.col("n_mismatch") == 0).alias(
+            "accumulated_equals_batch_operator"
+        ),
+        "n_fail_word_count",
+        "n_fail_mean_word_len",
+        "n_fail_symbol_ratio",
+        "n_fail_bullet_lines",
+        "n_fail_ellipsis_lines",
+        "n_fail_alpha_words",
+        "n_fail_stopwords",
+    )
+
+
+@query(
+    "online_semdedup_fold",
+    oracle="""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings),
+mx AS (SELECT max(vec_id) AS m FROM e)
+SELECT vec_id,
+  CASE
+    WHEN vec_id % 10 = 7
+         THEN (vec_id - 7) % 3 = 2
+    WHEN vec_id % 10 = 0 AND vec_id + 7 <= (SELECT m FROM mx)
+         THEN vec_id % 3 <> 2
+    ELSE TRUE END AS accepted
+FROM e
+""",
+)
+def online_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CERTIFICATION TWIN of the online SemDeDup writer (r12 —
+    the second writer-family row the r11 verdict staged):
+    ``streaming.dedup.semdedup_writer`` filters each micro-batch
+    against the frozen centroids of a persisted ANN index with
+    first-accepted-wins greedy; this row replays that fold in batch
+    form as an EXACT value twin. The corpus plants copies — vec_id %
+    10 == 7 takes the embedding of vec_id-7 verbatim (cosine 1.0 >=
+    threshold 0.98, while the corpus's max natural pairwise cosine is
+    0.60 at sf0.1 — deterministic separation at every SF) — and
+    streams in three deterministic micro-batches (vec_id%3, batch 1
+    replayed for the idempotence contract). Identical vectors always
+    share a cluster under any centroid assignment, so the accepted
+    set is pure arithmetic the oracle replays: for each copy pair
+    {a, a+7} the member in the earlier batch wins (a%3 == 2 puts the
+    copy's batch first — 7 ≡ 1 mod 3 — so the COPY is accepted and
+    the original, arriving later, drops: first-accepted-wins is
+    arrival-order, not min-id; every unpaired vector survives).
+    Certifies assignment, the (batch_id, cluster)-partitioned store,
+    the partition-pruned history read, the in-batch lower-id rule,
+    and replay idempotence under one driver hash."""
+    from realtime_market_data_pipeline_spark.streaming import (
+        dedup as sdedup,
+    )
+
+    idx_dir, store_dir, out_dir = _writer_state_dirs(
+        sf_dir, "semdedup_fold", "idx", "store", "out"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    src = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_emb"),
+    )
+    planted = (
+        emb.withColumn(
+            "src_id",
+            F.when(F.col("vec_id") % 10 == 7, F.col("vec_id") - 7),
+        )
+        .join(src, "src_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("src_emb", "embedding").alias("embedding"),
+        )
+    )
+    centers = sim.ivf_train_centroids(planted, n_centroids=16, n_iter=2)
+    sim.save_ann_index(spark, f"{idx_dir}/meta", centroids=centers)
+    writer = sdedup.semdedup_writer(
+        idx_dir, store_dir, out_dir, threshold=0.98
+    )
+    batches = [
+        planted.filter(F.col("vec_id") % 3 == i) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        writer(b, i)
+    writer(batches[1], 1)  # replay: must rewrite itself
+    accepted = (
+        spark.read.parquet(out_dir)
+        .select("vec_id")
+        .withColumn("accepted", F.lit(True))
+    )
+    return emb.select("vec_id").join(accepted, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("accepted", F.lit(False)).alias("accepted"),
+    )
+
+
+@query(
+    "doc_dsir_weights",
+    oracle=f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  doc_id % 7 = 3 AS is_target, text FROM documents),
+toks AS (SELECT doc_id, is_target, {_O_TOKS} AS t FROM d),
+uni AS (SELECT doc_id, is_target, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id, is_target,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                i -> t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks),
+gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+hb AS (SELECT doc_id, is_target, md5(g) AS h FROM gr),
+gb AS (SELECT doc_id, is_target,
+              CAST({{hexfold}} % 4096 AS BIGINT) AS b FROM hb),
+cp AS (SELECT b, count(*) AS cp FROM gb WHERE is_target GROUP BY b),
+cq AS (SELECT b, count(*) AS cq FROM gb WHERE NOT is_target GROUP BY b),
+tot AS (SELECT CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS tq
+        FROM gb),
+sc AS (
+  SELECT gb.doc_id, gb.is_target,
+         CAST(round(ln((COALESCE(cp.cp, 0) + 1)
+                       / CAST(t.tp + 4096 AS DOUBLE)), 9)
+              AS DECIMAL(38,10))
+         - CAST(round(ln((COALESCE(cq.cq, 0) + 1)
+                         / CAST(t.tq + 4096 AS DOUBLE)), 9)
+                AS DECIMAL(38,10)) AS lam
+  FROM gb LEFT JOIN cp USING (b) LEFT JOIN cq USING (b) CROSS JOIN tot t),
+w AS (SELECT doc_id, max(is_target) AS is_target,
+             CAST(count(*) AS BIGINT) AS n_grams, sum(lam) AS wd
+      FROM sc GROUP BY doc_id),
+rk AS (SELECT *, CASE WHEN NOT is_target THEN
+         row_number() OVER (PARTITION BY is_target
+                            ORDER BY wd DESC, doc_id) END AS r
+       FROM w),
+n AS (SELECT count(*) AS n_raw FROM w WHERE NOT is_target)
+SELECT doc_id, is_target, n_grams,
+       round(CAST(wd AS DOUBLE), 6) AS log_w,
+       COALESCE(r <= CAST(ceil(0.25 * n.n_raw) AS BIGINT), FALSE) AS selected
+FROM rk CROSS JOIN n
+""".replace("{hexfold}", _O_HEXFOLD),
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (r12, Xie et al. 2023 — ``text.dsir_weights``):
+    hashed unigram+bigram importance weights against a target split
+    (doc_id%7==3 plays the high-quality reference corpus), add-one
+    bag-of-buckets models fit by counting, exact deterministic top-25%
+    selection of the raw pool. EXACT value twin: the md5 bucket fold is
+    the ``hash_embed`` portable hash, each ln() term is 9-dp-rounded
+    and summed in DECIMAL(38,10) (the ``bigram_lm_scores`` float
+    discipline), and the rank compares exact decimals with id
+    tie-break — so weights, n_grams, AND the selected set replay
+    bit-for-bit in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 7 == 3).alias("is_target"),
+        "text",
+    )
+    return tx.dsir_weights(docs, target_col="is_target")
 
 
 # ---------------------------------------------------------------------------
@@ -7814,9 +8360,151 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
-    # r11 WINDOW (staleness-first; post-r10 distribution judge-computed
+    # r12 WINDOW (staleness-first; post-r11 distribution per the r11
+    # verdict over the now-168-query registry: r11 x50, r10 x44,
+    # r9 x49, r8 x15 + 3 late-r11 never-adjudicated + 4 new-r12 rows).
+    #
+    # FRESHNESS SLO (unchanged): 168 queries / 50-slot window -> the
+    # 3-round max-staleness floor stands. Budget: zero
+    # never-adjudicated rows older than one round, zero rows older
+    # than 3 rounds at their window, changed-code rows window
+    # immediately regardless of age.
+    #
+    # (1) the FOUR new r12 registrations (never adjudicated):
+    # - multimodal_dedup_dhash_wide — the 256-bit multi-word banding
+    #   path under the driver hash (r11 verdict #2): exact integer-SQL
+    #   replay of pixels -> bits -> two's-complement word pack ->
+    #   per-word bit_count hamming;
+    # - dedup_semantic_semdedup_kmeans — the SemDeDup centers
+    #   production form tied to the certified cluster_col reduction
+    #   (r11 verdict #3);
+    # - online_quality_gate_fold / online_semdedup_fold — batch
+    #   certification twins of the r11 online writers (r11 verdict
+    #   #4), exact split counts / exact accepted-set arithmetic:
+    "multimodal_dedup_dhash_wide",
+    "dedup_semantic_semdedup_kmeans",
+    "online_quality_gate_fold",
+    "online_semdedup_fold",
+    # - doc_dsir_weights — DSIR importance weights (Xie 2023), new
+    #   r12 operator, exact value twin incl. the deterministic top-25%
+    #   selection (displaces ohlc_rollup_1m_1h to spillover —
+    #   operators/rollup.py is untouched this round):
+    "doc_dsir_weights",
+    # (2) the THREE late-r11 registrations that have never been
+    # driver-adjudicated (r11 verdict #1 — non-negotiable leads).
+    # doc_gopher_rules is ALSO changed-code this round (the decoration
+    # Columns factored into _gopher_decorated, value-identical,
+    # shared with online_quality_gate_fold):
+    "dedup_semantic_semdedup",
+    "doc_gopher_rules",
+    "decontamination_fuzzy",
+    # (3) CHANGED-CODE re-certs: the staged lsh_bucket_dedup norm
+    # hoist landed (one fold + one division per candidate pair, same
+    # expression tree as cosine() so values are bit-identical —
+    # strict-reverified at all three SFs), so its certifying row
+    # windows. NOTE the scope of the other r12 code changes:
+    # _word_band_expr gained a >=64-bit-band struct path (advice fix),
+    # but multimodal_dedup_dhash / dedup_audio_fingerprint run the
+    # 64-bit SINGLE-WORD branch that never calls _word_band_expr, and
+    # the <64-bit multiword branch is expression-identical — the wide
+    # rows leading this window are the only executors of the new code.
+    # The streaming/dedup.py + streaming/curation.py advice fixes are
+    # writer-family code with no batch oracle besides the new fold
+    # rows above:
+    "dedup_embedding_lsh",
+    # (4) the FIFTEEN r8 rows displaced in r11 — 4 rounds old, past
+    # the floor, non-negotiable this round (r11 verdict #1):
+    "atr_14_daily",
+    "beta_vs_market_daily",
+    "copurchase_brand_pairs",
+    "equidepth_bins_value",
+    "events_value_drift_psi",
+    "events_value_histogram",
+    "inverted_index_postings",
+    "kmv_jaccard_pairs",
+    "point_in_time_enrich",
+    "regex_extract_brands",
+    "seasonal_baseline_backtest",
+    "sequence_pattern_counts",
+    "stats_price_quantity",
+    "vwap_brand_month",
+    "zscore_outlier_events",
+    # (5) top-up: 27 of the 49 r9 rows (exactly at the 3-round floor).
+    # Touched-module rows first — multimodal.py changed (wide plants +
+    # _word_band_expr), so its three r9 rows never spill; then the
+    # dedup/text/similarity families (operators/similarity.py and
+    # queries.py changed this round), then the features spine
+    # (operators/features.py sits under most rounds' edits):
+    "multimodal_features",
+    "multimodal_quarantine_decode",
+    "multimodal_quarantine_frames",
+    "curation_pipeline",
+    "decontamination_8gram",
+    "decontamination_bloom",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash32",
+    "dedup_edit_distance",
+    "dedup_clusters",
+    "hybrid_search_rrf",
+    "bm25_top20",
+    "tfidf_top3_terms",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_lm_scores",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "pii_scrub",
+    "features_tumbling_1h",
+    "features_tumbling_1d",
+    "features_sliding_6h_1h",
+    "realized_vol_1d",
+    "pivot_last_daily",
+    # (6) spillover (slots 51+): the 22 remaining r9 rows plus
+    # ohlc_rollup_1m_1h (displaced by doc_dsir_weights;
+    # operators/rollup.py untouched this round) — 4 rounds
+    # old at r12 close, displaced with justification: every one is a
+    # single-operator row on modules git diff shows r12 did NOT touch
+    # (quant.py: bollinger_breach_stats, ema_macd_daily, rsi_14_daily,
+    # stochastic_14_3, max_drawdown_per_symbol, pairwise_return_corr,
+    # twap_1h; readside/functions: counter_agg_1h, date_parts_orders,
+    # distinct_counts, json_props_stats, props_key_counts,
+    # region_revenue, rollup_returnflag_status, string_funcs_part,
+    # unpivot_lineitem_measures, state_agg_user_event; temporal.py:
+    # gapfill_interpolate_1m, gapfill_locf_1m; queries.py setop pair;
+    # text.py sequence_packing_256 — text.py is also untouched this
+    # round). They MUST open the r13 window:
+    "ohlc_rollup_1m_1h",
+    "bollinger_breach_stats",
+    "counter_agg_1h",
+    "date_parts_orders",
+    "distinct_counts",
+    "ema_macd_daily",
+    "gapfill_interpolate_1m",
+    "gapfill_locf_1m",
+    "json_props_stats",
+    "max_drawdown_per_symbol",
+    "pairwise_return_corr",
+    "props_key_counts",
+    "region_revenue",
+    "rollup_returnflag_status",
+    "rsi_14_daily",
+    "sequence_packing_256",
+    "setop_active_both_years",
+    "setop_lapsed_customers",
+    "state_agg_user_event",
+    "stochastic_14_3",
+    "string_funcs_part",
+    "twap_1h",
+    "unpivot_lineitem_measures",
+]
+
+_REGISTRY_PRIORITY_R11 = [
+    # r11 WINDOW (kept for the audit trail; superseded by the r12 list
+    # above): post-r10 distribution judge-computed
     # over the 161-query registry: r10 x50, r9 x49, r8 x50, r7 x11 +
-    # 1 never-adjudicated — dedup_audio_fingerprint).
+    # 1 never-adjudicated — dedup_audio_fingerprint.
     #
     # FRESHNESS SLO (unchanged): with 161 queries and a 50-slot driver
     # window, full coverage takes ceil(161/50) = 4 windows, so a
@@ -7939,60 +8627,36 @@ _REGISTRY_PRIORITY = [
 ]
 
 # ---------------------------------------------------------------------------
-# STAGED r12 PLAN (staleness-first). Post-r11 distribution over the
-# registry, assuming the r11 window above goes green: r11 x50,
-# r10 x44 (the r10 window minus the six rows recertified above as
-# changed-code/never-adjudicated), r9 x49, r8 x15 (the fifteen
-# displaced rows listed in (5) above — at 4 rounds old the only rows
-# past the 3-round floor, displaced with justification) + any queries
-# registered late in r11 below the window. The r12 window MUST
-# therefore be, in order: (1) whatever code changes in r12
-# (changed-code priority outranks staleness); (2) the THREE late-r11
-# registrations that have never been driver-adjudicated —
-# dedup_semantic_semdedup (SemDeDup: exact-value oracle over the
-# float-free cluster_col form; the k-means form pytest-pinned against
-# per-cluster brute force), doc_gopher_rules (Gopher Appendix-A
-# structural filters over a Column-decorated corpus, every rule
-# non-vacuous, exact oracle), and decontamination_fuzzy (MinHash-banded
-# train x eval near-dup sweep with planted prefix contamination; the
-# oracle replays bands + exact Jaccard, so the ~80% planted-recall at
-# (16,4) parameters is certified semantics, not slack) — all
-# strict-local at all three SFs, registered below the r11 window
-# because the window budget was spent on the staleness plan; (3) the
-# fifteen spilled r8 rows (atr_14_daily, beta_vs_market_daily,
-# copurchase_brand_pairs, equidepth_bins_value, events_value_drift_psi,
-# events_value_histogram, inverted_index_postings, kmv_jaccard_pairs,
-# point_in_time_enrich, regex_extract_brands,
-# seasonal_baseline_backtest, sequence_pattern_counts,
-# stats_price_quantity, vwap_brand_month, zscore_outlier_events) —
-# non-negotiable; (4) top up to 50 with the oldest r9 rows (the r9
-# window: bm25_top20, bollinger_breach_stats, counter_agg_1h,
-# curation_pipeline, date_parts_orders, decontamination_8gram/_bloom,
-# dedup_clusters/_edit_distance/_exact/_minhash_lsh/_ngram_jaccard/
-# _simhash32, distinct_counts, doc_fingerprint/_lang_id/_lm_scores/
-# _quality_scores/_token_stats, ema_macd_daily, features family,
-# gapfill pair, hybrid_search_rrf, json_props_stats,
-# max_drawdown_per_symbol, multimodal_features,
-# multimodal_quarantine_decode/_frames, ohlc_rollup_1m_1h,
-# pairwise_return_corr, pii_scrub, pivot_last_daily, props_key_counts,
-# realized_vol_1d, region_revenue, rollup_returnflag_status,
-# rsi_14_daily, sequence_packing_256, setop pair,
-# state_agg_user_event, stochastic_14_3, string_funcs_part,
-# tfidf_top3_terms, twap_1h, unpivot_lineitem_measures). ~14 r9 rows
-# will spill to r13 — pick them from modules r12 does not touch and
-# justify the displacement here, exactly as r9/r10/r11 did. Note on
-# TPC-H completeness (carried): the 5 unregistered numbers
-# (q2/q11/q20 need PARTSUPP; q12/q21 need l_shipmode/l_commitdate/
-# l_receiptdate) are structurally impossible on the driver corpus —
-# the 17 registered are every official shape the tables can express;
-# q21's double-correlated-existential PLAN SHAPE is covered by the
-# adapted q21_sole_returned_supplier (r9, driver-certified r10).
-# Also staged for r12: hoist per-row norms out of lsh_bucket_dedup's
-# pair verify (the r11 semdedup/embedding_dedup_writer optimization —
-# one fold + one division per candidate instead of three folds, same
-# expression tree so values are bit-identical); it sits under the
-# driver-green dedup_embedding_lsh row, so make the change in r12
-# where the changed-code row windows with the other r12 leads.
+# STAGED r13 PLAN (staleness-first). Post-r12 distribution over the
+# 168-query registry, assuming the r12 window above goes green:
+# r12 x50, r11 x44 (the r11 window minus the six rows re-certified in
+# r12 as changed-code/never-adjudicated leads), r10 x44, r9 x22 (the
+# spillover listed in (6) above — at 4 rounds old the only rows past
+# the 3-round floor, displaced with justification: their modules are
+# untouched by r12). The r13 window MUST therefore be, in order:
+# (1) whatever code changes in r13 (changed-code priority outranks
+# staleness); (2) any late-r12 registrations below the window (none
+# at r12 close — all four new rows lead the window); (3) the
+# TWENTY-TWO spilled r9 rows listed in (6) — non-negotiable; (4) top
+# up to 50 with the oldest r10 rows (the r10 window: q8_market_share,
+# q13_customer_distribution, q21_sole_returned_supplier,
+# range_join_event_sessions, events_time_range, doc_boilerplate_removal,
+# dedup_exact_substrings, multimodal_decode_gif, embedding_ann_ivfpq,
+# embedding_ann_pq, embedding_ann_ivf_persisted, heavy_hitters_topk,
+# funnel_view_click_purchase, event_transitions,
+# retention_cohorts_weekly, running_revenue_per_supplier,
+# word_counts_top100, pagerank_trade_graph, hits_trade_authorities,
+# dedup_embedding_lsh siblings and the rest of the r10 CORRECTNESS
+# file's keys — consult CORRECTNESS_r10.json for the authoritative
+# list). ~16 r10 rows will spill to r14 — pick them from modules r13
+# does not touch and justify the displacement here, exactly as
+# r9-r12 did. Note on TPC-H completeness (carried): the 5
+# unregistered numbers (q2/q11/q20 need PARTSUPP; q12/q21 need
+# l_shipmode/l_commitdate/l_receiptdate) are structurally impossible
+# on the driver corpus — the 17 registered are every official shape
+# the tables can express; q21's double-correlated-existential PLAN
+# SHAPE is covered by the adapted q21_sole_returned_supplier (r9,
+# driver-certified r10).
 # ---------------------------------------------------------------------------
 
 

@@ -58,9 +58,16 @@ def quality_gate_writer(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
+            # NULL-text documents get NULL signals, so keep is NULL —
+            # both filter(keep) and filter(~keep) would drop them from
+            # BOTH tables, silently losing rows from the auditable
+            # split (r12 advice fix). Route NULL keep to rejects: a
+            # document with no text is a reject, and the NULL signal
+            # columns record why.
+            keep3 = F.coalesce(F.col("keep"), F.lit(False))
             try:
                 (
-                    scored.filter(F.col("keep"))
+                    scored.filter(keep3)
                     .withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .partitionBy("batch_id")
@@ -68,7 +75,7 @@ def quality_gate_writer(
                 )
                 if rejects_dir is not None:
                     (
-                        scored.filter(~F.col("keep"))
+                        scored.filter(~keep3)
                         .withColumn("batch_id", F.lit(batch_id))
                         .write.mode("overwrite")
                         .partitionBy("batch_id")

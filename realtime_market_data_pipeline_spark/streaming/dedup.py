@@ -115,12 +115,23 @@ def _dup_ids_against(
 
 
 def read_store(
-    spark: SparkSession, store_dir: str, before_batch: int | None = None
+    spark: SparkSession,
+    store_dir: str,
+    before_batch: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """The accepted-signature store as a DataFrame, or None when empty.
-    ``before_batch`` excludes partitions ≥ that batch_id (replay guard)."""
+    ``before_batch`` excludes partitions ≥ that batch_id (replay guard).
+    ``merge_schema`` unions the per-file schemas — needed only by
+    readers that tolerate a legacy layout alongside the current one
+    (exact_substring_writer's pre-r11 count-less partitions), since a
+    plain read takes ONE footer's schema and silently nulls or drops
+    the columns the other layout carries."""
     try:
-        df = spark.read.parquet(store_dir)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(store_dir)
     except Exception:  # noqa: BLE001 — first batch: no store yet
         return None
     if before_batch is not None:
@@ -176,12 +187,29 @@ def compact_store(
         raise ValueError("partition_cols must lead with batch_id")
     tmp = store_dir.rstrip("/") + "._compact_tmp"
     old_root = store_dir.rstrip("/") + "._compact_old"
-    # recover from a prior crashed compaction, then clear staging
+    # Recover from a prior crashed compaction, then clear staging. The
+    # commit point is the final rename installing the folded
+    # batch_id=upto partition — which reuses the NAME of a displaced
+    # dir, so "some old_root entry has a live twin" is an exact
+    # committed-fold detector (pre-commit, every displaced dir's live
+    # path is missing; nothing else can recreate a batch_id <= upto
+    # partition, because new stream batches are all > upto). Post-commit
+    # the displaced rows already live inside the folded partition:
+    # restoring them would double every batch < upto (r12 advice fix),
+    # so discard the staging instead.
     if os.path.isdir(old_root):
-        for entry in os.listdir(old_root):
-            live = os.path.join(store_dir, entry)
-            if entry.startswith("batch_id=") and not os.path.isdir(live):
-                os.rename(os.path.join(old_root, entry), live)
+        displaced = [
+            e for e in os.listdir(old_root) if e.startswith("batch_id=")
+        ]
+        committed = any(
+            os.path.isdir(os.path.join(store_dir, e)) for e in displaced
+        )
+        if not committed:
+            for entry in displaced:
+                os.rename(
+                    os.path.join(old_root, entry),
+                    os.path.join(store_dir, entry),
+                )
         shutil.rmtree(old_root)
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -652,11 +680,25 @@ def exact_substring_writer(
             batch_counts = grams.groupBy("h").agg(
                 F.count(F.lit(1)).alias("c")
             )
-            seen = read_store(spark, store_dir, before_batch=batch_id)
+            seen = read_store(
+                spark, store_dir, before_batch=batch_id, merge_schema=True
+            )
             if seen is None:
                 total = batch_counts
             else:
-                hist = seen.groupBy("h").agg(F.sum("c").alias("hc"))
+                # Legacy (pre-r11) store partitions are (h, batch_id)
+                # with no count column — a resumed stream over an old
+                # store must not fail on the missing column, and once
+                # the first upgraded batch appends (h, c) rows the
+                # merged schema reads legacy rows as c = NULL. Either
+                # way each legacy digest row counts as one occurrence
+                # (r12 advice fix); merge_schema above keeps the real
+                # counts of upgraded partitions visible alongside.
+                if "c" not in seen.columns:
+                    seen = seen.withColumn("c", F.lit(1))
+                hist = seen.groupBy("h").agg(
+                    F.sum(F.coalesce(F.col("c"), F.lit(1))).alias("hc")
+                )
                 total = batch_counts.join(hist, "h", "left").select(
                     "h",
                     (

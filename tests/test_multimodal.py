@@ -1897,6 +1897,60 @@ def test_hash_hamming_pairs_wide_multiword_matches_bruteforce(spark):
     assert (0, 30, 12) in got and (1, 31, 8) in got
 
 
+def test_hash_hamming_pairs_wide_bands_over_64_bits(spark):
+    """r12 (advice fix): bands >= 64 bits — n_bits=256 at budgets <= 3
+    gives 64- and 85/86-bit bands — previously overflowed the
+    (1<<64)-1 long literal (width == 64) or silently corrupted band
+    keys via the JVM's shiftleft wrap (width > 64). The struct-of-
+    sub-word band keys must return exactly the brute-force pairs at
+    both budget shapes: 4x64-bit word-aligned bands and 3 bands of
+    86/85/85 bits that straddle word boundaries."""
+    from itertools import combinations
+
+    rng_state = 0xDEADBEEFCAFEF00D
+    vals = []
+    for i in range(24):
+        rng_state = (
+            rng_state * 6364136223846793005 + 1442695040888963407
+        ) % (1 << 256)
+        vals.append(rng_state)
+    # plants: exactly-at-budget pairs, flips straddling word bounds
+    vals.append(vals[0] ^ (0b111 << 62))  # 3 bits across words 0/1
+    vals.append(vals[1] ^ (0b11 << 127))  # 2 bits across words 1/2
+    vals.append(vals[2])  # exact dup (hamming 0)
+
+    def words(x):
+        out = []
+        for k in range(4):
+            w = (x >> (64 * k)) & ((1 << 64) - 1)
+            out.append(w - (1 << 64) if w >= 1 << 63 else w)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, words(x)) for i, x in enumerate(vals)],
+        "media_id long, dhash array<long>",
+    )
+    for budget in (3, 2):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in mm.hash_hamming_pairs(
+                df, max_hamming=budget, n_bits=256
+            ).collect()
+        }
+        want = {
+            (a, b, bin(vals[a] ^ vals[b]).count("1"))
+            for a, b in combinations(range(len(vals)), 2)
+            if bin(vals[a] ^ vals[b]).count("1") <= budget
+        }
+        assert got == want, budget
+    assert (0, 24, 3) in {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.hash_hamming_pairs(
+            df, max_hamming=3, n_bits=256
+        ).collect()
+    }
+
+
 def test_hash_hamming_pairs_min_band_bits_guard(spark):
     """r11: the band-width floor is a hard guard — a 64-bit hash at
     budget 12 gives 4-bit bands (16 buckets: a small-constant

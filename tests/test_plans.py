@@ -324,46 +324,25 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
     # STALENESS-FIRST rotation with changed-code priority (the SLO in the
-    # registry comment): the r11 window must hold (a) the one
-    # never-adjudicated row (dedup_audio_fingerprint — also changed-code:
-    # the audio decode single-pass + hash_hamming_pairs rewrite sit under
-    # it), (b) the changed-code rows (the appended-index row's folded
-    # delete leg, the multi-codec ingest stripes, the GIF-striped
-    # probe/quarantine pair, the dhash row on the banding rewrite),
-    # (c) the eleven r7 rows at four rounds stale (non-negotiable), and
-    # (d) every r8 row on a module r11 changed (multimodal.py,
-    # similarity.py, text.py) — changed-module rows never spill.
+    # registry comment): the r12 window must hold (a) the four new-r12
+    # rows and the three late-r11 rows, all never driver-adjudicated,
+    # (b) the changed-code re-cert (dedup_embedding_lsh — the staged
+    # lsh_bucket_dedup norm hoist landed this round; doc_gopher_rules
+    # also sits on the _gopher_decorated factor-out but leads as a
+    # never-adjudicated row anyway), (c) the fifteen r8 rows at four
+    # rounds stale (non-negotiable), and (d) the 27 r9 top-up rows with
+    # touched-module rows (multimodal.py) never spilling.
     names = list(Q.QUERIES)
     window = set(names[:50])
-    never_adjudicated = {"dedup_audio_fingerprint"}
-    changed_code = {
-        "embedding_ann_ivf_appended", "text_ingest_gzip_quarantine",
-        "multimodal_probe", "multimodal_quarantine",
-        "multimodal_dedup_dhash",
+    never_adjudicated = {
+        "multimodal_dedup_dhash_wide", "dedup_semantic_semdedup_kmeans",
+        "online_quality_gate_fold", "online_semdedup_fold",
+        "doc_dsir_weights",
+        "dedup_semantic_semdedup", "doc_gopher_rules",
+        "decontamination_fuzzy",
     }
-    r7_stale = {
-        "sql_frontend_scan", "top_orders_global", "union_backfill_counts",
-        "tick_validation_counts", "synthetic_gbm_features",
-        "user_sessions_12h", "moving_avg_value_5", "approx_distinct_users",
-        "profile_events_numeric", "heavy_hitters_merged",
-        "funnel_time_to_convert",
-    }
-    changed_module_r8 = {
-        # multimodal.py (r11: GIF stripe, wide hashes, audio refactor)
-        "multimodal_video_mjpeg",
-        # similarity.py (r11: delete staging outside the table + recovery)
-        "dedup_embedding_cosine", "embedding_l2_normalized",
-        "embedding_quantized_int8", "embedding_similar_pairs",
-        # text.py (r11: codec_col plant, counted exact-substring store)
-        "token_weighted_sample", "doc_train_eval_split",
-    }
-    for group in (never_adjudicated, changed_code, r7_stale,
-                  changed_module_r8):
-        assert group <= window, group - window
-    assert names[0] == "dedup_audio_fingerprint"
-    # the fifteen displaced r8 rows (quiet modules, justified in the
-    # registry comment) must sit at slots 51-65 so they lead r12
-    assert set(names[50:65]) == {
+    changed_code = {"dedup_embedding_lsh"}
+    r8_stale = {
         "atr_14_daily", "beta_vs_market_daily", "copurchase_brand_pairs",
         "equidepth_bins_value", "events_value_drift_psi",
         "events_value_histogram", "inverted_index_postings",
@@ -371,6 +350,30 @@ def test_registry_priority_window():
         "regex_extract_brands", "seasonal_baseline_backtest",
         "sequence_pattern_counts", "stats_price_quantity",
         "vwap_brand_month", "zscore_outlier_events",
+    }
+    changed_module_r9 = {
+        # multimodal.py (r12: wide plant corpus + _word_band_expr struct
+        # bands) — its r9 rows never spill
+        "multimodal_features", "multimodal_quarantine_decode",
+        "multimodal_quarantine_frames",
+    }
+    for group in (never_adjudicated, changed_code, r8_stale,
+                  changed_module_r9):
+        assert group <= window, group - window
+    assert names[0] == "multimodal_dedup_dhash_wide"
+    # the twenty-three displaced r9 rows (quiet modules, justified in
+    # the registry comment) must sit at slots 51-73 so they lead r13
+    assert set(names[50:73]) == {
+        "ohlc_rollup_1m_1h",
+        "bollinger_breach_stats", "counter_agg_1h", "date_parts_orders",
+        "distinct_counts", "ema_macd_daily", "gapfill_interpolate_1m",
+        "gapfill_locf_1m", "json_props_stats", "max_drawdown_per_symbol",
+        "pairwise_return_corr", "props_key_counts", "region_revenue",
+        "rollup_returnflag_status", "rsi_14_daily",
+        "sequence_packing_256", "setop_active_both_years",
+        "setop_lapsed_customers", "state_agg_user_event",
+        "stochastic_14_3", "string_funcs_part", "twap_1h",
+        "unpivot_lineitem_measures",
     }
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)

@@ -2308,6 +2308,61 @@ def test_exact_substring_writer_min_count_across_batches(spark, tmp_path):
     assert {(s[0], s[1], s[2]) for s in spans} == twin
 
 
+def test_exact_substring_writer_reads_legacy_store(spark, tmp_path):
+    """r12 (advice fix): a stream resumed over a pre-r11 digest store —
+    rows are (h, batch_id) with NO count column — must not fail on the
+    first post-upgrade batch; each legacy digest row counts as one
+    occurrence, so cross-batch min_count keeps working."""
+    from realtime_market_data_pipeline_spark.operators.text import (
+        gram_hashes,
+    )
+    from realtime_market_data_pipeline_spark.streaming import dedup as sdedup
+
+    store = str(tmp_path / "leg_store")
+    out = str(tmp_path / "leg_out")
+    shared = "one two three four"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # plant a LEGACY-format batch_id=0 partition: digests of one prior
+    # sighting of the shared phrase, no `c` column
+    legacy = (
+        gram_hashes(mk([(1, f"alpha {shared} beta")]), w=4)
+        .select("h")
+        .withColumn("batch_id", F.lit(0))
+    )
+    legacy.write.partitionBy("batch_id").parquet(store)
+    assert "c" not in spark.read.parquet(store).columns
+
+    # new batch holds two more sightings: 1 (legacy) + 2 (batch) = 3
+    writer = sdedup.exact_substring_writer(store, out, w=4, min_count=3)
+    writer(
+        mk(
+            [
+                (2, f"second look {shared} here"),
+                (3, f"third look {shared} there"),
+            ]
+        ),
+        1,
+    )
+    flagged = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert flagged == {2, 3}
+    # the store is now MIXED-schema (legacy count-less batch 0 beside
+    # the counted batch 1); the next batch's history read must see
+    # legacy rows as count 1 AND the upgraded partition's real counts:
+    # history total is 1 (legacy) + 2 (batch 1) = 3, so one more
+    # sighting flags immediately
+    writer(mk([(4, f"fourth look {shared} anywhere")]), 2)
+    flagged = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert flagged == {2, 3, 4}
+    # a never-duplicated phrase in the same batches stays clean
+    writer(mk([(5, "entirely novel body of words")]), 3)
+    assert {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    } == {2, 3, 4}
+
+
 def test_compact_store_preserves_decisions_and_shrinks_files(spark, tmp_path):
     """r11 (verdict item): the batch_id-partitioned dedup stores get a
     maintenance hook — compact_store folds committed batch partitions
@@ -2370,6 +2425,44 @@ def test_compact_store_preserves_decisions_and_shrinks_files(spark, tmp_path):
     sdedup.compact_store(spark, store1, upto_batch=1)
     assert not os.path.exists(old_root)
     assert spark.read.parquet(store1).count() > n_before
+    # POST-commit crash window (r12 advice fix): crash landed after the
+    # folded batch_id=upto partition was installed but before the
+    # staging rmtree — old_root still holds the displaced dirs, but
+    # their rows already live inside the folded partition. Recovery
+    # must DISCARD the staging (restoring would double every batch <
+    # upto and inflate the reader's SUM(c), flagging spans below the
+    # true min_count). Simulate by folding 1..3, then reconstructing
+    # the staging dir as if rmtree never ran.
+    import shutil as _sh
+
+    store2 = str(tmp_path / "s2")
+    run(store2, str(tmp_path / "o2"))
+    snap = str(tmp_path / "snap")
+    _sh.copytree(store2, snap)
+    fb, fa = sdedup.compact_store(spark, store2, upto_batch=3)
+    assert fa < fb
+    truth = sorted(
+        (r.h, r.c, r.batch_id)
+        for r in spark.read.parquet(store2).collect()
+    )
+    old2 = store2.rstrip("/") + "._compact_old"
+    os.makedirs(old2)
+    for b in (0, 1, 2, 3):
+        d = f"batch_id={b}"
+        if os.path.isdir(os.path.join(snap, d)):
+            _sh.copytree(
+                os.path.join(snap, d), os.path.join(old2, d)
+            )
+    # live batch_id=3 (the folded partition) exists -> fold committed
+    sdedup.compact_store(spark, store2, upto_batch=3)
+    assert not os.path.exists(old2)
+    assert (
+        sorted(
+            (r.h, r.c, r.batch_id)
+            for r in spark.read.parquet(store2).collect()
+        )
+        == truth
+    )
 
 
 def test_streaming_image_dedup_wide_hash_path(spark, tmp_path):
@@ -2443,6 +2536,7 @@ def test_streaming_quality_gate_routes_and_replays(spark, tmp_path):
     rows_b1 = [
         (2, "the data " + " ".join(f"token{i}" for i in range(30))),  # keep
         (3, "zz qq " + " ".join(f"word{i}" for i in range(25))),      # reject
+        (4, None),  # NULL text -> NULL signals -> must route to rejects
     ]
     writer = curation.quality_gate_writer(out, rej, **kw)
 
@@ -2469,16 +2563,21 @@ def test_streaming_quality_gate_routes_and_replays(spark, tmp_path):
     run()
     kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
     dropped = {r.doc_id: r for r in spark.read.parquet(rej).collect()}
-    assert set(kept) == {0, 2} and set(dropped) == {1, 3}
+    # doc 4 (NULL text): keep is NULL, and before the r12 advice fix
+    # it vanished from BOTH tables — the split-and-route contract says
+    # every input doc lands exactly once, so it must be a reject
+    assert set(kept) == {0, 2} and set(dropped) == {1, 3, 4}
     assert not dropped[1].pass_bullet_lines     # why doc 1 was cut
     assert not dropped[3].pass_stopwords        # why doc 3 was cut
+    assert dropped[4].keep is None              # NULL signals preserved
     assert kept[0].text.startswith("the data")  # original text carried
-    # accumulated split == the batch operator over all docs
+    # accumulated split == the batch operator over all docs (NULL keep
+    # routing to rejects is the writer's documented tie-break)
     all_docs = spark.createDataFrame(
         rows_b0 + rows_b1, "doc_id long, text string"
     )
     twin = {
-        r.doc_id: r.keep
+        r.doc_id: bool(r.keep)
         for r in tx.gopher_quality(all_docs, **kw).collect()
     }
     assert {i: True for i in kept} | {i: False for i in dropped} == twin

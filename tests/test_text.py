@@ -423,3 +423,74 @@ def test_gopher_quality_rules_and_signals(spark):
     # semantics)
     assert out[3].n_words == 16
     assert out[3].symbol_ratio == 0.75
+
+
+def test_dsir_weights_selects_target_like_raw_docs(spark):
+    """r12 (Xie et al. 2023): DSIR importance weights — raw docs sharing
+    the target split's distinctive vocabulary must outweigh raw docs
+    that don't, selection is exactly the top ceil(25%) of the RAW pool
+    (ties by id), target docs are scored but never selected, and the
+    decimal-summed weight replays a plain python fold of the same
+    9-dp-rounded ln terms."""
+    import hashlib
+    import math
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    target_text = "quantum flux capacitor resonance harmonics"
+    rows = (
+        # targets (is_target=True): ids 0..3, shared distinctive vocab
+        [(i, True, target_text + f" probe{i}") for i in range(4)]
+        # target-like raw docs: ids 10..13
+        + [(10 + i, False, target_text + f" raw{i}") for i in range(4)]
+        # off-target raw docs: ids 20..27
+        + [
+            (20 + i, False, f"mundane filler words item{i} common stuff")
+            for i in range(8)
+        ]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, is_target boolean, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.dsir_weights(df, target_col="is_target").collect()
+    }
+    assert len(out) == 16
+    # every target-like raw doc outweighs every off-target raw doc
+    lo = max(out[20 + i].log_w for i in range(8))
+    hi = min(out[10 + i].log_w for i in range(4))
+    assert hi > lo
+    # selection: ceil(0.25 * 12 raw docs) = 3, all from the target-like
+    # group, none from targets
+    sel = {d for d, r in out.items() if r.selected}
+    assert len(sel) == 3 and sel <= {10, 11, 12, 13}
+    assert all(not out[i].selected for i in range(4))
+    # n_grams: unigrams + bigrams of the 6-token target-like docs = 11
+    assert out[10].n_grams == 6 + 5
+    # exact replay of one doc's weight: same buckets, same rounded lns,
+    # summed exactly
+    def bucket(g):
+        h = hashlib.md5(g.encode()).hexdigest()
+        return int(h[:15], 16) % 4096
+    grams = {}
+    for _i, (did, is_t, text) in enumerate(rows):
+        t = text.split()
+        gs = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        grams[did] = [bucket(g) for g in gs]
+    cp, cq = {}, {}
+    tp = tq = 0
+    for did, is_t, _text in rows:
+        for b in grams[did]:
+            if is_t:
+                cp[b] = cp.get(b, 0) + 1
+                tp += 1
+            else:
+                cq[b] = cq.get(b, 0) + 1
+                tq += 1
+    from decimal import Decimal
+
+    w = Decimal(0)
+    for b in grams[10]:
+        lp = round(math.log((cp.get(b, 0) + 1) / (tp + 4096)), 9)
+        lq = round(math.log((cq.get(b, 0) + 1) / (tq + 4096)), 9)
+        w += Decimal(repr(lp)) - Decimal(repr(lq))
+    assert out[10].log_w == float(round(w, 6))
