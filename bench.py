@@ -155,8 +155,12 @@ HEADLINE = [
     "dedup_semantic_semdedup_kmeans",
     "online_quality_gate_fold",
     "online_semdedup_fold",
-    # r12: DSIR importance-resampling data selection (Xie 2023)
+    # r12: DSIR importance-resampling data selection (Xie 2023), the
+    # Gopher repetition filter family (Rae 2021 Table A1), and WARC
+    # crawl-record ingestion (wrap/parse + fault stripes)
     "doc_dsir_weights",
+    "doc_gopher_repetition",
+    "text_ingest_warc",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

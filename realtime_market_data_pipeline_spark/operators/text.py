@@ -213,6 +213,238 @@ def gopher_quality(
     )
 
 
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top2_cov_frac": 0.20,
+    "top3_cov_frac": 0.18,
+    "top4_cov_frac": 0.16,
+    "dup5_cov_frac": 0.15,
+    "dup6_cov_frac": 0.14,
+    "dup7_cov_frac": 0.13,
+    "dup8_cov_frac": 0.12,
+    "dup9_cov_frac": 0.11,
+    "dup10_cov_frac": 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Gopher REPETITION filters (Rae et al. 2021 Appendix A, Table A1 —
+    the other half of the Gopher gate: ``gopher_quality`` covers the
+    structural rules, this covers repetitious documents; as dataflow,
+    not a port). Thirteen signals per document, paper thresholds as
+    defaults:
+
+    - duplicate line / paragraph FRACTION (occurrences beyond the
+      first, over the line/paragraph count) <= 0.30 each;
+    - duplicate line / paragraph CHARACTER fraction (characters in
+      occurrences beyond the first, over the segment characters)
+      <= 0.20 each — all four are row-local array arithmetic
+      (n − n_distinct and Σlen − Σlen(distinct)), zero shuffle;
+    - TOP n-gram COVERAGE fraction for n=2,3,4: tokens covered by the
+      occurrences of the most frequent word n-gram (interval union, so
+      overlapping occurrences never double-count), over the token
+      count, and only when that gram occurs >= 2 times; thresholds
+      0.20/0.18/0.16, tie-broken deterministically by
+      (count desc, digest desc);
+    - DUPLICATE n-gram COVERAGE fraction for n=5..10: tokens covered
+      by occurrences of ANY n-gram occurring >= 2 times (one merged
+      interval union per doc), over the token count; thresholds
+      0.15/0.14/0.13/0.12/0.11/0.10.
+
+    The paper states the n-gram signals as CHARACTER fractions;
+    token-coverage is the same monotone signal made well-defined and
+    bounded [0,1] under the \\s+ tokenizer (char offsets into the raw
+    text are ambiguous once consecutive whitespace collapses, and the
+    naive Σ count·len form exceeds 1 on overlapping runs — 'a a a a'
+    counts the middle tokens twice). Column names say cov, not char,
+    to keep the departure visible.
+
+    Scale shape: lines/paragraphs never leave their row; the n-gram
+    relation flows ONE exploded pass carrying (id, n, position,
+    md5-DIGEST, len) — the digest-only wire rule, gram text never
+    crosses the exchange — with one (id, n, digest) keyed count agg
+    (map-side combined), one windowed top-pick at (id, n, digest)
+    cardinality, two gaps-and-islands interval unions over the
+    duplicated positions (the certified ``merge_spans`` shape keyed by
+    (id, n)), and one id join back to the row-local signals. Every
+    count and interval length is an exact integer, so the 6 dp ratio
+    rounding cannot diverge cross-engine; the md5 digest makes the
+    tie-break ANSI-replayable."""
+    from pyspark.sql.window import Window
+
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    t = F.col(text_col)
+    toks = tokens(text_col)
+
+    def _arr_chars(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+
+    def _seg_signals(arr: Column, prefix: str) -> list[Column]:
+        n_seg = F.size(arr)
+        n_dis = F.size(F.array_distinct(arr))
+        c_all = _arr_chars(arr)
+        c_dis = _arr_chars(F.array_distinct(arr))
+        frac = F.round((n_seg - n_dis).cast("double") / n_seg, 6)
+        cfrac = F.when(c_all > 0, F.round(
+            (c_all - c_dis).cast("double") / c_all, 6
+        )).otherwise(F.lit(0.0))
+        return [
+            frac.alias(f"dup_{prefix}_frac"),
+            cfrac.alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    base = df.select(
+        id_col,
+        F.size(toks).alias("n_toks"),
+        *_seg_signals(F.split(t, "\n"), "line"),
+        *_seg_signals(F.split(t, "\n\n"), "para"),
+    )
+    NS = tuple(range(2, 11))
+    gram_rels = []
+    for n in NS:
+        g = (
+            df.select(id_col, toks.alias("t"))
+            .filter(F.size("t") >= n)
+            .select(
+                id_col,
+                F.lit(n).alias("n"),
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, size(t) - {n}),"
+                        f" i -> array_join(slice(t, i + 1, {n}), ' '))"
+                    )
+                ).alias("i", "g"),
+            )
+        )
+        gram_rels.append(g)
+    grams = gram_rels[0]
+    for g in gram_rels[1:]:
+        grams = grams.unionByName(g)
+    # no persist: the whole computation composes into ONE query, so the
+    # repeated counts/positions subplans dedupe via ReusedExchange —
+    # and the storage-lifecycle rule (release before return) cannot
+    # hold for a relation the caller consumes later
+    pos = grams.select(
+        id_col, "n", "i", F.md5("g").alias("h")
+    )
+    counts = pos.groupBy(id_col, "n", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    win = Window.partitionBy(id_col, "n").orderBy(
+        F.col("c").desc(), F.col("h").desc()
+    )
+    dup_h = counts.filter(F.col("c") >= 2)
+    top_h = (
+        dup_h.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "n", "h")
+    )
+
+    def _coverage(marked: DataFrame) -> DataFrame:
+        """Interval-union token coverage per (id, n): occurrences cover
+        [i, i+n); islands break when the start gap exceeds n (the
+        merge_spans rule keyed by (id, n) with column width)."""
+        w = Window.partitionBy(id_col, "n").orderBy("i")
+        brk = F.when(
+            F.col("i") - F.lag("i").over(w) > F.col("n"), F.lit(1)
+        ).otherwise(F.lit(0))
+        isl = marked.select(
+            id_col, "n", "i",
+            F.sum(brk).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("isl"),
+        )
+        return (
+            isl.groupBy(id_col, "n", "isl")
+            .agg(
+                (F.max("i") + F.first("n") - F.min("i")).alias("cov")
+            )
+            .groupBy(id_col, "n")
+            .agg(F.sum("cov").alias("cov"))
+        )
+
+    dup_cov = _coverage(pos.join(dup_h.select(id_col, "n", "h"),
+                                 [id_col, "n", "h"], "left_semi"))
+    top_cov = _coverage(pos.join(top_h, [id_col, "n", "h"], "left_semi"))
+    ncols = []
+    for n in (2, 3, 4):
+        ncols.append(
+            F.max(F.when(F.col("n") == n, F.col("topcov"))).alias(
+                f"top{n}_cov"
+            )
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        ncols.append(
+            F.max(F.when(F.col("n") == n, F.col("dupcov"))).alias(
+                f"dup{n}_cov"
+            )
+        )
+    pern_wide = (
+        dup_cov.withColumnRenamed("cov", "dupcov")
+        .join(
+            top_cov.withColumnRenamed("cov", "topcov"),
+            [id_col, "n"],
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(*ncols)
+    )
+    out = base.join(pern_wide, id_col, "left")
+    frac_cols: list[Column] = []
+    pass_cols: list[Column] = []
+    keep: Column = F.lit(True)
+    for name in ("dup_line_frac", "dup_line_char_frac",
+                 "dup_para_frac", "dup_para_char_frac"):
+        p = F.col(name) <= th[name]
+        pass_cols.append(p.alias(f"pass_{name}"))
+        keep = keep & p
+    for n in (2, 3, 4):
+        name = f"top{n}_cov_frac"
+        frac = F.round(
+            F.coalesce(F.col(f"top{n}_cov"), F.lit(0)).cast("double")
+            / F.col("n_toks"),
+            6,
+        )
+        frac_cols.append(frac.alias(name))
+        p = frac <= th[name]
+        pass_cols.append(p.alias(f"pass_{name}"))
+        keep = keep & p
+    for n in (5, 6, 7, 8, 9, 10):
+        name = f"dup{n}_cov_frac"
+        frac = F.round(
+            F.coalesce(F.col(f"dup{n}_cov"), F.lit(0)).cast("double")
+            / F.col("n_toks"),
+            6,
+        )
+        frac_cols.append(frac.alias(name))
+        p = frac <= th[name]
+        pass_cols.append(p.alias(f"pass_{name}"))
+        keep = keep & p
+    return out.select(
+        id_col,
+        "n_toks",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        *frac_cols,
+        *pass_cols,
+        keep.alias("keep"),
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score = hits of each language's marker list;
     CJK-codepoint presence short-circuits to 'zh'; argmax with fixed-order
@@ -648,6 +880,195 @@ def bigram_lm_scores(
                 (-F.sum(F.col("logp").cast("decimal(38,10)"))).cast("double") / n, 6
             ).alias("avg_neg_logp"),
         )
+    )
+
+
+def wrap_warc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Plant a spec-shaped WARC/1.0 response record per document (the
+    ``compress_documents`` pattern for the crawl container): WARC
+    headers (Type/Record-ID/Target-URI/Date/Content-Type/
+    Content-Length) + CRLF blank line + an HTTP/1.1 200 response whose
+    body is the document text. Content-Length is the OCTET length of
+    the http block, computed in the plan — so the planted corpus is
+    pure Column arithmetic an oracle replays. Output: (id, warc)."""
+    crlf = F.lit("\r\n")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"
+              "Content-Type: text/plain; charset=utf-8\r\n\r\n"),
+        F.col(text_col),
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: response\r\n"),
+        F.lit("WARC-Record-ID: <urn:uuid:"),
+        F.col(id_col).cast("string"), F.lit(">"), crlf,
+        F.lit("WARC-Target-URI: https://example.org/doc/"),
+        F.col(id_col).cast("string"), crlf,
+        F.lit("WARC-Date: 2024-01-01T00:00:00Z\r\n"),
+        F.lit("Content-Type: application/http; msgtype=response\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(http).cast("string"), crlf,
+        crlf,
+        http,
+    )
+    return df.select(id_col, warc.alias("warc"))
+
+
+def parse_warc(
+    df: DataFrame, warc_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse one WARC record per row into typed columns — the
+    per-record stage of crawl ingestion (the record-level twin of the
+    compressed-document router; a .warc.gz FILE first splits into
+    records via ``split_warc_records``). Pure codegen Columns — header
+    extraction is anchored regexp over the header block, the payload
+    split is one find of the CRLF blank line — so the parse is a
+    shuffle-free scan stage at any corpus size.
+
+    Quarantine-as-data contract (the media-router rule): malformed
+    records become ``error_class`` rows instead of killing the stage —
+    unknown magic (not WARC/1.x) = NotImplementedError; a missing
+    Content-Length or WARC-Record-ID header, or a payload whose octet
+    length disagrees with the declared Content-Length (truncated or
+    padded record) = ValueError. Non-response record types (warcinfo,
+    request) parse fine with NULL http fields — type routing is the
+    caller's business.
+
+    Output: (id, warc_type, record_id, target_uri, warc_date,
+    content_length, http_status, body, n_body_bytes, error_class).
+    Char-based offsets equal byte offsets on single-byte text; binary
+    WARC payloads belong on the binary-column path
+    (``probe_media``-family), not this text parser."""
+    w = F.col(warc_col)
+    sep = "\r\n\r\n"
+    hdr_end = F.instr(w, sep)  # 1-based start of the blank line; 0 = none
+    hdr = F.substring(w, 1, hdr_end - 1)
+    payload = w.substr(hdr_end + 4, F.octet_length(w))
+
+    def _h(name: str) -> Column:
+        return F.regexp_extract(hdr, f"(?m)^{name}: ([^\r\n]+)", 1)
+
+    magic_ok = w.rlike(r"^WARC/1\.[01]\r\n")
+    clen_s = _h("Content-Length")
+    rec_id = _h("WARC-Record-ID")
+    clen = F.when(clen_s != "", clen_s.cast("long"))
+    payload_len = F.when(hdr_end > 0, F.octet_length(payload)).otherwise(
+        F.lit(0)
+    )
+    err = (
+        F.when(~magic_ok, F.lit("NotImplementedError"))
+        .when(
+            (hdr_end == 0) | (clen_s == "") | clen.isNull()
+            | (rec_id == "") | (_h("WARC-Type") == ""),
+            F.lit("ValueError"),
+        )
+        .when(payload_len != clen, F.lit("ValueError"))
+    )
+    is_http = _h("Content-Type").startswith("application/http")
+    body_start = F.instr(payload, sep)
+    status_s = F.regexp_extract(payload, r"^HTTP/1\.[01] (\d{3})", 1)
+    http_ok = is_http & (body_start > 0) & (status_s != "")
+    body = F.when(http_ok, payload.substr(
+        body_start + 4, F.octet_length(payload)
+    ))
+    good = err.isNull()
+    return df.select(
+        id_col,
+        F.when(good, _h("WARC-Type")).alias("warc_type"),
+        F.when(good, rec_id).alias("record_id"),
+        F.when(good & (_h("WARC-Target-URI") != ""),
+               _h("WARC-Target-URI")).alias("target_uri"),
+        F.when(good & (_h("WARC-Date") != ""),
+               _h("WARC-Date")).alias("warc_date"),
+        F.when(good, clen).alias("content_length"),
+        F.when(good & http_ok, status_s.cast("int")).alias("http_status"),
+        F.when(good, body).alias("body"),
+        F.when(good, F.coalesce(F.octet_length(body), F.lit(0)))
+        .alias("n_body_bytes"),
+        err.alias("error_class"),
+    )
+
+
+def split_warc_records(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split a WARC FILE payload (binary, possibly holding many
+    records) into one row per record — the Content-Length-driven walk
+    the WARC spec prescribes (records are length-framed; scanning for
+    'WARC/' would misfire on bodies that contain it). Iterative by
+    nature, so this is an Arrow ``mapInPandas`` stage (the
+    compressed-ingest router precedent); gzip members are inflated
+    first when the payload carries the gzip magic (the .warc.gz form —
+    each record its own member or one stream, both walk the same).
+    Truncated trailing records quarantine as a final error row rather
+    than killing the task. Output: (id, record_idx, warc string,
+    error_class)."""
+    import gzip as _gzip
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = None if pd.isna(did) else int(did)
+                if payload is None:
+                    out.append((did, None, None, "ValueError"))
+                    continue
+                raw = bytes(payload)
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gzip.decompress(raw)
+                    except Exception:
+                        out.append((did, None, None, "ValueError"))
+                        continue
+                pos, idx = 0, 0
+                while pos < len(raw):
+                    if raw[pos:pos + 5] != b"WARC/":
+                        out.append((did, idx, None,
+                                    "NotImplementedError"))
+                        break
+                    hdr_end = raw.find(b"\r\n\r\n", pos)
+                    if hdr_end < 0:
+                        out.append((did, idx, None, "ValueError"))
+                        break
+                    hdr = raw[pos:hdr_end]
+                    m = [ln for ln in hdr.split(b"\r\n")
+                         if ln.lower().startswith(b"content-length:")]
+                    if not m:
+                        out.append((did, idx, None, "ValueError"))
+                        break
+                    try:
+                        clen = int(m[0].split(b":", 1)[1].strip())
+                    except ValueError:
+                        out.append((did, idx, None, "ValueError"))
+                        break
+                    end = hdr_end + 4 + clen
+                    if end > len(raw):
+                        out.append((did, idx, None, "ValueError"))
+                        break
+                    rec = raw[pos:end]
+                    out.append(
+                        (did, idx, rec.decode("utf-8", "replace"), None)
+                    )
+                    idx += 1
+                    pos = end
+                    # records are followed by two CRLFs per spec
+                    while raw[pos:pos + 2] == b"\r\n":
+                        pos += 2
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "record_idx", "warc", "error_class"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, record_idx int, warc string, error_class string",
     )
 
 

@@ -8247,6 +8247,262 @@ def online_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ingest_warc",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+h AS (
+  SELECT doc_id, text,
+         'HTTP/1.1 200 OK' || chr(13) || chr(10)
+         || 'Content-Type: text/plain; charset=utf-8'
+         || chr(13) || chr(10) || chr(13) || chr(10) || text AS http
+  FROM d)
+SELECT doc_id,
+       'response' AS warc_type,
+       '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       '2024-01-01T00:00:00Z' AS warc_date,
+       CAST(strlen(http) AS BIGINT) AS content_length,
+       CAST(200 AS INTEGER) AS http_status,
+       text AS body,
+       CAST(strlen(text) AS BIGINT) AS n_body_bytes,
+       CAST(NULL AS VARCHAR) AS error_class
+FROM h WHERE doc_id % 13 NOT IN (3, 5, 7, 9)
+UNION ALL
+SELECT doc_id, 'warcinfo', '<urn:uuid:info>',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(9 AS BIGINT), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)
+FROM d WHERE doc_id % 13 = 9
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CASE WHEN doc_id % 13 = 3 THEN 'NotImplementedError'
+            ELSE 'ValueError' END
+FROM d WHERE doc_id % 13 IN (3, 5, 7)
+""",
+)
+def text_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingestion (r12 — ``text.wrap_warc`` /
+    ``text.parse_warc``): the record-level parse stage of the format
+    real pretraining corpora arrive in. The plant builds a spec-shaped
+    WARC/1.0 response record per document in pure Column arithmetic
+    (Content-Length computed in the plan), a doc_id%13 fault stripe
+    corrupts records four ways — magic cut (%13==3 -> unknown
+    container, NotImplementedError), payload truncated 5 bytes under
+    the declared Content-Length (%13==5 -> ValueError), the
+    Content-Length header renamed away (%13==7 -> ValueError), and a
+    WARC-Date-less warcinfo record (%13==9 -> parses clean with NULL
+    http fields, pinning non-response routing) — and the parser
+    recovers every header field, the HTTP status split, the exact
+    body, and the quarantine classes, all shuffle-free codegen
+    (plan-pinned in pytest). The multi-record .warc(.gz) FILE form is
+    covered by ``split_warc_records`` + the same parser
+    (test_warc_wrap_parse_split_roundtrip). The oracle replays the
+    record construction and every parsed field per stripe."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    wrapped = tx.wrap_warc(docs)
+    info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            "WARC-Record-ID: <urn:uuid:info>\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            "Content-Length: 9\r\n\r\nrobots: x")
+    w = F.col("warc")
+    striped = wrapped.select(
+        "doc_id",
+        F.when(did % 13 == 3, F.expr("substring(warc, 5)"))
+        .when(did % 13 == 5, F.substring(w, F.lit(1),
+                                         F.octet_length(w) - 5))
+        .when(did % 13 == 7,
+              F.replace(w, F.lit("Content-Length: "),
+                        F.lit("X-Length: ")))
+        .when(did % 13 == 9, F.lit(info))
+        .otherwise(w)
+        .alias("warc"),
+    )
+    return tx.parse_warc(striped)
+
+
+def _o_gopher_rep() -> str:
+    """Oracle for doc_gopher_repetition — the decoration, the row-local
+    line/paragraph signals, and the (id, n)-keyed gram coverage all
+    replayed in DuckDB (per-n gram relations generated here)."""
+    gram_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {n} AS n, CAST(r.i AS BIGINT) AS i,"
+        f" md5(array_to_string(t[CAST(r.i + 1 AS BIGINT):"
+        f"CAST(r.i + {n} AS BIGINT)], ' ')) AS h"
+        f" FROM toks, range(0, 512) r(i) WHERE r.i + {n} <= len(t)"
+        for n in range(2, 11)
+    )
+    top_pivot = ",\n       ".join(
+        f"max(CASE WHEN n = {n} THEN cov END) AS top{n}_cov"
+        for n in (2, 3, 4)
+    )
+    dup_pivot = ",\n       ".join(
+        f"max(CASE WHEN n = {n} THEN cov END) AS dup{n}_cov"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    fracs = []
+    passes = []
+    keep_terms = [
+        "dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
+        "dup_para_frac <= 0.30", "dup_para_char_frac <= 0.20",
+    ]
+    for n, thr in ((2, 0.20), (3, 0.18), (4, 0.16)):
+        fracs.append(
+            f"round(CAST(COALESCE(tc.top{n}_cov, 0) AS DOUBLE)"
+            f" / b.n_toks, 6) AS top{n}_cov_frac"
+        )
+        keep_terms.append(f"top{n}_cov_frac <= {thr}")
+    for n, thr in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12),
+                   (9, 0.11), (10, 0.10)):
+        fracs.append(
+            f"round(CAST(COALESCE(dc.dup{n}_cov, 0) AS DOUBLE)"
+            f" / b.n_toks, 6) AS dup{n}_cov_frac"
+        )
+        keep_terms.append(f"dup{n}_cov_frac <= {thr}")
+    for term in keep_terms:
+        name = term.split(" ")[0]
+        passes.append(f"{term} AS pass_{name}")
+    frac_sql = ",\n         ".join(fracs)
+    pass_sql = ",\n       ".join(passes)
+    keep_sql = " AND ".join(keep_terms)
+    return f"""
+WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+dec AS (
+  SELECT doc_id,
+    CASE doc_id % 9
+      WHEN 1 THEN text || chr(10) || 'repeat line alpha' || chr(10)
+                  || 'repeat line alpha' || chr(10) || 'repeat line alpha'
+      WHEN 2 THEN text || chr(10) || chr(10) || 'block beta gamma'
+                  || chr(10) || chr(10) || 'block beta gamma'
+      WHEN 3 THEN text || ' {"spam ham " * 20}'
+      WHEN 4 THEN text || ' {"the quick brown fox jumps high sure " * 3}'
+      ELSE text END AS text
+  FROM raw),
+seg AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras,
+         string_split_regex(text, '\\s+') AS t
+  FROM dec),
+b AS (
+  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_toks, t,
+    round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+          / len(lines), 6) AS dup_line_frac,
+    round(CAST(list_aggregate(list_transform(lines, x -> strlen(x)), 'sum')
+               - list_aggregate(list_transform(list_distinct(lines),
+                                               x -> strlen(x)), 'sum')
+          AS DOUBLE)
+          / list_aggregate(list_transform(lines, x -> strlen(x)), 'sum'),
+          6) AS dup_line_char_frac,
+    round(CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+          / len(paras), 6) AS dup_para_frac,
+    round(CAST(list_aggregate(list_transform(paras, x -> strlen(x)), 'sum')
+               - list_aggregate(list_transform(list_distinct(paras),
+                                               x -> strlen(x)), 'sum')
+          AS DOUBLE)
+          / list_aggregate(list_transform(paras, x -> strlen(x)), 'sum'),
+          6) AS dup_para_char_frac
+  FROM seg),
+toks AS (SELECT doc_id, t FROM seg),
+pos AS (
+{gram_union}
+),
+cnt AS (SELECT doc_id, n, h, count(*) AS c FROM pos GROUP BY 1, 2, 3),
+duph AS (SELECT doc_id, n, h FROM cnt WHERE c >= 2),
+toph AS (
+  SELECT doc_id, n, h FROM (
+    SELECT doc_id, n, h,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY c DESC, h DESC) AS rn
+    FROM cnt WHERE c >= 2) WHERE rn = 1),
+dmk AS (SELECT pos.* FROM pos SEMI JOIN duph USING (doc_id, n, h)),
+tmk AS (SELECT pos.* FROM pos SEMI JOIN toph USING (doc_id, n, h)),
+dbrk AS (
+  SELECT doc_id, n, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id, n ORDER BY i)
+              > n THEN 1 ELSE 0 END AS brk
+  FROM dmk),
+disl AS (
+  SELECT doc_id, n, i,
+         sum(brk) OVER (PARTITION BY doc_id, n ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM dbrk),
+dcv AS (SELECT doc_id, n, CAST(sum(cov) AS BIGINT) AS cov FROM (
+          SELECT doc_id, n, max(i) + n - min(i) AS cov
+          FROM disl GROUP BY doc_id, n, isl) GROUP BY 1, 2),
+tbrk AS (
+  SELECT doc_id, n, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id, n ORDER BY i)
+              > n THEN 1 ELSE 0 END AS brk
+  FROM tmk),
+tisl AS (
+  SELECT doc_id, n, i,
+         sum(brk) OVER (PARTITION BY doc_id, n ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM tbrk),
+tcv AS (SELECT doc_id, n, CAST(sum(cov) AS BIGINT) AS cov FROM (
+          SELECT doc_id, n, max(i) + n - min(i) AS cov
+          FROM tisl GROUP BY doc_id, n, isl) GROUP BY 1, 2),
+dc AS (SELECT doc_id, {dup_pivot} FROM dcv GROUP BY doc_id),
+tc AS (SELECT doc_id, {top_pivot} FROM tcv GROUP BY doc_id),
+f AS (
+  SELECT b.doc_id, b.n_toks,
+         b.dup_line_frac, b.dup_line_char_frac,
+         b.dup_para_frac, b.dup_para_char_frac,
+         {frac_sql}
+  FROM b LEFT JOIN dc ON b.doc_id = dc.doc_id
+         LEFT JOIN tc ON b.doc_id = tc.doc_id)
+SELECT f.*,
+       {pass_sql},
+       {keep_sql} AS keep
+FROM f
+"""
+
+
+@query("doc_gopher_repetition", oracle=_o_gopher_rep())
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION filters (r12, Rae et al. 2021 Appendix A Table
+    A1 — ``text.gopher_repetition``): the other half of the Gopher gate
+    (``doc_gopher_rules`` certifies the structural rules). Thirteen
+    signals — duplicate line/paragraph fraction + character fraction
+    (row-local array arithmetic, zero shuffle), top n-gram coverage for
+    n=2,3,4 and duplicate n-gram coverage for n=5..10 (interval-union
+    token coverage; the md5-digest-only gram wire, one keyed count agg,
+    one windowed top-pick, two gaps-and-islands merges). The raw corpus
+    is single-line word soup, so a doc_id%9 decoration stripe plants
+    repeated lines, repeated paragraphs, a dominant bigram run, and a
+    repeated 7-token sentence — every rule family non-vacuous at every
+    SF — and the oracle replays the decoration, every ratio, the
+    deterministic (count, digest) top tie-break, and both interval
+    unions in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    t = F.col("text")
+    nl = F.lit("\n")
+    decorated = docs.withColumn(
+        "text",
+        F.when(did % 9 == 1, F.concat(
+            t, nl, F.lit("repeat line alpha"), nl,
+            F.lit("repeat line alpha"), nl, F.lit("repeat line alpha")))
+        .when(did % 9 == 2, F.concat(
+            t, nl, nl, F.lit("block beta gamma"), nl, nl,
+            F.lit("block beta gamma")))
+        .when(did % 9 == 3, F.concat(t, F.lit(" " + "spam ham " * 20)))
+        .when(did % 9 == 4, F.concat(
+            t, F.lit(" " + "the quick brown fox jumps high sure " * 3)))
+        .otherwise(t),
+    )
+    return tx.gopher_repetition(decorated)
+
+
+@query(
     "doc_dsir_weights",
     oracle=f"""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -8388,8 +8644,18 @@ _REGISTRY_PRIORITY = [
     # - doc_dsir_weights — DSIR importance weights (Xie 2023), new
     #   r12 operator, exact value twin incl. the deterministic top-25%
     #   selection (displaces ohlc_rollup_1m_1h to spillover —
-    #   operators/rollup.py is untouched this round):
+    #   operators/rollup.py is untouched this round);
+    # - doc_gopher_repetition — the Gopher REPETITION filter family
+    #   (Rae 2021 Table A1: dup line/para fractions + n-gram coverage),
+    #   new r12 operator, exact decorated-corpus twin (displaces
+    #   pivot_last_daily to spillover — readside.py untouched):
+    # - text_ingest_warc — WARC crawl-record ingestion (wrap + parse +
+    #   four fault stripes), new r12 operator, exact value twin
+    #   (displaces realized_vol_1d to spillover — features.py
+    #   untouched this round):
     "doc_dsir_weights",
+    "doc_gopher_repetition",
+    "text_ingest_warc",
     # (2) the THREE late-r11 registrations that have never been
     # driver-adjudicated (r11 verdict #1 — non-negotiable leads).
     # doc_gopher_rules is ALSO changed-code this round (the decoration
@@ -8459,11 +8725,10 @@ _REGISTRY_PRIORITY = [
     "features_tumbling_1h",
     "features_tumbling_1d",
     "features_sliding_6h_1h",
-    "realized_vol_1d",
-    "pivot_last_daily",
     # (6) spillover (slots 51+): the 22 remaining r9 rows plus
-    # ohlc_rollup_1m_1h (displaced by doc_dsir_weights;
-    # operators/rollup.py untouched this round) — 4 rounds
+    # ohlc_rollup_1m_1h, pivot_last_daily, and realized_vol_1d
+    # (displaced by the three new r12 rows; rollup.py, readside.py and
+    # features.py untouched this round) — 4 rounds
     # old at r12 close, displaced with justification: every one is a
     # single-operator row on modules git diff shows r12 did NOT touch
     # (quant.py: bollinger_breach_stats, ema_macd_daily, rsi_14_daily,
@@ -8476,6 +8741,8 @@ _REGISTRY_PRIORITY = [
     # text.py sequence_packing_256 — text.py is also untouched this
     # round). They MUST open the r13 window:
     "ohlc_rollup_1m_1h",
+    "pivot_last_daily",
+    "realized_vol_1d",
     "bollinger_breach_stats",
     "counter_agg_1h",
     "date_parts_orders",

@@ -494,3 +494,138 @@ def test_dsir_weights_selects_target_like_raw_docs(spark):
         lq = round(math.log((cq.get(b, 0) + 1) / (tq + 4096)), 9)
         w += Decimal(repr(lp)) - Decimal(repr(lq))
     assert out[10].log_w == float(round(w, 6))
+
+
+def test_gopher_repetition_signals_and_coverage(spark):
+    """r12 (Rae et al. 2021 Appendix A Table A1): the repetition
+    filters — duplicate line/paragraph (count + char) fractions are
+    row-local array arithmetic, the n-gram signals are interval-union
+    TOKEN COVERAGE (bounded [0,1] even on overlapping runs like
+    'a a a a', where the naive count*len form reads 1.5), the top
+    n-gram only counts when it actually repeats, and each planted
+    repetition class fails exactly its rule family."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "plain words only here nothing repeats at all in sight"),
+        (1, "first line\nrepeated line alpha\nrepeated line alpha"
+            "\nrepeated line alpha"),
+        (2, "intro para\n\nblock beta gamma\n\nblock beta gamma"),
+        (3, "lead text " + ("spam ham " * 15).strip()),
+        (4, "start " + ("the quick brown fox jumps high " * 3).strip()),
+        (5, "a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.gopher_repetition(df).collect()}
+    # clean doc keeps; its top bigram occurs once -> coverage 0
+    assert out[0].keep and out[0].top2_cov_frac == 0.0
+    # planted line dups: 2 of 4 lines are repeats
+    assert not out[1].pass_dup_line_frac and out[1].dup_line_frac == 0.5
+    # planted paragraph dup: 1 of 3 paragraphs repeats
+    assert not out[2].pass_dup_para_frac
+    assert out[2].dup_para_frac == 0.333333
+    # dominant bigram run fails top2; its 5..10-gram repeats fail dup5
+    assert not out[3].pass_top2_cov_frac
+    assert not out[3].pass_dup5_cov_frac
+    # repeated 6-token sentence: covered region ~18/19 tokens
+    assert not out[4].pass_dup5_cov_frac
+    # overlap boundedness: 'a a a a' -> top2 coverage exactly 1.0
+    assert out[5].top2_cov_frac == 1.0
+    for r in out.values():
+        for c in ("top2_cov_frac", "top3_cov_frac", "top4_cov_frac",
+                  "dup5_cov_frac", "dup10_cov_frac"):
+            assert 0.0 <= r[c] <= 1.0
+        # keep is the conjunction of all 13 rules
+        assert r.keep == all(
+            r[f] for f in r.asDict() if f.startswith("pass_")
+        )
+
+
+def test_warc_wrap_parse_split_roundtrip(spark):
+    """r12: WARC crawl ingestion — wrap_warc plants spec-shaped
+    response records in Column arithmetic, parse_warc recovers every
+    field and the exact body shuffle-free, malformed records land as
+    error_class rows, and split_warc_records walks a multi-record
+    (optionally gzipped) WARC file by Content-Length framing into rows
+    parse_warc then handles."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(30)
+    want = {r.doc_id: r.text for r in docs.collect()}
+    wrapped = tx.wrap_warc(docs)
+    parsed = {r.doc_id: r for r in tx.parse_warc(wrapped).collect()}
+    assert len(parsed) == len(want)
+    for did, text in want.items():
+        r = parsed[did]
+        assert r.error_class is None
+        assert r.warc_type == "response" and r.http_status == 200
+        assert r.record_id == f"<urn:uuid:{did}>"
+        assert r.target_uri == f"https://example.org/doc/{did}"
+        assert r.body == text and r.n_body_bytes == len(text.encode())
+    # the parse is a shuffle-free scan stage
+    plan = tx.parse_warc(wrapped)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # fault classes: magic cut, truncated payload (Content-Length
+    # disagrees), missing Content-Length header, and a non-response
+    # record type that still parses
+    good = [r.warc for r in wrapped.limit(1).collect()][0]
+    info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            "WARC-Record-ID: <urn:uuid:info>\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            "Content-Length: 9\r\n\r\nrobots: x")
+    rows = [
+        (1, good),
+        (2, good[4:]),                 # magic cut
+        (3, good[: len(good) - 5]),    # truncated payload
+        (4, good.replace("Content-Length: ", "X-Length: ")),
+        (5, info),                     # warcinfo: good, no http fields
+    ]
+    by = {
+        r.doc_id: r
+        for r in tx.parse_warc(
+            spark.createDataFrame(rows, "doc_id long, warc string")
+        ).collect()
+    }
+    assert by[1].error_class is None
+    assert by[2].error_class == "NotImplementedError"
+    assert by[3].error_class == "ValueError"
+    assert by[4].error_class == "ValueError"
+    assert by[5].error_class is None and by[5].warc_type == "warcinfo"
+    assert by[5].http_status is None and by[5].body is None
+
+    # splitter: 3 records concatenated with the spec's record gap, one
+    # file plain and one gzipped; a trailing truncated record
+    # quarantines without killing the walk
+    three = (good + "\r\n\r\n" + info + "\r\n\r\n" + good + "\r\n\r\n")
+    trunc = three + "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+    files = [
+        (10, bytearray(three.encode())),
+        (11, bytearray(gzip.compress(three.encode()))),
+        (12, bytearray(trunc.encode())),
+        (13, None),
+    ]
+    fdf = spark.createDataFrame(files, "doc_id long, payload binary")
+    recs = tx.split_warc_records(fdf).collect()
+    by_file = {}
+    for r in recs:
+        by_file.setdefault(r.doc_id, []).append(r)
+    assert len(by_file[10]) == 3
+    assert [r.error_class for r in by_file[10]] == [None] * 3
+    assert [r.warc for r in by_file[11]] == [r.warc for r in by_file[10]]
+    assert len(by_file[12]) == 4
+    assert by_file[12][3].error_class == "ValueError"
+    assert by_file[13][0].error_class == "ValueError"
+    # split -> parse composes: every good record parses clean
+    reparsed = tx.parse_warc(
+        tx.split_warc_records(fdf).filter(F.col("error_class").isNull())
+        .select(F.col("doc_id"), F.col("warc"))
+    ).collect()
+    assert all(r.error_class is None for r in reparsed)
