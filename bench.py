@@ -161,6 +161,8 @@ HEADLINE = [
     "doc_dsir_weights",
     "doc_gopher_repetition",
     "text_ingest_warc",
+    # r12: URL/domain source filtering (UT1-style blocklist)
+    "url_domain_filter",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -883,6 +883,87 @@ def bigram_lm_scores(
     )
 
 
+_MULTI_PART_SUFFIXES = ("co.uk", "com.au", "co.jp", "com.br", "co.in")
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: DataFrame | None = None,
+    block_col: str = "domain",
+) -> DataFrame:
+    """URL/domain filtering features (the RefinedWeb/Dolma curation
+    stage: drop documents by source before paying for any text work).
+    Pure codegen Columns — anchored regexp host extraction (scheme ->
+    authority, userinfo/port stripped), lowercased host, IP-literal
+    detection, TLD, registered domain (last two labels, or three over
+    a small multi-part-suffix list — a public-suffix-list stand-in,
+    documented as such), and path depth (non-empty segments after the
+    authority). ``blocklist`` (one ``block_col`` string column, the
+    UT1-style feed) marks ``is_blocked`` via a BROADCAST left-semi
+    shape (a left join + flag so the row survives for auditing);
+    real blocklists are a few hundred thousand rows — broadcast at
+    any corpus size. Rows whose URL does not parse get NULL host
+    fields and is_blocked = false (route-don't-raise)."""
+    u = F.col(url_col)
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    )
+    host_port = F.substring_index(auth, "@", -1)
+    # IPv6 literals keep their brackets; strip :port only for others
+    host = F.when(
+        host_port.startswith("["),
+        F.regexp_extract(host_port, r"^(\[[^\]]*\])", 1),
+    ).otherwise(F.substring_index(host_port, ":", 1))
+    parsed = (auth != "") & (host != "")
+    host_n = F.when(parsed, host)
+    is_ip = F.coalesce(
+        host_n.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"),
+        F.lit(False),
+    )
+    labels = F.split(host_n, r"\.")
+    n_lab = F.size(labels)
+    tld = F.when(parsed & ~is_ip & (n_lab >= 2),
+                 F.element_at(labels, -1))
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.when(
+        n_lab >= 3,
+        F.concat_ws(".", F.element_at(labels, -3),
+                    F.element_at(labels, -2), F.element_at(labels, -1)),
+    )
+    is_multi = last2.isin(*_MULTI_PART_SUFFIXES)
+    reg_dom = F.when(is_ip, host_n).when(
+        parsed & (n_lab >= 2),
+        F.when(is_multi & last3.isNotNull(), last3).otherwise(last2),
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    depth = F.when(
+        parsed,
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")),
+    )
+    out = df.withColumns(
+        {
+            "host": host_n,
+            "registered_domain": reg_dom,
+            "tld": tld,
+            "is_ip_host": is_ip,
+            "path_depth": depth,
+        }
+    )
+    if blocklist is None:
+        return out.withColumn("is_blocked", F.lit(False))
+    bl = F.broadcast(
+        blocklist.select(
+            F.lower(F.col(block_col)).alias("registered_domain")
+        ).distinct().withColumn("_blk", F.lit(True))
+    )
+    return out.join(bl, "registered_domain", "left").withColumn(
+        "is_blocked", F.coalesce(F.col("_blk"), F.lit(False))
+    ).drop("_blk")
+
+
 def wrap_warc(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

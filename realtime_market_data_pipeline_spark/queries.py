@@ -8247,6 +8247,78 @@ def online_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "url_domain_filter",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+SELECT doc_id,
+  CASE doc_id % 7
+    WHEN 0 THEN 'example.org'
+    WHEN 1 THEN 'sub.shop.co.uk'
+    WHEN 2 THEN '10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+    WHEN 4 THEN 'www.blocked.example'
+    WHEN 5 THEN 'files.example.net'
+    WHEN 6 THEN 'spam.test' END AS host,
+  CASE doc_id % 7
+    WHEN 0 THEN 'example.org'
+    WHEN 1 THEN 'shop.co.uk'
+    WHEN 2 THEN '10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+    WHEN 4 THEN 'blocked.example'
+    WHEN 5 THEN 'example.net'
+    WHEN 6 THEN 'spam.test' END AS registered_domain,
+  CASE doc_id % 7
+    WHEN 0 THEN 'org' WHEN 1 THEN 'uk' WHEN 4 THEN 'example'
+    WHEN 5 THEN 'net' WHEN 6 THEN 'test' END AS tld,
+  doc_id % 7 = 2 AS is_ip_host,
+  CASE doc_id % 7
+    WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1 WHEN 4 THEN 1
+    WHEN 5 THEN 3 WHEN 6 THEN 0 END AS path_depth,
+  doc_id % 7 IN (4, 6) AS is_blocked
+FROM d
+""",
+)
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain filtering (r12 — ``text.url_features``): the
+    source-level curation stage (RefinedWeb/Dolma UT1-style blocklist
+    plus host features) that drops documents BEFORE any text work.
+    The plant builds seven URL shapes in Column arithmetic — plain
+    https, a cased+userinfo+port co.uk host (multi-part-suffix
+    registered domain), an IPv4 literal, an unparseable string (NULL
+    route), a blocklisted www host, a deep ftp path, and a
+    blocklisted bare domain with a root path — and the oracle
+    predicts every parsed field from the doc_id arithmetic. The
+    blocklist rides a broadcast join on the registered domain;
+    everything else is shuffle-free codegen."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    url = (
+        F.when(did % 7 == 0, F.concat(F.lit("https://example.org/doc/"), ids))
+        .when(did % 7 == 1, F.concat(
+            F.lit("http://user@Sub.Shop.co.uk:8080/a/"), ids))
+        .when(did % 7 == 2, F.concat(
+            F.lit("https://10.0.0."), (did % 250).cast("string"),
+            F.lit("/p")))
+        .when(did % 7 == 3, F.concat(F.lit("not a url "), ids))
+        .when(did % 7 == 4, F.concat(
+            F.lit("https://www.Blocked.Example/page?q="), ids))
+        .when(did % 7 == 5, F.lit("ftp://files.example.net/x/y/z"))
+        .otherwise(F.lit("https://spam.test/"))
+    )
+    bl = spark.createDataFrame(
+        [("blocked.example",), ("spam.test",)], "domain string"
+    )
+    return tx.url_features(
+        docs.withColumn("url", url), blocklist=bl
+    ).select(
+        "doc_id", "host", "registered_domain", "tld", "is_ip_host",
+        F.col("path_depth").cast("int").alias("path_depth"),
+        "is_blocked",
+    )
+
+
+@query(
     "text_ingest_warc",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
@@ -8653,9 +8725,14 @@ _REGISTRY_PRIORITY = [
     #   four fault stripes), new r12 operator, exact value twin
     #   (displaces realized_vol_1d to spillover — features.py
     #   untouched this round):
+    # - url_domain_filter — URL/domain source filtering (UT1-style
+    #   blocklist + host features), new r12 operator, exact arithmetic
+    #   twin (displaces dedup_clusters to spillover — its
+    #   pointer-jumping CC path in graph.py/dedup.py is untouched):
     "doc_dsir_weights",
     "doc_gopher_repetition",
     "text_ingest_warc",
+    "url_domain_filter",
     # (2) the THREE late-r11 registrations that have never been
     # driver-adjudicated (r11 verdict #1 — non-negotiable leads).
     # doc_gopher_rules is ALSO changed-code this round (the decoration
@@ -8712,7 +8789,6 @@ _REGISTRY_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash32",
     "dedup_edit_distance",
-    "dedup_clusters",
     "hybrid_search_rrf",
     "bm25_top20",
     "tfidf_top3_terms",
@@ -8726,9 +8802,10 @@ _REGISTRY_PRIORITY = [
     "features_tumbling_1d",
     "features_sliding_6h_1h",
     # (6) spillover (slots 51+): the 22 remaining r9 rows plus
-    # ohlc_rollup_1m_1h, pivot_last_daily, and realized_vol_1d
-    # (displaced by the three new r12 rows; rollup.py, readside.py and
-    # features.py untouched this round) — 4 rounds
+    # ohlc_rollup_1m_1h, pivot_last_daily, realized_vol_1d, and
+    # dedup_clusters (displaced by the four new r12 operator rows;
+    # rollup.py, readside.py, features.py and the CC path untouched
+    # this round) — 4 rounds
     # old at r12 close, displaced with justification: every one is a
     # single-operator row on modules git diff shows r12 did NOT touch
     # (quant.py: bollinger_breach_stats, ema_macd_daily, rsi_14_daily,
@@ -8743,6 +8820,7 @@ _REGISTRY_PRIORITY = [
     "ohlc_rollup_1m_1h",
     "pivot_last_daily",
     "realized_vol_1d",
+    "dedup_clusters",
     "bollinger_breach_stats",
     "counter_agg_1h",
     "date_parts_orders",

@@ -338,7 +338,7 @@ def test_registry_priority_window():
         "multimodal_dedup_dhash_wide", "dedup_semantic_semdedup_kmeans",
         "online_quality_gate_fold", "online_semdedup_fold",
         "doc_dsir_weights", "doc_gopher_repetition",
-        "text_ingest_warc",
+        "text_ingest_warc", "url_domain_filter",
         "dedup_semantic_semdedup", "doc_gopher_rules",
         "decontamination_fuzzy",
     }
@@ -362,10 +362,11 @@ def test_registry_priority_window():
                   changed_module_r9):
         assert group <= window, group - window
     assert names[0] == "multimodal_dedup_dhash_wide"
-    # the twenty-five displaced r9 rows (quiet modules, justified in
-    # the registry comment) must sit at slots 51-75 so they lead r13
-    assert set(names[50:75]) == {
+    # the twenty-six displaced r9 rows (quiet modules, justified in
+    # the registry comment) must sit at slots 51-76 so they lead r13
+    assert set(names[50:76]) == {
         "ohlc_rollup_1m_1h", "pivot_last_daily", "realized_vol_1d",
+        "dedup_clusters",
         "bollinger_breach_stats", "counter_agg_1h", "date_parts_orders",
         "distinct_counts", "ema_macd_daily", "gapfill_interpolate_1m",
         "gapfill_locf_1m", "json_props_stats", "max_drawdown_per_symbol",

@@ -629,3 +629,46 @@ def test_warc_wrap_parse_split_roundtrip(spark):
         .select(F.col("doc_id"), F.col("warc"))
     ).collect()
     assert all(r.error_class is None for r in reparsed)
+
+
+def test_url_features_parsing_and_blocklist(spark):
+    """r12: URL/domain filtering — anchored-regexp host extraction
+    handles case, userinfo, ports, IPv4 literals, multi-part suffixes
+    (co.uk-style registered domains), unparseable strings route to
+    NULL fields instead of failing, and the blocklist join is a
+    broadcast flag on the registered domain."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "https://Example.ORG/a/b"),
+        (1, "http://user:pw@Sub.Shop.co.uk:8080/x"),
+        (2, "https://10.0.0.1/path"),
+        (3, "not a url at all"),
+        (4, "https://www.Blocked.Example/page?q=1"),
+        (5, "https://[::1]:8080/x"),
+    ]
+    bl = spark.createDataFrame(
+        [("blocked.example",), ("spam.test",)], "domain string"
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.doc_id: r
+        for r in tx.url_features(df, blocklist=bl).collect()
+    }
+    assert out[0].host == "example.org"
+    assert out[0].registered_domain == "example.org"
+    assert out[0].tld == "org" and out[0].path_depth == 2
+    assert out[1].host == "sub.shop.co.uk"
+    assert out[1].registered_domain == "shop.co.uk"  # multi-part suffix
+    assert out[1].tld == "uk" and out[1].path_depth == 1
+    assert out[2].is_ip_host and out[2].registered_domain == "10.0.0.1"
+    assert out[2].tld is None
+    assert out[3].host is None and not out[3].is_blocked
+    assert out[4].is_blocked and out[4].registered_domain == "blocked.example"
+    assert out[4].path_depth == 1  # query string excluded
+    assert out[5].host == "[::1]" and out[5].registered_domain is None
+    assert not any(out[i].is_blocked for i in (0, 1, 2, 3, 5))
+    # blocklist side is a broadcast join
+    plan = tx.url_features(df, blocklist=bl)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
