@@ -1273,6 +1273,133 @@ def dsir_weights(
     )
 
 
+def _dsir_gram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared DSIR feature map: one row per unigram/bigram INSTANCE,
+    bucketed by the md5 fold (the ``hash_embed`` portable hash).
+    Exactly the gram/bucket arithmetic ``dsir_weights`` inlines, so
+    fit-then-score reproduces its weights bit-for-bit."""
+    base = df.select(
+        F.col(id_col), *extra, tokens(text_col).alias("t")
+    )
+    uni = base.select(id_col, *extra, F.explode("t").alias("g"))
+    bi = base.filter(F.size("t") >= 2).select(
+        id_col,
+        *extra,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i+1]))"
+            )
+        ).alias("g"),
+    )
+    x = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    return uni.unionByName(bi).select(
+        id_col, *extra, (x % n_buckets).alias("b")
+    )
+
+
+def dsir_fit(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Fit the DSIR model ONCE and return it as a relation — the
+    production split of ``dsir_weights`` (fit on a reference sample,
+    persist, score every future batch online): rows (b, lam) for each
+    bucket observed on either side, plus one b = -1 row carrying the
+    unseen-bucket default. lam is the identical decimal arithmetic
+    ``dsir_weights`` inlines (9-dp-rounded ln terms subtracted in
+    DECIMAL(38,10)), so fit-then-score is bit-equal to the one-shot
+    operator. The whole model is <= n_buckets + 1 rows — parquet it
+    and broadcast it forever."""
+    gb = _dsir_gram_buckets(
+        df.select(F.col(id_col), F.col(target_col).alias("is_target"),
+                  F.col(text_col)),
+        text_col, id_col, n_buckets, extra=("is_target",),
+    )
+    cp = gb.filter(F.col("is_target")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    cq = gb.filter(~F.col("is_target")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cq")
+    )
+    tot = gb.agg(
+        F.sum(F.col("is_target").cast("long")).alias("tp"),
+        F.sum((~F.col("is_target")).cast("long")).alias("tq"),
+    )
+
+    def _lam(cp_col: Column, cq_col: Column) -> Column:
+        return F.round(
+            F.log(
+                (cp_col + 1).cast("double")
+                / (F.col("tp") + n_buckets).cast("double")
+            ),
+            9,
+        ).cast("decimal(38,10)") - F.round(
+            F.log(
+                (cq_col + 1).cast("double")
+                / (F.col("tq") + n_buckets).cast("double")
+            ),
+            9,
+        ).cast("decimal(38,10)")
+
+    seen = (
+        cp.join(cq, "b", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            _lam(
+                F.coalesce(F.col("cp"), F.lit(0)),
+                F.coalesce(F.col("cq"), F.lit(0)),
+            ).alias("lam"),
+        )
+    )
+    default = tot.select(
+        F.lit(-1).cast("long").alias("b"),
+        _lam(F.lit(0), F.lit(0)).alias("lam"),
+    )
+    return seen.unionByName(default)
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score documents against a fitted DSIR model (``dsir_fit``):
+    grams -> buckets -> broadcast lam join (unseen buckets take the
+    b = -1 default) -> exact decimal per-doc sum. Output (id, n_grams,
+    log_w). Docs with NO grams (NULL/empty text) emit no row — route
+    them explicitly (the gate writer does)."""
+    gb = _dsir_gram_buckets(df, text_col, id_col, n_buckets)
+    lam_rel = F.broadcast(model.filter(F.col("b") >= 0))
+    lam_def = F.broadcast(
+        model.filter(F.col("b") == -1).select(
+            F.col("lam").alias("lam_default")
+        )
+    )
+    return (
+        gb.join(lam_rel, "b", "left")
+        .crossJoin(lam_def)
+        .select(
+            id_col,
+            F.coalesce(F.col("lam"), F.col("lam_default")).alias("lam"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("lam").cast("double"), 6).alias("log_w"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprints: full-text md5 + a content-defined fingerprint
     (lexicographic min/max md5 over k-shingles — a 2-permutation minhash),

@@ -89,3 +89,78 @@ def quality_gate_writer(
             scored.unpersist()
 
     return write
+
+
+def dsir_gate_writer(
+    model_path: str,
+    out_dir: str,
+    rejects_dir: str | None = None,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> BatchWriter:
+    """foreachBatch writer: DSIR data selection ONLINE (r12) — the
+    production split of ``text.dsir_weights``: the model was fitted
+    ONCE (``text.dsir_fit`` persisted to ``model_path``; <= buckets+1
+    rows), and every micro-batch is scored against it
+    (``text.dsir_score`` — broadcast lam join, exact decimal sum, so
+    accumulated weights are bit-equal to the batch operator's) and
+    gated at ``threshold``: keepers land in ``out_dir/batch_id=N``
+    with their (n_grams, log_w), rejects in ``rejects_dir`` when
+    given. The batch form's deterministic top-fraction needs a global
+    rank; a STREAM cannot rank the future, so the online form gates on
+    a fixed weight threshold — calibrate it offline against the
+    reference corpus's weight distribution (document the trade, the
+    watermark-vs-perfect-order shape). Docs that produce NO grams
+    (NULL/empty text) cannot be scored: they route to REJECTS with
+    NULL log_w (the quality gate's NULL rule). Dynamic-partition
+    overwrite keeps replays idempotent."""
+    from realtime_market_data_pipeline_spark.operators.text import (
+        dsir_score,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        model = spark.read.parquet(model_path)
+        scored = dsir_score(
+            batch_df, model, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets,
+        )
+        routed = batch_df.select(id_col, text_col).join(
+            scored, id_col, "left"
+        ).persist()
+        keep3 = F.coalesce(
+            F.col("log_w") >= F.lit(threshold), F.lit(False)
+        )
+        try:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    routed.filter(keep3)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                if rejects_dir is not None:
+                    (
+                        routed.filter(~keep3)
+                        .withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id")
+                        .parquet(rejects_dir)
+                    )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            routed.unpersist()
+
+    return write

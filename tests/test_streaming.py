@@ -2715,3 +2715,65 @@ def test_compact_store_preserves_secondary_partitioning(spark, tmp_path):
         sdedup.compact_store(
             spark, store1, upto_batch=1, partition_cols=("cluster",)
         )
+
+
+def test_streaming_dsir_gate_against_fitted_model(spark, tmp_path):
+    """r12: DSIR online — fit the model once (dsir_fit persisted),
+    gate micro-batches against it: accumulated weights are bit-equal
+    to the batch operator run over the same docs (decimal sums are
+    order-free, lam values identical by construction), the threshold
+    split is exact, NULL-text docs route to rejects with NULL log_w,
+    and a replayed batch rewrites itself."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import text as tx
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 7 == 3).alias("is_target"),
+        "text",
+    ).filter(F.col("doc_id") < 120)
+    model_path = str(tmp_path / "dsir_model")
+    tx.dsir_fit(docs, target_col="is_target").write.parquet(model_path)
+
+    # the stream carries the RAW pool (non-target) plus one NULL doc
+    raw = docs.filter(~F.col("is_target")).select("doc_id", "text")
+    nulldoc = spark.createDataFrame(
+        [(100000, None)], "doc_id long, text string"
+    )
+    # calibrate the threshold offline (the documented production
+    # step): median weight of the raw pool under the fitted model
+    model = spark.read.parquet(model_path)
+    twin = {
+        r.doc_id: r.log_w
+        for r in tx.dsir_score(raw, model).collect()
+    }
+    thr = sorted(twin.values())[len(twin) // 2]
+    out = str(tmp_path / "dsir_out")
+    rej = str(tmp_path / "dsir_rej")
+    writer = curation.dsir_gate_writer(
+        model_path, out, rej, threshold=thr
+    )
+    b0 = raw.filter(F.col("doc_id") % 2 == 0)
+    b1 = raw.filter(F.col("doc_id") % 2 == 1).unionByName(nulldoc)
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b1, 1)  # replay rewrites itself
+
+    kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_id: r for r in spark.read.parquet(rej).collect()}
+    assert set(kept) | set(dropped) == set(twin) | {100000}
+    assert not (set(kept) & set(dropped))
+    for did, w in twin.items():
+        r = (kept if w >= thr else dropped)[did]
+        assert r.log_w == w
+    assert dropped[100000].log_w is None  # NULL text -> rejects
+    # fit-then-score == the one-shot operator on the full corpus
+    one_shot = {
+        r.doc_id: r.log_w
+        for r in tx.dsir_weights(docs, target_col="is_target").collect()
+        if not r.is_target
+    }
+    assert one_shot == twin
