@@ -267,17 +267,22 @@ def gopher_repetition(
     counts the middle tokens twice). Column names say cov, not char,
     to keep the departure visible.
 
-    Scale shape: lines/paragraphs never leave their row; the n-gram
-    relation flows ONE exploded pass carrying (id, n, position,
-    md5-DIGEST, len) — the digest-only wire rule, gram text never
-    crosses the exchange — with one (id, n, digest) keyed count agg
-    (map-side combined), one windowed top-pick at (id, n, digest)
-    cardinality, two gaps-and-islands interval unions over the
-    duplicated positions (the certified ``merge_spans`` shape keyed by
-    (id, n)), and one id join back to the row-local signals. Every
-    count and interval length is an exact integer, so the 6 dp ratio
-    rounding cannot diverge cross-engine; the md5 digest makes the
-    tie-break ANSI-replayable."""
+    Scale shape: lines/paragraphs never leave their row; the exploded
+    gram relation carries (id, n, position, md5-DIGEST) only — the
+    digest-only wire rule, gram text never crosses an exchange — into
+    one (id, n, digest) keyed count agg (map-side combined), one
+    windowed top-pick at duplicated-gram cardinality, two
+    gaps-and-islands interval unions over the duplicated positions
+    (the certified ``merge_spans`` shape keyed by (id, n)), and one id
+    join back to the row-local signals. The gram subtree is REPLANNED
+    under each consumer (counts + two marked-position joins — explode
+    and md5 are cheap row-local ops and the duplicated count EXCHANGE
+    dedupes at runtime via ReusedExchange; deliberately not persisted:
+    the storage-lifecycle rule forbids caching a relation the caller
+    consumes later, and the measured shape is sublinear — 3.09x at 8x
+    rows). Every count and interval length is an exact integer, so the
+    6 dp ratio rounding cannot diverge cross-engine; the md5 digest
+    makes the tie-break ANSI-replayable."""
     from pyspark.sql.window import Window
 
     th = dict(GOPHER_REPETITION_THRESHOLDS)

@@ -806,3 +806,37 @@ def test_semdedup_exchanges_bounded_no_cartesian(spark):
         js = P.join_strategies(df)
         assert "CartesianProduct" not in js
         assert "BroadcastNestedLoopJoin" not in js
+
+
+def test_r12_operator_plan_shapes(spark):
+    """r12 plan pins: the WARC parser is a shuffle-free scan stage;
+    URL filtering pays exactly one broadcast join and zero keyed
+    exchanges on the corpus side; DSIR's model joins broadcast (the
+    B-row count relations must never sort-merge); the repetition
+    filter never sort-merges and its exchange count stays bounded
+    (the gram subtree replans per consumer by design — the count
+    exchange dedupes via ReusedExchange at runtime)."""
+    import re
+
+    def physical(name):
+        df = Q.QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    warc = physical("text_ingest_warc")
+    assert "Exchange" not in warc
+
+    url = physical("url_domain_filter")
+    assert "SortMergeJoin" not in url
+    assert url.count("BroadcastHashJoin") == 1
+    # the one keyed exchange is the blocklist-side distinct (rows =
+    # blocklist size, never corpus size); the corpus side is a single
+    # scan straight into the broadcast join
+    assert len(re.findall(r"Exchange (hash|range)partitioning", url)) <= 1
+
+    dsir = physical("doc_dsir_weights")
+    assert "SortMergeJoin" not in dsir
+    assert dsir.count("BroadcastHashJoin") >= 2  # cp and cq model joins
+
+    rep = physical("doc_gopher_repetition")
+    assert "SortMergeJoin" not in rep
+    assert len(re.findall(r"Exchange hashpartitioning", rep)) <= 32
