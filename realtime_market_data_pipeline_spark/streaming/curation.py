@@ -28,6 +28,8 @@ def quality_gate_writer(
     rejects_dir: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    repetition: bool = False,
+    repetition_thresholds: dict[str, float] | None = None,
     **gopher_kwargs,
 ) -> BatchWriter:
     """foreachBatch writer: apply the Gopher quality rules
@@ -37,9 +39,18 @@ def quality_gate_writer(
     booleans naming exactly why each document was cut, which is what a
     pipeline operator audits before retuning thresholds. Both writes
     are idempotent dynamic overwrites. ``gopher_kwargs`` pass through
-    to ``gopher_quality`` (thresholds, required_words, ...)."""
+    to ``gopher_quality`` (thresholds, required_words, ...).
+
+    ``repetition=True`` (r12) runs the FULL Gopher gate: the
+    structural rules above joined per-batch with the repetition
+    family (``text.gopher_repetition`` — dup line/paragraph fractions,
+    n-gram coverage), keep = both conjunctions, and rejects carry BOTH
+    families' why-booleans. The repetition side adds its keyed count
+    exchange per batch (the batch operator's documented shape); the
+    structural-only gate stays zero-shuffle."""
     from realtime_market_data_pipeline_spark.operators.text import (
         gopher_quality,
+        gopher_repetition,
     )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -50,7 +61,24 @@ def quality_gate_writer(
             id_col=id_col,
             extra_cols=(text_col,),
             **gopher_kwargs,
-        ).persist()
+        )
+        if repetition:
+            rep = gopher_repetition(
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                thresholds=repetition_thresholds,
+            ).withColumnRenamed("keep", "keep_repetition")
+            scored = (
+                scored.withColumnRenamed("keep", "keep_structural")
+                .join(rep, id_col)
+                .withColumn(
+                    "keep",
+                    F.col("keep_structural")
+                    & F.col("keep_repetition"),
+                )
+            )
+        scored = scored.persist()
         try:
             prev = spark.conf.get(
                 "spark.sql.sources.partitionOverwriteMode", "static"

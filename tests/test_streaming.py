@@ -2777,3 +2777,57 @@ def test_streaming_dsir_gate_against_fitted_model(spark, tmp_path):
         if not r.is_target
     }
     assert one_shot == twin
+
+
+def test_streaming_full_gopher_gate_with_repetition(spark, tmp_path):
+    """r12: quality_gate_writer(repetition=True) runs the FULL Gopher
+    gate — structural AND repetition families — per micro-batch:
+    rejects carry both families' why-booleans, keep is the conjunction
+    of both, the accumulated split equals the two batch operators
+    joined, and NULL text still routes to rejects."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    kw = dict(min_words=5, max_words=200,
+              required_words=("the", "data"))
+    rows_b0 = [
+        (0, "the data " + " ".join(f"word{i}" for i in range(20))),  # keep
+        (1, "the data\nrepeat line\nrepeat line\nrepeat line\nmore "
+            + " ".join(f"token{i}" for i in range(10))),  # structural OK, repetition FAIL
+    ]
+    rows_b1 = [
+        (2, "zz qq " + " ".join(f"word{i}" for i in range(25))),  # structural FAIL
+        (3, None),  # NULL text -> rejects
+    ]
+    out = str(tmp_path / "full_out")
+    rej = str(tmp_path / "full_rej")
+    writer = curation.quality_gate_writer(
+        out, rej, repetition=True, **kw
+    )
+    writer(spark.createDataFrame(rows_b0, "doc_id long, text string"), 0)
+    writer(spark.createDataFrame(rows_b1, "doc_id long, text string"), 1)
+    kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_id: r for r in spark.read.parquet(rej).collect()}
+    assert set(kept) == {0} and set(dropped) == {1, 2, 3}
+    assert dropped[1].keep_structural and not dropped[1].keep_repetition
+    assert not dropped[1].pass_dup_line_frac  # the why-boolean
+    assert not dropped[2].keep_structural and not dropped[2].pass_stopwords
+    assert dropped[3].keep is None
+    # accumulated == both batch operators joined
+    all_docs = spark.createDataFrame(
+        rows_b0 + rows_b1, "doc_id long, text string"
+    )
+    twin = {
+        r.doc_id: bool(r.keep_q and r.keep_r)
+        for r in tx.gopher_quality(all_docs, **kw)
+        .select("doc_id", F.col("keep").alias("keep_q"))
+        .join(
+            tx.gopher_repetition(all_docs)
+            .select("doc_id", F.col("keep").alias("keep_r")),
+            "doc_id",
+        )
+        .collect()
+    }
+    assert {i: True for i in kept} | {i: False for i in dropped} == twin
