@@ -161,8 +161,10 @@ HEADLINE = [
     "doc_dsir_weights",
     "doc_gopher_repetition",
     "text_ingest_warc",
-    # r12: URL/domain source filtering (UT1-style blocklist)
+    # r12: URL/domain source filtering (UT1-style blocklist) and
+    # late-r12 keep-best-source duplicate resolution (long-chain CC)
     "url_domain_filter",
+    "dedup_priority_canonical",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -436,6 +436,55 @@ def cluster_near_dups(
         edges.unpersist()
 
 
+def canonicalize_by_priority(
+    docs: DataFrame,
+    pairs: DataFrame,
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate resolution by SOURCE QUALITY instead of min-id (r12):
+    every dedup operator in this family reduces greedily to the lowest
+    id, but a real curation pipeline keeps the BEST copy — the
+    Wikipedia mirror over the scraped blogspam (the RefinedWeb
+    keep-by-source rule). Pairs are grouped into clusters with the
+    certified connected-components machinery (``cluster_near_dups`` —
+    pointer-jumping min-label, O(log diameter) rounds, so the long
+    chains min-id greedy over-drops on are handled exactly), then each
+    cluster keeps the member with the HIGHEST ``priority_col`` (ties
+    to the lowest id — deterministic): one arg-min of the
+    (-priority, id) struct per cluster, a broadcast-sized relation at
+    cluster cardinality. Output (id, cluster_id, priority,
+    canonical_id, is_dup); singletons are their own canonical. This
+    also FIXES the chain over-drop: exactly one survivor per connected
+    component, regardless of chain shape."""
+    clusters = cluster_near_dups(
+        docs.select(id_col), pairs, id_col=id_col, max_iter=max_iter
+    )
+    lab = clusters.join(
+        docs.select(id_col, priority_col), id_col
+    )
+    keeper = (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(priority_col)).alias("_np"),
+                    F.col(id_col).alias("_i"),
+                )
+            ).alias("_k")
+        )
+        .select("cluster_id", F.col("_k._i").alias("canonical_id"))
+    )
+    return lab.join(keeper, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        priority_col,
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
 _HEX_BITS = 32  # one parity bit per md5 hex char → 32-bit simhash
 
 

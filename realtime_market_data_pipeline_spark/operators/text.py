@@ -380,9 +380,24 @@ def gopher_repetition(
             .agg(F.sum("cov").alias("cov"))
         )
 
-    dup_cov = _coverage(pos.join(dup_h.select(id_col, "n", "h"),
-                                 [id_col, "n", "h"], "left_semi"))
-    top_cov = _coverage(pos.join(top_h, [id_col, "n", "h"], "left_semi"))
+    # the pivot below only reads TOP coverage for n=2..4 and DUP
+    # coverage for n=5..10 — restrict each marked-position join to the
+    # n-range it reports (duplicated bigrams are common, so the dup
+    # branch over n=2..4 would be the largest and entirely wasted)
+    dup_cov = _coverage(
+        pos.filter(F.col("n") >= 5).join(
+            dup_h.select(id_col, "n", "h").filter(F.col("n") >= 5),
+            [id_col, "n", "h"],
+            "left_semi",
+        )
+    )
+    top_cov = _coverage(
+        pos.filter(F.col("n") <= 4).join(
+            top_h.filter(F.col("n") <= 4),
+            [id_col, "n", "h"],
+            "left_semi",
+        )
+    )
     ncols = []
     for n in (2, 3, 4):
         ncols.append(
@@ -396,12 +411,20 @@ def gopher_repetition(
                 f"dup{n}_cov"
             )
         )
+    # the two branches cover DISJOINT n-ranges, so a null-padded union
+    # (not a join — full outer would sort-merge) feeds one conditional
+    # pivot agg
     pern_wide = (
-        dup_cov.withColumnRenamed("cov", "dupcov")
-        .join(
-            top_cov.withColumnRenamed("cov", "topcov"),
-            [id_col, "n"],
-            "left",
+        dup_cov.select(
+            id_col, "n", F.col("cov").alias("dupcov"),
+            F.lit(None).cast("long").alias("topcov"),
+        )
+        .unionByName(
+            top_cov.select(
+                id_col, "n",
+                F.lit(None).cast("long").alias("dupcov"),
+                F.col("cov").alias("topcov"),
+            )
         )
         .groupBy(id_col)
         .agg(*ncols)

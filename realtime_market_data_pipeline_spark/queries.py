@@ -8247,6 +8247,59 @@ def online_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_priority_canonical",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN doc_id % 100
+              ELSE doc_id END AS cluster_id,
+         CAST(doc_id % 7 AS INTEGER) AS priority
+  FROM d),
+k AS (
+  SELECT cluster_id, doc_id AS keeper FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY priority DESC, doc_id) AS rn
+    FROM lab WHERE doc_id % 10 = 0) WHERE rn = 1)
+SELECT l.doc_id, l.cluster_id, l.priority,
+       CASE WHEN l.doc_id % 10 = 0 THEN k.keeper
+            ELSE l.doc_id END AS canonical_id,
+       CASE WHEN l.doc_id % 10 = 0 THEN l.doc_id <> k.keeper
+            ELSE FALSE END AS is_dup
+FROM lab l LEFT JOIN k USING (cluster_id)
+""",
+)
+def dedup_priority_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware duplicate resolution (r12 —
+    ``dedup.canonicalize_by_priority``): clusters keep their
+    BEST-SOURCE member (highest priority, ties to lowest id) instead
+    of the min-id greedy — the RefinedWeb keep-by-source rule, and the
+    exact fix for the chain over-drop every min-id reduction carries.
+    The planted pair graph is LONG CHAINS — (x, x+100) for every
+    x % 10 == 0 — so each cluster is the arithmetic progression
+    {p, p+100, p+200, ...} (cluster = id % 100, ~N/100 links at
+    sf0.1): the pointer-jumping connected components converge in
+    O(log chain) rounds where plain propagation would need one round
+    per link, and the oracle predicts every cluster, keeper
+    (priority = id % 7, row_number replay), and is_dup flag from
+    arithmetic alone — no recursive SQL needed. Non-multiples of 10
+    are singletons (their own canonical)."""
+    n_docs = _parquet_rows(sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 7).cast("int").alias("priority"),
+    )
+    did = F.col("doc_id")
+    pairs = (
+        docs.filter(did % 10 == 0)
+        .select(did.alias("id_a"), (did + 100).alias("id_b"))
+        .filter(F.col("id_b") <= n_docs - 1)
+    )
+    return dd.canonicalize_by_priority(docs, pairs)
+
+
+@query(
     "url_domain_filter",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
@@ -8980,8 +9033,12 @@ _REGISTRY_PRIORITY_R11 = [
 # the 3-round floor, displaced with justification: their modules are
 # untouched by r12). The r13 window MUST therefore be, in order:
 # (1) whatever code changes in r13 (changed-code priority outranks
-# staleness); (2) any late-r12 registrations below the window (none
-# at r12 close — all four new rows lead the window); (3) the
+# staleness); (2) the late-r12 registration below the window —
+# dedup_priority_canonical (keep-best-source duplicate resolution
+# over the pointer-jumping components, long-chain planted graph,
+# exact arithmetic oracle; registered after the r12 window budget was
+# spent) — it has NEVER been driver-adjudicated and MUST lead r13;
+# (3) the
 # TWENTY-TWO spilled r9 rows listed in (6) — non-negotiable; (4) top
 # up to 50 with the oldest r10 rows (the r10 window: q8_market_share,
 # q13_customer_distribution, q21_sole_returned_supplier,
