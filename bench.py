@@ -165,6 +165,9 @@ HEADLINE = [
     # late-r12 keep-best-source duplicate resolution (long-chain CC)
     "url_domain_filter",
     "dedup_priority_canonical",
+    # late-r12: audio quality signals + video scene cuts
+    "multimodal_audio_quality",
+    "multimodal_scene_cuts",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -2708,6 +2708,140 @@ def decode_audio_samples(payload: bytes) -> list[int]:
         raise ValueError(f"malformed WAV ({type(e).__name__}: {e})") from e
 
 
+def audio_quality_stats(
+    media: DataFrame,
+    silence_eps: int = 2,
+    clip_level: int = 32767,
+) -> DataFrame:
+    """Audio QUALITY gating signals (r12) — the audio-modality twin of
+    the Gopher text filters: a large-scale audio corpus drops silent,
+    clipped, or dead recordings BEFORE paying for feature extraction.
+    One shuffle-free Arrow pass per payload (``decode_audio_mono`` —
+    WAV PCM + native FLAC) emits exact-integer signals:
+
+    - silence_frac: fraction of samples with |s| <= silence_eps;
+    - clipping_frac: fraction with |s| >= clip_level (catches both
+      rails of 16-bit PCM: |-32768| >= 32767);
+    - peak_abs, and mean_abs rounded 6 dp (an exact integer ratio, so
+      oracles replay it bit-for-bit).
+
+    Thresholding is the caller's business (corpora disagree on what
+    counts as dead air); every signal is inspectable per row."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mono, rate = decode_audio_mono(bytes(payload))
+                a = np.abs(mono.astype(np.int64))
+                n = int(a.size)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": n,
+                        "sample_rate": int(rate),
+                        "silence_frac": round(
+                            float((a <= silence_eps).sum()) / n, 6
+                        ) if n else None,
+                        "clipping_frac": round(
+                            float((a >= clip_level).sum()) / n, 6
+                        ) if n else None,
+                        "peak_abs": int(a.max()) if n else None,
+                        "mean_abs": round(float(a.sum()) / n, 6)
+                        if n else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, n_samples int, sample_rate int,"
+        " silence_frac double, clipping_frac double,"
+        " peak_abs long, mean_abs double",
+    )
+
+
+def make_quality_wav(doc_id: int) -> bytes:
+    """Deterministic 120-sample mono 16-bit WAV for the audio-quality
+    oracle corpus: k1 = doc_id%30+10 leading ZERO samples (silence),
+    then k2 = doc_id%20+5 CLIPPED samples (+32767 on even doc_ids,
+    -32768 on odd — exercising both rails), then body samples
+    500 + (doc_id + 7i) % 2000 at their global index i — every
+    signal is integer arithmetic an oracle replays."""
+    import io
+    import struct
+    import wave
+
+    n = 120
+    k1 = doc_id % 30 + 10
+    k2 = doc_id % 20 + 5
+    clip = 32767 if doc_id % 2 == 0 else -32768
+    samples = (
+        [0] * k1
+        + [clip] * k2
+        + [500 + (doc_id + 7 * i) % 2000 for i in range(k1 + k2, n)]
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+def plant_quality_wav(docs: DataFrame) -> DataFrame:
+    """Plant the audio-quality corpus over the documents spine (the
+    ``plant_media`` pattern): one ``make_quality_wav`` per doc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [make_quality_wav(int(d)) for d in ids],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
+def video_scene_cuts(
+    media: DataFrame, every_n: int = 1, threshold: int = 1000
+) -> DataFrame:
+    """Scene-cut detection over sampled video frames (r12) — the
+    cheapest shot-boundary signal a video curation pipeline runs
+    before any expensive per-frame model: sample frames
+    (``sample_video_frames`` — row-expanding Arrow fan-out, payload
+    bytes never leave the task), then flag frames whose pixel-sum jump
+    from the previous sampled frame exceeds ``threshold`` (one
+    per-media window at frame cardinality — frames per container are
+    bounded, so the lag partition never skews). First sampled frame:
+    delta NULL, is_cut false. Real pipelines swap the pixel-sum for a
+    histogram distance; the dataflow (decode fan-out -> keyed lag) is
+    identical."""
+    from pyspark.sql.window import Window
+
+    frames = sample_video_frames(media, every_n=every_n)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    delta = F.abs(
+        F.col("frame_pixel_sum")
+        - F.lag("frame_pixel_sum").over(w)
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_pixel_sum",
+        delta.alias("delta"),
+        F.coalesce(delta > threshold, F.lit(False)).alias("is_cut"),
+    )
+
+
 def audio_frame_energy(media: DataFrame, frame_len: int = 32) -> DataFrame:
     """REAL audio feature extraction (r7, replaces the byte-stride energy
     fake): decode each WAV payload to PCM samples, frame them frame_len

@@ -8247,6 +8247,96 @@ def online_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_quality",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+p AS (
+  SELECT doc_id,
+         doc_id % 30 + 10 AS k1,
+         doc_id % 20 + 5 AS k2,
+         CASE WHEN doc_id % 2 = 0 THEN 32767 ELSE 32768 END AS clipabs
+  FROM d),
+body AS (
+  SELECT p.doc_id,
+         CAST(sum(500 + (p.doc_id + 7 * t.i) % 2000) AS BIGINT) AS bsum
+  FROM p JOIN (SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)) t
+       ON t.i >= p.k1 + p.k2 AND t.i < 120
+  GROUP BY p.doc_id)
+SELECT p.doc_id AS media_id,
+       CAST(120 AS INTEGER) AS n_samples,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       round(CAST(p.k1 AS DOUBLE) / 120, 6) AS silence_frac,
+       round(CAST(p.k2 AS DOUBLE) / 120, 6) AS clipping_frac,
+       CAST(p.clipabs AS BIGINT) AS peak_abs,
+       round(CAST(p.k2 * p.clipabs + body.bsum AS DOUBLE) / 120, 6)
+         AS mean_abs
+FROM p JOIN body USING (doc_id)
+""",
+)
+def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gating (r12 — ``multimodal.audio_quality_stats``):
+    the audio twin of the Gopher text filters — silence fraction,
+    clipping fraction (both PCM rails), peak and exact mean |sample| —
+    the signals an audio corpus drops dead recordings on before
+    feature extraction, one shuffle-free Arrow decode pass. The
+    planted corpus (``make_quality_wav``) stripes k1 zero samples, k2
+    rail-clipped samples (sign by parity), and an arithmetic body, so
+    the oracle replays every fraction, the peak (the clip rail — body
+    tops out under 2500), and the exact mean from doc_id arithmetic;
+    the /120 ratios land on thirds at the 6th decimal, so cross-engine
+    rounding cannot diverge."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return mm.audio_quality_stats(mm.plant_quality_wav(docs))
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+fs AS (SELECT CAST(i AS BIGINT) AS f FROM range(0, 8) t(i)),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 5) t(i)),
+per AS (
+  SELECT doc_id, f, sum((doc_id + 17 * f + y) % 256) AS rs
+  FROM d JOIN fs ON f < (doc_id % 7) + 2
+       JOIN ys ON y < (doc_id % 4) + 2
+  GROUP BY doc_id, f),
+s AS (
+  SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         CAST(3 * ((doc_id % 6) + 2) * rs AS BIGINT) AS frame_pixel_sum
+  FROM per),
+l AS (
+  SELECT *,
+         abs(frame_pixel_sum - lag(frame_pixel_sum)
+             OVER (PARTITION BY media_id ORDER BY frame_idx)) AS delta
+  FROM s)
+SELECT media_id, frame_idx, frame_pixel_sum,
+       CAST(delta AS BIGINT) AS delta,
+       COALESCE(delta > 1000, FALSE) AS is_cut
+FROM l
+""",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection (r12 — ``multimodal.video_scene_cuts``):
+    the cheapest shot-boundary pass a video pipeline runs before any
+    per-frame model — REAL RIFF/AVI decode fan-out (every frame,
+    every_n=1) into a per-media lag window flagging pixel-sum jumps
+    above threshold. The planted AVI corpus's frame sums are pure
+    doc_id arithmetic (the ``multimodal_quarantine_frames`` plant),
+    so the oracle replays every frame sum, delta, and cut flag; the
+    first sampled frame pins the NULL-delta/false-cut edge. Scale
+    shape: decode is the row-expanding mapInPandas fan-out; the lag
+    partition is one container's frames — bounded, never skewed."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return mm.video_scene_cuts(
+        mm.plant_avi(docs), every_n=1, threshold=1000
+    )
+
+
+@query(
     "dedup_priority_canonical",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
@@ -9033,12 +9123,15 @@ _REGISTRY_PRIORITY_R11 = [
 # the 3-round floor, displaced with justification: their modules are
 # untouched by r12). The r13 window MUST therefore be, in order:
 # (1) whatever code changes in r13 (changed-code priority outranks
-# staleness); (2) the late-r12 registration below the window —
+# staleness); (2) the THREE late-r12 registrations below the window —
 # dedup_priority_canonical (keep-best-source duplicate resolution
 # over the pointer-jumping components, long-chain planted graph,
-# exact arithmetic oracle; registered after the r12 window budget was
-# spent) — it has NEVER been driver-adjudicated and MUST lead r13;
-# (3) the
+# exact arithmetic oracle), multimodal_audio_quality (silence/clip/
+# peak/exact-mean signals over a striped planted WAV corpus), and
+# multimodal_scene_cuts (AVI decode fan-out -> per-media lag window,
+# exact frame-sum arithmetic twin) — all registered after the r12
+# window budget was spent, NEVER driver-adjudicated, and they MUST
+# lead r13; (3) the
 # TWENTY-TWO spilled r9 rows listed in (6) — non-negotiable; (4) top
 # up to 50 with the oldest r10 rows (the r10 window: q8_market_share,
 # q13_customer_distribution, q21_sole_returned_supplier,

@@ -2044,3 +2044,61 @@ def test_audio_fingerprint_routed_quarantines_bad_clips(spark):
     assert by[1].error_class == "ValueError" and by[1].fp is None
     assert by[2].error_class == "ValueError"
     assert by[3].error_class == "NotImplementedError"
+
+
+def test_audio_quality_stats_signals(spark):
+    """r12: audio quality gating — silence fraction counts |s| <= eps,
+    clipping catches BOTH 16-bit rails, the mean is an exact integer
+    ratio, and FLAC payloads ride the same pass."""
+    import io
+    import struct
+    import wave
+
+    def wav(samples, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    rows = [
+        (0, bytearray(wav([0, 0, 1, -2, 1000, -32768, 32767, 4000]))),
+        (1, bytearray(wav([100] * 10, rate=44100))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in mm.audio_quality_stats(df).collect()}
+    r0 = out[0]
+    assert r0.n_samples == 8 and r0.sample_rate == 8000
+    assert r0.silence_frac == 0.5       # 0,0,1,-2 at eps=2
+    assert r0.clipping_frac == 0.25     # both rails
+    assert r0.peak_abs == 32768
+    assert r0.mean_abs == round((0 + 0 + 1 + 2 + 1000 + 32768 + 32767 + 4000) / 8, 6)
+    r1 = out[1]
+    assert r1.silence_frac == 0.0 and r1.clipping_frac == 0.0
+    assert r1.peak_abs == 100 and r1.sample_rate == 44100
+
+
+def test_video_scene_cuts_lag_semantics(spark):
+    """r12: scene cuts — per-media lag over decoded frame sums, first
+    frame NULL-delta/false, cut iff the jump exceeds the threshold."""
+    rows = [
+        (5, bytearray(mm.make_avi(5, 3, 2, 4)), "video/x-msvideo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string"
+    )
+    frames = {
+        r.frame_idx: r
+        for r in mm.video_scene_cuts(df, every_n=1, threshold=50).collect()
+    }
+    sums = {
+        f: 3 * 3 * sum((5 + 17 * f + y) % 256 for y in range(2))
+        for f in range(4)
+    }
+    assert frames[0].delta is None and not frames[0].is_cut
+    for f in range(1, 4):
+        want = abs(sums[f] - sums[f - 1])
+        assert frames[f].delta == want
+        assert frames[f].is_cut == (want > 50)
