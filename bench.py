@@ -165,9 +165,11 @@ HEADLINE = [
     # late-r12 keep-best-source duplicate resolution (long-chain CC)
     "url_domain_filter",
     "dedup_priority_canonical",
-    # late-r12: audio quality signals + video scene cuts
+    # late-r12: audio quality signals + video scene cuts + seeded JL
+    # random projection
     "multimodal_audio_quality",
     "multimodal_scene_cuts",
+    "embedding_random_projection",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -407,6 +407,67 @@ def quantize_int8(
     ).withColumn("q", F.when(amax > 0, q))
 
 
+def jl_sign_matrix(
+    in_dim: int, out_dim: int, salt: str = "jl:v1"
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for ``random_project`` — Achlioptas'
+    database-friendly Johnson-Lindenstrauss form (±1 entries do as well
+    as Gaussians). Entry (k, j) takes the parity of the first hex digit
+    of md5(f"{salt}:{k}:{j}") — seeded, engine-portable, and tiny
+    (out_dim x in_dim ints ride in the plan as literals), so any ANSI
+    engine regenerates the identical matrix from the salt scheme."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{salt}:{k}:{j}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def random_project(
+    corpus: DataFrame,
+    signs: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Random projection (r12): compress embeddings to
+    ``len(signs)`` dimensions with the seeded ±1 JL transform —
+    y_k = (Σ_j s_kj · x_j) / sqrt(out_dim) — the cheap
+    dimensionality-reduction step in front of ANN/clustering when 4x
+    fewer floats per vector matters more than the last few recall
+    points (Johnson-Lindenstrauss bounds the pairwise-distance
+    distortion). Pick a PERFECT-SQUARE out_dim: the 1/sqrt scaling is
+    then exact in binary floating point, so the 6 dp rounding cannot
+    diverge cross-engine. Each output is one left-to-right
+    zip_with/aggregate fold (the ``dot`` order DuckDB's
+    list_dot_product replays) — elementwise scan stage, no shuffle,
+    signs are plan literals. Output columns p0..p{out_dim-1}."""
+    out_dim = len(signs)
+    root = out_dim ** 0.5
+    if int(root) * int(root) != out_dim:
+        raise ValueError(
+            f"out_dim {out_dim} must be a perfect square so the "
+            "1/sqrt(out_dim) scale is exact in binary floating point"
+        )
+    v = as_double(vec_col)
+    cols = []
+    for k, row in enumerate(signs):
+        s = F.array(*[F.lit(float(x)) for x in row])
+        cols.append(
+            F.round(dot(v, s) / F.lit(float(int(root))), round_dp)
+            .alias(f"p{k}")
+        )
+    return corpus.select(id_col, *cols)
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

@@ -8246,6 +8246,49 @@ def online_semdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_jl() -> str:
+    from realtime_market_data_pipeline_spark.operators.similarity import (
+        jl_sign_matrix,
+    )
+
+    signs = jl_sign_matrix(64, 16, salt="jl:v1")
+    outs = ",\n       ".join(
+        "round(list_dot_product(e, ["
+        + ", ".join(f"{float(x)}" for x in row)
+        + f"]) / 4.0, 6) AS p{k}"
+        for k, row in enumerate(signs)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id,
+       {outs}
+FROM v
+"""
+
+
+@query("embedding_random_projection", oracle=_o_jl())
+def embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seeded ±1 random projection (r12 — ``similarity.random_project``
+    + ``jl_sign_matrix``): 64-dim embeddings compressed to 16 dims
+    with the Achlioptas Johnson-Lindenstrauss transform — the
+    dimensionality-reduction front end for cheaper ANN/clustering.
+    EXACT value twin: the md5-seeded sign matrix is regenerated from
+    the salt scheme on both sides and embedded as literals, out_dim 16
+    makes the 1/sqrt scale an exact binary 1/4, and each output is the
+    same left-to-right fold DuckDB's list_dot_product runs, so all 16
+    projected columns replay bit-for-bit after the shared 6 dp round."""
+    from realtime_market_data_pipeline_spark.operators.similarity import (
+        jl_sign_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return sim.random_project(emb, jl_sign_matrix(64, 16, salt="jl:v1"))
+
+
 @query(
     "multimodal_audio_quality",
     oracle="""
@@ -9123,15 +9166,16 @@ _REGISTRY_PRIORITY_R11 = [
 # the 3-round floor, displaced with justification: their modules are
 # untouched by r12). The r13 window MUST therefore be, in order:
 # (1) whatever code changes in r13 (changed-code priority outranks
-# staleness); (2) the THREE late-r12 registrations below the window —
+# staleness); (2) the FOUR late-r12 registrations below the window —
 # dedup_priority_canonical (keep-best-source duplicate resolution
 # over the pointer-jumping components, long-chain planted graph,
 # exact arithmetic oracle), multimodal_audio_quality (silence/clip/
 # peak/exact-mean signals over a striped planted WAV corpus), and
 # multimodal_scene_cuts (AVI decode fan-out -> per-media lag window,
-# exact frame-sum arithmetic twin) — all registered after the r12
-# window budget was spent, NEVER driver-adjudicated, and they MUST
-# lead r13; (3) the
+# exact frame-sum arithmetic twin), and embedding_random_projection
+# (seeded ±1 JL transform, 16 exact projected columns) — all
+# registered after the r12 window budget was spent, NEVER
+# driver-adjudicated, and they MUST lead r13; (3) the
 # TWENTY-TWO spilled r9 rows listed in (6) — non-negotiable; (4) top
 # up to 50 with the oldest r10 rows (the r10 window: q8_market_share,
 # q13_customer_distribution, q21_sole_returned_supplier,

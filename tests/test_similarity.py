@@ -829,3 +829,46 @@ def test_semdedup_centroid_path_matches_bruteforce(spark):
         sim.semdedup(emb, tau)
     with _pytest.raises(ValueError, match="exactly one"):
         sim.semdedup(emb, tau, cluster_col="label", centers=centers)
+
+
+def test_random_projection_preserves_distances(spark):
+    """r12: the seeded ±1 JL projection — deterministic from the salt
+    scheme (two builds identical), exact 1/sqrt scaling (perfect-square
+    out_dim enforced), and the JL property on real data: pairwise
+    distance ratios projected/original concentrate around 1 (all
+    within a generous [0.4, 1.9] band at 16 dims — distortion, not
+    correctness, is the contract; the VALUES are pinned exactly by the
+    oracle row)."""
+    import itertools
+    import math
+
+    import pytest as _pytest
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    signs = sim.jl_sign_matrix(64, 16)
+    assert signs == sim.jl_sign_matrix(64, 16)  # deterministic
+    assert {x for row in signs for x in row} == {1, -1}
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 24")
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    proj = {
+        r.vec_id: [r[f"p{k}"] for k in range(16)]
+        for r in sim.random_project(emb, signs).collect()
+    }
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = [
+        d(proj[i], proj[j]) / d(orig[i], orig[j])
+        for i, j in itertools.combinations(sorted(orig), 2)
+    ]
+    assert all(0.4 < r < 1.9 for r in ratios)
+    assert 0.8 < sum(ratios) / len(ratios) < 1.25
+    with _pytest.raises(ValueError, match="perfect square"):
+        sim.random_project(emb, sim.jl_sign_matrix(64, 12))
