@@ -2061,7 +2061,18 @@ def hash_hamming_pairs(
             F.col(hash_col).alias("h_b"),
             F.col(f"b{i}").alias("bk"),
         )
-        cand = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b"))
+        cand = (
+            left.join(right, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            # drop the band key BEFORE the union: >=64-bit bands carry
+            # STRUCT keys whose part counts differ when bands straddle
+            # different numbers of word boundaries (e.g. n_bits=512,
+            # budget 2 -> 171/171/170-bit bands over 3 vs 4 words), and
+            # a union that still carried bk would fail at plan time on
+            # the mismatched struct types (r12 advice fix); the key has
+            # done its job once the join proposed the pair
+            .select("id_a", "h_a", "id_b", "h_b")
+        )
         pairs = cand if pairs is None else pairs.unionByName(cand)
     hamming = (
         _words_hamming("h_a", "h_b")

@@ -444,25 +444,28 @@ def random_project(
     dimensionality-reduction step in front of ANN/clustering when 4x
     fewer floats per vector matters more than the last few recall
     points (Johnson-Lindenstrauss bounds the pairwise-distance
-    distortion). Pick a PERFECT-SQUARE out_dim: the 1/sqrt scaling is
-    then exact in binary floating point, so the 6 dp rounding cannot
-    diverge cross-engine. Each output is one left-to-right
-    zip_with/aggregate fold (the ``dot`` order DuckDB's
-    list_dot_product replays) — elementwise scan stage, no shuffle,
-    signs are plan literals. Output columns p0..p{out_dim-1}."""
+    distortion). Any out_dim >= 1 is cross-engine safe: the divisor
+    sqrt(out_dim) is the correctly-rounded IEEE double (Python
+    ``math.sqrt`` ≡ ANSI ``sqrt``), and IEEE double division is
+    deterministic, so the 6 dp rounding cannot diverge between engines
+    (the earlier perfect-square guard claimed exactness that only
+    powers of 4 deliver and rejected valid dims for it — r12 advice
+    fix). Each output is one left-to-right zip_with/aggregate fold
+    (the ``dot`` order DuckDB's list_dot_product replays) —
+    elementwise scan stage, no shuffle, signs are plan literals.
+    Output columns p0..p{out_dim-1}."""
+    import math
+
     out_dim = len(signs)
-    root = out_dim ** 0.5
-    if int(root) * int(root) != out_dim:
-        raise ValueError(
-            f"out_dim {out_dim} must be a perfect square so the "
-            "1/sqrt(out_dim) scale is exact in binary floating point"
-        )
+    if out_dim < 1:
+        raise ValueError("signs must have at least one output row")
+    scale = math.sqrt(out_dim)
     v = as_double(vec_col)
     cols = []
     for k, row in enumerate(signs):
         s = F.array(*[F.lit(float(x)) for x in row])
         cols.append(
-            F.round(dot(v, s) / F.lit(float(int(root))), round_dp)
+            F.round(dot(v, s) / F.lit(scale), round_dp)
             .alias(f"p{k}")
         )
     return corpus.select(id_col, *cols)

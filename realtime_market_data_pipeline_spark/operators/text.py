@@ -296,6 +296,13 @@ def gopher_repetition(
             arr, F.lit(0), lambda acc, x: acc + F.length(x)
         )
 
+    # NULL text guard (r12 advice fix): F.size on a NULL array is -1,
+    # so an unguarded NULL document would flow n_toks=-1 / n_seg=-1
+    # into every ratio and emit NULL keep instead of routing. The
+    # route-don't-raise convention: invalid rows carry n_toks=0, NULL
+    # signals, pass_*=false, keep=false.
+    valid = t.isNotNull() & (F.size(toks) > 0)
+
     def _seg_signals(arr: Column, prefix: str) -> list[Column]:
         n_seg = F.size(arr)
         n_dis = F.size(F.array_distinct(arr))
@@ -306,13 +313,13 @@ def gopher_repetition(
             (c_all - c_dis).cast("double") / c_all, 6
         )).otherwise(F.lit(0.0))
         return [
-            frac.alias(f"dup_{prefix}_frac"),
-            cfrac.alias(f"dup_{prefix}_char_frac"),
+            F.when(valid, frac).alias(f"dup_{prefix}_frac"),
+            F.when(valid, cfrac).alias(f"dup_{prefix}_char_frac"),
         ]
 
     base = df.select(
         id_col,
-        F.size(toks).alias("n_toks"),
+        F.when(valid, F.size(toks)).otherwise(F.lit(0)).alias("n_toks"),
         *_seg_signals(F.split(t, "\n"), "line"),
         *_seg_signals(F.split(t, "\n\n"), "para"),
     )
@@ -433,31 +440,43 @@ def gopher_repetition(
     frac_cols: list[Column] = []
     pass_cols: list[Column] = []
     keep: Column = F.lit(True)
+    # every pass column coalesces NULL -> false so the invalid-row
+    # stripe (NULL signals, n_toks=0 -> NULL fracs via /0) routes to
+    # keep=false instead of propagating NULL through the AND chain
     for name in ("dup_line_frac", "dup_line_char_frac",
                  "dup_para_frac", "dup_para_char_frac"):
-        p = F.col(name) <= th[name]
+        p = F.coalesce(F.col(name) <= th[name], F.lit(False))
         pass_cols.append(p.alias(f"pass_{name}"))
         keep = keep & p
+    # n_toks > 0 guards the division itself (ANSI mode raises on /0;
+    # the invalid stripe carries n_toks = 0) — NULL frac routes the
+    # pass column to false via the coalesce
     for n in (2, 3, 4):
         name = f"top{n}_cov_frac"
-        frac = F.round(
-            F.coalesce(F.col(f"top{n}_cov"), F.lit(0)).cast("double")
-            / F.col("n_toks"),
-            6,
+        frac = F.when(
+            F.col("n_toks") > 0,
+            F.round(
+                F.coalesce(F.col(f"top{n}_cov"), F.lit(0)).cast("double")
+                / F.col("n_toks"),
+                6,
+            ),
         )
         frac_cols.append(frac.alias(name))
-        p = frac <= th[name]
+        p = F.coalesce(frac <= th[name], F.lit(False))
         pass_cols.append(p.alias(f"pass_{name}"))
         keep = keep & p
     for n in (5, 6, 7, 8, 9, 10):
         name = f"dup{n}_cov_frac"
-        frac = F.round(
-            F.coalesce(F.col(f"dup{n}_cov"), F.lit(0)).cast("double")
-            / F.col("n_toks"),
-            6,
+        frac = F.when(
+            F.col("n_toks") > 0,
+            F.round(
+                F.coalesce(F.col(f"dup{n}_cov"), F.lit(0)).cast("double")
+                / F.col("n_toks"),
+                6,
+            ),
         )
         frac_cols.append(frac.alias(name))
-        p = frac <= th[name]
+        p = F.coalesce(frac <= th[name], F.lit(False))
         pass_cols.append(p.alias(f"pass_{name}"))
         keep = keep & p
     return out.select(
@@ -1067,7 +1086,12 @@ def parse_warc(
         F.lit(0)
     )
     err = (
-        F.when(~magic_ok, F.lit("NotImplementedError"))
+        # NULL payload first: every later condition (rlike/instr on
+        # NULL) evaluates to NULL, which would fall through the chain
+        # and emit an all-NULL "good" row instead of quarantining
+        # (r12 advice fix — quarantine-as-data means NULL routes too)
+        F.when(w.isNull(), F.lit("ValueError"))
+        .when(~magic_ok, F.lit("NotImplementedError"))
         .when(
             (hdr_end == 0) | (clen_s == "") | clen.isNull()
             | (rec_id == "") | (_h("WARC-Type") == ""),

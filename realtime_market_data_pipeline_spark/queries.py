@@ -8588,11 +8588,17 @@ def _o_gopher_rep() -> str:
     """Oracle for doc_gopher_repetition — the decoration, the row-local
     line/paragraph signals, and the (id, n)-keyed gram coverage all
     replayed in DuckDB (per-n gram relations generated here)."""
+    # positions via a per-row unnest(range(...)) sized by the document's
+    # own token count — the earlier range(0, 512) lateral silently
+    # capped gram positions at 512 tokens/doc, a latent divergence on a
+    # longer corpus (r12 advice fix: no cap at all now)
     gram_union = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {n} AS n, CAST(r.i AS BIGINT) AS i,"
-        f" md5(array_to_string(t[CAST(r.i + 1 AS BIGINT):"
-        f"CAST(r.i + {n} AS BIGINT)], ' ')) AS h"
-        f" FROM toks, range(0, 512) r(i) WHERE r.i + {n} <= len(t)"
+        f"  SELECT doc_id, {n} AS n, CAST(i AS BIGINT) AS i,"
+        f" md5(array_to_string(t[CAST(i + 1 AS BIGINT):"
+        f"CAST(i + {n} AS BIGINT)], ' ')) AS h"
+        f" FROM (SELECT doc_id, t,"
+        f" unnest(range(0, CAST(len(t) - {n} + 1 AS BIGINT))) AS i"
+        f" FROM toks WHERE t IS NOT NULL)"
         for n in range(2, 11)
     )
     top_pivot = ",\n       ".join(
@@ -8622,12 +8628,15 @@ def _o_gopher_rep() -> str:
             f" / b.n_toks, 6) AS dup{n}_cov_frac"
         )
         keep_terms.append(f"dup{n}_cov_frac <= {thr}")
+    # coalesce(term, false): the NULL/empty-text stripe carries NULL
+    # signals and n_toks=0 (NULL fracs via /0), and routes keep=false —
+    # mirror of the Spark-side guard (r12 advice fix)
     for term in keep_terms:
         name = term.split(" ")[0]
-        passes.append(f"{term} AS pass_{name}")
+        passes.append(f"coalesce({term}, false) AS pass_{name}")
     frac_sql = ",\n         ".join(fracs)
     pass_sql = ",\n       ".join(passes)
-    keep_sql = " AND ".join(keep_terms)
+    keep_sql = " AND ".join(f"coalesce({t}, false)" for t in keep_terms)
     return f"""
 WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
 dec AS (
@@ -8648,7 +8657,9 @@ seg AS (
          string_split_regex(text, '\\s+') AS t
   FROM dec),
 b AS (
-  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_toks, t,
+  SELECT doc_id,
+    CASE WHEN t IS NULL OR len(t) <= 0 THEN 0
+         ELSE CAST(len(t) AS INTEGER) END AS n_toks, t,
     round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
           / len(lines), 6) AS dup_line_frac,
     round(CAST(list_aggregate(list_transform(lines, x -> strlen(x)), 'sum')

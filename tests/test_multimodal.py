@@ -1951,6 +1951,53 @@ def test_hash_hamming_pairs_wide_bands_over_64_bits(spark):
     }
 
 
+def test_hash_hamming_pairs_wide_heterogeneous_band_shapes(spark):
+    """r13 (advice fix): a band layout whose word-boundary crossings
+    DIFFER across bands — n_bits=512 at budget 2 cuts 171/171/170-bit
+    bands spanning 3, 4 and 3 words respectively, so the struct band
+    keys have different part counts. The union used to carry the band
+    key and failed with an AnalysisException on the mismatched struct
+    types; the key is now dropped before the union, and the pairs must
+    still be exactly brute force."""
+    from itertools import combinations
+
+    rng_state = 0x0123456789ABCDEF
+    vals = []
+    for _ in range(16):
+        rng_state = (
+            rng_state * 6364136223846793005 + 1442695040888963407
+        ) % (1 << 512)
+        vals.append(rng_state)
+    vals.append(vals[0] ^ (0b11 << 170))   # 2 flips straddling band 0/1
+    vals.append(vals[1] ^ (1 << 341))      # 1 flip at the band 1/2 seam
+    vals.append(vals[2])                   # exact dup
+
+    def words(x):
+        out = []
+        for k in range(8):
+            w = (x >> (64 * k)) & ((1 << 64) - 1)
+            out.append(w - (1 << 64) if w >= 1 << 63 else w)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, words(x)) for i, x in enumerate(vals)],
+        "media_id long, dhash array<long>",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.hash_hamming_pairs(
+            df, max_hamming=2, n_bits=512
+        ).collect()
+    }
+    want = {
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a, b in combinations(range(len(vals)), 2)
+        if bin(vals[a] ^ vals[b]).count("1") <= 2
+    }
+    assert got == want
+    assert (0, 16, 2) in got and (1, 17, 1) in got and (2, 18, 0) in got
+
+
 def test_hash_hamming_pairs_min_band_bits_guard(spark):
     """r11: the band-width floor is a hard guard — a 64-bit hash at
     budget 12 gives 4-bit bands (16 buckets: a small-constant

@@ -514,9 +514,23 @@ def test_gopher_repetition_signals_and_coverage(spark):
         (3, "lead text " + ("spam ham " * 15).strip()),
         (4, "start " + ("the quick brown fox jumps high " * 3).strip()),
         (5, "a a a a"),
+        (6, None),   # NULL text routes to keep=false (r13 advice fix)
+        (7, ""),     # empty text is DEFINED under the \s+ tokenizer
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in tx.gopher_repetition(df).collect()}
+    # NULL text: n_toks=0, NULL signals, every pass false, keep=false
+    # (previously F.size(NULL) = -1 flowed into the ratios and keep
+    # came out NULL) — route-don't-raise, the quarantine convention
+    assert out[6].n_toks == 0 and out[6].keep is False
+    assert out[6].dup_line_frac is None and out[6].top2_cov_frac is None
+    assert not any(
+        out[6][f] for f in out[6].asDict() if f.startswith("pass_")
+    )
+    # empty text has one (empty) whitespace token: all signals defined
+    # and zero, keep=true — rejecting empty docs is the STRUCTURAL
+    # gate's job (gopher_quality min-word-count), not repetition's
+    assert out[7].keep is True and out[7].n_toks == 1
     # clean doc keeps; its top bigram occurs once -> coverage 0
     assert out[0].keep and out[0].top2_cov_frac == 0.0
     # planted line dups: 2 of 4 lines are repeats
@@ -534,7 +548,7 @@ def test_gopher_repetition_signals_and_coverage(spark):
     for r in out.values():
         for c in ("top2_cov_frac", "top3_cov_frac", "top4_cov_frac",
                   "dup5_cov_frac", "dup10_cov_frac"):
-            assert 0.0 <= r[c] <= 1.0
+            assert r[c] is None or 0.0 <= r[c] <= 1.0
         # keep is the conjunction of all 13 rules
         assert r.keep == all(
             r[f] for f in r.asDict() if f.startswith("pass_")
@@ -587,6 +601,7 @@ def test_warc_wrap_parse_split_roundtrip(spark):
         (3, good[: len(good) - 5]),    # truncated payload
         (4, good.replace("Content-Length: ", "X-Length: ")),
         (5, info),                     # warcinfo: good, no http fields
+        (6, None),                     # NULL payload quarantines (r13)
     ]
     by = {
         r.doc_id: r
@@ -600,6 +615,8 @@ def test_warc_wrap_parse_split_roundtrip(spark):
     assert by[4].error_class == "ValueError"
     assert by[5].error_class is None and by[5].warc_type == "warcinfo"
     assert by[5].http_status is None and by[5].body is None
+    # NULL routes to the quarantine lane, not an all-NULL "good" row
+    assert by[6].error_class == "ValueError" and by[6].warc_type is None
 
     # splitter: 3 records concatenated with the spec's record gap, one
     # file plain and one gzipped; a trailing truncated record
