@@ -170,6 +170,17 @@ HEADLINE = [
     "multimodal_audio_quality",
     "multimodal_scene_cuts",
     "embedding_random_projection",
+    # r13 additions: the two remaining online-writer batch certification
+    # twins (DSIR gate fold — fit + offline threshold calibration +
+    # 3+1-batch stream replay; full-Gopher gate fold — structural ⋈
+    # repetition per batch + batch-twin equivalence), the WARC FILE-form
+    # walk (multi-record split + parse + gzip round-trip + truncation
+    # quarantine), and the MinHash family routed through the
+    # priority/keep-best reducer (CC + arg-best keeper)
+    "online_dsir_gate_fold",
+    "online_full_gopher_gate_fold",
+    "text_ingest_warc_file",
+    "dedup_minhash_priority",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint
@@ -210,6 +221,12 @@ CERTIFICATION = (
     "dedup_semantic_semdedup_kmeans",
     "online_quality_gate_fold",
     "online_semdedup_fold",
+    # r13: the two new fold twins run the actual writers over 3+1
+    # batches with parquet landings plus batch-operator twin compares
+    # (the full-Gopher fold re-runs the repetition family per batch —
+    # by far the most expensive certificate, deliberately so)
+    "online_dsir_gate_fold",
+    "online_full_gopher_gate_fold",
 )
 
 

@@ -738,6 +738,7 @@ def lsh_bucket_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    keep_priority_col: str | None = None,
 ) -> DataFrame:
     """Embedding near-dup WITHOUT the all-pairs join: vectors are bucketed by
     an r-bit sign-LSH signature and only WITHIN-bucket pairs are cosine-
@@ -765,7 +766,14 @@ def lsh_bucket_dedup(
     r = len(planes)//L bits each (recall 1 − (1 − pʳ)ᴸ, the production
     sign-LSH shape, same banding math as MinHash-LSH); candidate pairs are
     ``distinct``-ed before the exact verify so each pair is cosine-scored
-    once no matter how many tables it collides in."""
+    once no matter how many tables it collides in.
+
+    ``keep_priority_col`` (r13): route the verified pairs through the
+    certified connected-components + keep-best-priority reducer
+    (``dedup.canonicalize_by_priority``) instead of the min-id greedy —
+    exactly one survivor per duplicate component (no chain over-drop),
+    keeper = highest priority, ties to lowest id. Same output
+    columns."""
     if n_tables <= 1:
         # single-table JVM form: ANSI-SQL-expressible (the docstring's
         # oracle-replay property) — keep the codegen sign folds
@@ -817,6 +825,21 @@ def lsh_bucket_dedup(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    if keep_priority_col is not None:
+        from realtime_market_data_pipeline_spark.operators.dedup import (
+            canonicalize_by_priority,
+        )
+
+        return canonicalize_by_priority(
+            corpus.select(F.col(id_col), F.col(keep_priority_col)),
+            pairs.select("id_a", "id_b"),
+            priority_col=keep_priority_col,
+            id_col=id_col,
+        ).select(
+            id_col,
+            "canonical_id",
+            "is_dup",
+        )
     dup_of = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("dup_of")
     )
@@ -834,6 +857,7 @@ def semdedup(
     centers: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_priority_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication" — as dataflow, not a
@@ -845,9 +869,18 @@ def semdedup(
     below the LSH-separable regime (their web-text sweet spot keeps
     ~50% of data at τ≈0.93 within clusters; our corpus exercises lower
     τ). A vector is a duplicate iff some lower-id CLUSTER-MATE is
-    within cosine ≥ τ (canonical_id = lowest such id; the min-id greedy
-    can over-drop on chains — the same documented trade as every dedup
-    operator here). Output: (id, cluster, canonical_id, is_dup).
+    within cosine ≥ τ (canonical_id = lowest such id). Output:
+    (id, cluster, canonical_id, is_dup).
+
+    ``keep_priority_col`` (r13) routes the reduction through the
+    certified connected-components + keep-best machinery instead of
+    the min-id greedy: the τ-pairs are grouped into components
+    (``dedup.cluster_near_dups`` pointer jumping) and each component
+    keeps its highest-priority member (ties to lowest id) — exactly
+    one survivor per component regardless of chain shape, which fixes
+    the greedy's chain over-drop AND implements the RefinedWeb
+    keep-by-source rule. Same output columns; canonical_id is then
+    the component keeper.
 
     The cluster source is pluggable — exactly one of:
     - ``centers``: the paper's form — assign each vector to its nearest
@@ -905,6 +938,24 @@ def semdedup(
         )
         .select("id_a", "id_b")
     )
+    if keep_priority_col is not None:
+        # lazy import: dedup imports text, keep the operator modules
+        # acyclic
+        from realtime_market_data_pipeline_spark.operators.dedup import (
+            canonicalize_by_priority,
+        )
+
+        canon = canonicalize_by_priority(
+            clustered.select(F.col(id_col), F.col(keep_priority_col)),
+            pairs,
+            priority_col=keep_priority_col,
+            id_col=id_col,
+        )
+        return (
+            v.select(id_col, "cluster")
+            .join(canon.select(id_col, "canonical_id", "is_dup"), id_col)
+            .select(id_col, "cluster", "canonical_id", "is_dup")
+        )
     dup_of = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("dup_of")
     )

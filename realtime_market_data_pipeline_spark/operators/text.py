@@ -1045,7 +1045,10 @@ def wrap_warc(
 
 
 def parse_warc(
-    df: DataFrame, warc_col: str = "warc", id_col: str = "doc_id"
+    df: DataFrame,
+    warc_col: str = "warc",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Parse one WARC record per row into typed columns — the
     per-record stage of crawl ingestion (the record-level twin of the
@@ -1064,8 +1067,10 @@ def parse_warc(
     request) parse fine with NULL http fields — type routing is the
     caller's business.
 
-    Output: (id, warc_type, record_id, target_uri, warc_date,
-    content_length, http_status, body, n_body_bytes, error_class).
+    Output: (id, *extra_cols, warc_type, record_id, target_uri,
+    warc_date, content_length, http_status, body, n_body_bytes,
+    error_class) — ``extra_cols`` pass through untouched (r13: the
+    file-form walk keys records by (id, record_idx)).
     Char-based offsets equal byte offsets on single-byte text; binary
     WARC payloads belong on the binary-column path
     (``probe_media``-family), not this text parser."""
@@ -1109,6 +1114,7 @@ def parse_warc(
     good = err.isNull()
     return df.select(
         id_col,
+        *extra_cols,
         F.when(good, _h("WARC-Type")).alias("warc_type"),
         F.when(good, rec_id).alias("record_id"),
         F.when(good & (_h("WARC-Target-URI") != ""),

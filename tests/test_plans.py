@@ -324,47 +324,29 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
     # STALENESS-FIRST rotation with changed-code priority (the SLO in the
-    # registry comment): the r12 window must hold (a) the four new-r12
-    # rows and the three late-r11 rows, all never driver-adjudicated,
-    # (b) the changed-code re-cert (dedup_embedding_lsh — the staged
-    # lsh_bucket_dedup norm hoist landed this round; doc_gopher_rules
-    # also sits on the _gopher_decorated factor-out but leads as a
-    # never-adjudicated row anyway), (c) the fifteen r8 rows at four
-    # rounds stale (non-negotiable), and (d) the 27 r9 top-up rows with
-    # touched-module rows (multimodal.py) never spilling.
+    # registry comment): the r13 window must hold (a) the four late-r12
+    # never-adjudicated rows leading, (b) the four new-r13 rows,
+    # (c) the changed-code re-certs (hash_hamming_pairs union fix,
+    # parse_warc NULL route + extra_cols, gopher_repetition NULL guard
+    # + oracle refactor, keep_priority_col branches), and (d) ALL
+    # twenty-six r9 rows at the 4-round staleness ceiling.
     names = list(Q.QUERIES)
     window = set(names[:50])
     never_adjudicated = {
-        "multimodal_dedup_dhash_wide", "dedup_semantic_semdedup_kmeans",
-        "online_quality_gate_fold", "online_semdedup_fold",
-        "doc_dsir_weights", "doc_gopher_repetition",
-        "text_ingest_warc", "url_domain_filter",
-        "dedup_semantic_semdedup", "doc_gopher_rules",
-        "decontamination_fuzzy",
+        "dedup_priority_canonical", "embedding_random_projection",
+        "multimodal_audio_quality", "multimodal_scene_cuts",
     }
-    changed_code = {"dedup_embedding_lsh"}
-    r8_stale = {
-        "atr_14_daily", "beta_vs_market_daily", "copurchase_brand_pairs",
-        "equidepth_bins_value", "events_value_drift_psi",
-        "events_value_histogram", "inverted_index_postings",
-        "kmv_jaccard_pairs", "point_in_time_enrich",
-        "regex_extract_brands", "seasonal_baseline_backtest",
-        "sequence_pattern_counts", "stats_price_quantity",
-        "vwap_brand_month", "zscore_outlier_events",
+    new_r13 = {
+        "online_dsir_gate_fold", "online_full_gopher_gate_fold",
+        "text_ingest_warc_file", "dedup_minhash_priority",
     }
-    changed_module_r9 = {
-        # multimodal.py (r12: wide plant corpus + _word_band_expr struct
-        # bands) — its r9 rows never spill
-        "multimodal_features", "multimodal_quarantine_decode",
-        "multimodal_quarantine_frames",
+    changed_code = {
+        "multimodal_dedup_dhash_wide", "multimodal_dedup_dhash",
+        "dedup_audio_fingerprint", "text_ingest_warc",
+        "doc_gopher_repetition", "dedup_semantic_semdedup",
+        "dedup_embedding_lsh",
     }
-    for group in (never_adjudicated, changed_code, r8_stale,
-                  changed_module_r9):
-        assert group <= window, group - window
-    assert names[0] == "multimodal_dedup_dhash_wide"
-    # the twenty-six displaced r9 rows (quiet modules, justified in
-    # the registry comment) must sit at slots 51-76 so they lead r13
-    assert set(names[50:76]) == {
+    r9_stale = {
         "ohlc_rollup_1m_1h", "pivot_last_daily", "realized_vol_1d",
         "dedup_clusters",
         "bollinger_breach_stats", "counter_agg_1h", "date_parts_orders",
@@ -377,6 +359,12 @@ def test_registry_priority_window():
         "stochastic_14_3", "string_funcs_part", "twap_1h",
         "unpivot_lineitem_measures",
     }
+    for group in (never_adjudicated, new_r13, changed_code, r9_stale):
+        assert group <= window, group - window
+    assert names[0] == "dedup_priority_canonical"
+    # the r10 top-up rows close the window (multimodal_decode_gif
+    # first: its module changed this round and must not spill)
+    assert "multimodal_decode_gif" in window
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 

@@ -831,6 +831,51 @@ def test_semdedup_centroid_path_matches_bruteforce(spark):
         sim.semdedup(emb, tau, cluster_col="label", centers=centers)
 
 
+def test_dedup_priority_reducer_option(spark):
+    """r13 (the r12 verdict's wiring item): ``keep_priority_col`` on
+    semdedup and lsh_bucket_dedup routes the verified pairs through
+    the connected-components + keep-best reducer — exactly one
+    survivor per duplicate component, keeper = highest priority (ties
+    to lowest id), NOT the min-id greedy. A 3-chain with the best copy
+    in the middle is the case min-id gets wrong."""
+    rows = [
+        # component {1,2,3}: identical vectors; best priority on id 2
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 5),
+        (3, [1.0, 0.0, 0.0, 0.0], 1),
+        # component {10,11}: identical; tie on priority -> lowest id
+        (10, [0.0, 1.0, 0.0, 0.0], 2),
+        (11, [0.0, 1.0, 0.0, 0.0], 2),
+        # singleton
+        (20, [0.0, 0.0, 1.0, 0.0], 9),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, priority int"
+    ).withColumn("label", F.lit(0))
+    want = {
+        1: (2, True), 2: (2, False), 3: (2, True),
+        10: (10, False), 11: (10, True), 20: (20, False),
+    }
+    got = {
+        r.vec_id: (r.canonical_id, r.is_dup)
+        for r in sim.semdedup(
+            corpus, 0.98, cluster_col="label",
+            keep_priority_col="priority",
+        ).collect()
+    }
+    assert got == want
+    planes = sim.seeded_planes(4, 4) if hasattr(sim, "seeded_planes") \
+        else [[1.0, 0.2, -0.3, 0.1], [-0.2, 1.0, 0.4, -0.1],
+              [0.3, -0.4, 1.0, 0.2], [0.1, 0.3, -0.2, 1.0]]
+    got_lsh = {
+        r.vec_id: (r.canonical_id, r.is_dup)
+        for r in sim.lsh_bucket_dedup(
+            corpus, planes, 0.98, keep_priority_col="priority"
+        ).collect()
+    }
+    assert got_lsh == want
+
+
 def test_random_projection_preserves_distances(spark):
     """r12: the seeded ±1 JL projection — deterministic from the salt
     scheme (two builds identical), deterministic IEEE 1/sqrt scaling
