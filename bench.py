@@ -181,6 +181,15 @@ HEADLINE = [
     "online_full_gopher_gate_fold",
     "text_ingest_warc_file",
     "dedup_minhash_priority",
+    # r13: image quality gating (completes the audio/video/image
+    # modality triad), the C4 line-rule cleanup family, and the
+    # broadcast-model hashed classifier gate
+    "multimodal_image_quality",
+    "doc_c4_rules",
+    "doc_quality_classifier",
+    "doc_perplexity_buckets",
+    "doc_mixture_sample",
+    "multimodal_dedup_video",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

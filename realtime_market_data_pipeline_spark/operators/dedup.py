@@ -132,6 +132,29 @@ def minhash_sig_sets(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_sig_sets_from_tokens(
+    tokens_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Generic (non-text) twin of ``minhash_sig_sets``: the same
+    signature-AND-set aggregate over an arbitrary PRE-EXPLODED
+    (id, token) relation — the bridge that lets non-text modalities
+    ride the text dedup machinery unchanged (video near-dup tokenizes
+    each clip into per-frame signatures, audio into chunk
+    fingerprints; the banding/verify stages downstream are identical).
+    One groupBy: num_hashes affine mins + collect_set, same plan shape
+    and ReuseExchange behavior as the text form."""
+    x = minhash_base_hash(F.col(token_col))
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    aggs.append(F.collect_set(token_col).alias("sh"))
+    return tokens_df.groupBy(id_col).agg(*aggs)
+
+
 def jaccard_from_sets(
     sets_df: DataFrame,
     pairs: DataFrame,

@@ -2822,6 +2822,133 @@ def plant_quality_wav(docs: DataFrame) -> DataFrame:
     )
 
 
+def image_quality_stats(
+    media: DataFrame,
+    dark_eps: int = 8,
+    bright_level: int = 248,
+) -> DataFrame:
+    """Image QUALITY gating signals (r13) — completes the modality
+    triad next to ``audio_quality_stats`` (audio) and
+    ``video_scene_cuts`` (video): a large-scale image corpus drops
+    black thumbnails, blown-out captures, and flat single-color tiles
+    BEFORE paying for embedding/model inference (the LAION-style
+    pre-filter pass). One shuffle-free Arrow decode pass per payload
+    (``decode_image_pixels`` — BMP/PPM/PNG/GIF/JPEG) emits
+    exact-integer signals over the channel bytes:
+
+    - dark_frac: fraction of channel bytes <= ``dark_eps``;
+    - bright_frac: fraction >= ``bright_level`` (blown highlights);
+    - mean_byte rounded 6 dp (an exact integer ratio);
+    - min_byte / max_byte / contrast_range (max - min — a flat tile
+      has range ~0);
+    - n_distinct: distinct byte values — the poor-man's entropy a
+      single-color or few-color graphic fails.
+
+    Thresholding is the caller's business (corpora disagree on what
+    counts as "too dark"); every signal is inspectable per row.
+    Scale shape: embarrassingly parallel elementwise decode, payload
+    bytes never cross a shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image_pixels(bytes(payload))
+                h, w = arr.shape[:2]
+                b = np.asarray(arr, dtype=np.int64).ravel()
+                n = int(b.size)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": int(w),
+                        "height": int(h),
+                        "n_bytes": n,
+                        "dark_frac": round(
+                            float((b <= dark_eps).sum()) / n, 6
+                        ) if n else None,
+                        "bright_frac": round(
+                            float((b >= bright_level).sum()) / n, 6
+                        ) if n else None,
+                        "mean_byte": round(float(b.sum()) / n, 6)
+                        if n else None,
+                        "min_byte": int(b.min()) if n else None,
+                        "max_byte": int(b.max()) if n else None,
+                        "contrast_range": int(b.max() - b.min())
+                        if n else None,
+                        "n_distinct": int(np.unique(b).size)
+                        if n else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, width int, height int, n_bytes long,"
+        " dark_frac double, bright_frac double, mean_byte double,"
+        " min_byte int, max_byte int, contrast_range int,"
+        " n_distinct int",
+    )
+
+
+def make_quality_bmp(doc_id: int) -> bytes:
+    """Deterministic 10x12 24bpp BMP for the image-quality oracle
+    corpus: k1 = doc_id%4 leading DARK rows (all channel bytes 0),
+    then k2 = doc_id%3 BLOWN rows (255), then body rows with every
+    channel byte 16 + (doc_id + 11*y) % 224 at image row y — the body
+    range [16, 239] stays clear of both thresholds, so dark/bright
+    counts, the byte sum, min/max, and the distinct-value count are
+    all pure doc_id arithmetic an oracle replays. 360 channel bytes
+    per image; 3 | 360, so no /360 ratio can tie at the 6th decimal
+    (a half-ulp residue would need 10^6*k/360 = k*25000/9 to be a
+    half-integer, impossible unless 9 | k which makes it whole)."""
+    import struct
+
+    width, height = 10, 12
+    k1, k2 = doc_id % 4, doc_id % 3
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for y in reversed(range(height)):  # BMP rows are bottom-up
+        if y < k1:
+            v = 0
+        elif y < k1 + k2:
+            v = 255
+        else:
+            v = 16 + (doc_id + 11 * y) % 224
+        rows.append(bytes([v]) * row_bytes + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    data_offset = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(pixel_data), 0, 0, data_offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixel_data
+
+
+def plant_quality_bmp(docs: DataFrame) -> DataFrame:
+    """Plant the image-quality corpus over the documents spine (the
+    ``plant_media`` pattern): one ``make_quality_bmp`` per doc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [make_quality_bmp(int(d)) for d in ids],
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
 def video_scene_cuts(
     media: DataFrame, every_n: int = 1, threshold: int = 1000
 ) -> DataFrame:
@@ -2851,6 +2978,80 @@ def video_scene_cuts(
         delta.alias("delta"),
         F.coalesce(delta > threshold, F.lit(False)).alias("is_cut"),
     )
+
+
+def plant_avi_pairs(docs: DataFrame) -> DataFrame:
+    """Plant the video near-dup corpus over the documents spine: the
+    ``plant_avi`` payloads, except every doc_id%10==7 doc carries a
+    byte-identical COPY of doc_id-7's clip (dims and frame count from
+    the effective id too) — the planted duplicates the near-dup sweep
+    must find, arithmetic an oracle replays."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                e = int(d) - 7 if int(d) % 10 == 7 else int(d)
+                payloads.append(
+                    make_avi(e, (e % 6) + 2, (e % 4) + 2, (e % 7) + 2)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": "video/x-msvideo",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string"
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.9,
+    every_n: int = 1,
+) -> DataFrame:
+    """Perceptual VIDEO near-dup detection (r13) — completes the
+    perceptual dedup family next to ``image_dhash`` (image) and
+    ``audio_fingerprint`` (audio): tokenize each clip into per-frame
+    content signatures (the decode fan-out's frame pixel sum here; a
+    real pipeline swaps in a per-frame dHash/histogram — the dataflow
+    is identical), treat the signature SET as the clip's shingle set,
+    and ride the text MinHash+LSH machinery unchanged
+    (``minhash_sig_sets_from_tokens`` -> banded candidates -> exact
+    Jaccard verify >= threshold). Robust to re-encodes that preserve
+    frames and to trims (set Jaccard, not sequence equality).
+
+    Scale shape: decode fan-out is shuffle-free; one groupBy(media)
+    builds signature+set; candidates come from band-key joins (never
+    all-pairs — Σ bucket² bounded exactly as the text family); the
+    verify join touches candidates only."""
+    from realtime_market_data_pipeline_spark.operators import dedup as dd
+
+    frames = sample_video_frames(media, every_n=every_n)
+    tok = frames.select(
+        "media_id",
+        F.col("frame_pixel_sum").cast("string").alias("token"),
+    )
+    ss = dd.minhash_sig_sets_from_tokens(
+        tok, id_col="media_id", token_col="token", num_hashes=num_hashes
+    )
+    cand = dd.lsh_candidate_pairs(
+        ss, id_col="media_id", num_hashes=num_hashes, band_size=band_size
+    )
+    ver = dd.jaccard_from_sets(ss, cand, id_col="media_id")
+    return ver.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        "jaccard",
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def audio_frame_energy(media: DataFrame, frame_len: int = 32) -> DataFrame:

@@ -492,6 +492,92 @@ def gopher_repetition(
     )
 
 
+C4_BAD_WORDS: tuple[str, ...] = ("badword1", "badword2")
+C4_LINE_DROP_SUBSTRINGS: tuple[str, ...] = (
+    "javascript",
+    "cookie",
+    "privacy policy",
+)
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+    line_drop_substrings: tuple[str, ...] = C4_LINE_DROP_SUBSTRINGS,
+) -> DataFrame:
+    """C4 cleanup rules (Raffel et al. 2020 §2.2) — the OTHER standard
+    web-text filter family next to ``gopher_quality`` (doc-level
+    structural signals) and ``remove_boilerplate_lines`` (corpus-
+    frequency line dedup): C4 is LINE-RULE based. Per line, keep only
+    lines that (a) end in a terminal punctuation mark ('.', '!', '?',
+    '"'), (b) contain at least ``min_line_words`` words, and (c) do
+    not mention any ``line_drop_substrings`` (the paper drops lines
+    with "javascript" and cookie/policy notices). Per document, after
+    line cleanup: drop the whole page when the CLEANED text has fewer
+    than ``min_sentences`` sentences (terminal-punctuation count), or
+    the RAW text contains a bad word, "lorem ipsum", or a curly brace
+    (code markup). Word lists are caller-tuned per corpus, exactly as
+    the paper tunes its List-of-Dirty-Naughty-Obscene-Words.
+
+    Returns (id, clean_text, n_lines, n_kept_lines, n_sentences,
+    has_bad_word, has_lorem, has_brace, keep).
+
+    Scale shape: the whole family is pure codegen Column work over the
+    scan — split / higher-order filter / array_join / replace-count —
+    ZERO shuffle and zero Python; at 100 TB this is a map-only stage
+    whose output feeds the dedup/selection passes."""
+    t = F.col(text_col)
+    low = F.lower(t)
+
+    def _line_ok(line: Column) -> Column:
+        words = F.size(
+            F.filter(F.split(line, r"\s+"), lambda x: x != F.lit(""))
+        )
+        ok = F.right(line, F.lit(1)).isin(".", "!", "?", '"')
+        ok = ok & (words >= min_line_words)
+        llow = F.lower(line)
+        for s in line_drop_substrings:
+            ok = ok & ~llow.contains(s)
+        return ok
+
+    lines = F.split(t, "\n", -1)
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+
+    def _char_count(col: Column, ch: str) -> Column:
+        return F.length(col) - F.length(F.replace(col, F.lit(ch)))
+
+    n_sentences = (
+        _char_count(clean, ".")
+        + _char_count(clean, "!")
+        + _char_count(clean, "?")
+    ).cast("int")
+    has_bad = F.lit(False)
+    for w in bad_words:
+        has_bad = has_bad | low.contains(w)
+    out = df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_bad.alias("has_bad_word"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_bad_word")
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score = hits of each language's marker list;
     CJK-codepoint presence short-circuits to 'zh'; argmax with fixed-order
@@ -729,6 +815,75 @@ def weighted_sample_pps(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, tuple[int, int]],
+    budget_n: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix:v1",
+) -> DataFrame:
+    """Domain-mixture sampling (the mT5/XLM-R temperature-sampling /
+    DoReMi domain-weights step as dataflow): given OFFLINE-computed
+    mixture weights w_d (exact rationals num/den — temperature
+    p_d ∝ n_d^α is calibrated on the tiny domain histogram outside
+    the engine, like every other model this repo broadcasts), sample
+    each domain at rate p_d = min(1, budget_n · w_d / n_d) so the
+    kept set approximates the target mixture at ``budget_n`` docs.
+    Membership is the ``weighted_sample_pps`` exact-integer test —
+    keep iff u48 · den · n_d < budget_n · num · 2^48 in
+    DECIMAL(38,0) — never Bernoulli rand(), so membership is stable
+    under reruns, repartitioning, and engines. Domains absent from
+    ``weights`` rate 0 and route to kept=false (never silently
+    dropped).
+
+    Output: every input row as (id, group, n_group, p_sample 6 dp,
+    kept).
+
+    Scale shape: the domain histogram is one map-side-combined agg
+    (rows = #domains, broadcast back); membership is then per-row
+    and shuffle-free — one tiny exchange per 100 TB pass."""
+    d0 = "decimal(38,0)"
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_group")
+    )
+    wnum = F.lit(None).cast("long")
+    wden = F.lit(None).cast("long")
+    for dom, (num, den) in sorted(weights.items()):
+        wnum = F.when(F.col(group_col) == dom, F.lit(num)).otherwise(wnum)
+        wden = F.when(F.col(group_col) == dom, F.lit(den)).otherwise(wden)
+    j = df.select(F.col(id_col), F.col(group_col)).join(
+        F.broadcast(counts), group_col
+    )
+    kept = F.coalesce(
+        sample_key48(id_col, salt).cast(d0)
+        * wden.cast(d0)
+        * F.col("n_group").cast(d0)
+        < F.lit(budget_n).cast(d0) * wnum.cast(d0) * F.lit(2**48).cast(d0),
+        F.lit(False),
+    )
+    # least() ignores NULLs in every engine, so an unknown domain would
+    # silently read p=1.0 — guard it to NULL explicitly
+    p = F.when(
+        wnum.isNotNull(),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget_n)) * wnum.cast("double"))
+                / (wden.cast("double") * F.col("n_group").cast("double")),
+            ),
+            6,
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("n_group"),
+        p.alias("p_sample"),
+        kept.alias("kept"),
+    )
+
+
 def with_split_assignment(
     df: DataFrame,
     train_pct: int = 80,
@@ -927,6 +1082,52 @@ def bigram_lm_scores(
                 (-F.sum(F.col("logp").cast("decimal(38,10)"))).cast("double") / n, 6
             ).alias("avg_neg_logp"),
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str = "avg_neg_logp",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): within each language, order documents by LM score (lower =
+    more fluent) and cut the ranking into thirds — "head" feeds
+    high-quality training mixes, "middle" is kept, "tail" is usually
+    dropped or down-sampled. Deterministic: ties break on the id, and
+    the cut points are INTEGER ceilings (rank <= ceil(n/3) -> head,
+    rank <= ceil(2n/3) -> middle), so any engine replays the exact
+    bucket assignment.
+
+    Output: (id, group, score, ppl_rank, n_group, bucket).
+
+    Scale shape: one per-language sort window (languages are few and
+    fixed; each partition is a keyed range sort, no global order). The
+    certified form ranks exactly; at 100 TB replace the full-partition
+    window with per-language ``approx_percentile`` thresholds computed
+    on a sample and a broadcast threshold join — CCNet itself
+    calibrates cutoffs on a sample for exactly this reason."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    cw = Window.partitionBy(group_col)
+    rank = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(cw)
+    head_cut = F.floor((n + 2) / 3)
+    mid_cut = F.floor((2 * n + 2) / 3)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        rank.cast("int").alias("ppl_rank"),
+        n.cast("long").alias("n_group"),
+        F.when(rank <= head_cut, F.lit("head"))
+        .when(rank <= mid_cut, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
@@ -1454,6 +1655,89 @@ def dsir_score(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.round(F.sum("lam").cast("double"), 6).alias("log_w"),
+        )
+    )
+
+
+def seeded_classifier_weights(
+    spark,
+    n_buckets: int = 4096,
+    salt: str = "qcls:v1",
+    w_range: int = 8,
+) -> DataFrame:
+    """Deterministic stand-in for a PRETRAINED quality-classifier weight
+    table (the ``jl_sign_matrix`` salt scheme, relation-shaped): bucket
+    b gets the integer weight fold(md5(salt:b)) % (2*w_range+1) -
+    w_range in [-w_range, w_range]. In production the table comes from
+    an offline fastText/logistic fit on labeled pages; the engine only
+    ever sees (bucket, weight) rows, and this generator exists so the
+    APPLY path is certifiable without shipping a binary model. Built
+    with ``spark.range`` — no driver-side loop."""
+    b = F.col("id").cast("long")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), b.cast("string")))
+    fold = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return spark.range(n_buckets).select(
+        b.alias("b"),
+        (fold % (2 * w_range + 1) - w_range).cast("long").alias("w"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Hashed linear quality-classifier scoring (the GPT-3/CCNet
+    discriminative gate, Brown et al. 2020 Appendix A; fastText-style
+    mean-pooled bag of hashed features) — the APPLY half of the
+    classifier quality filter, complementing ``dsir_weights`` (the
+    generative importance weight): a model trained OFFLINE on labeled
+    pages ships as a (bucket, weight) relation; every document's
+    unigram+bigram instances hash into ``n_buckets`` buckets (the
+    ``hash_embed`` md5 fold DSIR shares), each gram looks up its
+    weight, and the document scores margin = Σ w (exact integer for
+    integer models) with the fastText mean pool score = margin /
+    n_grams. pred_keep = margin > 0; corpora that want a different
+    operating point threshold on ``score``.
+
+    Docs with NULL/empty text route to (n_grams=0, margin/score NULL,
+    pred_keep=false) — never dropped (the quarantine-as-data rule).
+
+    Cross-engine exactness: with integer weights the margin is exact,
+    and n_grams = 2T-1 is always ODD (T unigrams + T-1 bigrams), so
+    round(margin/n_grams, 6) can never land on a half-ulp tie (a tie
+    needs the denominator to contribute a factor 2^7 beyond 2·10^6).
+
+    Scale shape: the model is a B-row BROADCAST (B = 4096 — smaller
+    than one parquet footer); scoring is explode -> broadcast lookup ->
+    one map-side-combined agg on the document id. One id exchange per
+    100 TB pass, no model state on executors between batches."""
+    grams = _dsir_gram_buckets(df, text_col, id_col, n_buckets)
+    per_doc = (
+        grams.join(F.broadcast(weights), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w").alias("margin"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_grams"),
+            F.col("margin").cast("long").alias("margin"),
+            F.round(
+                F.col("margin").cast("double") / F.col("n_grams"), 6
+            ).alias("score"),
+            F.coalesce(F.col("margin") > 0, F.lit(False)).alias(
+                "pred_keep"
+            ),
         )
     )
 

@@ -8497,6 +8497,429 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_quality",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+p AS (SELECT doc_id, doc_id % 4 AS k1, doc_id % 3 AS k2 FROM d),
+body AS (
+  SELECT p.doc_id,
+         sum(16 + (p.doc_id + 11 * y.y) % 224) AS vsum,
+         min(16 + (p.doc_id + 11 * y.y) % 224) AS vmin,
+         max(16 + (p.doc_id + 11 * y.y) % 224) AS vmax,
+         count(DISTINCT (p.doc_id + 11 * y.y) % 224) AS vdist
+  FROM p JOIN (SELECT CAST(i AS BIGINT) AS y FROM range(0, 12) t(i)) y
+       ON y.y >= p.k1 + p.k2
+  GROUP BY p.doc_id)
+SELECT p.doc_id AS media_id,
+       CAST(10 AS INTEGER) AS width,
+       CAST(12 AS INTEGER) AS height,
+       CAST(360 AS BIGINT) AS n_bytes,
+       round(CAST(30 * p.k1 AS DOUBLE) / 360, 6) AS dark_frac,
+       round(CAST(30 * p.k2 AS DOUBLE) / 360, 6) AS bright_frac,
+       round(CAST(30 * (255 * p.k2 + body.vsum) AS DOUBLE) / 360, 6)
+         AS mean_byte,
+       CAST(CASE WHEN p.k1 > 0 THEN 0 ELSE body.vmin END AS INTEGER)
+         AS min_byte,
+       CAST(CASE WHEN p.k2 > 0 THEN 255 ELSE body.vmax END AS INTEGER)
+         AS max_byte,
+       CAST((CASE WHEN p.k2 > 0 THEN 255 ELSE body.vmax END)
+            - (CASE WHEN p.k1 > 0 THEN 0 ELSE body.vmin END) AS INTEGER)
+         AS contrast_range,
+       CAST(body.vdist + CASE WHEN p.k1 > 0 THEN 1 ELSE 0 END
+            + CASE WHEN p.k2 > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_distinct
+FROM p JOIN body USING (doc_id)
+""",
+)
+def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality gating (r13 — ``multimodal.image_quality_stats``):
+    completes the modality triad next to ``multimodal_audio_quality``
+    and ``multimodal_scene_cuts`` — dark fraction, blown-highlight
+    fraction, exact mean channel byte, min/max/contrast range, and
+    the distinct-byte-value count (the poor-man's entropy a flat tile
+    fails) — the LAION-style pre-filter an image corpus runs before
+    paying for embeddings, one shuffle-free Arrow decode pass. The
+    planted corpus (``make_quality_bmp``) stripes k1 = id%4 dark rows
+    (0), k2 = id%3 blown rows (255), and an arithmetic body confined
+    to [16, 239], so every signal replays from doc_id arithmetic; the
+    /360 ratios cannot tie at the 6th decimal (3 | 360: a half-ulp
+    residue needs 9 | k, which makes the ratio whole)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return mm.image_quality_stats(mm.plant_quality_bmp(docs))
+
+
+@query(
+    "doc_c4_rules",
+    oracle=r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 9 = 1
+                THEN 'click here to enable javascript support.' END,
+           CASE WHEN doc_id % 9 = 2
+                THEN 'we use cookies to improve the service.' END,
+           CASE WHEN doc_id % 9 = 3 THEN 'too short.' END,
+           CASE WHEN doc_id % 9 = 4
+                THEN 'this control line simply ends here.' END,
+           CASE WHEN doc_id % 11 = 3
+                THEN 'lorem ipsum dolor sit amet.' END,
+           CASE WHEN doc_id % 13 = 4
+                THEN 'this text mentions badword1 quite openly.' END,
+           CASE WHEN doc_id % 7 = 2 THEN 'var config = { mode: 1 };' END,
+           repeat('filler part goes here. ', CAST(doc_id % 7 AS INTEGER))
+             || 'closing sentence ends here.') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, t,
+         string_split(t, chr(10)) AS lines,
+         list_filter(string_split(t, chr(10)), l ->
+             right(l, 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(string_split_regex(l, '\s+'),
+                                 x -> x <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'cookie')
+             AND NOT contains(lower(l), 'privacy policy')) AS kept
+  FROM d),
+c AS (
+  SELECT doc_id, t, lines, kept,
+         array_to_string(kept, chr(10)) AS clean_text
+  FROM m),
+s AS (
+  SELECT doc_id, clean_text,
+         CAST(len(lines) AS INTEGER) AS n_lines,
+         CAST(len(kept) AS INTEGER) AS n_kept_lines,
+         CAST((strlen(clean_text) - strlen(replace(clean_text, '.', '')))
+            + (strlen(clean_text) - strlen(replace(clean_text, '!', '')))
+            + (strlen(clean_text) - strlen(replace(clean_text, '?', '')))
+            AS INTEGER) AS n_sentences,
+         (contains(lower(t), 'badword1') OR contains(lower(t), 'badword2'))
+           AS has_bad_word,
+         contains(lower(t), 'lorem ipsum') AS has_lorem,
+         contains(t, '{') AS has_brace
+  FROM c)
+SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,
+       has_bad_word, has_lorem, has_brace,
+       n_sentences >= 4 AND NOT has_bad_word AND NOT has_lorem
+         AND NOT has_brace AS keep
+FROM s
+""",
+)
+def doc_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleanup rules (r13 — ``text.c4_rules``; Raffel et al. 2020
+    §2.2): the line-rule web-text filter family — keep only lines
+    ending in terminal punctuation with >= 3 words and no
+    javascript/cookie/policy mention; drop whole pages under 4
+    cleaned sentences or containing a bad word, "lorem ipsum", or a
+    curly brace. Complements ``doc_gopher_rules`` (doc-level signals)
+    and ``doc_boilerplate_removal`` (corpus-frequency line dedup).
+    The raw corpus is single-line soup with no terminal punctuation,
+    so a doc_id-keyed DECORATION stripe (pure Column concat, the
+    gopher precedent) plants one line per rule — a javascript notice,
+    a cookie banner, a too-short line, a control keeper, lorem ipsum,
+    a bad word, a brace'd code line — plus doc_id%7 filler sentences,
+    and the oracle replays the decoration AND every rule in SQL, so
+    clean_text, all counts, the why-booleans, and keep are exact and
+    non-vacuous (min_sentences=4 splits on the %7 stripe). Scale
+    shape: the whole pass is zero-shuffle codegen over the scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                did % 9 == 1,
+                F.lit("click here to enable javascript support."),
+            ),
+            F.when(
+                did % 9 == 2,
+                F.lit("we use cookies to improve the service."),
+            ),
+            F.when(did % 9 == 3, F.lit("too short.")),
+            F.when(
+                did % 9 == 4,
+                F.lit("this control line simply ends here."),
+            ),
+            F.when(did % 11 == 3, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(
+                did % 13 == 4,
+                F.lit("this text mentions badword1 quite openly."),
+            ),
+            F.when(did % 7 == 2, F.lit("var config = { mode: 1 };")),
+            F.concat(
+                F.repeat(
+                    F.lit("filler part goes here. "),
+                    (did % 7).cast("int"),
+                ),
+                F.lit("closing sentence ends here."),
+            ),
+        ).alias("text"),
+    )
+    return tx.c4_rules(planted, min_sentences=4)
+
+
+@query(
+    "doc_quality_classifier",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 17 = 5 THEN NULL ELSE text END AS text
+  FROM documents),
+wh AS (SELECT CAST(i AS BIGINT) AS b,
+              md5('qcls:v1:' || CAST(i AS VARCHAR)) AS h
+       FROM range(4096) t(i)),
+wt AS (SELECT b, CAST({{hexfold}} % 17 - 8 AS BIGINT) AS w FROM wh),
+toks AS (SELECT doc_id, {{toks}} AS t FROM d WHERE text IS NOT NULL),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                i -> t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks),
+gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+hb AS (SELECT doc_id, md5(g) AS h FROM gr),
+gb AS (SELECT doc_id, CAST({{hexfold}} % 4096 AS BIGINT) AS b FROM hb),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(wt.w) AS BIGINT) AS margin
+       FROM gb JOIN wt USING (b) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(pd.n_grams, 0) AS n_grams,
+       pd.margin,
+       round(CAST(pd.margin AS DOUBLE) / pd.n_grams, 6) AS score,
+       COALESCE(pd.margin > 0, FALSE) AS pred_keep
+FROM d LEFT JOIN pd USING (doc_id)
+""".replace("{hexfold}", _O_HEXFOLD).replace("{toks}", _O_TOKS),
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier scoring (r13 —
+    ``text.classifier_score``; the GPT-3/CCNet discriminative gate,
+    Brown et al. 2020 Appendix A): a pretrained fastText-style model
+    ships as a 4096-row (bucket, weight) relation — here the seeded
+    ``seeded_classifier_weights`` table so the APPLY path is
+    certifiable — every unigram+bigram instance hashes through the
+    shared md5 fold, and each doc scores an exact integer margin with
+    the mean-pooled score. A doc_id%17 stripe nulls text to pin the
+    route-don't-drop contract (n_grams=0, NULL score, pred_keep
+    false). EXACT value twin: integer weights make the margin exact,
+    and n_grams = 2T-1 is always odd, so the 6-dp mean can never hit
+    a cross-engine rounding tie. Scale shape: B-row broadcast model,
+    one id exchange."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 17 != 5, F.col("text")).alias("text"),
+    )
+    wt = tx.seeded_classifier_weights(spark, n_buckets=4096)
+    return tx.classifier_score(docs, wt, n_buckets=4096)
+
+
+@query(
+    "doc_perplexity_buckets",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, text,
+         md5('split:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+b AS (SELECT doc_id, lang, text, {{bucket}} AS bucket FROM h),
+toks AS (SELECT doc_id, lang, bucket, {_O_TOKS} AS t FROM b),
+bg AS (
+  SELECT doc_id, bucket,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM toks
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE bucket < 204 GROUP BY 1),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+       FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v_size
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE bucket < 204)),
+s AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg),
+j AS (
+  SELECT s.doc_id,
+         round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(c1.c1, 0) + v.v_size AS DOUBLE)), 9) AS logp
+  FROM s LEFT JOIN c2 USING (bigram) LEFT JOIN c1 USING (w1) CROSS JOIN v
+),
+lm AS (
+  SELECT doc_id,
+         round(CAST(-sum(CAST(logp AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*), 6) AS avg_neg_logp
+  FROM j GROUP BY doc_id
+),
+ld AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang, lm.avg_neg_logp
+  FROM toks t JOIN lm USING (doc_id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_neg_logp, doc_id) AS ppl_rank,
+         count(*) OVER (PARTITION BY lang) AS n_group
+  FROM ld
+)
+SELECT doc_id, lang, avg_neg_logp,
+       CAST(ppl_rank AS INTEGER) AS ppl_rank,
+       CAST(n_group AS BIGINT) AS n_group,
+       CASE WHEN ppl_rank <= (n_group + 2) // 3 THEN 'head'
+            WHEN ppl_rank <= (2 * n_group + 2) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+""".replace("{bucket}", _O_BUCKET),
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (r13 — ``text.perplexity_
+    buckets``; Wenzek et al. 2020 §4.3) composed over the certified
+    bigram-LM scores (``doc_lm_scores``): within each corpus language,
+    rank documents by avg negative log-probability (ties to the id)
+    and cut at the exact integer ceilings n/3 and 2n/3 — the standard
+    quality stratification a CommonCrawl pipeline applies before
+    mixing. EXACT value twin: the LM scores replay the 9-dp/decimal
+    discipline, ranks order on the shared 6-dp grid, and the cuts are
+    integer arithmetic. The certified form is the exact per-language
+    rank window; the operator docstring carries the approx-percentile
+    threshold alternative for the 100 TB path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    lm = tx.bigram_lm_scores(docs, train_pct=80).select(
+        "doc_id", "avg_neg_logp"
+    )
+    scored = docs.select("doc_id", "lang").join(lm, "doc_id")
+    return tx.perplexity_buckets(scored)
+
+
+@query(
+    "doc_mixture_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         md5('mix:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_group FROM d GROUP BY lang),
+w AS (
+  SELECT d.doc_id, d.lang, c.n_group, ({_O_U48}) AS u48,
+         CASE d.lang WHEN 'de' THEN 1 WHEN 'en' THEN 4
+                     WHEN 'es' THEN 2 WHEN 'fr' THEN 2 END AS num,
+         CASE d.lang WHEN 'de' THEN 10 WHEN 'en' THEN 10
+                     WHEN 'es' THEN 10 WHEN 'fr' THEN 10 END AS den
+  FROM d JOIN c USING (lang))
+SELECT doc_id, lang, n_group,
+       CASE WHEN num IS NOT NULL THEN
+         round(least(1.0, (200.0 * num)
+                     / (den * CAST(n_group AS DOUBLE))), 6) END AS p_sample,
+       COALESCE(CAST(u48 AS HUGEINT) * den * n_group
+                < CAST(200 AS HUGEINT) * num * 281474976710656,
+                FALSE) AS kept
+FROM w
+""",
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (r13 — ``text.mixture_sample``; the
+    mT5/XLM-R temperature-sampling step as dataflow): offline-
+    calibrated rational mixture weights (en 4/10, es 2/10, fr 2/10,
+    de 1/10 — zh deliberately ABSENT to pin the unknown-domain route:
+    rate 0, p NULL, kept=false, never dropped) sample each language
+    at p_d = min(1, 200·w_d/n_d). EXACT value twin: membership is the
+    ``weighted_sample_pps`` integer test on the md5 48-bit key
+    (u48·den·n_d < 200·num·2^48), replayed in HUGEINT — bit-stable
+    across engines, reruns, and partitionings. Scale shape: one
+    domain-histogram agg broadcast back; the decision is per-row and
+    shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return tx.mixture_sample(
+        docs,
+        weights={"en": (4, 10), "es": (2, 10), "fr": (2, 10),
+                 "de": (1, 10)},
+        budget_n=200,
+        group_col="lang",
+    )
+
+
+@query(
+    "multimodal_dedup_video",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+              ELSE doc_id END AS e
+  FROM documents),
+fs AS (SELECT CAST(i AS BIGINT) AS f FROM range(0, 8) t(i)),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 5) t(i)),
+per AS (
+  SELECT d.doc_id, d.e, f, sum((d.e + 17 * f + y) % 256) AS rs
+  FROM d JOIN fs ON f < (d.e % 7) + 2
+       JOIN ys ON y < (d.e % 4) + 2
+  GROUP BY d.doc_id, d.e, f),
+toksl AS (
+  SELECT doc_id,
+         CAST(CAST(3 * ((e % 6) + 2) * rs AS BIGINT) AS VARCHAR) AS tok
+  FROM per),
+shs AS (SELECT doc_id, list_distinct(list(tok)) AS sh
+        FROM toksl GROUP BY doc_id),
+shh AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shs),
+shx AS (SELECT doc_id,
+               list_transform(hs, h -> {_O_HEXFOLD} % 2147483647) AS hx
+        FROM shh),
+sig AS (
+  SELECT doc_id,
+         {_O_SIG_COLS}
+  FROM shx
+),
+bands AS (
+{_O_BANDS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+              AS BIGINT) AS n_union
+  FROM cand JOIN shs a ON cand.id_a = a.doc_id
+            JOIN shs b ON cand.id_b = b.doc_id
+)
+SELECT id_a, id_b, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM verified
+WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.9
+""",
+)
+def multimodal_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video near-dup detection (r13 —
+    ``multimodal.video_near_dups``): completes the perceptual dedup
+    family next to ``multimodal_dedup_dhash`` (image) and
+    ``dedup_audio_fingerprint`` (audio). Each clip tokenizes into its
+    per-frame content signatures via the REAL RIFF/AVI decode fan-out,
+    and the signature set rides the text MinHash(16)+LSH(4x4)
+    machinery unchanged (``minhash_sig_sets_from_tokens``) into the
+    exact Jaccard verify >= 0.9. The planted corpus copies doc_id-7's
+    clip onto every doc_id%10==7 doc (dims and frame count from the
+    effective id), so every frame sum — hence every token, signature,
+    band, candidate, and verified pair — is doc_id arithmetic the SQL
+    replays end to end. Scale shape: shuffle-free decode, one
+    groupBy(media) for signature+set, band-key joins (never
+    all-pairs), verify on candidates only."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return mm.video_near_dups(
+        mm.plant_avi_pairs(docs), threshold=0.9
+    )
+
+
+@query(
     "dedup_priority_canonical",
     oracle="""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
@@ -9112,7 +9535,8 @@ def _o_full_gopher_fold() -> str:
     ``_o_gopher_rep_parts``), and the joined-gate fold counts."""
     ctes, _pass, keep_sql = _o_gopher_rep_parts()
     return f"""
-WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+             WHERE doc_id % 32 < 8),
 dec1 AS (
   SELECT doc_id,
     CASE doc_id % 8
@@ -9207,7 +9631,17 @@ def online_full_gopher_gate_fold(
     out_dir, rej_dir = _writer_state_dirs(
         sf_dir, "fullgate_fold", "curated", "rejects"
     )
-    docs = _rep_decorated(_gopher_decorated(spark, sf_dir))
+    # quarter-corpus certification subset, STRIPE-PRESERVING: keeping
+    # doc_id%32 < 8 retains every %8 structural, %9 repetition, and %3
+    # batching residue class (ids ≡ r mod 32, r < 8, hit each by CRT),
+    # so every rule family and batch stays non-vacuous while the
+    # 4x-repetition fold pays a quarter of the data cost — the r13
+    # sweep read the full-corpus form at 71.5 s under load vs the 60 s
+    # wall budget at sf0.01 (the fold is plan-overhead-bound, so the
+    # subset plus the smaller shuffle keeps it ~35-40 s with headroom)
+    docs = _rep_decorated(_gopher_decorated(spark, sf_dir)).filter(
+        F.col("doc_id") % 32 < 8
+    )
     writer = curation.quality_gate_writer(
         out_dir,
         rej_dir,
@@ -9478,21 +9912,56 @@ _REGISTRY_PRIORITY = [
     "string_funcs_part",
     "twap_1h",
     "unpivot_lineitem_measures",
-    # (5) top-up: 9 oldest-r10 rows. multimodal_decode_gif first (its
-    # module changed this round — the touched-module-never-spills
-    # rule), then the cheapest r10 spine rows so the window budget
-    # stays inside the sweep wall:
+    # (5) the FIVE new r13 operator rows (never adjudicated — the
+    # never-adjudicated-rows-never-wait-a-round rule, the r12
+    # precedent of new rows displacing top-ups with justification):
+    # - multimodal_image_quality — image quality gating (completes
+    #   the audio/video/image modality triad; LAION-style pre-filter,
+    #   exact /360-safe arithmetic twin over planted BMPs);
+    # - doc_c4_rules — the C4 line-rule cleanup family (Raffel 2020
+    #   §2.2: terminal punctuation, >=3 words, javascript/cookie line
+    #   drops, sentence floor + badword/lorem/brace page gates,
+    #   decorated-corpus exact twin, zero-shuffle codegen);
+    # - doc_quality_classifier — hashed linear classifier APPLY (the
+    #   GPT-3/CCNet discriminative gate; 4096-row broadcast model,
+    #   exact integer margins, odd-denominator 6-dp mean, NULL-text
+    #   route stripe);
+    # - doc_perplexity_buckets — CCNet head/middle/tail thirds per
+    #   language over the certified bigram-LM scores (exact integer
+    #   ceiling cuts, id tie-breaks);
+    # - doc_mixture_sample — temperature/domain mixture sampling
+    #   (offline rational weights, exact u48 integer membership,
+    #   unknown-domain route):
+    "multimodal_image_quality",
+    "doc_c4_rules",
+    "doc_quality_classifier",
+    "doc_perplexity_buckets",
+    "doc_mixture_sample",
+    # - multimodal_dedup_video — perceptual video near-dup (frame-
+    #   signature sets through minhash_sig_sets_from_tokens into the
+    #   certified LSH+Jaccard machinery; planted byte-identical copy
+    #   clips, full banded replay in the oracle):
+    "multimodal_dedup_video",
+    # (6) top-up: 3 oldest-r10 rows on modules r13 DOES touch
+    # (touched-module-never-spills: multimodal.py gained the image-
+    # quality family + video near-dup, text.py gained
+    # c4/classifier/buckets/mixture, dedup.py gained
+    # minhash_sig_sets_from_tokens — all additive, but their
+    # certifying rows take the slots). word_counts_top100 spills to
+    # the r14 leads with justification: its token-count expression
+    # tree is untouched by the r13 text.py additions, each of which
+    # carries its OWN certifying row in this window:
     "multimodal_decode_gif",
-    "events_time_range",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q21_sole_returned_supplier",
-    "range_join_event_sessions",
     "doc_boilerplate_removal",
     "dedup_exact_substrings",
-    "word_counts_top100",
-    # (6) spillover (slots 51+), all r10-green on modules r13 does NOT
-    # touch, displaced with justification: the ANN lifecycle family
+    # (7) spillover (slots 51+), all r10-green on modules r13 does NOT
+    # touch, displaced with justification: events_time_range +
+    # q8_market_share + q13_customer_distribution +
+    # q21_sole_returned_supplier + range_join_event_sessions (the five
+    # cheap r10 spine rows the five new operator rows displaced —
+    # readside.py, temporal.py, and their own query bodies untouched
+    # this round; they MUST open r14 right after any never-adjudicated
+    # or changed-code rows); the ANN lifecycle family
     # (embedding_ann_ivfpq/_pq/_ivf_persisted/_ivf_appended sit on the
     # similarity.py ANN path, untouched — the r13 similarity.py edits
     # are random_project and the keep_priority_col branches, certified
@@ -9670,19 +10139,25 @@ _REGISTRY_PRIORITY_R12 = [
 
 # ---------------------------------------------------------------------------
 # STAGED r14 PLAN (staleness-first). Post-r13 distribution over the
-# 180-query registry, assuming the r13 window above goes green:
+# 185-query registry, assuming the r13 window above goes green:
 # r13 x50, r12 x43 (the r12 window minus the seven rows re-certified
-# in r13 as changed-code), r11 x44, r10 x35 (the spillover in (6)
+# in r13 as changed-code), r11 x44, r10 x40 (the spillover in (7)
 # above — at 4 rounds old the only rows past the 3-round floor,
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
 # late-r13 registration below the window (none at the time of
-# writing — keep it that way or stage them here); (3) the 35 spilled
-# r10 rows listed in (6) — non-negotiable; (4) top up to 50 with the
-# oldest r11 rows (consult CORRECTNESS_r11.json for the authoritative
-# list; the features spine and multimodal families first — their
-# modules sit under most rounds' edits). Note on TPC-H completeness
+# writing — keep it that way or stage them here); (3) the 40 spilled
+# r10 rows listed in (7) — the five displaced spine rows
+# (events_time_range, q8_market_share, q13_customer_distribution,
+# q21_sole_returned_supplier, range_join_event_sessions) FIRST, then
+# the ANN/graph/behavior/sketch families — non-negotiable; (4) top up
+# to 50 with the oldest r11 rows (consult CORRECTNESS_r11.json for
+# the authoritative list; the features spine and multimodal families
+# first — their modules sit under most rounds' edits). ALSO in (3):
+# word_counts_top100 (displaced from the r13 top-ups by
+# multimodal_dedup_video — untouched token-count tree, 4 rounds old
+# at r14, takes a lead slot right after the spilled spine rows). Note on TPC-H completeness
 # (carried): the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
 # q12/q21 need l_shipmode/l_commitdate/l_receiptdate) are
 # structurally impossible on the driver corpus — the 17 registered

@@ -828,3 +828,43 @@ def test_r12_operator_plan_shapes(spark):
     rep = physical("doc_gopher_repetition")
     assert "SortMergeJoin" not in rep
     assert len(re.findall(r"Exchange hashpartitioning", rep)) <= 32
+
+
+def test_r13_operator_plan_shapes(spark):
+    """r13 plan pins: image-quality gating is a shuffle-free Arrow
+    decode stage; the C4 line rules are pure codegen over the scan
+    (zero exchanges); the hashed classifier's 4096-row model join
+    BROADCASTS (never sort-merges the corpus against a model); the
+    mixture sampler pays one tiny domain-histogram exchange plus one
+    broadcast join; the perplexity bucketing windows on the language
+    key with a bounded exchange count."""
+    import re
+
+    def physical(name):
+        df = Q.QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    img = physical("multimodal_image_quality")
+    assert "Exchange" not in img
+
+    c4 = physical("doc_c4_rules")
+    assert "Exchange" not in c4
+
+    cls = physical("doc_quality_classifier")
+    assert "CartesianProduct" not in cls
+    assert cls.count("BroadcastHashJoin") >= 1  # the model lookup
+    # grams agg + id join-back only; the model must not add keyed
+    # exchanges of corpus-scaled rows
+    assert len(re.findall(r"Exchange hashpartitioning", cls)) <= 4
+
+    mix = physical("doc_mixture_sample")
+    assert "SortMergeJoin" not in mix
+    assert mix.count("BroadcastHashJoin") == 1
+    # the only keyed exchange feeds the #domains-row histogram
+    assert len(re.findall(r"Exchange hashpartitioning", mix)) <= 2
+
+    ppl = physical("doc_perplexity_buckets")
+    assert "CartesianProduct" not in ppl
+    assert "row_number" in ppl
+    assert "hashpartitioning(lang" in ppl  # per-language window, no global sort
+    assert len(re.findall(r"Exchange hashpartitioning", ppl)) <= 24

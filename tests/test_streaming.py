@@ -2814,7 +2814,11 @@ def test_streaming_full_gopher_gate_with_repetition(spark, tmp_path):
     assert dropped[1].keep_structural and not dropped[1].keep_repetition
     assert not dropped[1].pass_dup_line_frac  # the why-boolean
     assert not dropped[2].keep_structural and not dropped[2].pass_stopwords
-    assert dropped[3].keep is None
+    # NULL text routes EXPLICITLY to keep=false (r12 advice fix: the
+    # repetition family guards NULL/empty text instead of emitting NULL
+    # through F.size(NULL) = -1 arithmetic), so the gate boolean is
+    # False — routed, never silently NULL
+    assert dropped[3].keep is False
     # accumulated == both batch operators joined
     all_docs = spark.createDataFrame(
         rows_b0 + rows_b1, "doc_id long, text string"

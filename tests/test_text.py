@@ -425,6 +425,156 @@ def test_gopher_quality_rules_and_signals(spark):
     assert out[3].symbol_ratio == 0.75
 
 
+def test_c4_rules_line_and_doc_gates(spark):
+    """r13 (Raffel et al. 2020 §2.2): C4 line rules — terminal
+    punctuation, >=3 words, javascript/cookie line drops — and the
+    doc-level gates (sentence floor on CLEANED text, bad word / lorem
+    ipsum / brace on RAW text)."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        # three clean sentences + one unpunctuated line (dropped)
+        (0, "one good sentence here.\nsecond fine line stays!\n"
+            "does this one stay?\nno terminal punctuation line"),
+        # javascript + cookie + short lines all dropped; one keeper
+        (1, "please enable JavaScript now.\nwe use cookies here.\n"
+            "too short.\nthe only surviving sentence line."),
+        # raw-text page gates: lorem / badword / brace
+        (2, "a fine long sentence stays here.\nlorem ipsum dolor sit amet."),
+        (3, "a fine long sentence stays here.\nthis mentions badword2 sadly."),
+        (4, "a fine long sentence stays here.\nif (x) { return; }"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.c4_rules(df, min_sentences=3).collect()
+    }
+    r0 = out[0]
+    assert r0.n_lines == 4 and r0.n_kept_lines == 3
+    assert r0.clean_text == (
+        "one good sentence here.\nsecond fine line stays!\n"
+        "does this one stay?"
+    )
+    assert r0.n_sentences == 3 and r0.keep
+    r1 = out[1]
+    assert r1.n_kept_lines == 1
+    assert r1.clean_text == "the only surviving sentence line."
+    assert not r1.keep  # 1 sentence < 3
+    assert out[2].has_lorem and not out[2].keep
+    assert out[3].has_bad_word and not out[3].keep
+    assert out[4].has_brace and not out[4].keep
+    # the brace line itself also fails the terminal-punctuation rule
+    assert out[4].n_kept_lines == 1
+
+
+def test_classifier_score_margin_and_null_route(spark):
+    """r13 (Brown et al. 2020 Appx A as dataflow): hashed linear
+    classifier apply — the margin replays a python fold of the same
+    md5 bucket/weight scheme exactly, n_grams = 2T-1 stays odd, and
+    NULL text routes to (0, NULL, NULL, false) instead of dropping."""
+    import hashlib
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    def fold(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def weight(b: int) -> int:
+        return fold(f"qcls:v1:{b}") % 17 - 8
+
+    def expected(text: str, n_buckets: int = 4096):
+        t = text.split(" ")
+        grams = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        ws = [weight(fold(g) % n_buckets) for g in grams]
+        return len(grams), sum(ws)
+
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "one"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wt = tx.seeded_classifier_weights(spark, n_buckets=4096)
+    out = {r.doc_id: r for r in tx.classifier_score(df, wt).collect()}
+
+    n0, m0 = expected("the quick brown fox jumps")
+    assert n0 == 9 and n0 % 2 == 1
+    assert out[0].n_grams == n0 and out[0].margin == m0
+    assert out[0].score == round(m0 / n0, 6)
+    assert out[0].pred_keep == (m0 > 0)
+
+    n1, m1 = expected("one")
+    assert out[1].n_grams == 1 and out[1].margin == m1
+
+    r2 = out[2]
+    assert r2.n_grams == 0 and r2.margin is None
+    assert r2.score is None and r2.pred_keep is False
+
+
+def test_perplexity_buckets_thirds_and_ties(spark):
+    """r13 (Wenzek et al. 2020 §4.3): per-group thirds at exact integer
+    ceilings, rank ties broken by id, singleton groups land in head."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = (
+        # lang 'en': 7 docs, scores force rank order; ids 0..6
+        [(i, "en", float(10 + i)) for i in range(7)]
+        # tie pair in 'es': same score, id breaks the tie
+        + [(10, "es", 5.0), (11, "es", 5.0), (12, "es", 9.0)]
+        # singleton group
+        + [(20, "de", 1.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_neg_logp double"
+    )
+    out = {r.doc_id: r for r in tx.perplexity_buckets(df).collect()}
+    # en: n=7 -> head cut ceil(7/3)=3, middle cut ceil(14/3)=5
+    assert [out[i].bucket for i in range(7)] == (
+        ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
+    )
+    assert out[0].ppl_rank == 1 and out[6].n_group == 7
+    # es tie: id 10 outranks 11
+    assert out[10].ppl_rank == 1 and out[11].ppl_rank == 2
+    assert [out[i].bucket for i in (10, 11, 12)] == [
+        "head", "middle", "tail",
+    ]
+    assert out[20].bucket == "head" and out[20].n_group == 1
+
+
+def test_mixture_sample_integer_membership_and_unknown_domain(spark):
+    """r13: temperature-mixture sampling — membership replays the exact
+    u48 integer test, p_sample is min(1, budget*w/n), domains absent
+    from the weight table route to kept=false with NULL p."""
+    import hashlib
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    def u48(doc_id: int, salt: str = "mix:v1") -> int:
+        return int(
+            hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:12], 16
+        )
+
+    rows = [(i, "en") for i in range(8)] + [
+        (100, "de"), (101, "de"), (200, "xx")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {
+        r.doc_id: r
+        for r in tx.mixture_sample(
+            df, weights={"en": (3, 4), "de": (1, 4)}, budget_n=4
+        ).collect()
+    }
+    # en: n=8, p = 4*3/(4*8) = 0.375; exact integer test per doc
+    for i in range(8):
+        assert out[i].p_sample == 0.375
+        want = u48(i) * 4 * 8 < 4 * 3 * 2**48
+        assert out[i].kept == want
+    # de: n=2, p = 4*1/(4*2) = 0.5
+    assert out[100].p_sample == 0.5 and out[100].n_group == 2
+    # unknown domain: NULL p, kept=false, row preserved
+    assert out[200].p_sample is None and out[200].kept is False
+
+
 def test_dsir_weights_selects_target_like_raw_docs(spark):
     """r12 (Xie et al. 2023): DSIR importance weights — raw docs sharing
     the target split's distinctive vocabulary must outweigh raw docs
