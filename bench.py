@@ -190,6 +190,8 @@ HEADLINE = [
     "doc_perplexity_buckets",
     "doc_mixture_sample",
     "multimodal_dedup_video",
+    # late-r13: image-text pair alignment (the LAION CLIP-score loop)
+    "multimodal_pair_alignment",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -2949,6 +2949,86 @@ def plant_quality_bmp(docs: DataFrame) -> DataFrame:
     )
 
 
+def image_hist_embed(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Deterministic image -> vector bridge (the visual twin of
+    ``text.hash_embed``): decode pixels, histogram the channel bytes
+    into ``n_bins`` equal buckets, L2-normalize into flat columns
+    ``h0..h{n-1}`` (rounded 6 dp — integer counts under an IEEE sqrt,
+    so both engines agree). A production pipeline swaps this for a
+    CLIP image tower; this is the model-free stand-in that keeps the
+    decode -> embed -> join -> score dataflow real and certifiable
+    (the ``_fake_decode_features`` convention). One shuffle-free
+    Arrow decode pass."""
+    import numpy as np
+
+    width = 256 // n_bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image_pixels(bytes(payload))
+                b = np.asarray(arr, dtype=np.int64).ravel()
+                counts = np.bincount(b // width, minlength=n_bins)
+                norm = float(np.sqrt((counts.astype(np.float64) ** 2).sum()))
+                row = {"media_id": int(mid)}
+                for i in range(n_bins):
+                    row[f"h{i}"] = (
+                        round(float(counts[i]) / norm, 6) if norm > 0
+                        else 0.0
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    schema = "media_id long, " + ", ".join(
+        f"h{i} double" for i in range(n_bins)
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def pair_alignment(
+    docs: DataFrame,
+    media: DataFrame,
+    threshold: float = 0.0,
+    dims: int = 16,
+) -> DataFrame:
+    """Image-text PAIR curation (the LAION filtering loop as
+    dataflow): embed the caption (``text.hash_embed`` — unit vector),
+    embed the image (``image_hist_embed`` — unit vector), join on the
+    pair id, score alignment as the dot product (cosine of unit
+    vectors, rounded 6 dp), and gate at ``threshold`` — exactly how a
+    CLIP-score filter decides which scraped (image, caption) pairs
+    survive into a multimodal training set. The embedding towers here
+    are the repo's deterministic model-free stand-ins; the dataflow —
+    shuffle-free decode fan-out, one id-keyed join of two unit-vector
+    relations, per-row score + gate — is the production shape.
+
+    Output: (doc_id, score, aligned) — every pair present, never
+    silently dropped.
+
+    Scale shape: both towers are map-only; the only exchange is the
+    pair-id equi-join (co-partition or bucket both sides by id at
+    100 TB and it is exchange-free)."""
+    from realtime_market_data_pipeline_spark.operators.text import (
+        hash_embed,
+    )
+
+    t = hash_embed(docs, dims=dims)
+    iv = image_hist_embed(media, n_bins=dims)
+    j = t.join(iv, t.doc_id == iv.media_id)
+    dot = sum(
+        F.col(f"d{i}") * F.col(f"h{i}") for i in range(dims)
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (a tiny negative dot rounded at
+    # 6 dp) to 0.0 — engines disagree on the sign bit otherwise
+    score = F.round(dot, 6) + F.lit(0.0)
+    return j.select(
+        F.col("doc_id"),
+        score.alias("score"),
+        (score > threshold).alias("aligned"),
+    )
+
+
 def video_scene_cuts(
     media: DataFrame, every_n: int = 1, threshold: int = 1000
 ) -> DataFrame:

@@ -8919,6 +8919,76 @@ def multimodal_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_O_HIST_SUMS = ",\n         ".join(
+    f"CAST(sum(CASE WHEN bin = {i} THEN c ELSE 0 END) AS BIGINT) AS c{i}"
+    for i in range(16)
+)
+_O_HIST_NORM = " + ".join(f"c{i}*c{i}" for i in range(16))
+_O_HIST_OUT = ",\n       ".join(
+    f"round(c{i} / hnorm, 6) AS h{i}" for i in range(16)
+)
+_O_PAIR_DOT = " + ".join(f"t.d{i} * iv.h{i}" for i in range(16))
+
+
+@query(
+    "multimodal_pair_alignment",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_O_TOKS}) AS tok FROM documents),
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+hx AS (SELECT doc_id, {_O_HEXFOLD} AS x FROM hs),
+dm AS (SELECT doc_id, CAST(x % {_EMBED_DIMS} AS INTEGER) AS dim,
+              CASE WHEN x % {2 * _EMBED_DIMS} < {_EMBED_DIMS}
+                   THEN 1 ELSE -1 END AS sign
+       FROM hx),
+e AS (SELECT doc_id, {_O_EMBED_SUMS} FROM dm GROUP BY doc_id),
+n AS (SELECT *, sqrt({_O_EMBED_NORM}) AS norm FROM e),
+t AS (SELECT doc_id,
+       {_O_EMBED_OUT}
+      FROM n),
+p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             doc_id % 4 AS k1, doc_id % 3 AS k2 FROM documents),
+ys AS (SELECT CAST(i AS BIGINT) AS y FROM range(0, 12) t(i)),
+bins AS (
+  SELECT p.doc_id,
+         CAST((16 + (p.doc_id + 11 * y.y) % 224) // 16 AS INTEGER) AS bin,
+         30 AS c
+  FROM p JOIN ys y ON y.y >= p.k1 + p.k2
+  UNION ALL
+  SELECT doc_id, 0 AS bin, 30 * k1 AS c FROM p WHERE k1 > 0
+  UNION ALL
+  SELECT doc_id, 15 AS bin, 30 * k2 AS c FROM p WHERE k2 > 0),
+hc AS (SELECT doc_id, {_O_HIST_SUMS} FROM bins GROUP BY doc_id),
+hn AS (SELECT *, sqrt({_O_HIST_NORM}) AS hnorm FROM hc),
+iv AS (SELECT doc_id,
+       {_O_HIST_OUT}
+       FROM hn)
+SELECT t.doc_id,
+       round({_O_PAIR_DOT}, 6) + 0.0 AS score,
+       round({_O_PAIR_DOT}, 6) + 0.0 > 0.0 AS aligned
+FROM t JOIN iv ON t.doc_id = iv.doc_id
+""",
+)
+def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair curation (r13 — ``multimodal.pair_alignment``;
+    the LAION CLIP-score filtering loop as dataflow): caption tower =
+    the certified ``hash_embed`` unit vector, image tower =
+    ``image_hist_embed`` (decode -> 16-bin channel-byte histogram ->
+    unit vector — the deterministic model-free stand-in for a CLIP
+    image encoder), one pair-id join, alignment = 6-dp cosine, gate
+    at 0. EXACT value twin: both towers' components are integer
+    sums under IEEE sqrt (6-dp rounded), the dot replays component-
+    by-component in SQL over the ``make_quality_bmp`` histogram
+    arithmetic (k1 zeros -> bin 0, k2 blown -> bin 15, body bins by
+    integer division). Scale shape: both towers map-only; the only
+    exchange is the pair-id equi-join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return mm.pair_alignment(
+        docs, mm.plant_quality_bmp(docs), threshold=0.0
+    )
+
+
 @query(
     "dedup_priority_canonical",
     oracle="""
@@ -10146,8 +10216,11 @@ _REGISTRY_PRIORITY_R12 = [
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window (none at the time of
-# writing — keep it that way or stage them here); (3) the 40 spilled
+# late-r13 registration below the window — currently ONE:
+# multimodal_pair_alignment (image-text pair curation, the LAION
+# CLIP-score loop; exact two-tower twin over hash_embed +
+# image_hist_embed — registered after the r13 window filled, MUST
+# lead r14); (3) the 40 spilled
 # r10 rows listed in (7) — the five displaced spine rows
 # (events_time_range, q8_market_share, q13_customer_distribution,
 # q21_sole_returned_supplier, range_join_event_sessions) FIRST, then

@@ -192,3 +192,81 @@ def dsir_gate_writer(
             routed.unpersist()
 
     return write
+
+
+def classifier_gate_writer(
+    weights_path: str,
+    out_dir: str,
+    rejects_dir: str | None = None,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> BatchWriter:
+    """foreachBatch writer: hashed-classifier quality gate ONLINE (r13)
+    — the third member of the online gate family next to the Gopher
+    gate (structural/repetition rules) and the DSIR gate (generative
+    importance weight): the discriminative classifier a GPT-3/CCNet
+    pipeline trains offline ships as a persisted (bucket, weight)
+    relation at ``weights_path``; every micro-batch is scored by
+    ``text.classifier_score`` (broadcast model lookup, exact integer
+    margin — bit-equal to the batch operator on the same rows) and
+    gated at ``score > threshold`` (the fastText mean pool, so the
+    operating point is document-length-normalized; 0.0 = the sign of
+    the margin). Docs that produce no grams (NULL/empty text) cannot
+    be scored: they route to REJECTS with NULL margin/score (the
+    family's NULL rule — every input doc lands exactly once).
+    Dynamic-partition overwrite keeps replays idempotent.
+
+    Scale shape per batch: one broadcast of the B-row model, one
+    map-side-combined id agg — no state store, no history read; the
+    model refreshes by re-persisting ``weights_path`` between
+    batches (read per batch by design)."""
+    from realtime_market_data_pipeline_spark.operators.text import (
+        classifier_score,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        weights = spark.read.parquet(weights_path)
+        scored = classifier_score(
+            batch_df, weights, text_col=text_col, id_col=id_col,
+            n_buckets=n_buckets,
+        )
+        routed = batch_df.select(id_col, text_col).join(
+            scored, id_col, "left"
+        ).persist()
+        keep3 = F.coalesce(
+            F.col("score") > F.lit(threshold), F.lit(False)
+        )
+        try:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    routed.filter(keep3)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                if rejects_dir is not None:
+                    (
+                        routed.filter(~keep3)
+                        .withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id")
+                        .parquet(rejects_dir)
+                    )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            routed.unpersist()
+
+    return write

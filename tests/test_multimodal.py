@@ -2170,6 +2170,46 @@ def test_video_near_dups_finds_planted_copy(spark):
     assert p.n_inter == p.n_union
 
 
+def test_pair_alignment_cosine_and_gate(spark):
+    """r13: image-text pair curation — both towers emit unit vectors,
+    the score is their 6-dp dot, the gate splits on the threshold, and
+    a flat single-bin image aligns with whatever sign its text tower
+    puts on that bucket (hand-checkable geometry)."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    flat0 = mm.encode_bmp_pixels(np.full((2, 2, 3), 7, dtype=np.uint8))
+    flat200 = mm.encode_bmp_pixels(
+        np.full((2, 2, 3), 200, dtype=np.uint8)
+    )
+    media = spark.createDataFrame(
+        [(0, bytearray(flat0)), (1, bytearray(flat200))],
+        "media_id long, payload binary",
+    )
+    iv = {r.media_id: r for r in mm.image_hist_embed(media).collect()}
+    # flat images put all mass in one bin -> unit vector e_bin
+    assert iv[0].h0 == 1.0 and sum(
+        getattr(iv[0], f"h{i}") for i in range(1, 16)
+    ) == 0.0
+    assert iv[1].h12 == 1.0  # 200 // 16 == 12
+
+    t = {r.doc_id: r for r in tx.hash_embed(docs).collect()}
+    out = {
+        r.doc_id: r
+        for r in mm.pair_alignment(docs, media, threshold=0.0).collect()
+    }
+    for did in (0, 1):
+        bin_i = 0 if did == 0 else 12
+        want = round(getattr(t[did], f"d{bin_i}") * 1.0, 6) + 0.0
+        assert out[did].score == want
+        assert out[did].aligned == (want > 0.0)
+
+
 def test_image_quality_stats_signals(spark):
     """r13: image quality gating — dark/bright fractions over channel
     bytes, exact mean, contrast range, distinct-value count; PNG rides

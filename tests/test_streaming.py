@@ -2717,6 +2717,57 @@ def test_compact_store_preserves_secondary_partitioning(spark, tmp_path):
         )
 
 
+def test_streaming_classifier_gate_against_persisted_weights(
+    spark, tmp_path
+):
+    """r13: hashed-classifier gate online — the persisted (bucket,
+    weight) model scores micro-batches bit-equal to the batch
+    operator, the threshold split is exact, NULL-text docs route to
+    rejects with NULL score, and a replayed batch rewrites itself."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.io import load_table
+    from realtime_market_data_pipeline_spark.operators import text as tx
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("doc_id") < 120)
+    weights_path = str(tmp_path / "qcls_weights")
+    tx.seeded_classifier_weights(spark, n_buckets=4096).write.parquet(
+        weights_path
+    )
+    weights = spark.read.parquet(weights_path)
+    twin = {
+        r.doc_id: r
+        for r in tx.classifier_score(docs, weights).collect()
+    }
+    nulldoc = spark.createDataFrame(
+        [(100000, None)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "cls_out")
+    rej = str(tmp_path / "cls_rej")
+    writer = curation.classifier_gate_writer(
+        weights_path, out, rej, threshold=0.0
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(nulldoc)
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b1, 1)  # replay rewrites itself
+
+    kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_id: r for r in spark.read.parquet(rej).collect()}
+    assert set(kept) | set(dropped) == set(twin) | {100000}
+    assert not (set(kept) & set(dropped))
+    for did, t in twin.items():
+        r = (kept if t.score is not None and t.score > 0.0
+             else dropped)[did]
+        assert r.score == t.score and r.margin == t.margin
+    r = dropped[100000]
+    assert r.score is None and r.margin is None  # NULL text -> rejects
+
+
 def test_streaming_dsir_gate_against_fitted_model(spark, tmp_path):
     """r12: DSIR online — fit the model once (dsir_fit persisted),
     gate micro-batches against it: accumulated weights are bit-equal
