@@ -190,8 +190,11 @@ HEADLINE = [
     "doc_perplexity_buckets",
     "doc_mixture_sample",
     "multimodal_dedup_video",
-    # late-r13: image-text pair alignment (the LAION CLIP-score loop)
+    # late-r13: image-text pair alignment (the LAION CLIP-score loop),
+    # the per-doc packing layout manifest, and exact stratified quotas
     "multimodal_pair_alignment",
+    "sequence_layout_256",
+    "doc_stratified_sample",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

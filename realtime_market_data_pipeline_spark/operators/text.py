@@ -884,6 +884,43 @@ def mixture_sample(
     )
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    quota_n: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat:v1",
+) -> DataFrame:
+    """EXACT per-stratum quota sampling: within each group, rank rows
+    by the deterministic 48-bit hash key (``sample_key48`` — a stable
+    pseudo-random order; ties broken by id) and keep the first
+    ``quota_n`` — the balanced-eval-set / per-language-holdout
+    primitive (Poisson sampling like ``mixture_sample`` hits quotas
+    only in expectation; audits and eval sets want exactly N per
+    stratum). Deterministic: membership never changes across reruns
+    or partitionings, and appending NEW rows can displace at most the
+    highest-keyed members (the standard bottom-k sketch property).
+
+    Output: every row as (id, group, strat_rank, selected).
+
+    Scale shape: one per-group rank window (groups are few and
+    bounded — keyed range sort, no global order). At 100 TB replace
+    the full window with a per-group bottom-k TakeOrdered over the
+    hash key — same membership by construction."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_key48(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    rank = F.row_number().over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        rank.cast("int").alias("strat_rank"),
+        (rank <= quota_n).alias("selected"),
+    )
+
+
 def with_split_assignment(
     df: DataFrame,
     train_pct: int = 80,
@@ -1013,6 +1050,55 @@ def pack_documents(
     return assigned.groupBy(group_col, "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_n").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_layout(
+    df: DataFrame,
+    ctx_tokens: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-DOCUMENT packing layout — the provenance/attention-boundary
+    manifest ``pack_documents`` (one row per window) deliberately does
+    not materialize: for each doc under the same concat-and-chop
+    convention, its global token offset in the group stream, the
+    context window its first token lands in, its offset WITHIN that
+    window, and how many of its tokens spill past the first window
+    boundary (a training-data writer uses exactly this to emit
+    attention-boundary masks and to answer "which sample did doc X
+    land in" during data audits).
+
+    Output: (id, group, n_tokens, start_tok, seq_id, offset_in_seq,
+    n_spill, spills_over). All integer window arithmetic — exact in
+    any engine; the sort is per-group, never global."""
+    from pyspark.sql.window import Window
+
+    n = token_count(text_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col), F.col(group_col), n.cast("long").alias("n_tokens")
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    off = start % ctx_tokens
+    spill = F.greatest(
+        F.lit(0).cast("long"),
+        (off + F.col("n_tokens") - ctx_tokens).cast("long"),
+    )
+    return base.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        start.cast("long").alias("start_tok"),
+        F.floor(start / ctx_tokens).cast("long").alias("seq_id"),
+        off.cast("long").alias("offset_in_seq"),
+        spill.alias("n_spill"),
+        (spill > 0).alias("spills_over"),
     )
 
 

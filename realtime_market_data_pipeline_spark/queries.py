@@ -8919,6 +8919,79 @@ def multimodal_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sequence_layout_256",
+    oracle="""
+WITH n AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT *,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_tok
+  FROM n
+)
+SELECT doc_id, source, n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 256 AS BIGINT) AS seq_id,
+       CAST(start_tok % 256 AS BIGINT) AS offset_in_seq,
+       CAST(greatest(0, start_tok % 256 + n_tokens - 256) AS BIGINT)
+         AS n_spill,
+       start_tok % 256 + n_tokens - 256 > 0 AS spills_over
+FROM w
+""",
+)
+def sequence_layout_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing layout (r13 — ``text.pack_layout``): the
+    provenance/attention-boundary manifest the per-window
+    ``sequence_packing_256`` deliberately does not materialize — for
+    each doc under the same concat-and-chop convention, its global
+    token offset, owning context window, offset within the window,
+    and spill past the first boundary (what a training writer needs
+    for boundary masks and "which sample holds doc X" audits). Pure
+    integer window arithmetic, per-source sort, exact in any
+    engine."""
+    return tx.pack_layout(
+        load_table(spark, sf_dir, "documents"), ctx_tokens=256
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         md5('strat:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents),
+k AS (SELECT doc_id, lang, ({_O_U48}) AS u48 FROM h),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u48, doc_id)
+           AS strat_rank
+  FROM k)
+SELECT doc_id, lang, CAST(strat_rank AS INTEGER) AS strat_rank,
+       strat_rank <= 40 AS selected
+FROM r
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota sampling (r13 —
+    ``text.stratified_sample_exact``): within each corpus language,
+    rank by the deterministic md5 48-bit key and keep exactly 40 —
+    the balanced-eval-set primitive Poisson sampling cannot deliver
+    (quotas only in expectation). EXACT value twin: the u48 key and
+    row_number replay in SQL; every row returned with its rank and
+    flag. 100 TB path on the operator: per-group bottom-k TakeOrdered
+    over the hash key — same membership by construction."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return tx.stratified_sample_exact(docs, quota_n=40, group_col="lang")
+
+
 _O_HIST_SUMS = ",\n         ".join(
     f"CAST(sum(CASE WHEN bin = {i} THEN c ELSE 0 END) AS BIGINT) AS c{i}"
     for i in range(16)
@@ -10216,11 +10289,14 @@ _REGISTRY_PRIORITY_R12 = [
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window — currently ONE:
-# multimodal_pair_alignment (image-text pair curation, the LAION
-# CLIP-score loop; exact two-tower twin over hash_embed +
-# image_hist_embed — registered after the r13 window filled, MUST
-# lead r14); (3) the 40 spilled
+# late-r13 registration below the window — currently THREE, in this
+# order: multimodal_pair_alignment (image-text pair curation, the
+# LAION CLIP-score loop; exact two-tower twin over hash_embed +
+# image_hist_embed), sequence_layout_256 (per-doc packing layout —
+# offsets/spill manifest, integer window twin), doc_stratified_sample
+# (exact per-stratum quotas by the u48 key, row_number twin) — all
+# registered after the r13 window filled, MUST lead r14; (3) the 40
+# spilled
 # r10 rows listed in (7) — the five displaced spine rows
 # (events_time_range, q8_market_share, q13_customer_distribution,
 # q21_sole_returned_supplier, range_join_event_sessions) FIRST, then

@@ -575,6 +575,50 @@ def test_mixture_sample_integer_membership_and_unknown_domain(spark):
     assert out[200].p_sample is None and out[200].kept is False
 
 
+def test_pack_layout_offsets_and_spill(spark):
+    """r13: per-doc packing layout — offsets are the id-ordered cumsum
+    per group, seq/offset derive by integer division, spill counts the
+    tokens past the first window boundary."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "s", " ".join(["w"] * 6)),   # start 0, fits
+        (1, "s", " ".join(["w"] * 3)),   # start 6, spills 1 past ctx=8
+        (2, "s", " ".join(["w"] * 10)),  # start 9 -> seq 1, off 1, spill 3
+        (3, "t", "w"),                   # other group starts fresh
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.pack_layout(df, ctx_tokens=8).collect()
+    }
+    assert (out[0].start_tok, out[0].seq_id, out[0].offset_in_seq,
+            out[0].n_spill, out[0].spills_over) == (0, 0, 0, 0, False)
+    assert (out[1].start_tok, out[1].seq_id, out[1].offset_in_seq,
+            out[1].n_spill, out[1].spills_over) == (6, 0, 6, 1, True)
+    assert (out[2].start_tok, out[2].seq_id, out[2].offset_in_seq,
+            out[2].n_spill) == (9, 1, 1, 3)
+    assert (out[3].start_tok, out[3].seq_id) == (0, 0)
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    """r13: exact per-stratum quotas — exactly quota_n selected per
+    group (or all rows in smaller groups), membership is a pure
+    function of the id, and re-running yields identical ranks."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [(i, "en") for i in range(10)] + [(100, "de")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = tx.stratified_sample_exact(df, quota_n=4).collect()
+    out2 = tx.stratified_sample_exact(df, quota_n=4).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    en = [r for r in out1 if r.lang == "en"]
+    assert sum(r.selected for r in en) == 4
+    assert sorted(r.strat_rank for r in en) == list(range(1, 11))
+    de = [r for r in out1 if r.lang == "de"]
+    assert de[0].strat_rank == 1 and de[0].selected
+
+
 def test_dsir_weights_selects_target_like_raw_docs(spark):
     """r12 (Xie et al. 2023): DSIR importance weights — raw docs sharing
     the target split's distinctive vocabulary must outweigh raw docs
