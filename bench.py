@@ -195,6 +195,8 @@ HEADLINE = [
     "multimodal_pair_alignment",
     "sequence_layout_256",
     "doc_stratified_sample",
+    # late-r13: margin-based bitext mining (certificate form)
+    "embedding_bitext_margin",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -340,6 +340,116 @@ def threshold_pairs(
     )
 
 
+def margin_mine_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext/pair mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER primitive): align two embedding corpora (e.g. the
+    English and French sides of a crawl) by the RATIO MARGIN, which
+    corrects raw cosine for each vector's local density (hubness):
+
+        margin(x, y) = cos(x, y) /
+                       ((Σ_{z∈NNk(x,B)} cos(x,z) + Σ_{z∈NNk(y,A)} cos(y,z))
+                        / 2k)
+
+    For every x ∈ A emit its best-margin candidate y ∈ B, the margin,
+    and whether the pair is MUTUAL (x is also y's best) — accepted =
+    margin > threshold, never filtered out (route-don't-drop; the
+    caller keeps mutual accepted pairs as mined bitext).
+
+    Determinism discipline: cosines round to 6 dp BEFORE ranking
+    (the ``cosine_topk`` rule, ties to the id), the k-NN sums
+    accumulate in DECIMAL(38,10) (order-free), and the margin rounds
+    to 6 dp from that exact denominator — bit-replayable in ANSI SQL.
+    A non-positive denominator (pathological all-negative neighbors)
+    routes to NULL margin, accepted=false.
+
+    Scale shape: this is the EXACT certificate form — all-pairs
+    scoring is |A|·|B| (the ``dedup_embedding_cosine`` precedent: the
+    quadratic ground-truth certifies the banded production path). At
+    100 TB, produce the k-NN lists with the banded/bucketed ANN
+    machinery (``ann_topk_lsh`` / ``ann_topk_ivf_indexed``) and feed
+    them into the SAME margin/mutual relational tail — the margin
+    arithmetic is oblivious to how the neighbor lists were found."""
+    from pyspark.sql.window import Window
+
+    d10 = "decimal(38,10)"
+    a = a_df.select(
+        F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")
+    )
+    b = b_df.select(
+        F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c6"),
+    )
+    wa = Window.partitionBy("id_a").orderBy(
+        F.col("c6").desc(), F.col("id_b")
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("c6").desc(), F.col("id_a")
+    )
+    ranked = pairs.select(
+        "id_a",
+        "id_b",
+        "c6",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    sa = (
+        ranked.filter(F.col("ra") <= k)
+        .groupBy("id_a")
+        .agg(F.sum(F.col("c6").cast(d10)).alias("sa"))
+    )
+    sb = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("id_b")
+        .agg(F.sum(F.col("c6").cast(d10)).alias("sb"))
+    )
+    denom = (F.col("sa") + F.col("sb")).cast("double") / F.lit(
+        float(2 * k)
+    )
+    margin = F.when(
+        denom > 0, F.round(F.col("c6") / denom, 6)
+    )
+    scored = (
+        ranked.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "c6", margin.alias("margin"))
+    )
+    best_a = Window.partitionBy("id_a").orderBy(
+        F.desc_nulls_last("margin"), F.col("id_b")
+    )
+    best_b = Window.partitionBy("id_b").orderBy(
+        F.desc_nulls_last("margin"), F.col("id_a")
+    )
+    flagged = scored.select(
+        "id_a",
+        "id_b",
+        "c6",
+        "margin",
+        F.row_number().over(best_a).alias("ba"),
+        F.row_number().over(best_b).alias("bb"),
+    )
+    return flagged.filter(F.col("ba") == 1).select(
+        "id_a",
+        "id_b",
+        F.col("c6").alias("cosine_sim"),
+        "margin",
+        (F.col("bb") == 1).alias("mutual"),
+        F.coalesce(
+            F.col("margin") > threshold, F.lit(False)
+        ).alias("accepted"),
+    )
+
+
 def centroids_by_label(
     corpus: DataFrame,
     label_col: str = "label",

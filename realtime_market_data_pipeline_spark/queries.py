@@ -8992,6 +8992,73 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.stratified_sample_exact(docs, quota_n=40, group_col="lang")
 
 
+@query(
+    "embedding_bitext_margin",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+a AS (SELECT vec_id AS id_a, e AS va FROM v WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS id_b, e AS vb FROM v WHERE vec_id % 2 = 1),
+p AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va))
+                  * sqrt(list_dot_product(vb, vb))), 6) AS c6
+  FROM a CROSS JOIN b),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY c6 DESC, id_b) AS ra,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY c6 DESC, id_a) AS rb
+  FROM p),
+sa AS (SELECT id_a, sum(CAST(c6 AS DECIMAL(38,10))) AS sa
+       FROM r WHERE ra <= 4 GROUP BY id_a),
+sb AS (SELECT id_b, sum(CAST(c6 AS DECIMAL(38,10))) AS sb
+       FROM r WHERE rb <= 4 GROUP BY id_b),
+s AS (
+  SELECT r.id_a, r.id_b, r.c6,
+         CASE WHEN CAST(sa.sa + sb.sb AS DOUBLE) / 8 > 0
+              THEN round(r.c6 / (CAST(sa.sa + sb.sb AS DOUBLE) / 8), 6)
+         END AS margin
+  FROM r JOIN sa USING (id_a) JOIN sb USING (id_b)),
+f AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY margin DESC NULLS LAST, id_b) AS ba,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY margin DESC NULLS LAST, id_a) AS bb
+  FROM s)
+SELECT id_a, id_b, c6 AS cosine_sim, margin,
+       bb = 1 AS mutual,
+       COALESCE(margin > 1.05, FALSE) AS accepted
+FROM f WHERE ba = 1
+""",
+)
+def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (r13 — ``similarity.margin_mine_
+    pairs``; Artetxe & Schwenk 2019, the CCMatrix/LASER alignment
+    primitive): split the embeddings table into two 'language' sides
+    by vec_id parity, and for every A-side vector emit its best
+    ratio-margin B-side candidate — cosine corrected for local
+    density (hubness) by the mean of both vectors' k-NN cosines —
+    plus the MUTUAL flag and accepted = margin > 1.05. EXACT value
+    twin: 6-dp cosines before ranking (id tie-breaks), k-NN sums in
+    DECIMAL(38,10), margin rounded from the exact denominator,
+    non-positive denominators route to NULL margin. This is the
+    quadratic CERTIFICATE form (the ``dedup_embedding_cosine``
+    precedent); at scale the k-NN lists come from the banded ANN
+    machinery into the same margin/mutual relational tail."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return sim.margin_mine_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.05,
+    )
+
+
 _O_HIST_SUMS = ",\n         ".join(
     f"CAST(sum(CASE WHEN bin = {i} THEN c ELSE 0 END) AS BIGINT) AS c{i}"
     for i in range(16)
@@ -10289,14 +10356,16 @@ _REGISTRY_PRIORITY_R12 = [
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window — currently THREE, in this
+# late-r13 registration below the window — currently FOUR, in this
 # order: multimodal_pair_alignment (image-text pair curation, the
 # LAION CLIP-score loop; exact two-tower twin over hash_embed +
 # image_hist_embed), sequence_layout_256 (per-doc packing layout —
 # offsets/spill manifest, integer window twin), doc_stratified_sample
-# (exact per-stratum quotas by the u48 key, row_number twin) — all
-# registered after the r13 window filled, MUST lead r14; (3) the 40
-# spilled
+# (exact per-stratum quotas by the u48 key, row_number twin),
+# embedding_bitext_margin (Artetxe-Schwenk ratio-margin bitext
+# mining, quadratic certificate of the ANN-fed production tail) —
+# all registered after the r13 window filled, MUST lead r14; (3) the
+# 40 spilled
 # r10 rows listed in (7) — the five displaced spine rows
 # (events_time_range, q8_market_share, q13_customer_distribution,
 # q21_sole_returned_supplier, range_join_event_sessions) FIRST, then

@@ -876,6 +876,41 @@ def test_dedup_priority_reducer_option(spark):
     assert got_lsh == want
 
 
+def test_margin_mine_pairs_ratio_margin_and_mutuality(spark):
+    """r13 (Artetxe & Schwenk 2019): hand-built 2-d geometry — the
+    ratio margin corrects cosine by the mean of both sides' k-NN
+    cosines, the best candidate per A-vector is by margin (not raw
+    cosine), mutuality requires being each other's best, and the
+    threshold gates accepted."""
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(1, [0.8, 0.6]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.id_a: r
+        for r in sim.margin_mine_pairs(
+            a, b, k=1, threshold=0.95
+        ).collect()
+    }
+    # cosines: (0,1)=.8 (0,3)=0 (2,1)=.96 (2,3)=.8 -> NN1 sums pair
+    # (2,1) with margin 1.0 (each other's best), (0,1) with ~0.909
+    assert out[0].id_b == 1 and out[2].id_b == 1
+    assert abs(out[2].margin - 1.0) < 1e-6
+    assert abs(out[0].margin - 0.8 / ((0.8 + 0.96) / 2)) < 1e-5
+    assert out[2].mutual and not out[0].mutual
+    assert out[2].accepted and not out[0].accepted
+    # every A-side vector gets exactly one row, never filtered
+    assert set(out) == {0, 2}
+
+
 def test_random_projection_preserves_distances(spark):
     """r12: the seeded ±1 JL projection — deterministic from the salt
     scheme (two builds identical), deterministic IEEE 1/sqrt scaling
