@@ -559,22 +559,30 @@ def c4_rules(
     has_bad = F.lit(False)
     for w in bad_words:
         has_bad = has_bad | low.contains(w)
+    # NULL-text guard (the gopher_repetition r12-advice convention):
+    # F.size(NULL) is -1 and NULL propagates through the booleans, so
+    # without the guard a NULL doc emits nonsense signals and a NULL
+    # keep. Route it explicitly: NULL signals, keep=false.
+    ok = t.isNotNull()
     out = df.select(
         F.col(id_col),
-        clean.alias("clean_text"),
-        F.size(lines).cast("int").alias("n_lines"),
-        F.size(kept).cast("int").alias("n_kept_lines"),
-        n_sentences.alias("n_sentences"),
-        has_bad.alias("has_bad_word"),
-        low.contains("lorem ipsum").alias("has_lorem"),
-        t.contains("{").alias("has_brace"),
+        F.when(ok, clean).alias("clean_text"),
+        F.when(ok, F.size(lines)).cast("int").alias("n_lines"),
+        F.when(ok, F.size(kept)).cast("int").alias("n_kept_lines"),
+        F.when(ok, n_sentences).alias("n_sentences"),
+        F.when(ok, has_bad).alias("has_bad_word"),
+        F.when(ok, low.contains("lorem ipsum")).alias("has_lorem"),
+        F.when(ok, t.contains("{")).alias("has_brace"),
     )
     return out.withColumn(
         "keep",
-        (F.col("n_sentences") >= min_sentences)
-        & ~F.col("has_bad_word")
-        & ~F.col("has_lorem")
-        & ~F.col("has_brace"),
+        F.coalesce(
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("has_bad_word")
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace"),
+            F.lit(False),
+        ),
     )
 
 

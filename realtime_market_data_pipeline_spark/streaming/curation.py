@@ -119,6 +119,68 @@ def quality_gate_writer(
     return write
 
 
+def c4_gate_writer(
+    out_dir: str,
+    rejects_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **c4_kwargs,
+) -> BatchWriter:
+    """foreachBatch writer: C4 line-rule cleanup ONLINE (r13) — unlike
+    the other gates this one REWRITES the document on the way in:
+    each micro-batch runs ``text.c4_rules``, keepers land in
+    ``out_dir/batch_id=N`` with their CLEANED text (the line-filtered
+    form C4 actually trains on) plus the signal columns, rejects land
+    in ``rejects_dir`` with the why-booleans (bad word / lorem /
+    brace / sentence floor). NULL-text docs route to rejects with
+    NULL signals and keep=false (the operator's explicit guard) —
+    every input doc lands exactly once. Dynamic-partition overwrite
+    keeps replays idempotent. Scale shape per batch: pure zero-shuffle
+    codegen (the batch operator's plan-pinned shape) — the cheapest
+    gate in the family."""
+    from realtime_market_data_pipeline_spark.operators.text import (
+        c4_rules,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = c4_rules(
+            batch_df, text_col=text_col, id_col=id_col, **c4_kwargs
+        ).persist()
+        keep3 = F.coalesce(F.col("keep"), F.lit(False))
+        try:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    scored.filter(keep3)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                if rejects_dir is not None:
+                    (
+                        scored.filter(~keep3)
+                        .withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id")
+                        .parquet(rejects_dir)
+                    )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            scored.unpersist()
+
+    return write
+
+
 def dsir_gate_writer(
     model_path: str,
     out_dir: str,

@@ -2717,6 +2717,44 @@ def test_compact_store_preserves_secondary_partitioning(spark, tmp_path):
         )
 
 
+def test_streaming_c4_gate_rewrites_and_routes(spark, tmp_path):
+    """r13: the C4 gate writer REWRITES documents on the way in —
+    keepers land with their line-filtered clean_text, rejects carry
+    the why-booleans, NULL text routes with NULL signals, and a
+    replayed batch rewrites itself."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    rows_b0 = [
+        (0, "first good sentence here.\nsecond fine line stays!\n"
+            "third one also stays.\nno punctuation so dropped"),
+        (1, "a fine long sentence stays here.\nlorem ipsum dolor sit amet."),
+    ]
+    rows_b1 = [
+        (2, "one sentence only stays here."),  # under the floor
+        (3, None),
+    ]
+    out = str(tmp_path / "c4_out")
+    rej = str(tmp_path / "c4_rej")
+    writer = curation.c4_gate_writer(out, rej, min_sentences=3)
+    writer(spark.createDataFrame(rows_b0, "doc_id long, text string"), 0)
+    writer(spark.createDataFrame(rows_b1, "doc_id long, text string"), 1)
+    writer(spark.createDataFrame(rows_b1, "doc_id long, text string"), 1)
+
+    kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_id: r for r in spark.read.parquet(rej).collect()}
+    assert set(kept) == {0} and set(dropped) == {1, 2, 3}
+    # the landed text IS the cleaned form — the unpunctuated line gone
+    assert kept[0].clean_text == (
+        "first good sentence here.\nsecond fine line stays!\n"
+        "third one also stays."
+    )
+    assert dropped[1].has_lorem
+    assert dropped[2].n_sentences == 1
+    assert dropped[3].clean_text is None and dropped[3].keep is False
+
+
 def test_streaming_classifier_gate_against_persisted_weights(
     spark, tmp_path
 ):

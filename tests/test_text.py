@@ -465,6 +465,11 @@ def test_c4_rules_line_and_doc_gates(spark):
     assert out[4].has_brace and not out[4].keep
     # the brace line itself also fails the terminal-punctuation rule
     assert out[4].n_kept_lines == 1
+    # NULL text routes explicitly: NULL signals, keep=false
+    df5 = spark.createDataFrame([(5, None)], "doc_id long, text string")
+    r5 = tx.c4_rules(df5, min_sentences=3).collect()[0]
+    assert r5.clean_text is None and r5.n_lines is None
+    assert r5.has_bad_word is None and r5.keep is False
 
 
 def test_classifier_score_margin_and_null_route(spark):
