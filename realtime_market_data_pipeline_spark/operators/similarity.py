@@ -376,9 +376,6 @@ def margin_mine_pairs(
     machinery (``ann_topk_lsh`` / ``ann_topk_ivf_indexed``) and feed
     them into the SAME margin/mutual relational tail — the margin
     arithmetic is oblivious to how the neighbor lists were found."""
-    from pyspark.sql.window import Window
-
-    d10 = "decimal(38,10)"
     a = a_df.select(
         F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")
     )
@@ -390,6 +387,63 @@ def margin_mine_pairs(
         "id_b",
         F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c6"),
     )
+    return margin_tail(pairs, k=k, threshold=threshold)
+
+
+def margin_mine_pairs_from_candidates(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    candidates: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCTION form of ``margin_mine_pairs``: score only the
+    (id_a, id_b) ``candidates`` relation — produced by any banded ANN
+    machinery (``ann_topk_lsh`` bucket collisions, IVF probe lists) —
+    then run the identical margin/mutual relational tail. When the
+    candidate set contains each vector's true top-k on both sides,
+    the result EQUALS the quadratic certificate (pinned by
+    ``test_margin_tail_candidates_equal_bruteforce``); LSH recall
+    below 1.0 degrades it exactly the way the ANN family's recall
+    contracts describe. At 100 TB this is the only form you run —
+    the cross score never materializes."""
+    a = a_df.select(
+        F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")
+    )
+    b = b_df.select(
+        F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")
+    )
+    pairs = (
+        candidates.select("id_a", "id_b")
+        .distinct()
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c6"),
+        )
+    )
+    return margin_tail(pairs, k=k, threshold=threshold)
+
+
+def margin_tail(
+    pairs: DataFrame, k: int = 4, threshold: float = 1.05
+) -> DataFrame:
+    """The margin/mutual relational tail shared by the certificate and
+    candidate-fed forms: from a (id_a, id_b, c6) scored-pair relation,
+    per-side top-k decimal sums, the ratio margin over each side's
+    NNk (the paper restricts the argmax to the k nearest neighbors —
+    forward x -> best y in NNk(x), backward y -> best x in NNk(y),
+    mutual iff they pick each other), and the threshold gate.
+    Oblivious to how the pairs were found — any candidate relation
+    CONTAINING both sides' true top-k yields the identical result
+    (pinned by ``test_margin_tail_candidates_equal_bruteforce``)."""
+    from pyspark.sql.window import Window
+
+    d10 = "decimal(38,10)"
     wa = Window.partitionBy("id_a").orderBy(
         F.col("c6").desc(), F.col("id_b")
     )
@@ -419,10 +473,13 @@ def margin_mine_pairs(
     margin = F.when(
         denom > 0, F.round(F.col("c6") / denom, 6)
     )
-    scored = (
-        ranked.join(sa, "id_a")
+    cons = (
+        ranked.filter((F.col("ra") <= k) | (F.col("rb") <= k))
+        .join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", "c6", margin.alias("margin"))
+        .select(
+            "id_a", "id_b", "c6", "ra", "rb", margin.alias("margin")
+        )
     )
     best_a = Window.partitionBy("id_a").orderBy(
         F.desc_nulls_last("margin"), F.col("id_b")
@@ -430,20 +487,23 @@ def margin_mine_pairs(
     best_b = Window.partitionBy("id_b").orderBy(
         F.desc_nulls_last("margin"), F.col("id_a")
     )
-    flagged = scored.select(
-        "id_a",
-        "id_b",
-        "c6",
-        "margin",
-        F.row_number().over(best_a).alias("ba"),
-        F.row_number().over(best_b).alias("bb"),
+    fwd = (
+        cons.filter(F.col("ra") <= k)
+        .withColumn("ba", F.row_number().over(best_a))
+        .filter(F.col("ba") == 1)
     )
-    return flagged.filter(F.col("ba") == 1).select(
+    bwd = (
+        cons.filter(F.col("rb") <= k)
+        .withColumn("bb", F.row_number().over(best_b))
+        .filter(F.col("bb") == 1)
+        .select("id_a", "id_b", F.lit(True).alias("_hit"))
+    )
+    return fwd.join(bwd, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
         F.col("c6").alias("cosine_sim"),
         "margin",
-        (F.col("bb") == 1).alias("mutual"),
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("mutual"),
         F.coalesce(
             F.col("margin") > threshold, F.lit(False)
         ).alias("accepted"),

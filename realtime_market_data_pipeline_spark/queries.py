@@ -9016,22 +9016,28 @@ sa AS (SELECT id_a, sum(CAST(c6 AS DECIMAL(38,10))) AS sa
 sb AS (SELECT id_b, sum(CAST(c6 AS DECIMAL(38,10))) AS sb
        FROM r WHERE rb <= 4 GROUP BY id_b),
 s AS (
-  SELECT r.id_a, r.id_b, r.c6,
+  SELECT r.id_a, r.id_b, r.c6, r.ra, r.rb,
          CASE WHEN CAST(sa.sa + sb.sb AS DOUBLE) / 8 > 0
               THEN round(r.c6 / (CAST(sa.sa + sb.sb AS DOUBLE) / 8), 6)
          END AS margin
-  FROM r JOIN sa USING (id_a) JOIN sb USING (id_b)),
+  FROM r JOIN sa USING (id_a) JOIN sb USING (id_b)
+  WHERE r.ra <= 4 OR r.rb <= 4),
 f AS (
   SELECT *,
          row_number() OVER (PARTITION BY id_a
-                            ORDER BY margin DESC NULLS LAST, id_b) AS ba,
+                            ORDER BY margin DESC NULLS LAST, id_b) AS ba
+  FROM s WHERE ra <= 4),
+g AS (
+  SELECT *,
          row_number() OVER (PARTITION BY id_b
                             ORDER BY margin DESC NULLS LAST, id_a) AS bb
-  FROM s)
-SELECT id_a, id_b, c6 AS cosine_sim, margin,
-       bb = 1 AS mutual,
-       COALESCE(margin > 1.05, FALSE) AS accepted
-FROM f WHERE ba = 1
+  FROM s WHERE rb <= 4)
+SELECT f.id_a, f.id_b, f.c6 AS cosine_sim, f.margin,
+       COALESCE(m.hit, FALSE) AS mutual,
+       COALESCE(f.margin > 1.05, FALSE) AS accepted
+FROM f LEFT JOIN (SELECT id_a, id_b, TRUE AS hit FROM g WHERE bb = 1) m
+       ON f.id_a = m.id_a AND f.id_b = m.id_b
+WHERE f.ba = 1
 """,
 )
 def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -868,3 +868,34 @@ def test_r13_operator_plan_shapes(spark):
     assert "row_number" in ppl
     assert "hashpartitioning(lang" in ppl  # per-language window, no global sort
     assert len(re.findall(r"Exchange hashpartitioning", ppl)) <= 24
+
+
+def test_r13_late_row_plan_shapes(spark):
+    """Late-r13 pins: pair alignment's only exchanges feed the two
+    tower aggs and the pair-id join (towers map-only, no cartesian);
+    the packing layout sorts per source, never globally; stratified
+    sampling windows on the group key; the bitext certificate's cross
+    score rides a BROADCAST nested loop (the deliberate quadratic),
+    never a partitioned cartesian."""
+    import re
+
+    def physical(name):
+        df = Q.QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    pa = physical("multimodal_pair_alignment")
+    assert "CartesianProduct" not in pa
+    assert len(re.findall(r"Exchange hashpartitioning", pa)) <= 4
+
+    lay = physical("sequence_layout_256")
+    assert "Exchange rangepartitioning" not in lay  # no global sort
+    assert "hashpartitioning(source" in lay
+    assert len(re.findall(r"Exchange hashpartitioning", lay)) <= 1
+
+    strat = physical("doc_stratified_sample")
+    assert "hashpartitioning(lang" in strat
+    assert len(re.findall(r"Exchange hashpartitioning", strat)) <= 1
+
+    bt = physical("embedding_bitext_margin")
+    assert "CartesianProduct" not in bt
+    assert "BroadcastNestedLoopJoin" in bt  # the certificate cross score

@@ -911,6 +911,89 @@ def test_margin_mine_pairs_ratio_margin_and_mutuality(spark):
     assert set(out) == {0, 2}
 
 
+def test_margin_tail_candidates_equal_bruteforce(spark):
+    """r13: the candidate-fed production form equals the quadratic
+    certificate whenever the candidate set contains both sides' true
+    top-k — the property that lets banded ANN feed the same
+    margin/mutual tail at 100 TB."""
+    import hashlib
+
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    def vec(i):
+        h = hashlib.md5(f"bt:{i}".encode()).digest()
+        return [b / 255.0 - 0.5 for b in h[:8]]
+
+    a = spark.createDataFrame(
+        [(i, vec(i)) for i in range(0, 20, 2)],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(i, vec(i)) for i in range(1, 21, 2)],
+        "vec_id long, embedding array<double>",
+    )
+    brute = sorted(
+        map(tuple, sim.margin_mine_pairs(a, b, k=3).collect())
+    )
+    # full candidate relation -> identical by construction
+    cand_full = a.selectExpr("vec_id AS id_a").crossJoin(
+        b.selectExpr("vec_id AS id_b")
+    )
+    full = sorted(
+        map(
+            tuple,
+            sim.margin_mine_pairs_from_candidates(
+                a, b, cand_full, k=3
+            ).collect(),
+        )
+    )
+    assert full == brute
+    # top-k-complete candidate subset (each side's true top-4 by c6,
+    # a strict superset of the k=3 sums' support) -> still identical
+    import itertools
+
+    av = {i: vec(i) for i in range(0, 20, 2)}
+    bv = {i: vec(i) for i in range(1, 21, 2)}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = sum(x * x for x in u) ** 0.5
+        nv = sum(x * x for x in v) ** 0.5
+        return round(d / (nu * nv), 6)
+
+    pairs = [
+        (ia, ib, cos(av[ia], bv[ib]))
+        for ia, ib in itertools.product(av, bv)
+    ]
+    keep = set()
+    for ia in av:
+        row = sorted(
+            (p for p in pairs if p[0] == ia),
+            key=lambda p: (-p[2], p[1]),
+        )[:4]
+        keep.update((p[0], p[1]) for p in row)
+    for ib in bv:
+        col = sorted(
+            (p for p in pairs if p[1] == ib),
+            key=lambda p: (-p[2], p[0]),
+        )[:4]
+        keep.update((p[0], p[1]) for p in col)
+    cand_sub = spark.createDataFrame(
+        sorted(keep), "id_a long, id_b long"
+    )
+    sub = sorted(
+        map(
+            tuple,
+            sim.margin_mine_pairs_from_candidates(
+                a, b, cand_sub, k=3
+            ).collect(),
+        )
+    )
+    assert sub == brute
+
+
 def test_random_projection_preserves_distances(spark):
     """r12: the seeded ±1 JL projection — deterministic from the salt
     scheme (two builds identical), deterministic IEEE 1/sqrt scaling
