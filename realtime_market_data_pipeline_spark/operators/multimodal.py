@@ -3019,9 +3019,14 @@ def pair_alignment(
     dot = sum(
         F.col(f"d{i}") * F.col(f"h{i}") for i in range(dims)
     )
-    # + 0.0 canonicalizes IEEE -0.0 (a tiny negative dot rounded at
-    # 6 dp) to 0.0 — engines disagree on the sign bit otherwise
-    score = F.round(dot, 6) + F.lit(0.0)
+    # RAW double, not rounded: the components are already on the
+    # shared 6-dp grid, so the left-to-right dot is bit-identical in
+    # any IEEE engine — whereas rounding the free-form SUM at 6 dp
+    # can land on a half-boundary where engines' round()
+    # implementations split (observed once at sf0.01: -0.18131 vs
+    # -0.181311 — the dedup_embedding_cosine raw-output rule).
+    # + 0.0 canonicalizes IEEE -0.0 to 0.0.
+    score = dot + F.lit(0.0)
     return j.select(
         F.col("doc_id"),
         score.alias("score"),

@@ -9109,8 +9109,8 @@ iv AS (SELECT doc_id,
        {_O_HIST_OUT}
        FROM hn)
 SELECT t.doc_id,
-       round({_O_PAIR_DOT}, 6) + 0.0 AS score,
-       round({_O_PAIR_DOT}, 6) + 0.0 > 0.0 AS aligned
+       {_O_PAIR_DOT} + 0.0 AS score,
+       {_O_PAIR_DOT} + 0.0 > 0.0 AS aligned
 FROM t JOIN iv ON t.doc_id = iv.doc_id
 """,
 )

@@ -2205,7 +2205,8 @@ def test_pair_alignment_cosine_and_gate(spark):
     }
     for did in (0, 1):
         bin_i = 0 if did == 0 else 12
-        want = round(getattr(t[did], f"d{bin_i}") * 1.0, 6) + 0.0
+        # raw dot (components already 6-dp): here a single term d*1.0
+        want = getattr(t[did], f"d{bin_i}") * 1.0 + 0.0
         assert out[did].score == want
         assert out[did].aligned == (want > 0.0)
 
