@@ -195,8 +195,11 @@ HEADLINE = [
     "multimodal_pair_alignment",
     "sequence_layout_256",
     "doc_stratified_sample",
-    # late-r13: margin-based bitext mining (certificate form)
+    # late-r13: margin-based bitext mining (certificate form) and the
+    # classifier/C4 gate fold twins (certification subtotal)
     "embedding_bitext_margin",
+    "online_classifier_gate_fold",
+    "online_c4_gate_fold",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint
@@ -243,6 +246,11 @@ CERTIFICATION = (
     # by far the most expensive certificate, deliberately so)
     "online_dsir_gate_fold",
     "online_full_gopher_gate_fold",
+    # late-r13: the classifier and C4 gate fold twins (3+1 batches
+    # through the actual writers + parquet landings + batch-twin
+    # oracle replays)
+    "online_classifier_gate_fold",
+    "online_c4_gate_fold",
 )
 
 

@@ -9065,6 +9065,221 @@ def embedding_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "online_classifier_gate_fold",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 17 = 5 THEN NULL ELSE text END AS text
+  FROM documents),
+wh AS (SELECT CAST(i AS BIGINT) AS b,
+              md5('qcls:v1:' || CAST(i AS VARCHAR)) AS h
+       FROM range(4096) t(i)),
+wt AS (SELECT b, CAST({{hexfold}} % 17 - 8 AS BIGINT) AS w FROM wh),
+toks AS (SELECT doc_id, {{toks}} AS t FROM d WHERE text IS NOT NULL),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                i -> t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks),
+gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+hb AS (SELECT doc_id, md5(g) AS h FROM gr),
+gb AS (SELECT doc_id, CAST({{hexfold}} % 4096 AS BIGINT) AS b FROM hb),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(wt.w) AS BIGINT) AS margin
+       FROM gb JOIN wt USING (b) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(pd.n_grams, 0) AS n_grams,
+       pd.margin,
+       round(CAST(pd.margin AS DOUBLE) / pd.n_grams, 6) AS score,
+       COALESCE(round(CAST(pd.margin AS DOUBLE) / pd.n_grams, 6) > 0.0,
+                FALSE) AS kept
+FROM d LEFT JOIN pd USING (doc_id)
+""".replace("{hexfold}", _O_HEXFOLD).replace("{toks}", _O_TOKS),
+)
+def online_classifier_gate_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH CERTIFICATION TWIN of the ONLINE classifier gate (r13 —
+    the ``online_dsir_gate_fold`` precedent applied to
+    ``streaming.curation.classifier_gate_writer``): (1) the seeded
+    4096-row weight table persists to parquet — the pretrained model
+    a pipeline broadcasts; (2) three deterministic micro-batches
+    (doc_id%3) push through the ACTUAL writer at threshold 0.0, batch
+    1 replayed (idempotence); a doc_id%17==5 stripe NULLs text so the
+    no-grams reject route is non-vacuous; (3) the accumulated
+    curated/rejects tables read back as (doc_id, n_grams, margin,
+    score, kept) — writer-produced values, bit-equal to the batch
+    operator by construction, certified against the full
+    ``doc_quality_classifier`` replay plus the threshold split under
+    one driver hash."""
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    model_dir, out_dir, rej_dir = _writer_state_dirs(
+        sf_dir, "qcls_gate_fold", "weights", "curated", "rejects"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 17 != 5, F.col("text")).alias("text"),
+    )
+    tx.seeded_classifier_weights(spark, n_buckets=4096).write.mode(
+        "overwrite"
+    ).parquet(model_dir)
+    writer = curation.classifier_gate_writer(
+        model_dir, out_dir, rej_dir, threshold=0.0
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        writer(b, i)
+    writer(batches[1], 1)  # replay: must rewrite itself
+    kept = spark.read.parquet(out_dir).select(
+        "doc_id", "n_grams", "margin", "score",
+        F.lit(True).alias("kept"),
+    )
+    rej = spark.read.parquet(rej_dir).select(
+        "doc_id", "n_grams", "margin", "score",
+        F.lit(False).alias("kept"),
+    )
+    return kept.unionByName(rej)
+
+
+_O_C4_DEC = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 19 = 6 THEN NULL ELSE
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 9 = 1
+                THEN 'click here to enable javascript support.' END,
+           CASE WHEN doc_id % 9 = 2
+                THEN 'we use cookies to improve the service.' END,
+           CASE WHEN doc_id % 9 = 3 THEN 'too short.' END,
+           CASE WHEN doc_id % 9 = 4
+                THEN 'this control line simply ends here.' END,
+           CASE WHEN doc_id % 11 = 3
+                THEN 'lorem ipsum dolor sit amet.' END,
+           CASE WHEN doc_id % 13 = 4
+                THEN 'this text mentions badword1 quite openly.' END,
+           CASE WHEN doc_id % 7 = 2 THEN 'var config = { mode: 1 };' END,
+           repeat('filler part goes here. ', CAST(doc_id % 7 AS INTEGER))
+             || 'closing sentence ends here.') END AS t
+  FROM documents
+"""
+
+
+@query(
+    "online_c4_gate_fold",
+    oracle=r"""
+WITH d AS ({dec}),
+m AS (
+  SELECT doc_id, t,
+         string_split(t, chr(10)) AS lines,
+         list_filter(string_split(t, chr(10)), l ->
+             right(l, 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(string_split_regex(l, '\s+'),
+                                 x -> x <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'cookie')
+             AND NOT contains(lower(l), 'privacy policy')) AS kept
+  FROM d),
+c AS (
+  SELECT doc_id, t, lines, kept,
+         array_to_string(kept, chr(10)) AS ct
+  FROM m),
+s AS (
+  SELECT doc_id,
+         CASE WHEN t IS NOT NULL THEN ct END AS clean_text,
+         CASE WHEN t IS NOT NULL
+              THEN CAST(len(lines) AS INTEGER) END AS n_lines,
+         CASE WHEN t IS NOT NULL
+              THEN CAST(len(kept) AS INTEGER) END AS n_kept_lines,
+         CASE WHEN t IS NOT NULL THEN
+           CAST((strlen(ct) - strlen(replace(ct, '.', '')))
+              + (strlen(ct) - strlen(replace(ct, '!', '')))
+              + (strlen(ct) - strlen(replace(ct, '?', '')))
+              AS INTEGER) END AS n_sentences,
+         CASE WHEN t IS NOT NULL THEN
+           (contains(lower(t), 'badword1')
+            OR contains(lower(t), 'badword2')) END AS has_bad_word,
+         CASE WHEN t IS NOT NULL
+              THEN contains(lower(t), 'lorem ipsum') END AS has_lorem,
+         CASE WHEN t IS NOT NULL
+              THEN contains(t, '{') END AS has_brace
+  FROM c)
+SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,
+       has_bad_word, has_lorem, has_brace,
+       COALESCE(n_sentences >= 4 AND NOT has_bad_word AND NOT has_lorem
+                AND NOT has_brace, FALSE) AS keep
+FROM s
+""".replace("{dec}", _O_C4_DEC),
+)
+def online_c4_gate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CERTIFICATION TWIN of the ONLINE C4 gate (r13 — the fold
+    precedent applied to ``streaming.curation.c4_gate_writer``, the
+    gate that REWRITES documents): the ``doc_c4_rules`` decoration
+    corpus plus a doc_id%19==6 NULL-text stripe (the explicit-guard
+    route) pushes through the actual writer in three deterministic
+    micro-batches (doc_id%3, batch 1 replayed), and the accumulated
+    curated/rejects tables read back as the FULL per-doc relation —
+    cleaned text byte-exact, all signals, why-booleans, and the
+    routed keep — certified against the batch-operator replay under
+    one driver hash."""
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    out_dir, rej_dir = _writer_state_dirs(
+        sf_dir, "c4_gate_fold", "curated", "rejects"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    did = F.col("doc_id")
+    decorated = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(
+            did % 9 == 1,
+            F.lit("click here to enable javascript support."),
+        ),
+        F.when(
+            did % 9 == 2,
+            F.lit("we use cookies to improve the service."),
+        ),
+        F.when(did % 9 == 3, F.lit("too short.")),
+        F.when(
+            did % 9 == 4, F.lit("this control line simply ends here.")
+        ),
+        F.when(did % 11 == 3, F.lit("lorem ipsum dolor sit amet.")),
+        F.when(
+            did % 13 == 4,
+            F.lit("this text mentions badword1 quite openly."),
+        ),
+        F.when(did % 7 == 2, F.lit("var config = { mode: 1 };")),
+        F.concat(
+            F.repeat(
+                F.lit("filler part goes here. "), (did % 7).cast("int")
+            ),
+            F.lit("closing sentence ends here."),
+        ),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 19 != 6, decorated).alias("text"),
+    )
+    writer = curation.c4_gate_writer(out_dir, rej_dir, min_sentences=4)
+    batches = [
+        planted.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        writer(b, i)
+    writer(batches[1], 1)  # replay: must rewrite itself
+    cols = [
+        "doc_id", "clean_text", "n_lines", "n_kept_lines",
+        "n_sentences", "has_bad_word", "has_lorem", "has_brace", "keep",
+    ]
+    kept = spark.read.parquet(out_dir).select(*cols)
+    rej = spark.read.parquet(rej_dir).select(*cols)
+    return kept.unionByName(rej)
+
+
 _O_HIST_SUMS = ",\n         ".join(
     f"CAST(sum(CASE WHEN bin = {i} THEN c ELSE 0 END) AS BIGINT) AS c{i}"
     for i in range(16)
@@ -10362,16 +10577,18 @@ _REGISTRY_PRIORITY_R12 = [
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window — currently FOUR, in this
+# late-r13 registration below the window — currently SIX, in this
 # order: multimodal_pair_alignment (image-text pair curation, the
 # LAION CLIP-score loop; exact two-tower twin over hash_embed +
 # image_hist_embed), sequence_layout_256 (per-doc packing layout —
 # offsets/spill manifest, integer window twin), doc_stratified_sample
 # (exact per-stratum quotas by the u48 key, row_number twin),
 # embedding_bitext_margin (Artetxe-Schwenk ratio-margin bitext
-# mining, quadratic certificate of the ANN-fed production tail) —
-# all registered after the r13 window filled, MUST lead r14; (3) the
-# 40 spilled
+# mining, quadratic certificate of the ANN-fed production tail),
+# online_classifier_gate_fold + online_c4_gate_fold (the two new
+# writers' batch certification twins — the fold precedent applied
+# before any verdict has to ask) — all registered after the r13
+# window filled, MUST lead r14; (3) the 40 spilled
 # r10 rows listed in (7) — the five displaced spine rows
 # (events_time_range, q8_market_share, q13_customer_distribution,
 # q21_sole_returned_supplier, range_join_event_sessions) FIRST, then
