@@ -2846,6 +2846,9 @@ def image_quality_stats(
 
     Thresholding is the caller's business (corpora disagree on what
     counts as "too dark"); every signal is inspectable per row.
+    Corrupt/undecodable payloads quarantine as data: NULL signals
+    plus ``error_class`` (the ``decode_media_routed`` contract), so
+    this gate can run FIRST on a raw crawl.
     Scale shape: embarrassingly parallel elementwise decode, payload
     bytes never cross a shuffle."""
     import numpy as np
@@ -2854,13 +2857,30 @@ def image_quality_stats(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = decode_image_pixels(bytes(payload))
+                base = {
+                    "media_id": int(mid), "width": None, "height": None,
+                    "n_bytes": None, "dark_frac": None,
+                    "bright_frac": None, "mean_byte": None,
+                    "min_byte": None, "max_byte": None,
+                    "contrast_range": None, "n_distinct": None,
+                    "error_class": None,
+                }
+                # quarantine-as-data (the decode_media_routed
+                # contract): a corrupt payload becomes an error row,
+                # never a dead 100 TB scan stage
+                try:
+                    arr = decode_image_pixels(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    base["error_class"] = type(e).__name__
+                    rows.append(base)
+                    continue
                 h, w = arr.shape[:2]
                 b = np.asarray(arr, dtype=np.int64).ravel()
                 n = int(b.size)
-                rows.append(
+                base.update(
                     {
-                        "media_id": int(mid),
                         "width": int(w),
                         "height": int(h),
                         "n_bytes": n,
@@ -2880,6 +2900,7 @@ def image_quality_stats(
                         if n else None,
                     }
                 )
+                rows.append(base)
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(
@@ -2887,7 +2908,7 @@ def image_quality_stats(
         "media_id long, width int, height int, n_bytes long,"
         " dark_frac double, bright_frac double, mean_byte double,"
         " min_byte int, max_byte int, contrast_range int,"
-        " n_distinct int",
+        " n_distinct int, error_class string",
     )
 
 
@@ -3100,6 +3121,7 @@ def video_near_dups(
     band_size: int = 4,
     threshold: float = 0.9,
     every_n: int = 1,
+    routed: bool = False,
 ) -> DataFrame:
     """Perceptual VIDEO near-dup detection (r13) — completes the
     perceptual dedup family next to ``image_dhash`` (image) and
@@ -3115,10 +3137,20 @@ def video_near_dups(
     Scale shape: decode fan-out is shuffle-free; one groupBy(media)
     builds signature+set; candidates come from band-key joins (never
     all-pairs — Σ bucket² bounded exactly as the text family); the
-    verify join touches candidates only."""
+    verify join touches candidates only.
+
+    ``routed=True`` runs the quarantine-protected sampler
+    (``sample_video_frames_routed``) and drops error rows from the
+    token relation — corrupt clips simply mine no pairs instead of
+    killing the stage (audit them separately through the router)."""
     from realtime_market_data_pipeline_spark.operators import dedup as dd
 
-    frames = sample_video_frames(media, every_n=every_n)
+    if routed:
+        frames = sample_video_frames_routed(
+            media, every_n=every_n
+        ).filter(F.col("error_class").isNull())
+    else:
+        frames = sample_video_frames(media, every_n=every_n)
     tok = frames.select(
         "media_id",
         F.col("frame_pixel_sum").cast("string").alias("token"),

@@ -8527,7 +8527,8 @@ SELECT p.doc_id AS media_id,
          AS contrast_range,
        CAST(body.vdist + CASE WHEN p.k1 > 0 THEN 1 ELSE 0 END
             + CASE WHEN p.k2 > 0 THEN 1 ELSE 0 END AS INTEGER)
-         AS n_distinct
+         AS n_distinct,
+       CAST(NULL AS VARCHAR) AS error_class
 FROM p JOIN body USING (doc_id)
 """,
 )

@@ -2168,6 +2168,15 @@ def test_video_near_dups_finds_planted_copy(spark):
     assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 8, 1.0)]
     p = pairs[0]
     assert p.n_inter == p.n_union
+    # routed form: a corrupt clip mines no pairs, the stage survives
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"\x00garbage"), "video/x-msvideo")],
+        "media_id long, payload binary, media_type string",
+    )
+    routed = mm.video_near_dups(
+        df.unionByName(bad), threshold=0.9, routed=True
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in routed] == [(1, 8)]
 
 
 def test_pair_alignment_cosine_and_gate(spark):
@@ -2252,3 +2261,15 @@ def test_image_quality_stats_signals(spark):
     # channel bytes (3 + x + 7y) % 256: y=0 -> 3..6, y=1 -> 10..13
     assert r2.min_byte == 3 and r2.max_byte == 13
     assert r2.n_distinct == 8
+    for r in (r0, r1, r2):
+        assert r.error_class is None
+
+    # corrupt payloads quarantine as data, never kill the stage
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\x00not an image")), (10, None)],
+        "media_id long, payload binary",
+    )
+    rq = {r.media_id: r for r in mm.image_quality_stats(bad).collect()}
+    assert rq[9].error_class == "NotImplementedError"
+    assert rq[9].mean_byte is None and rq[9].width is None
+    assert rq[10].error_class == "NotImplementedError"
