@@ -2988,11 +2988,21 @@ def image_hist_embed(media: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = decode_image_pixels(bytes(payload))
+                row = {"media_id": int(mid)}
+                # corrupt payload -> NULL components (the row stays
+                # joinable; the pair gate routes it to aligned=false)
+                try:
+                    arr = decode_image_pixels(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except (ValueError, NotImplementedError):
+                    for i in range(n_bins):
+                        row[f"h{i}"] = None
+                    rows.append(row)
+                    continue
                 b = np.asarray(arr, dtype=np.int64).ravel()
                 counts = np.bincount(b // width, minlength=n_bins)
                 norm = float(np.sqrt((counts.astype(np.float64) ** 2).sum()))
-                row = {"media_id": int(mid)}
                 for i in range(n_bins):
                     row[f"h{i}"] = (
                         round(float(counts[i]) / norm, 6) if norm > 0
@@ -3051,7 +3061,9 @@ def pair_alignment(
     return j.select(
         F.col("doc_id"),
         score.alias("score"),
-        (score > threshold).alias("aligned"),
+        # NULL score (an undecodable image tower) routes to false,
+        # never a NULL gate
+        F.coalesce(score > threshold, F.lit(False)).alias("aligned"),
     )
 
 

@@ -2219,6 +2219,23 @@ def test_pair_alignment_cosine_and_gate(spark):
         assert out[did].score == want
         assert out[did].aligned == (want > 0.0)
 
+    # an undecodable image tower routes: NULL score, aligned=false
+    docs2 = docs.unionByName(
+        spark.createDataFrame(
+            [(2, "some caption text here")], "doc_id long, text string"
+        )
+    )
+    media2 = media.unionByName(
+        spark.createDataFrame(
+            [(2, bytearray(b"\x00junk"))], "media_id long, payload binary"
+        )
+    )
+    out2 = {
+        r.doc_id: r
+        for r in mm.pair_alignment(docs2, media2, threshold=0.0).collect()
+    }
+    assert out2[2].score is None and out2[2].aligned is False
+
 
 def test_image_quality_stats_signals(spark):
     """r13: image quality gating — dark/bright fractions over channel
