@@ -251,6 +251,11 @@ CERTIFICATION = (
     # oracle replays)
     "online_classifier_gate_fold",
     "online_c4_gate_fold",
+    # late-r13: the bitext miner's QUADRATIC CERTIFICATE form (|A|x|B|
+    # cross score + four rank/sum windows at pair cardinality — the
+    # dedup_embedding_cosine ground-truth pattern; production runs the
+    # ANN-fed margin_mine_pairs_from_candidates tail instead)
+    "embedding_bitext_margin",
 )
 
 
