@@ -200,6 +200,9 @@ HEADLINE = [
     "embedding_bitext_margin",
     "online_classifier_gate_fold",
     "online_c4_gate_fold",
+    # late-r13: the end-to-end curation funnel with stage attribution
+    # (C4 -> classifier -> mixture in one lazy plan)
+    "doc_curation_funnel",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

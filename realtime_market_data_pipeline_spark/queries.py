@@ -9281,6 +9281,176 @@ def online_c4_gate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.unionByName(rej)
 
 
+@query(
+    "doc_curation_funnel",
+    oracle=(r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         concat_ws(chr(10), text,
+           CASE WHEN doc_id % 9 = 1
+                THEN 'click here to enable javascript support.' END,
+           CASE WHEN doc_id % 9 = 2
+                THEN 'we use cookies to improve the service.' END,
+           CASE WHEN doc_id % 9 = 3 THEN 'too short.' END,
+           CASE WHEN doc_id % 9 = 4
+                THEN 'this control line simply ends here.' END,
+           CASE WHEN doc_id % 11 = 3
+                THEN 'lorem ipsum dolor sit amet.' END,
+           CASE WHEN doc_id % 13 = 4
+                THEN 'this text mentions badword1 quite openly.' END,
+           CASE WHEN doc_id % 7 = 2 THEN 'var config = { mode: 1 };' END,
+           repeat('filler part goes here. ', CAST(doc_id % 7 AS INTEGER))
+             || 'closing sentence ends here.') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), l ->
+             right(l, 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(string_split_regex(l, '\s+'),
+                                 x -> x <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT contains(lower(l), 'cookie')
+             AND NOT contains(lower(l), 'privacy policy')) AS kept
+  FROM d),
+c AS (SELECT doc_id, t, array_to_string(kept, chr(10)) AS ct FROM m),
+c4 AS (
+  SELECT doc_id,
+         COALESCE(
+           CAST((strlen(ct) - strlen(replace(ct, '.', '')))
+              + (strlen(ct) - strlen(replace(ct, '!', '')))
+              + (strlen(ct) - strlen(replace(ct, '?', '')))
+              AS INTEGER) >= 4
+           AND NOT (contains(lower(t), 'badword1')
+                    OR contains(lower(t), 'badword2'))
+           AND NOT contains(lower(t), 'lorem ipsum')
+           AND NOT contains(t, '{'), FALSE) AS pass_c4
+  FROM c),
+wh AS (SELECT CAST(i AS BIGINT) AS b,
+              md5('qcls:v1:' || CAST(i AS VARCHAR)) AS h
+       FROM range(4096) t(i)),
+wt AS (SELECT b, CAST({hexfold} % 17 - 8 AS BIGINT) AS w FROM wh),
+toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM d),
+uni AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(tk) - 1, 0)),
+                i -> tk[i+1] || ' ' || tk[i+2])) AS g
+  FROM toks),
+gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+hb AS (SELECT doc_id, md5(g) AS h FROM gr),
+gb AS (SELECT doc_id, CAST({hexfold} % 4096 AS BIGINT) AS b FROM hb),
+pd AS (SELECT doc_id, CAST(sum(wt.w) AS BIGINT) AS margin
+       FROM gb JOIN wt USING (b) GROUP BY doc_id),
+cls AS (
+  SELECT d.doc_id, COALESCE(pd.margin > 0, FALSE) AS pred_keep
+  FROM d LEFT JOIN pd USING (doc_id)),
+cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_group
+        FROM d GROUP BY lang),
+mh AS (
+  SELECT d.doc_id, d.lang, cnt.n_group,
+         md5('mix:v1' || CAST(d.doc_id AS VARCHAR)) AS hx,
+         CASE d.lang WHEN 'de' THEN 1 WHEN 'en' THEN 4
+                     WHEN 'es' THEN 2 WHEN 'fr' THEN 2 END AS num,
+         CASE d.lang WHEN 'de' THEN 10 WHEN 'en' THEN 10
+                     WHEN 'es' THEN 10 WHEN 'fr' THEN 10 END AS den
+  FROM d JOIN cnt USING (lang)),
+mx AS (
+  SELECT doc_id,
+         COALESCE(CAST(({u48}) AS HUGEINT) * den * n_group
+                  < CAST(200 AS HUGEINT) * num * 281474976710656,
+                  FALSE) AS sampled
+  FROM mh)
+SELECT c4.doc_id, c4.pass_c4, cls.pred_keep, mx.sampled,
+       c4.pass_c4 AND cls.pred_keep AND mx.sampled AS final_keep,
+       CASE WHEN NOT c4.pass_c4 THEN 'c4'
+            WHEN NOT cls.pred_keep THEN 'classifier'
+            WHEN NOT mx.sampled THEN 'sampling' END AS killed_by
+FROM c4 JOIN cls USING (doc_id) JOIN mx USING (doc_id)
+""").replace("{hexfold}", _O_HEXFOLD).replace("{u48}", _O_U48),
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CURATION FUNNEL with stage attribution (r13): the
+    showcase that the operator families compose into ONE lazy plan —
+    C4 line rules (zero-shuffle codegen), the hashed classifier gate
+    (broadcast model), and temperature mixture sampling (exact u48
+    membership) all run over the same decorated corpus, and every
+    document reports which stage killed it (killed_by =
+    c4/classifier/sampling, NULL for survivors) — the funnel-analysis
+    relation a pipeline operator watches when retuning thresholds
+    (e.g. the zh docs that survive both quality gates still die at
+    sampling because the mixture table deliberately omits zh).
+    EXACT value twin: each stage's certified oracle chain replayed
+    verbatim and joined. Scale shape: the three stages share the one
+    decorated scan; total exchanges = the classifier's id agg + the
+    domain histogram — Catalyst fuses the rest into map stages."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(
+                did % 9 == 1,
+                F.lit("click here to enable javascript support."),
+            ),
+            F.when(
+                did % 9 == 2,
+                F.lit("we use cookies to improve the service."),
+            ),
+            F.when(did % 9 == 3, F.lit("too short.")),
+            F.when(
+                did % 9 == 4,
+                F.lit("this control line simply ends here."),
+            ),
+            F.when(did % 11 == 3, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(
+                did % 13 == 4,
+                F.lit("this text mentions badword1 quite openly."),
+            ),
+            F.when(did % 7 == 2, F.lit("var config = { mode: 1 };")),
+            F.concat(
+                F.repeat(
+                    F.lit("filler part goes here. "),
+                    (did % 7).cast("int"),
+                ),
+                F.lit("closing sentence ends here."),
+            ),
+        ).alias("text"),
+    )
+    c4 = tx.c4_rules(planted, min_sentences=4).select(
+        "doc_id", F.col("keep").alias("pass_c4")
+    )
+    wt = tx.seeded_classifier_weights(spark, n_buckets=4096)
+    cls = tx.classifier_score(planted, wt, n_buckets=4096).select(
+        "doc_id", "pred_keep"
+    )
+    mix = tx.mixture_sample(
+        docs.select("doc_id", "lang"),
+        weights={"en": (4, 10), "es": (2, 10), "fr": (2, 10),
+                 "de": (1, 10)},
+        budget_n=200,
+        group_col="lang",
+    ).select("doc_id", F.col("kept").alias("sampled"))
+    out = c4.join(cls, "doc_id").join(mix, "doc_id")
+    return out.select(
+        "doc_id",
+        "pass_c4",
+        "pred_keep",
+        "sampled",
+        (
+            F.col("pass_c4") & F.col("pred_keep") & F.col("sampled")
+        ).alias("final_keep"),
+        F.when(~F.col("pass_c4"), F.lit("c4"))
+        .when(~F.col("pred_keep"), F.lit("classifier"))
+        .when(~F.col("sampled"), F.lit("sampling"))
+        .alias("killed_by"),
+    )
+
+
 _O_HIST_SUMS = ",\n         ".join(
     f"CAST(sum(CASE WHEN bin = {i} THEN c ELSE 0 END) AS BIGINT) AS c{i}"
     for i in range(16)
@@ -10578,7 +10748,7 @@ _REGISTRY_PRIORITY_R12 = [
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window — currently SIX, in this
+# late-r13 registration below the window — currently SEVEN, in this
 # order: multimodal_pair_alignment (image-text pair curation, the
 # LAION CLIP-score loop; exact two-tower twin over hash_embed +
 # image_hist_embed), sequence_layout_256 (per-doc packing layout —
@@ -10588,8 +10758,11 @@ _REGISTRY_PRIORITY_R12 = [
 # mining, quadratic certificate of the ANN-fed production tail),
 # online_classifier_gate_fold + online_c4_gate_fold (the two new
 # writers' batch certification twins — the fold precedent applied
-# before any verdict has to ask) — all registered after the r13
-# window filled, MUST lead r14; (3) the 40 spilled
+# before any verdict has to ask), doc_curation_funnel (the
+# C4 -> classifier -> mixture composition with killed_by stage
+# attribution, one lazy plan, exact joined-chain twin) — all
+# registered after the r13 window filled, MUST lead r14; (3) the 40
+# spilled
 # r10 rows listed in (7) — the five displaced spine rows
 # (events_time_range, q8_market_share, q13_customer_distribution,
 # q21_sole_returned_supplier, range_join_event_sessions) FIRST, then

@@ -899,3 +899,11 @@ def test_r13_late_row_plan_shapes(spark):
     bt = physical("embedding_bitext_margin")
     assert "CartesianProduct" not in bt
     assert "BroadcastNestedLoopJoin" in bt  # the certificate cross score
+
+    fun = physical("doc_curation_funnel")
+    assert "CartesianProduct" not in fun
+    # three stages share the decorated scan; the only keyed exchanges
+    # are the classifier id agg, the domain histogram, and the funnel
+    # id joins
+    assert len(re.findall(r"Exchange hashpartitioning", fun)) <= 5
+    assert fun.count("BroadcastHashJoin") >= 2  # model + histogram
