@@ -201,8 +201,10 @@ HEADLINE = [
     "online_classifier_gate_fold",
     "online_c4_gate_fold",
     # late-r13: the end-to-end curation funnel with stage attribution
-    # (C4 -> classifier -> mixture in one lazy plan)
+    # (C4 -> classifier -> mixture in one lazy plan) and hard-negative
+    # mining (DPR/SimCSE contrastive training data; certificate form)
     "doc_curation_funnel",
+    "embedding_hard_negatives",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint
@@ -257,8 +259,10 @@ CERTIFICATION = (
     # late-r13: the bitext miner's QUADRATIC CERTIFICATE form (|A|x|B|
     # cross score + four rank/sum windows at pair cardinality — the
     # dedup_embedding_cosine ground-truth pattern; production runs the
-    # ANN-fed margin_mine_pairs_from_candidates tail instead)
+    # ANN-fed margin_mine_pairs_from_candidates tail instead) and the
+    # hard-negative miner's |anchors|x|corpus| certificate twin
     "embedding_bitext_margin",
+    "embedding_hard_negatives",
 )
 
 

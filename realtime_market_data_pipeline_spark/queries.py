@@ -8996,14 +8996,15 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_bitext_margin",
     oracle="""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-a AS (SELECT vec_id AS id_a, e AS va FROM v WHERE vec_id % 2 = 0),
-b AS (SELECT vec_id AS id_b, e AS vb FROM v WHERE vec_id % 2 = 1),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS n
+           FROM embeddings),
+a AS (SELECT vec_id AS id_a, e AS va, n AS na FROM v WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS id_b, e AS vb, n AS nb FROM v WHERE vec_id % 2 = 1),
 p AS (
   SELECT id_a, id_b,
-         round(list_dot_product(va, vb)
-               / (sqrt(list_dot_product(va, va))
-                  * sqrt(list_dot_product(vb, vb))), 6) AS c6
+         round(list_dot_product(va, vb) / (na * nb), 6) AS c6
   FROM a CROSS JOIN b),
 r AS (
   SELECT *,
@@ -9448,6 +9449,58 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("pred_keep"), F.lit("classifier"))
         .when(~F.col("sampled"), F.lit("sampling"))
         .alias("killed_by"),
+    )
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle="""
+WITH v AS (SELECT vec_id, vec_id % 5 AS label,
+                  CAST(embedding AS DOUBLE[]) AS e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS n
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine_sim
+  FROM v a JOIN v b
+    ON a.vec_id <> b.vec_id AND a.label <> b.label
+  WHERE a.vec_id % 4 = 0),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine_sim DESC, neg_id) AS rank
+  FROM p)
+SELECT anchor_id, neg_id, cosine_sim, CAST(rank AS INTEGER) AS rank,
+       cosine_sim >= 0.05 AND cosine_sim <= 0.42 AS in_band
+FROM r WHERE rank <= 5
+""",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (r13 — ``similarity.hard_negative_pairs``;
+    the DPR/SimCSE contrastive-training-data step): per anchor, the
+    top-5 most-similar DIFFERENT-label vectors (label = vec_id%5
+    plays the class), flagged in_band for cosines in [0.05, 0.42] —
+    above 0.42 (this corpus's near-dup threshold) a "negative" is a
+    suspected unlabeled duplicate and poisons the loss; below 0.05
+    it teaches nothing. EXACT value twin (6-dp cosine before rank,
+    neighbor-id ties; norms hoisted per vector — same expression
+    tree). Anchors = vec_id%4==0 against the FULL negative pool (the
+    realistic shape: mine for the training batch, not all-vs-all);
+    |anchors|x|corpus| certificate form — at scale the banded ANN
+    machinery produces candidates into the identical label-filter +
+    rank + band tail."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("label"),
+        "embedding",
+    )
+    return sim.hard_negative_pairs(
+        emb,
+        k=5,
+        lo=0.05,
+        hi=0.42,
+        anchors=emb.filter(F.col("vec_id") % 4 == 0),
     )
 
 
@@ -10748,7 +10801,7 @@ _REGISTRY_PRIORITY_R12 = [
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window — currently SEVEN, in this
+# late-r13 registration below the window — currently EIGHT, in this
 # order: multimodal_pair_alignment (image-text pair curation, the
 # LAION CLIP-score loop; exact two-tower twin over hash_embed +
 # image_hist_embed), sequence_layout_256 (per-doc packing layout —
@@ -10760,7 +10813,9 @@ _REGISTRY_PRIORITY_R12 = [
 # writers' batch certification twins — the fold precedent applied
 # before any verdict has to ask), doc_curation_funnel (the
 # C4 -> classifier -> mixture composition with killed_by stage
-# attribution, one lazy plan, exact joined-chain twin) — all
+# attribution, one lazy plan, exact joined-chain twin),
+# embedding_hard_negatives (DPR/SimCSE hard-negative mining —
+# anchors-vs-pool certificate, norm-hoisted, band-flagged) — all
 # registered after the r13 window filled, MUST lead r14; (3) the 40
 # spilled
 # r10 rows listed in (7) — the five displaced spine rows

@@ -876,6 +876,48 @@ def test_dedup_priority_reducer_option(spark):
     assert got_lsh == want
 
 
+def test_hard_negative_pairs_label_filter_and_band(spark):
+    """r13 (DPR/SimCSE as dataflow): hard negatives exclude same-label
+    vectors, rank by 6-dp cosine with id ties, flag the [lo, hi] band
+    (above hi = suspected unlabeled duplicate), and the anchors param
+    restricts who gets mined without shrinking the negative pool."""
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 1, [0.999, 0.01]),   # near-dup of 0, different label
+        (2, 1, [0.6, 0.8]),      # moderate negative for 0
+        (3, 0, [0.98, 0.02]),    # same label as 0 -> excluded
+        (4, 2, [0.0, 1.0]),      # orthogonal -> too easy
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = [
+        r
+        for r in sim.hard_negative_pairs(
+            df, k=3, lo=0.1, hi=0.99
+        ).collect()
+        if r.anchor_id == 0
+    ]
+    negs = {r.neg_id: r for r in out}
+    assert 3 not in negs                    # same label excluded
+    assert set(negs) == {1, 2, 4}
+    assert negs[1].rank == 1
+    assert not negs[1].in_band              # above hi: suspected dup
+    assert negs[2].in_band                  # the useful hard negative
+    assert not negs[4].in_band              # below lo: too easy
+    # anchors subset: only vec 2 mined, pool unchanged
+    sub = sim.hard_negative_pairs(
+        df, k=2, lo=0.1, hi=0.99,
+        anchors=df.filter(F.col("vec_id") == 2),
+    ).collect()
+    assert {r.anchor_id for r in sub} == {2}
+    assert len(sub) == 2
+
+
 def test_margin_mine_pairs_ratio_margin_and_mutuality(spark):
     """r13 (Artetxe & Schwenk 2019): hand-built 2-d geometry — the
     ratio margin corrects cosine by the mean of both sides' k-NN
