@@ -10794,7 +10794,7 @@ _REGISTRY_PRIORITY_R12 = [
 
 # ---------------------------------------------------------------------------
 # STAGED r14 PLAN (staleness-first). Post-r13 distribution over the
-# 185-query registry, assuming the r13 window above goes green:
+# 194-query registry, assuming the r13 window above goes green:
 # r13 x50, r12 x43 (the r12 window minus the seven rows re-certified
 # in r13 as changed-code), r11 x44, r10 x40 (the spillover in (7)
 # above — at 4 rounds old the only rows past the 3-round floor,
@@ -10827,7 +10827,19 @@ _REGISTRY_PRIORITY_R12 = [
 # first — their modules sit under most rounds' edits). ALSO in (3):
 # word_counts_top100 (displaced from the r13 top-ups by
 # multimodal_dedup_video — untouched token-count tree, 4 rounds old
-# at r14, takes a lead slot right after the spilled spine rows). Note on TPC-H completeness
+# at r14, takes a lead slot right after the spilled spine rows).
+# BUDGET ARITHMETIC (do this math BEFORE building anything in r14):
+# 8 never-adjudicated leads + 40 spilled r10 rows + word_counts =
+# 49 of 50 slots — leaving ONE slot for r14 changed-code re-certs.
+# Consequences: (a) r14 edits to already-certified modules are
+# EXPENSIVE this round — prefer additive new files/functions whose
+# certifying rows are the leads themselves; (b) any genuinely new
+# r14 operators must register BELOW the window (the r13 late-lead
+# pattern) with individual 3-SF strict receipts, becoming r15 leads;
+# (c) if changed-code demands exceed the single slot, displace from
+# the TAIL of the r10 spillover (the behavior/sketch families —
+# judge-verified untouched since r10) with written justification,
+# never from the leads. Note on TPC-H completeness
 # (carried): the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
 # q12/q21 need l_shipmode/l_commitdate/l_receiptdate) are
 # structurally impossible on the driver corpus — the 17 registered
