@@ -205,6 +205,9 @@ HEADLINE = [
     # mining (DPR/SimCSE contrastive training data; certificate form)
     "doc_curation_funnel",
     "embedding_hard_negatives",
+    # late-r13: deterministic training-shard assignment (the
+    # reproducible global shuffle)
+    "doc_shard_assignment",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -929,6 +929,46 @@ def stratified_sample_exact(
     )
 
 
+def shard_rows(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard:v1",
+) -> DataFrame:
+    """Deterministic training-shard assignment — the reproducible
+    GLOBAL SHUFFLE every training run needs (data order must be
+    replayable for loss-curve debugging and elastic restarts): shard
+    = u48 % n_shards (md5-uniform, so shards balance at any corpus
+    size), and the read order WITHIN each shard is the rank of the
+    same u48 key (ties to id) — a pure function of the id, so adding
+    workers, repartitioning, or re-running never changes what
+    example t of shard s is.
+
+    Output: every row as (id, shard, shard_pos).
+
+    Scale shape: the assignment is per-row codegen; the within-shard
+    rank is one window per shard (n_shards partitions, each a keyed
+    range sort — no global order anywhere). A writer materializing
+    actual shard files would repartition(n_shards, shard) and
+    sortWithinPartitions(shard_pos) — the same exchange this rank
+    already paid."""
+    from pyspark.sql.window import Window
+
+    key = sample_key48(id_col, salt)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            (key % n_shards).cast("int").alias("shard"),
+            key.alias("_k"),
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("int"))
+        .drop("_k")
+    )
+
+
 def with_split_assignment(
     df: DataFrame,
     train_pct: int = 80,

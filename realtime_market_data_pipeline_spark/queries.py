@@ -9504,6 +9504,39 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_shard_assignment",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5('shard:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents),
+k AS (SELECT doc_id, ({_O_U48}) AS u48 FROM h),
+s AS (SELECT doc_id, CAST(u48 % 16 AS INTEGER) AS shard, u48 FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY u48, doc_id) AS INTEGER)
+         AS shard_pos
+FROM s
+""",
+)
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (r13 —
+    ``text.shard_rows``): the reproducible global shuffle a training
+    run replays for loss-curve debugging and elastic restarts —
+    shard = u48 % 16 (md5-uniform balance), within-shard order = the
+    rank of the same key. EXACT value twin (u48 + row_number replay);
+    membership and order are pure functions of the id, so the oracle
+    proves exactly the property the operator sells: rerunning
+    anywhere reproduces example t of shard s bit-for-bit. Scale
+    shape: per-row assignment + one per-shard rank window (keyed
+    range sort, never global)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return tx.shard_rows(docs, n_shards=16)
+
+
 _O_HIST_SUMS = ",\n         ".join(
     f"CAST(sum(CASE WHEN bin = {i} THEN c ELSE 0 END) AS BIGINT) AS c{i}"
     for i in range(16)
@@ -10801,7 +10834,7 @@ _REGISTRY_PRIORITY_R12 = [
 # displaced with justification: their modules are untouched by r13).
 # The r14 window MUST therefore be, in order: (1) whatever code
 # changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window — currently EIGHT, in this
+# late-r13 registration below the window — currently NINE, in this
 # order: multimodal_pair_alignment (image-text pair curation, the
 # LAION CLIP-score loop; exact two-tower twin over hash_embed +
 # image_hist_embed), sequence_layout_256 (per-doc packing layout —
@@ -10815,9 +10848,11 @@ _REGISTRY_PRIORITY_R12 = [
 # C4 -> classifier -> mixture composition with killed_by stage
 # attribution, one lazy plan, exact joined-chain twin),
 # embedding_hard_negatives (DPR/SimCSE hard-negative mining —
-# anchors-vs-pool certificate, norm-hoisted, band-flagged) — all
-# registered after the r13 window filled, MUST lead r14; (3) the 40
-# spilled
+# anchors-vs-pool certificate, norm-hoisted, band-flagged),
+# doc_shard_assignment (deterministic training shards — u48
+# assignment + within-shard rank, the reproducible global shuffle) —
+# all registered after the r13 window filled, MUST lead r14; (3) the
+# 40 spilled
 # r10 rows listed in (7) — the five displaced spine rows
 # (events_time_range, q8_market_share, q13_customer_distribution,
 # q21_sole_returned_supplier, range_join_event_sessions) FIRST, then
@@ -10829,8 +10864,8 @@ _REGISTRY_PRIORITY_R12 = [
 # multimodal_dedup_video — untouched token-count tree, 4 rounds old
 # at r14, takes a lead slot right after the spilled spine rows).
 # BUDGET ARITHMETIC (do this math BEFORE building anything in r14):
-# 8 never-adjudicated leads + 40 spilled r10 rows + word_counts =
-# 49 of 50 slots — leaving ONE slot for r14 changed-code re-certs.
+# 9 never-adjudicated leads + 40 spilled r10 rows + word_counts =
+# 50 of 50 slots — ZERO slack for r14 changed-code re-certs.
 # Consequences: (a) r14 edits to already-certified modules are
 # EXPENSIVE this round — prefer additive new files/functions whose
 # certifying rows are the leads themselves; (b) any genuinely new

@@ -624,6 +624,42 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     assert de[0].strat_rank == 1 and de[0].selected
 
 
+def test_shard_rows_determinism_and_balance(spark):
+    """r13: shard assignment is a pure function of the id — identical
+    across reruns and partitionings, positions are 1..n contiguous per
+    shard, and md5 uniformity keeps shards roughly balanced."""
+    import hashlib
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out1 = sorted(map(tuple, tx.shard_rows(df, n_shards=4).collect()))
+    out2 = sorted(
+        map(tuple, tx.shard_rows(df.repartition(7), n_shards=4).collect())
+    )
+    assert out1 == out2
+    rows = {r[0]: r for r in map(tuple, out1)}
+
+    def u48(i):
+        return int(
+            hashlib.md5(f"shard:v1{i}".encode()).hexdigest()[:12], 16
+        )
+
+    # shard replays the hash; positions contiguous from 1 per shard
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for did, shard, pos in out1:
+        assert shard == u48(did) % 4
+        per[shard].append(pos)
+    for shard, poss in per.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # md5 uniformity: no shard is pathologically empty at n=200
+    assert min(len(v) for v in per.values()) > 20
+
+
 def test_dsir_weights_selects_target_like_raw_docs(spark):
     """r12 (Xie et al. 2023): DSIR importance weights — raw docs sharing
     the target split's distinctive vocabulary must outweigh raw docs
