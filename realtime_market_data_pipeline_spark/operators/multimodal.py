@@ -3001,7 +3001,14 @@ def image_hist_embed(media: DataFrame, n_bins: int = 16) -> DataFrame:
                     rows.append(row)
                     continue
                 b = np.asarray(arr, dtype=np.int64).ravel()
-                counts = np.bincount(b // width, minlength=n_bins)
+                # clamp the bucket index: when n_bins does not divide
+                # 256, bytes >= n_bins*width would land in an overflow
+                # bucket that is counted in the L2 norm but never
+                # emitted as h{i} (non-unit output, lost mass) — fold
+                # them into the last bucket instead (r13 advice)
+                counts = np.bincount(
+                    np.minimum(b // width, n_bins - 1), minlength=n_bins
+                )
                 norm = float(np.sqrt((counts.astype(np.float64) ** 2).sum()))
                 for i in range(n_bins):
                     row[f"h{i}"] = (

@@ -852,7 +852,16 @@ def mixture_sample(
     (rows = #domains, broadcast back); membership is then per-row
     and shuffle-free — one tiny exchange per 100 TB pass."""
     d0 = "decimal(38,0)"
-    counts = df.groupBy(group_col).agg(
+    # coalesce the group key to a sentinel BEFORE the groupBy/join:
+    # an inner join on a NULL key never matches, so NULL-domain rows
+    # would vanish from the output entirely, contradicting the
+    # "every input row ... never silently dropped" contract — route
+    # them through the unknown-domain kept=false path instead (r13
+    # advice). The sentinel only keys the histogram/join; the emitted
+    # group column and the weights CASE both see the original value.
+    sentinel = "\x00__null_domain__"
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit(sentinel))
+    counts = df.groupBy(gk.alias("_gk")).agg(
         F.count(F.lit(1)).cast("long").alias("n_group")
     )
     wnum = F.lit(None).cast("long")
@@ -860,9 +869,9 @@ def mixture_sample(
     for dom, (num, den) in sorted(weights.items()):
         wnum = F.when(F.col(group_col) == dom, F.lit(num)).otherwise(wnum)
         wden = F.when(F.col(group_col) == dom, F.lit(den)).otherwise(wden)
-    j = df.select(F.col(id_col), F.col(group_col)).join(
-        F.broadcast(counts), group_col
-    )
+    j = df.select(
+        F.col(id_col), F.col(group_col), gk.alias("_gk")
+    ).join(F.broadcast(counts), "_gk")
     kept = F.coalesce(
         sample_key48(id_col, salt).cast(d0)
         * wden.cast(d0)
@@ -1083,7 +1092,13 @@ def pack_documents(
     context window."""
     from pyspark.sql.window import Window
 
-    n = token_count(text_col)
+    # NULL-text guard (r13 advice, the c4_rules convention):
+    # token_count(NULL) is F.size(NULL) = -1, which would silently
+    # shift every subsequent doc's offsets in the same group — a
+    # NULL-text doc contributes zero tokens instead
+    n = F.when(
+        F.col(text_col).isNotNull(), token_count(text_col)
+    ).otherwise(F.lit(0))
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
@@ -1123,7 +1138,12 @@ def pack_layout(
     any engine; the sort is per-group, never global."""
     from pyspark.sql.window import Window
 
-    n = token_count(text_col)
+    # NULL-text guard (r13 advice, the c4_rules convention): without
+    # it token_count(NULL) = F.size(NULL) = -1 silently shifts
+    # start_tok/seq_id for every subsequent doc in the group
+    n = F.when(
+        F.col(text_col).isNotNull(), token_count(text_col)
+    ).otherwise(F.lit(0))
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
@@ -1244,8 +1264,14 @@ def perplexity_buckets(
     calibrates cutoffs on a sample for exactly this reason."""
     from pyspark.sql.window import Window
 
+    # asc_nulls_last, NOT the Spark-default NULLS FIRST asc(): a
+    # NULL-score doc must never rank into the "head" (best) bucket,
+    # and ANSI/DuckDB ASC is NULLS LAST — this keeps the "any engine
+    # replays the exact bucket assignment" contract on raw input
+    # (r13 advice; the certified composition inner-joins NULLs away,
+    # so its values are unchanged)
     w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
+        F.asc_nulls_last(F.col(score_col)), F.col(id_col).asc()
     )
     cw = Window.partitionBy(group_col)
     rank = F.row_number().over(w)

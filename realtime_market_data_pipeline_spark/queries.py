@@ -10511,6 +10511,126 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
+    # r14 WINDOW (staleness-first with changed-code priority; post-r13
+    # distribution over the 195-query registry per the r13 verdict:
+    # r13 x50, r12 x45, r11 x48, r10 x43 + 9 never-adjudicated late-r13
+    # rows. The r13 verdict's authoritative arithmetic: 9 leads + 43
+    # r10-stale candidates = 52 for 50 slots BEFORE any changed-code.
+    #
+    # FRESHNESS SLO (unchanged): zero never-adjudicated rows older than
+    # one round, zero rows older than 3 rounds at their window (two
+    # judge-named exceptions this round, see (4)), changed-code rows
+    # window immediately regardless of age.
+    #
+    # (1) the NINE late-r13 registrations that have never been
+    # driver-adjudicated (r13 verdict #1 — non-negotiable leads, in
+    # the staged order). multimodal_pair_alignment is ALSO
+    # changed-code this round (image_hist_embed clamps the overflow
+    # bincount bucket when n_bins does not divide 256 — the certified
+    # dims=16 path divides 256, values bit-identical) and so is
+    # sequence_layout_256 (pack_layout gained the NULL-text zero-token
+    # guard — the documents corpus has no NULL text, values
+    # identical); doc_curation_funnel's composition includes the
+    # r14-fixed mixture_sample (NULL-domain routing — categories are
+    # never NULL in the corpus, values identical):
+    "multimodal_pair_alignment",
+    "sequence_layout_256",
+    "doc_stratified_sample",
+    "embedding_bitext_margin",
+    "online_classifier_gate_fold",
+    "online_c4_gate_fold",
+    "doc_curation_funnel",
+    "embedding_hard_negatives",
+    "doc_shard_assignment",
+    # (2) CHANGED-CODE re-certs — the three r13-certified rows whose
+    # operator functions the r14 advice fixes touch (the r13
+    # "cheap insurance slots" discipline: the certified corpora hit
+    # none of the new NULL routes, so values are expected identical,
+    # but the functions changed and their rows re-window):
+    # - doc_perplexity_buckets — perplexity_buckets now orders
+    #   asc_nulls_last (ANSI/DuckDB parity on raw input);
+    # - doc_mixture_sample — mixture_sample routes NULL-domain rows
+    #   through the unknown-domain kept=false path via a sentinel
+    #   histogram/join key instead of dropping them in the inner join;
+    # - sequence_packing_256 — pack_documents (like pack_layout)
+    #   gained the NULL-text zero-token guard (the c4_rules
+    #   convention; token_count(NULL) = F.size(NULL) = -1 would shift
+    #   every later doc's offsets):
+    "doc_perplexity_buckets",
+    "doc_mixture_sample",
+    "sequence_packing_256",
+    # (3) the r10-stale rows at the 4-round ceiling (r13 verdict #2):
+    # the five displaced spine rows FIRST, then word_counts_top100
+    # (displaced from r13's top-ups, untouched token-count tree),
+    # then the ANN lifecycle, graph, behavior, sketch, decode
+    # families — 38 of the 43 r10 rows; the five spilled ones are in
+    # (4):
+    "events_time_range",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_sole_returned_supplier",
+    "range_join_event_sessions",
+    "word_counts_top100",
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_persisted",
+    "embedding_ann_ivfpq",
+    "embedding_ann_lsh",
+    "embedding_ann_pq",
+    "embedding_bucket_pairs",
+    "embedding_centroids",
+    "embedding_component_stats",
+    "embedding_cosine_topk",
+    "pagerank_trade_graph",
+    "hits_trade_authorities",
+    "funnel_view_click_purchase",
+    "heavy_hitters_topk",
+    "multimodal_decode",
+    "multimodal_decode_jpeg",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "cube_brand_size",
+    "doc_chunks_40t_stride30",
+    "doc_embed_hash16",
+    "doc_repetition_scores",
+    "doc_text_normalized",
+    "events_distribution_ranks",
+    "events_lag_lead_rank",
+    "grouping_sets_flag_status",
+    "mixture_weights_by_source",
+    "quality_stratified_sample",
+    "running_revenue_per_supplier",
+    "scd2_event_type_intervals",
+    "stratified_sample_events",
+    "trailing_7d_revenue",
+    "value_percentiles_by_type",
+    # (4) SPILLED to slots 51-55 — NON-NEGOTIABLE r15 LEADS, each 5
+    # rounds stale at its r15 window (the only rows ever past the
+    # 4-round ceiling, each with written justification):
+    # - multimodal_decode_png + multimodal_decode_flac: the two the
+    #   r13 verdict itself named for spilling — their shared decode
+    #   path stays exercised in-window via multimodal_decode,
+    #   multimodal_decode_jpeg, multimodal_resize and
+    #   multimodal_video_frames; jpeg.py/flac.py/multimodal.py decode
+    #   code untouched this round;
+    # - event_transitions + retention_cohorts_weekly: displaced by
+    #   two of the three changed-code re-certs in (2) per the r13
+    #   verdict's own rule ("displace from the behavior/sketch tail
+    #   with written justification — never from the leads");
+    #   behavior.py is untouched since r10 and stays exercised
+    #   in-window by funnel_view_click_purchase;
+    # - approx_percentiles_contract: displaced by the third re-cert;
+    #   a self-contained queries.py body on built-in percentile
+    #   functions — no operator-module dependency at all, body
+    #   untouched since r10; sketches.py stays exercised in-window by
+    #   heavy_hitters_topk:
+    "multimodal_decode_png",
+    "multimodal_decode_flac",
+    "event_transitions",
+    "retention_cohorts_weekly",
+    "approx_percentiles_contract",
+]
+
+_REGISTRY_PRIORITY_R13 = [
     # r13 WINDOW (staleness-first with changed-code priority; post-r12
     # distribution over the now-180-query registry per the r12 verdict:
     # r12 x50, r11 x44, r10 x44, r9 x26 + 4 never-adjudicated late-r12
@@ -10826,62 +10946,38 @@ _REGISTRY_PRIORITY_R12 = [
 ]
 
 # ---------------------------------------------------------------------------
-# STAGED r14 PLAN (staleness-first). Post-r13 distribution over the
-# 194-query registry, assuming the r13 window above goes green:
-# r13 x50, r12 x43 (the r12 window minus the seven rows re-certified
-# in r13 as changed-code), r11 x44, r10 x40 (the spillover in (7)
-# above — at 4 rounds old the only rows past the 3-round floor,
-# displaced with justification: their modules are untouched by r13).
-# The r14 window MUST therefore be, in order: (1) whatever code
-# changes in r14 (changed-code priority outranks staleness); (2) any
-# late-r13 registration below the window — currently NINE, in this
-# order: multimodal_pair_alignment (image-text pair curation, the
-# LAION CLIP-score loop; exact two-tower twin over hash_embed +
-# image_hist_embed), sequence_layout_256 (per-doc packing layout —
-# offsets/spill manifest, integer window twin), doc_stratified_sample
-# (exact per-stratum quotas by the u48 key, row_number twin),
-# embedding_bitext_margin (Artetxe-Schwenk ratio-margin bitext
-# mining, quadratic certificate of the ANN-fed production tail),
-# online_classifier_gate_fold + online_c4_gate_fold (the two new
-# writers' batch certification twins — the fold precedent applied
-# before any verdict has to ask), doc_curation_funnel (the
-# C4 -> classifier -> mixture composition with killed_by stage
-# attribution, one lazy plan, exact joined-chain twin),
-# embedding_hard_negatives (DPR/SimCSE hard-negative mining —
-# anchors-vs-pool certificate, norm-hoisted, band-flagged),
-# doc_shard_assignment (deterministic training shards — u48
-# assignment + within-shard rank, the reproducible global shuffle) —
-# all registered after the r13 window filled, MUST lead r14; (3) the
-# 40 spilled
-# r10 rows listed in (7) — the five displaced spine rows
-# (events_time_range, q8_market_share, q13_customer_distribution,
-# q21_sole_returned_supplier, range_join_event_sessions) FIRST, then
-# the ANN/graph/behavior/sketch families — non-negotiable; (4) top up
-# to 50 with the oldest r11 rows (consult CORRECTNESS_r11.json for
-# the authoritative list; the features spine and multimodal families
-# first — their modules sit under most rounds' edits). ALSO in (3):
-# word_counts_top100 (displaced from the r13 top-ups by
-# multimodal_dedup_video — untouched token-count tree, 4 rounds old
-# at r14, takes a lead slot right after the spilled spine rows).
-# BUDGET ARITHMETIC (do this math BEFORE building anything in r14):
-# 9 never-adjudicated leads + 40 spilled r10 rows + word_counts =
-# 50 of 50 slots — ZERO slack for r14 changed-code re-certs.
-# Consequences: (a) r14 edits to already-certified modules are
-# EXPENSIVE this round — prefer additive new files/functions whose
-# certifying rows are the leads themselves; (b) any genuinely new
-# r14 operators must register BELOW the window (the r13 late-lead
-# pattern) with individual 3-SF strict receipts, becoming r15 leads;
-# (c) if changed-code demands exceed the single slot, displace from
-# the TAIL of the r10 spillover (the behavior/sketch families —
-# judge-verified untouched since r10) with written justification,
-# never from the leads. Note on TPC-H completeness
-# (carried): the 5 unregistered numbers (q2/q11/q20 need PARTSUPP;
-# q12/q21 need l_shipmode/l_commitdate/l_receiptdate) are
-# structurally impossible on the driver corpus — the 17 registered
-# are every official shape the tables can express; q21's
-# double-correlated-existential PLAN SHAPE is covered by the adapted
-# q21_sole_returned_supplier (r9, driver-certified r10, re-certified
-# r13).
+# STAGED r15 PLAN (staleness-first). Post-r14 distribution over the
+# 195-query registry, assuming the r14 window above goes green:
+# r14 x50, r13 x47 (the r13 window minus the three rows re-certified
+# in r14 as changed-code), r12 x45, r11 x48, r10 x5 (the five spilled
+# rows pinned at slots 51-55 above — the ONLY rows ever past the
+# 4-round ceiling, each justified inline). The r15 window MUST be, in
+# order: (1) whatever code changes in r15 (changed-code priority
+# outranks staleness); (2) the FIVE spilled rows
+# (multimodal_decode_png, multimodal_decode_flac, event_transitions,
+# retention_cohorts_weekly, approx_percentiles_contract) — at 5
+# rounds stale they are non-negotiable leads; (3) any late-r14
+# registration below the window (the r13 late-lead pattern — each
+# carries individual 3-SF strict receipts); (4) the 48 r11-stale rows
+# at the 4-round point. BUDGET ARITHMETIC (do this math BEFORE
+# building anything in r15): 5 spilled leads + L late-r14 leads +
+# 48 r11 rows = 53 + L candidates for 50 slots — over-subscribed by
+# 3 + L even with zero r15 changed-code re-certs. Consequences:
+# (a) 3 + L of the r11 rows must spill to r16 with written
+# justification — choose single-operator rows on modules r14/r15 do
+# not touch, keep every module represented in-window by a sibling,
+# and pin the spills as non-negotiable r16 leads (this round's (4)
+# pattern); (b) r15 edits to already-certified modules are EXPENSIVE
+# — prefer additive new files/functions whose certifying rows are
+# the leads themselves; (c) genuinely new r15 operators register
+# BELOW the window with individual 3-SF strict receipts, becoming
+# r16 leads. Note on TPC-H completeness (carried): the 5 unregistered
+# numbers (q2/q11/q20 need PARTSUPP; q12/q21 need
+# l_shipmode/l_commitdate/l_receiptdate) are structurally impossible
+# on the driver corpus — the 17 registered are every official shape
+# the tables can express; q21's double-correlated-existential PLAN
+# SHAPE is covered by the adapted q21_sole_returned_supplier (r9,
+# driver-certified r10, re-certified r14).
 # ---------------------------------------------------------------------------
 
 

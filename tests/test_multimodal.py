@@ -2290,3 +2290,25 @@ def test_image_quality_stats_signals(spark):
     assert rq[9].error_class == "NotImplementedError"
     assert rq[9].mean_byte is None and rq[9].width is None
     assert rq[10].error_class == "NotImplementedError"
+
+
+def test_image_hist_embed_nondivisor_bins_clamped_unit_norm(spark):
+    """r14 advice fix: when n_bins does not divide 256, bytes >=
+    n_bins*(256//n_bins) used to land in an overflow bincount bucket
+    that entered the L2 norm but was never emitted — the output lost
+    mass and was non-unit. They must clamp into the last bucket."""
+    import numpy as np
+
+    from realtime_market_data_pipeline_spark.operators import (
+        multimodal as mm,
+    )
+
+    flat255 = mm.encode_bmp_pixels(np.full((2, 2, 3), 255, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(0, bytearray(flat255))], "media_id long, payload binary"
+    )
+    # n_bins=10 -> width=25; 255 // 25 = 10 -> clamps to bucket 9
+    r = mm.image_hist_embed(media, n_bins=10).collect()[0]
+    vals = [getattr(r, f"h{i}") for i in range(10)]
+    assert vals[9] == 1.0
+    assert sum(vals) == 1.0  # no mass lost to a phantom bucket

@@ -324,47 +324,59 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
     # STALENESS-FIRST rotation with changed-code priority (the SLO in the
-    # registry comment): the r13 window must hold (a) the four late-r12
-    # never-adjudicated rows leading, (b) the four new-r13 rows,
-    # (c) the changed-code re-certs (hash_hamming_pairs union fix,
-    # parse_warc NULL route + extra_cols, gopher_repetition NULL guard
-    # + oracle refactor, keep_priority_col branches), and (d) ALL
-    # twenty-six r9 rows at the 4-round staleness ceiling.
+    # registry comment): the r14 window must hold (a) the NINE late-r13
+    # never-adjudicated rows leading in the staged order (r13 verdict
+    # #1), (b) the three changed-code re-certs for the r14 advice fixes
+    # (perplexity NULLS LAST, mixture NULL-domain routing, pack
+    # NULL-text guards), and (c) 38 of the 43 r10-stale rows — spine
+    # rows + word_counts first; the five spilled rows (r13 verdict #2
+    # named decode_png/decode_flac; the three re-certs displace
+    # event_transitions/retention_cohorts_weekly/
+    # approx_percentiles_contract per the verdict's tail rule) are
+    # pinned IMMEDIATELY after the window as non-negotiable r15 leads.
     names = list(Q.QUERIES)
     window = set(names[:50])
-    never_adjudicated = {
-        "dedup_priority_canonical", "embedding_random_projection",
-        "multimodal_audio_quality", "multimodal_scene_cuts",
-    }
-    new_r13 = {
-        "online_dsir_gate_fold", "online_full_gopher_gate_fold",
-        "text_ingest_warc_file", "dedup_minhash_priority",
-    }
+    leads = [
+        "multimodal_pair_alignment", "sequence_layout_256",
+        "doc_stratified_sample", "embedding_bitext_margin",
+        "online_classifier_gate_fold", "online_c4_gate_fold",
+        "doc_curation_funnel", "embedding_hard_negatives",
+        "doc_shard_assignment",
+    ]
+    assert names[:9] == leads
     changed_code = {
-        "multimodal_dedup_dhash_wide", "multimodal_dedup_dhash",
-        "dedup_audio_fingerprint", "text_ingest_warc",
-        "doc_gopher_repetition", "dedup_semantic_semdedup",
-        "dedup_embedding_lsh",
+        "doc_perplexity_buckets", "doc_mixture_sample",
+        "sequence_packing_256",
     }
-    r9_stale = {
-        "ohlc_rollup_1m_1h", "pivot_last_daily", "realized_vol_1d",
-        "dedup_clusters",
-        "bollinger_breach_stats", "counter_agg_1h", "date_parts_orders",
-        "distinct_counts", "ema_macd_daily", "gapfill_interpolate_1m",
-        "gapfill_locf_1m", "json_props_stats", "max_drawdown_per_symbol",
-        "pairwise_return_corr", "props_key_counts", "region_revenue",
-        "rollup_returnflag_status", "rsi_14_daily",
-        "sequence_packing_256", "setop_active_both_years",
-        "setop_lapsed_customers", "state_agg_user_event",
-        "stochastic_14_3", "string_funcs_part", "twap_1h",
-        "unpivot_lineitem_measures",
+    r10_stale_windowed = {
+        "events_time_range", "q8_market_share",
+        "q13_customer_distribution", "q21_sole_returned_supplier",
+        "range_join_event_sessions", "word_counts_top100",
+        "embedding_ann_ivf", "embedding_ann_ivf_persisted",
+        "embedding_ann_ivfpq", "embedding_ann_lsh", "embedding_ann_pq",
+        "embedding_bucket_pairs", "embedding_centroids",
+        "embedding_component_stats", "embedding_cosine_topk",
+        "pagerank_trade_graph", "hits_trade_authorities",
+        "funnel_view_click_purchase", "heavy_hitters_topk",
+        "multimodal_decode", "multimodal_decode_jpeg",
+        "multimodal_resize", "multimodal_video_frames",
+        "cube_brand_size", "doc_chunks_40t_stride30",
+        "doc_embed_hash16", "doc_repetition_scores",
+        "doc_text_normalized", "events_distribution_ranks",
+        "events_lag_lead_rank", "grouping_sets_flag_status",
+        "mixture_weights_by_source", "quality_stratified_sample",
+        "running_revenue_per_supplier", "scd2_event_type_intervals",
+        "stratified_sample_events", "trailing_7d_revenue",
+        "value_percentiles_by_type",
     }
-    for group in (never_adjudicated, new_r13, changed_code, r9_stale):
+    for group in (set(leads), changed_code, r10_stale_windowed):
         assert group <= window, group - window
-    assert names[0] == "dedup_priority_canonical"
-    # the r10 top-up rows close the window (multimodal_decode_gif
-    # first: its module changed this round and must not spill)
-    assert "multimodal_decode_gif" in window
+    # the five spilled rows sit at slots 51-55 (pinned r15 leads)
+    assert names[50:55] == [
+        "multimodal_decode_png", "multimodal_decode_flac",
+        "event_transitions", "retention_cohorts_weekly",
+        "approx_percentiles_contract",
+    ]
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 

@@ -924,3 +924,75 @@ def test_url_features_parsing_and_blocklist(spark):
     plan = tx.url_features(df, blocklist=bl)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_null_score_ranks_last(spark):
+    """r14 advice fix: a NULL-score doc must never rank into the
+    'head' (best) bucket — ASC is NULLS LAST (the ANSI/DuckDB
+    default), so any engine replays the bucket assignment on raw
+    input, not just on the NULL-free certified composition."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "en", 1.0),
+        (1, "en", 2.0),
+        (2, "en", None),  # would be rank 1 ('head') under Spark asc()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_neg_logp double"
+    )
+    out = {r.doc_id: r for r in tx.perplexity_buckets(df).collect()}
+    assert out[0].ppl_rank == 1 and out[0].bucket == "head"
+    assert out[1].ppl_rank == 2 and out[1].bucket == "middle"
+    assert out[2].ppl_rank == 3 and out[2].bucket == "tail"
+
+
+def test_mixture_sample_null_domain_routed_not_dropped(spark):
+    """r14 advice fix: rows with a NULL group value used to vanish
+    through the inner histogram join (NULL keys never match); they
+    must instead route through the unknown-domain kept=false path —
+    'every input row ... never silently dropped'."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [(0, "en"), (1, "en"), (10, None), (11, None), (12, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {
+        r.doc_id: r
+        for r in tx.mixture_sample(
+            df, weights={"en": (1, 2)}, budget_n=2
+        ).collect()
+    }
+    assert len(out) == 5  # all five input rows present
+    for did in (10, 11, 12):
+        r = out[did]
+        assert r.lang is None
+        assert r.n_group == 3  # NULL-domain rows histogram together
+        assert r.p_sample is None and r.kept is False
+    assert out[0].p_sample == 0.5 and out[0].n_group == 2
+
+
+def test_pack_layout_and_documents_null_text_zero_tokens(spark):
+    """r14 advice fix: token_count(NULL) is F.size(NULL) = -1, which
+    silently shifted start_tok/seq_id for every subsequent doc in the
+    group — a NULL-text doc must contribute exactly zero tokens (the
+    c4_rules convention) in BOTH pack_layout and pack_documents."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "s", " ".join(["w"] * 6)),
+        (1, "s", None),                  # zero tokens, not -1
+        (2, "s", " ".join(["w"] * 4)),   # start must stay 6, not 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    lay = {r.doc_id: r for r in tx.pack_layout(df, ctx_tokens=8).collect()}
+    assert lay[1].n_tokens == 0 and lay[1].start_tok == 6
+    assert lay[1].n_spill == 0 and lay[1].spills_over is False
+    assert lay[2].start_tok == 6 and lay[2].n_spill == 2
+
+    man = {
+        (r.source, r.seq_id): r
+        for r in tx.pack_documents(df, ctx_tokens=8).collect()
+    }
+    # docs 0,1,2 all start in seq 0 (starts 0, 6, 6); total 10 tokens
+    assert man[("s", 0)].n_docs == 3
+    assert man[("s", 0)].n_tokens == 10
