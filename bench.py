@@ -208,6 +208,13 @@ HEADLINE = [
     # late-r13: deterministic training-shard assignment (the
     # reproducible global shuffle)
     "doc_shard_assignment",
+    # r14: the candidate-fed PRODUCTION forms of the two miners — LSH
+    # bucket collisions feed the identical margin/mutual and
+    # label-filter + rank + band tails; the cross score never
+    # materializes (these are the rows a 100 TB run executes; the
+    # quadratic certificates above stay as the ground-truth twins)
+    "embedding_bitext_margin_lsh",
+    "embedding_hard_negatives_ann",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

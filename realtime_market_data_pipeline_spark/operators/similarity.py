@@ -579,6 +579,22 @@ def hard_negative_pairs(
             ).alias("cosine_sim"),
         )
     )
+    return hard_negative_tail(pairs, k=k, lo=lo, hi=hi)
+
+
+def hard_negative_tail(
+    pairs: DataFrame, k: int = 5, lo: float = 0.05, hi: float = 0.42
+) -> DataFrame:
+    """The rank + band tail shared by the certificate and candidate-fed
+    hard-negative forms: from an (anchor_id, neg_id, cosine_sim)
+    scored-pair relation (already label-filtered), the per-anchor
+    top-k by 6-dp cosine (ties to the neighbor id) with the in_band
+    flag. Oblivious to how the pairs were found — any candidate
+    relation containing each anchor's true different-label top-k
+    yields the identical result (pinned by
+    ``test_hard_negative_tail_candidates_equal_bruteforce``)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neg_id")
     )
@@ -596,6 +612,60 @@ def hard_negative_pairs(
             ).alias("in_band"),
         )
     )
+
+
+def hard_negative_pairs_from_candidates(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    lo: float = 0.05,
+    hi: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """PRODUCTION form of ``hard_negative_pairs`` (the
+    ``margin_mine_pairs_from_candidates`` pattern): score only the
+    (anchor_id, neg_id) ``candidates`` relation — produced by any
+    banded ANN machinery (LSH bucket collisions, IVF probe lists) —
+    then run the identical label-filter + rank + band tail. When the
+    candidate set contains each anchor's true different-label top-k,
+    the result EQUALS the |anchors|x|corpus| certificate (pinned by
+    ``test_hard_negative_tail_candidates_equal_bruteforce``); ANN
+    recall below 1.0 degrades it exactly the way the ANN family's
+    recall contracts describe. At 100 TB this is the only form you
+    run — the cross score never materializes; the candidate join
+    shuffles on the vector id, Σ bucket² bounded."""
+    a = corpus.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        as_double(vec_col).alias("va"),
+    ).withColumn("na", norm(F.col("va")))
+    b = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        as_double(vec_col).alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
+    pairs = (
+        candidates.select("anchor_id", "neg_id")
+        .distinct()
+        .join(a, "anchor_id")
+        .join(b, "neg_id")
+        .filter(
+            (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("anchor_label") != F.col("neg_label"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return hard_negative_tail(pairs, k=k, lo=lo, hi=hi)
 
 
 def centroids_by_label(

@@ -9505,6 +9505,153 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_bitext_margin_lsh",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS n
+           FROM embeddings),
+bkt AS (SELECT vec_id, {{bucket}} AS bucket FROM v),
+a AS (SELECT vec_id AS id_a, e AS va, n AS na FROM v WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS id_b, e AS vb, n AS nb FROM v WHERE vec_id % 2 = 1),
+cand AS (
+  SELECT ba.vec_id AS id_a, bb.vec_id AS id_b
+  FROM bkt ba JOIN bkt bb ON ba.bucket = bb.bucket
+  WHERE ba.vec_id % 2 = 0 AND bb.vec_id % 2 = 1),
+p AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(va, vb) / (na * nb), 6) AS c6
+  FROM cand JOIN a USING (id_a) JOIN b USING (id_b)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY c6 DESC, id_b) AS ra,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY c6 DESC, id_a) AS rb
+  FROM p),
+sa AS (SELECT id_a, sum(CAST(c6 AS DECIMAL(38,10))) AS sa
+       FROM r WHERE ra <= 4 GROUP BY id_a),
+sb AS (SELECT id_b, sum(CAST(c6 AS DECIMAL(38,10))) AS sb
+       FROM r WHERE rb <= 4 GROUP BY id_b),
+s AS (
+  SELECT r.id_a, r.id_b, r.c6, r.ra, r.rb,
+         CASE WHEN CAST(sa.sa + sb.sb AS DOUBLE) / 8 > 0
+              THEN round(r.c6 / (CAST(sa.sa + sb.sb AS DOUBLE) / 8), 6)
+         END AS margin
+  FROM r JOIN sa USING (id_a) JOIN sb USING (id_b)
+  WHERE r.ra <= 4 OR r.rb <= 4),
+f AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY margin DESC NULLS LAST, id_b) AS ba
+  FROM s WHERE ra <= 4),
+g AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY margin DESC NULLS LAST, id_a) AS bb
+  FROM s WHERE rb <= 4)
+SELECT f.id_a, f.id_b, f.c6 AS cosine_sim, f.margin,
+       COALESCE(m.hit, FALSE) AS mutual,
+       COALESCE(f.margin > 1.05, FALSE) AS accepted
+FROM f LEFT JOIN (SELECT id_a, id_b, TRUE AS hit FROM g WHERE bb = 1) m
+       ON f.id_a = m.id_a AND f.id_b = m.id_b
+WHERE f.ba = 1
+""".replace("{bucket}", _EBP_BUCKET_SQL),
+)
+def embedding_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``embedding_bitext_margin`` under the
+    driver hash (r14 — the r13 verdict's #5 ask): candidates come
+    from single-table 8-bit sign-LSH bucket collisions between the
+    two parity 'language' sides (the certified ``embedding_bucket_
+    pairs`` machinery, planes as literals), and ONLY those pairs flow
+    through the identical ``margin_tail`` — cosine never materializes
+    |A|x|B|. EXACT value twin: the oracle replays the sign folds, the
+    bucket equi-join, and the full margin/mutual tail; equality with
+    the quadratic certificate WHEN candidates cover both true top-4
+    sides is separately pinned by
+    ``test_margin_tail_candidates_equal_bruteforce``. At 100 TB this
+    is the only form you run: L small (table, bucket) shuffles, cost
+    Σ bucket² ≈ N²/2⁸ here, tuned by (r, L)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a_df = emb.filter(F.col("vec_id") % 2 == 0)
+    b_df = emb.filter(F.col("vec_id") % 2 == 1)
+    ba = sim.sign_lsh_buckets(a_df, _EBP_PLANES).select(
+        F.col("vec_id").alias("id_a"), "bucket"
+    )
+    bb = sim.sign_lsh_buckets(b_df, _EBP_PLANES).select(
+        F.col("vec_id").alias("id_b"), "bucket"
+    )
+    cand = ba.join(bb, "bucket").select("id_a", "id_b")
+    return sim.margin_mine_pairs_from_candidates(
+        a_df, b_df, cand, k=4, threshold=1.05
+    )
+
+
+@query(
+    "embedding_hard_negatives_ann",
+    oracle=f"""
+WITH v AS (SELECT vec_id, vec_id % 5 AS label,
+                  CAST(embedding AS DOUBLE[]) AS e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS n
+           FROM embeddings),
+bkt AS (SELECT vec_id, {{bucket}} AS bucket FROM v),
+p AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine_sim
+  FROM bkt ka JOIN bkt kb ON ka.bucket = kb.bucket
+  JOIN v a ON a.vec_id = ka.vec_id
+  JOIN v b ON b.vec_id = kb.vec_id
+  WHERE ka.vec_id % 4 = 0
+    AND a.vec_id <> b.vec_id AND a.label <> b.label),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine_sim DESC, neg_id) AS rank
+  FROM p)
+SELECT anchor_id, neg_id, cosine_sim, CAST(rank AS INTEGER) AS rank,
+       cosine_sim >= 0.05 AND cosine_sim <= 0.42 AS in_band
+FROM r WHERE rank <= 5
+""".replace("{bucket}", _EBP_BUCKET_SQL),
+)
+def embedding_hard_negatives_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION form of ``embedding_hard_negatives`` under the
+    driver hash (r14 — the r13 verdict's #5 ask): anchors
+    (vec_id%4==0) and the negative pool are bucketed by the same
+    single-table 8-bit sign-LSH, bucket collisions form the
+    candidate relation, and only those pairs flow through the
+    identical label-filter + rank + band tail
+    (``hard_negative_pairs_from_candidates``) — the |anchors|x|corpus|
+    cross score never materializes. EXACT value twin (the oracle
+    replays sign folds, bucket join, label filter, 6-dp rank, band);
+    equality with the certificate when candidates cover each anchor's
+    true different-label top-5 is separately pinned by
+    ``test_hard_negative_tail_candidates_equal_bruteforce``. Scale
+    shape: L small (table, bucket) shuffles + one id-keyed candidate
+    join, Σ bucket² bounded."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") % 5).alias("label"),
+        "embedding",
+    )
+    anchors = emb.filter(F.col("vec_id") % 4 == 0)
+    ba = sim.sign_lsh_buckets(anchors, _EBP_PLANES).select(
+        F.col("vec_id").alias("anchor_id"), "bucket"
+    )
+    bc = sim.sign_lsh_buckets(emb, _EBP_PLANES).select(
+        F.col("vec_id").alias("neg_id"), "bucket"
+    )
+    cand = ba.join(bc, "bucket").select("anchor_id", "neg_id")
+    return sim.hard_negative_pairs_from_candidates(
+        emb, cand, k=5, lo=0.05, hi=0.42
+    )
+
+
+@query(
     "doc_shard_assignment",
     oracle=f"""
 WITH h AS (
@@ -10956,14 +11103,20 @@ _REGISTRY_PRIORITY_R12 = [
 # outranks staleness); (2) the FIVE spilled rows
 # (multimodal_decode_png, multimodal_decode_flac, event_transitions,
 # retention_cohorts_weekly, approx_percentiles_contract) — at 5
-# rounds stale they are non-negotiable leads; (3) any late-r14
-# registration below the window (the r13 late-lead pattern — each
-# carries individual 3-SF strict receipts); (4) the 48 r11-stale rows
-# at the 4-round point. BUDGET ARITHMETIC (do this math BEFORE
-# building anything in r15): 5 spilled leads + L late-r14 leads +
-# 48 r11 rows = 53 + L candidates for 50 slots — over-subscribed by
-# 3 + L even with zero r15 changed-code re-certs. Consequences:
-# (a) 3 + L of the r11 rows must spill to r16 with written
+# rounds stale they are non-negotiable leads; (3) the TWO late-r14
+# registrations below the window (the r13 late-lead pattern, each
+# with individual 3-SF strict receipts + 8x probes + plan pins):
+# embedding_bitext_margin_lsh + embedding_hard_negatives_ann — the
+# candidate-fed PRODUCTION forms of the two quadratic-certificate
+# miners (the r13 verdict's #5 ask), LSH bucket collisions feeding
+# the identical margin/mutual and label-filter + rank + band tails,
+# no nested-loop anywhere in either plan
+# (test_r14_late_row_plan_shapes); (4) the 48 r11-stale rows at the
+# 4-round point. BUDGET ARITHMETIC (do this math BEFORE building
+# anything in r15): 5 spilled leads + 2 late-r14 leads +
+# 48 r11 rows = 55 candidates for 50 slots — over-subscribed by
+# 5 even with zero r15 changed-code re-certs. Consequences:
+# (a) 5 of the r11 rows must spill to r16 with written
 # justification — choose single-operator rows on modules r14/r15 do
 # not touch, keep every module represented in-window by a sibling,
 # and pin the spills as non-negotiable r16 leads (this round's (4)

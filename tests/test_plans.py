@@ -919,3 +919,29 @@ def test_r13_late_row_plan_shapes(spark):
     # id joins
     assert len(re.findall(r"Exchange hashpartitioning", fun)) <= 5
     assert fun.count("BroadcastHashJoin") >= 2  # model + histogram
+
+
+def test_r14_late_row_plan_shapes(spark):
+    """Late-r14 pins: the two candidate-fed production miners must
+    NEVER materialize the cross score — no BroadcastNestedLoopJoin
+    and no CartesianProduct anywhere in either plan (the certificate
+    rows pin the opposite: their quadratic IS a broadcast nested
+    loop); candidates arrive through bucket equi-joins only."""
+    import re
+
+    def physical(name):
+        df = Q.QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    mlsh = physical("embedding_bitext_margin_lsh")
+    assert "BroadcastNestedLoopJoin" not in mlsh
+    assert "CartesianProduct" not in mlsh
+    # bucket collision + id-keyed candidate joins, then the keyed
+    # margin-tail windows/aggs — all equi-joins
+    assert "Join" in mlsh
+
+    hann = physical("embedding_hard_negatives_ann")
+    assert "BroadcastNestedLoopJoin" not in hann
+    assert "CartesianProduct" not in hann
+    # one per-anchor rank window, keyed — never a global sort
+    assert "hashpartitioning(anchor_id" in hann

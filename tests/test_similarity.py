@@ -1092,3 +1092,81 @@ def test_random_projection_preserves_distances(spark):
         assert abs(row0[f"p{k}"] - want) < 1e-9, k
     with _pytest.raises(ValueError, match="at least one"):
         sim.random_project(emb, [])
+
+
+def test_hard_negative_tail_candidates_equal_bruteforce(spark):
+    """r14: the candidate-fed production form of hard-negative mining
+    equals the |anchors|x|corpus| certificate whenever the candidate
+    set contains each anchor's true different-label top-k — the
+    property that lets banded ANN feed the identical label-filter +
+    rank + band tail at 100 TB."""
+    import hashlib
+    import itertools
+
+    from realtime_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    def vec(i):
+        h = hashlib.md5(f"hn:{i}".encode()).digest()
+        return [b / 255.0 - 0.5 for b in h[:8]]
+
+    rows = [(i, i % 3, vec(i)) for i in range(18)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    anchors = corpus.filter("vec_id % 2 = 0")
+    brute = sorted(
+        map(
+            tuple,
+            sim.hard_negative_pairs(
+                corpus, k=3, lo=0.0, hi=0.3, anchors=anchors
+            ).collect(),
+        )
+    )
+    # full candidate relation -> identical by construction
+    cand_full = anchors.selectExpr("vec_id AS anchor_id").crossJoin(
+        corpus.selectExpr("vec_id AS neg_id")
+    )
+    full = sorted(
+        map(
+            tuple,
+            sim.hard_negative_pairs_from_candidates(
+                corpus, cand_full, k=3, lo=0.0, hi=0.3
+            ).collect(),
+        )
+    )
+    assert full == brute
+
+    # top-k-complete candidate subset: each anchor's true
+    # different-label top-4 by 6-dp cosine (strict superset of k=3)
+    v = {i: vec(i) for i in range(18)}
+
+    def cos(u, w):
+        d = sum(x * y for x, y in zip(u, w))
+        nu = sum(x * x for x in u) ** 0.5
+        nw = sum(x * x for x in w) ** 0.5
+        return round(d / (nu * nw), 6)
+
+    cand_rows = []
+    for ia in range(0, 18, 2):
+        scored = sorted(
+            (
+                (-cos(v[ia], v[ib]), ib)
+                for ib in range(18)
+                if ib != ia and ib % 3 != ia % 3
+            ),
+        )[:4]
+        cand_rows += [(ia, ib) for _, ib in scored]
+    cand_topk = spark.createDataFrame(
+        cand_rows, "anchor_id long, neg_id long"
+    )
+    subset = sorted(
+        map(
+            tuple,
+            sim.hard_negative_pairs_from_candidates(
+                corpus, cand_topk, k=3, lo=0.0, hi=0.3
+            ).collect(),
+        )
+    )
+    assert subset == brute
