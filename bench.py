@@ -215,6 +215,10 @@ HEADLINE = [
     # quadratic certificates above stay as the ground-truth twins)
     "embedding_bitext_margin_lsh",
     "embedding_hard_negatives_ann",
+    # r14: the fifth online writer's fold twin — temperature/domain
+    # mixture sampling at ingest against offline-calibrated exact
+    # rational rates (certification subtotal)
+    "online_mixture_gate_fold",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint
@@ -273,6 +277,9 @@ CERTIFICATION = (
     # hard-negative miner's |anchors|x|corpus| certificate twin
     "embedding_bitext_margin",
     "embedding_hard_negatives",
+    # r14: the mixture gate fold twin (3+1 batches through the actual
+    # writer + parquet landings + the calibrated-rates persist)
+    "online_mixture_gate_fold",
 )
 
 

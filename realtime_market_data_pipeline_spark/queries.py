@@ -8845,6 +8845,99 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "online_mixture_gate_fold",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 11 = 7 THEN NULL ELSE lang END AS lang,
+         md5('mixgate:v1' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_group FROM d
+      WHERE lang IN ('en', 'es', 'fr', 'de') GROUP BY lang),
+w AS (
+  SELECT d.doc_id, d.lang, ({_O_U48}) AS u48, c.n_group,
+         CASE d.lang WHEN 'de' THEN 1 WHEN 'en' THEN 4
+                     WHEN 'es' THEN 2 WHEN 'fr' THEN 2 END AS wnum
+  FROM d LEFT JOIN c USING (lang))
+SELECT doc_id, lang,
+       CASE WHEN wnum IS NOT NULL AND n_group IS NOT NULL THEN
+         round(least(1.0, CAST(150 * wnum AS DOUBLE)
+                     / CAST(10 * n_group AS DOUBLE)), 6) END AS p_sample,
+       COALESCE(CAST(u48 AS HUGEINT) * (10 * n_group)
+                < CAST(150 * wnum AS HUGEINT) * 281474976710656,
+                FALSE) AS kept
+FROM w
+""",
+)
+def online_mixture_gate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CERTIFICATION TWIN of the ONLINE mixture gate (r14 — the
+    fold precedent applied at registration time, before any verdict
+    has to ask): ``streaming.curation.mixture_gate_writer`` replayed
+    under the driver hash. (1) OFFLINE CALIBRATION: the per-domain
+    acceptance rates are exact rationals (domain, num = 150·w_num,
+    den = w_den·n_d) computed from the reference corpus's domain
+    histogram (weights en 4/10, es 2/10, fr 2/10, de 1/10 — zh
+    deliberately ABSENT for the unknown-domain route; a doc_id%11==7
+    stripe NULLs the domain so the r14 NULL-domain routing rule is
+    non-vacuous) and persisted to parquet — the #domains-row model
+    the writer broadcasts every batch. (2) THE FOLD: three
+    deterministic micro-batches (doc_id%3) through the actual
+    writer, batch 1 replayed (idempotence), then the accumulated
+    curated/rejects tables read back — (doc_id, lang, p_sample,
+    kept) per raw doc, writer-produced values; unknown and NULL
+    domains land in rejects with NULL p_sample, never dropped.
+    Because the membership test is the batch operator's exact
+    integer form (u48·den < num·2^48 in DECIMAL(38,0)), the
+    accumulated keeps equal a batch ``mixture_sample`` run by
+    construction (pinned in ``test_streaming_mixture_gate_against_calibrated_rates``); the
+    oracle replays calibration, membership, and routing in HUGEINT.
+    Scale shape per batch: one broadcast join + per-row integer
+    decision — zero shuffle, no state store."""
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    rates_dir, out_dir, rej_dir = _writer_state_dirs(
+        sf_dir, "mixture_gate_fold", "rates", "curated", "rejects"
+    )
+    weights = {"en": (4, 10), "es": (2, 10), "fr": (2, 10),
+               "de": (1, 10)}
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 11 != 7, F.col("lang")).alias("lang"),
+    )
+    wnum = F.lit(None).cast("long")
+    wden = F.lit(None).cast("long")
+    for dom, (num, den) in sorted(weights.items()):
+        wnum = F.when(F.col("lang") == dom, F.lit(num)).otherwise(wnum)
+        wden = F.when(F.col("lang") == dom, F.lit(den)).otherwise(wden)
+    rates = (
+        docs.filter(F.col("lang").isin(*weights))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_group"))
+        .select(
+            F.col("lang").alias("domain"),
+            (F.lit(150) * wnum).cast("long").alias("num"),
+            (wden * F.col("n_group")).cast("long").alias("den"),
+        )
+    )
+    rates.write.mode("overwrite").parquet(rates_dir)
+    writer = curation.mixture_gate_writer(
+        rates_dir, out_dir, rej_dir, group_col="lang",
+        salt="mixgate:v1",
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        writer(b, i)
+    writer(batches[1], 1)  # replay: must rewrite itself
+    kept = spark.read.parquet(out_dir).select(
+        "doc_id", "lang", "p_sample", F.lit(True).alias("kept")
+    )
+    rej = spark.read.parquet(rej_dir).select(
+        "doc_id", "lang", "p_sample", F.lit(False).alias("kept")
+    )
+    return kept.unionByName(rej)
+
+
+@query(
     "multimodal_dedup_video",
     oracle=f"""
 WITH d AS (

@@ -332,3 +332,103 @@ def classifier_gate_writer(
             routed.unpersist()
 
     return write
+
+
+def mixture_gate_writer(
+    rates_path: str,
+    out_dir: str,
+    rejects_dir: str | None = None,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix:v1",
+) -> BatchWriter:
+    """foreachBatch writer: temperature/domain mixture sampling ONLINE
+    (r14) — the fifth member of the online gate family (Gopher, C4,
+    DSIR, classifier, mixture), the production split of
+    ``text.mixture_sample``: the per-domain acceptance rates are
+    calibrated ONCE offline against the reference corpus's domain
+    histogram and persisted to ``rates_path`` as EXACT rationals
+    (domain, num, den) with num = budget·w_num and den = w_den·n_d —
+    so the per-row membership test u48·den < num·2^48 (DECIMAL(38,0),
+    never a float) is BIT-IDENTICAL to the batch operator's on the
+    same ids: the accumulated online keeps equal a batch
+    ``mixture_sample`` run with the same histogram, by construction.
+    Keepers land in ``out_dir/batch_id=N`` with their 6-dp p_sample;
+    rows whose domain has no rate row — unknown domains AND NULL
+    domains (the left join keeps them unmatched, the r14
+    ``mixture_sample`` routing rule) — land in rejects with NULL
+    p_sample, never dropped. Dynamic-partition overwrite keeps
+    replays idempotent.
+
+    Scale shape per batch: one broadcast of the #domains-row rate
+    table, then a per-row integer decision — zero shuffle, no state
+    store, no history read; re-calibrate by re-persisting
+    ``rates_path`` between batches (read per batch by design)."""
+    from realtime_market_data_pipeline_spark.operators.text import (
+        sample_key48,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rates = spark.read.parquet(rates_path)
+        d0 = "decimal(38,0)"
+        j = batch_df.join(
+            F.broadcast(rates),
+            batch_df[group_col] == rates["domain"],
+            "left",
+        )
+        kept3 = F.coalesce(
+            sample_key48(id_col, salt).cast(d0) * F.col("den").cast(d0)
+            < F.col("num").cast(d0) * F.lit(2**48).cast(d0),
+            F.lit(False),
+        )
+        p = F.when(
+            F.col("num").isNotNull(),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double"),
+                ),
+                6,
+            ),
+        )
+        routed = j.select(
+            F.col(id_col),
+            batch_df[group_col],
+            p.alias("p_sample"),
+            kept3.alias("_keep"),
+        ).persist()
+        try:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    routed.filter(F.col("_keep"))
+                    .drop("_keep")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                if rejects_dir is not None:
+                    (
+                        routed.filter(~F.col("_keep"))
+                        .drop("_keep")
+                        .withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id")
+                        .parquet(rejects_dir)
+                    )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            routed.unpersist()
+
+    return write

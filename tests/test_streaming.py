@@ -2924,3 +2924,66 @@ def test_streaming_full_gopher_gate_with_repetition(spark, tmp_path):
         .collect()
     }
     assert {i: True for i in kept} | {i: False for i in dropped} == twin
+
+
+def test_streaming_mixture_gate_against_calibrated_rates(spark, tmp_path):
+    """r14: mixture gate online — the offline-calibrated exact-rational
+    rate table gates micro-batches with the batch operator's integer
+    membership test: accumulated keeps equal a batch mixture_sample
+    run on the same ids (bit-identical u48 test by construction),
+    unknown AND NULL domains route to rejects with NULL p_sample
+    (never dropped), and a replayed batch rewrites itself."""
+    from pyspark.sql import functions as F
+
+    from realtime_market_data_pipeline_spark.operators import text as tx
+    from realtime_market_data_pipeline_spark.streaming import curation
+
+    weights = {"en": (3, 4), "de": (1, 4)}
+    budget = 4
+    rows = (
+        [(i, "en") for i in range(8)]
+        + [(100, "de"), (101, "de")]
+        + [(200, "xx"), (201, None)]  # unknown + NULL domain
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    # offline calibration: exact rationals from the corpus histogram
+    counts = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect() if r.lang in weights
+    }
+    rates_path = str(tmp_path / "mix_rates")
+    spark.createDataFrame(
+        [
+            (dom, budget * num, den * counts[dom])
+            for dom, (num, den) in weights.items()
+        ],
+        "domain string, num long, den long",
+    ).write.parquet(rates_path)
+
+    out = str(tmp_path / "mix_out")
+    rej = str(tmp_path / "mix_rej")
+    writer = curation.mixture_gate_writer(rates_path, out, rej)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b1, 1)  # replay rewrites itself
+
+    kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_id: r for r in spark.read.parquet(rej).collect()}
+    assert set(kept) | set(dropped) == {r[0] for r in rows}
+    assert not (set(kept) & set(dropped))
+    # unknown + NULL domains: rejects, NULL p, row preserved
+    assert dropped[200].p_sample is None and dropped[201].p_sample is None
+    assert dropped[201].lang is None
+    # accumulated split == the batch operator on the same corpus
+    twin = {
+        r.doc_id: r
+        for r in tx.mixture_sample(
+            docs, weights=weights, budget_n=budget
+        ).collect()
+    }
+    for did, t in twin.items():
+        r = (kept if t.kept else dropped)[did]
+        assert r.p_sample == t.p_sample
