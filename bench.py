@@ -219,6 +219,10 @@ HEADLINE = [
     # mixture sampling at ingest against offline-calibrated exact
     # rational rates (certification subtotal)
     "online_mixture_gate_fold",
+    # r14: document-respecting (no-split) next-fit packing layout —
+    # the sequential per-group fold as one Arrow applyInPandas pass
+    # over a 3-integer-column frame, recursive-CTE oracle
+    "sequence_layout_nosplit_64",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -1170,6 +1170,80 @@ def pack_layout(
     )
 
 
+def pack_layout_nosplit(
+    df: DataFrame,
+    ctx_tokens: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DOCUMENT-RESPECTING (no-split) packing layout — the next-fit
+    variant of ``pack_layout`` for training runs that mask cross-doc
+    attention and never let a document straddle a context-window
+    boundary (the "sample packing with boundary respect" convention):
+    docs are placed in id order per group; a doc lands at the current
+    window's fill offset iff it FITS (fill + n <= ctx), else it OPENS
+    a new window at offset 0. A doc longer than the window gets a
+    window alone with ``truncated`` = true (the writer truncates its
+    tail); NULL-text docs count zero tokens (the r14 convention) and
+    occupy no space. Deterministic: a pure fold over (group, id
+    order) — replayable in any engine as a recursive CTE (the
+    ``ema_macd_daily`` oracle precedent).
+
+    Output: (id, group, n_tokens, seq_id, offset_in_seq, truncated).
+
+    Scale shape: the token counts are JVM-side codegen; the fold is
+    inherently sequential PER GROUP (next-fit bin state is not
+    prefix-decomposable), so it runs as one Arrow ``applyInPandas``
+    pass over the 3-column (id, group, n) frame — groups
+    (sources/shards) are numerous and bounded, so parallelism is the
+    group count and the shuffle moves 3 integers per doc, never
+    text."""
+    import pandas as pd
+
+    ctx = int(ctx_tokens)
+    n = F.when(
+        F.col(text_col).isNotNull(), token_count(text_col)
+    ).otherwise(F.lit(0))
+    base = df.select(
+        F.col(id_col), F.col(group_col), n.cast("long").alias("_n")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seqs, offs = [], []
+        seq, fill, first = 0, 0, True
+        for n_tok in pdf["_n"]:
+            n_tok = int(n_tok)
+            if first:
+                seq, off, fill, first = 0, 0, n_tok, False
+            elif fill + n_tok <= ctx:
+                off = fill
+                fill += n_tok
+            else:
+                seq += 1
+                off = 0
+                fill = n_tok
+            seqs.append(seq)
+            offs.append(off)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "n_tokens": pdf["_n"],
+                "seq_id": seqs,
+                "offset_in_seq": offs,
+                "truncated": pdf["_n"] > ctx,
+            }
+        )
+
+    schema = (
+        f"{id_col} long, {group_col} string, n_tokens long, "
+        "seq_id long, offset_in_seq long, truncated boolean"
+    )
+    return base.groupBy(group_col).applyInPandas(fold, schema)
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

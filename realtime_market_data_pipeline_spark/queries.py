@@ -9054,6 +9054,58 @@ def sequence_layout_256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_layout_nosplit_64",
+    oracle="""
+WITH RECURSIVE n AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split_regex(text, '\\s+')) END AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+f AS (
+  SELECT doc_id, source, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id,
+         CAST(0 AS BIGINT) AS offset_in_seq,
+         n_tokens AS fill
+  FROM n WHERE rn = 1
+  UNION ALL
+  SELECT n.doc_id, n.source, n.n_tokens, n.rn,
+         CASE WHEN f.fill + n.n_tokens <= 64 THEN f.seq_id
+              ELSE f.seq_id + 1 END,
+         CASE WHEN f.fill + n.n_tokens <= 64 THEN f.fill
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN f.fill + n.n_tokens <= 64 THEN f.fill + n.n_tokens
+              ELSE n.n_tokens END
+  FROM f JOIN n ON n.source = f.source AND n.rn = f.rn + 1)
+SELECT doc_id, source, n_tokens, seq_id, offset_in_seq,
+       n_tokens > 64 AS truncated
+FROM f
+""",
+)
+def sequence_layout_nosplit_64(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-respecting (no-split) packing layout (r14 —
+    ``text.pack_layout_nosplit``): the NEXT-FIT variant for training
+    runs that mask cross-doc attention and never let a doc straddle a
+    window boundary — a doc lands at the current window's fill offset
+    iff it fits, else it opens a new window; longer-than-window docs
+    get a window alone with truncated=true. ctx=64 against this
+    corpus's 10-99-token docs makes all three routes (fits /
+    new-window / truncate) non-vacuous. EXACT value twin: the
+    sequential per-group fold is replayed as a recursive CTE (the
+    ``ema_macd_daily`` oracle precedent — bin state is not
+    prefix-decomposable, so no window-function shortcut exists in
+    either engine). Scale shape: JVM-side token counts, then ONE
+    Arrow applyInPandas fold over a 3-integer-column frame keyed by
+    source — parallelism is the group count, text never shuffles."""
+    return tx.pack_layout_nosplit(
+        load_table(spark, sf_dir, "documents"), ctx_tokens=64
+    )
+
+
+@query(
     "doc_stratified_sample",
     oracle=f"""
 WITH h AS (

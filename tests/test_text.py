@@ -996,3 +996,38 @@ def test_pack_layout_and_documents_null_text_zero_tokens(spark):
     # docs 0,1,2 all start in seq 0 (starts 0, 6, 6); total 10 tokens
     assert man[("s", 0)].n_docs == 3
     assert man[("s", 0)].n_tokens == 10
+
+
+def test_pack_layout_nosplit_next_fit_and_truncation(spark):
+    """r14: document-respecting (no-split) packing — next-fit per
+    group in id order: a doc lands at the current fill iff it fits,
+    else opens a new window; longer-than-ctx docs get a window alone
+    with truncated=true; NULL-text docs count zero tokens; a
+    zero-token doc after an overflowing doc opens a new window (the
+    overflowed window is full by definition)."""
+    from realtime_market_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "s", " ".join(["w"] * 5)),   # seq 0, off 0, fill 5
+        (1, "s", " ".join(["w"] * 3)),   # fits: seq 0, off 5, fill 8
+        (2, "s", " ".join(["w"] * 2)),   # 8+2 > 8 -> seq 1, off 0
+        (3, "s", " ".join(["w"] * 12)),  # 2+12 > 8 -> seq 2 alone, truncated
+        (4, "s", None),                  # fill 12 > 8 -> seq 3, off 0, 0 tokens
+        (5, "s", " ".join(["w"] * 4)),   # fits seq 3 at off 0
+        (6, "t", " ".join(["w"] * 7)),   # fresh group: seq 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in tx.pack_layout_nosplit(df, ctx_tokens=8).collect()
+    }
+    assert (out[0].seq_id, out[0].offset_in_seq) == (0, 0)
+    assert (out[1].seq_id, out[1].offset_in_seq) == (0, 5)
+    assert (out[2].seq_id, out[2].offset_in_seq) == (1, 0)
+    assert (out[3].seq_id, out[3].offset_in_seq, out[3].truncated) == (
+        2, 0, True,
+    )
+    assert (out[4].seq_id, out[4].n_tokens) == (3, 0)
+    assert (out[5].seq_id, out[5].offset_in_seq) == (3, 0)
+    assert out[6].seq_id == 0 and not out[6].truncated
+    assert not out[0].truncated
