@@ -223,6 +223,9 @@ HEADLINE = [
     # the sequential per-group fold as one Arrow applyInPandas pass
     # over a 3-integer-column frame, recursive-CTE oracle
     "sequence_layout_nosplit_64",
+    # r14: duplicate-frequency capping (soft dedup — up to cap_k
+    # copies survive per exact-dup cluster, deterministic selection)
+    "dedup_frequency_capped",
 ]
 
 # Queries that eagerly materialize + release their result (localCheckpoint

@@ -46,6 +46,64 @@ def exact_dedup_keepers(
     )
 
 
+def frequency_cap(
+    df: DataFrame,
+    cap_k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "cap:v1",
+) -> DataFrame:
+    """SOFT dedup / duplicate-frequency capping (r14): instead of
+    collapsing every exact-dup cluster to one keeper
+    (``exact_dedup_keepers``), keep UP TO ``cap_k`` copies per
+    cluster — the data-constrained-scaling convention (Muennighoff
+    et al. 2023: repeating data up to ~4 epochs is nearly as good as
+    fresh data, so a corpus short on unique text caps duplicate
+    frequency rather than deduplicating outright; C4 similarly keeps
+    a bounded number of occurrences of a three-sentence span).
+    Selection is deterministic and rerun-stable: members rank by the
+    48-bit md5 key (ties to id, the ``stratified_sample_exact``
+    rule), so appending new copies never reshuffles survivors below
+    the cap.
+
+    Output: every row as (id, text_md5, n_copies, dup_rank, kept) —
+    route-don't-drop.
+
+    Scale shape: one shuffle of 16-byte cluster keys (never text),
+    then a per-cluster rank window — cluster sizes are duplicate
+    counts (Zipf-bounded), so no window partition is large; at
+    100 TB swap the full window for a per-cluster bottom-k, same
+    membership by construction."""
+    from pyspark.sql.window import Window
+
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        u48.alias("_u48"),
+    )
+    w = Window.partitionBy("text_md5").orderBy(
+        F.col("_u48").asc(), F.col(id_col).asc()
+    )
+    cw = Window.partitionBy("text_md5")
+    rank = F.row_number().over(w)
+    return base.select(
+        id_col,
+        "text_md5",
+        F.count(F.lit(1)).over(cw).cast("long").alias("n_copies"),
+        rank.cast("int").alias("dup_rank"),
+        (rank <= cap_k).alias("kept"),
+    )
+
+
 MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 
 

@@ -4567,6 +4567,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_keepers(docs.unionByName(dup))
 
 
+@query(
+    "dedup_frequency_capped",
+    oracle=f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 2 = 0
+),
+h AS (SELECT doc_id, md5(text) AS text_md5,
+             md5('cap:v1' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM corpus),
+k AS (SELECT doc_id, text_md5, ({_O_U48}) AS u48 FROM h),
+r AS (SELECT doc_id, text_md5,
+             CAST(count(*) OVER (PARTITION BY text_md5) AS BIGINT)
+               AS n_copies,
+             row_number() OVER (PARTITION BY text_md5
+                                ORDER BY u48, doc_id) AS dup_rank
+      FROM k)
+SELECT doc_id, text_md5, n_copies,
+       CAST(dup_rank AS INTEGER) AS dup_rank,
+       dup_rank <= 2 AS kept
+FROM r
+""",
+)
+def dedup_frequency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup / duplicate-frequency capping (r14 —
+    ``dedup.frequency_cap``; Muennighoff et al. 2023's
+    data-constrained-scaling rule: cap how often a duplicate repeats
+    instead of collapsing to one copy): over a corpus with planted
+    exact duplicates (every text twice, even doc_ids three times —
+    so the cap at 2 is non-vacuous exactly on the 3-copy clusters),
+    rank each cluster's members by the deterministic 48-bit md5 key
+    (ties to id) and keep dup_rank <= 2 — route-don't-drop, every
+    copy present with its rank. EXACT value twin (u48 + both windows
+    replayed). Scale shape: one 16-byte-key shuffle + a per-cluster
+    rank window over Zipf-bounded duplicate counts."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    return dd.frequency_cap(corpus, cap_k=2)
+
+
 _N_MINHASH = 16
 _BAND = 4
 # hex→int fold: first 15 md5 hex digits as a base-16 polynomial (16^k = 2^4k
