@@ -11299,20 +11299,26 @@ _REGISTRY_PRIORITY_R12 = [
 # outranks staleness); (2) the FIVE spilled rows
 # (multimodal_decode_png, multimodal_decode_flac, event_transitions,
 # retention_cohorts_weekly, approx_percentiles_contract) — at 5
-# rounds stale they are non-negotiable leads; (3) the TWO late-r14
+# rounds stale they are non-negotiable leads; (3) the FIVE late-r14
 # registrations below the window (the r13 late-lead pattern, each
-# with individual 3-SF strict receipts + 8x probes + plan pins):
-# embedding_bitext_margin_lsh + embedding_hard_negatives_ann — the
-# candidate-fed PRODUCTION forms of the two quadratic-certificate
-# miners (the r13 verdict's #5 ask), LSH bucket collisions feeding
-# the identical margin/mutual and label-filter + rank + band tails,
-# no nested-loop anywhere in either plan
-# (test_r14_late_row_plan_shapes); (4) the 48 r11-stale rows at the
-# 4-round point. BUDGET ARITHMETIC (do this math BEFORE building
-# anything in r15): 5 spilled leads + 2 late-r14 leads +
-# 48 r11 rows = 55 candidates for 50 slots — over-subscribed by
-# 5 even with zero r15 changed-code re-certs. Consequences:
-# (a) 5 of the r11 rows must spill to r16 with written
+# with individual 3-SF strict receipts; probes/plan pins where the
+# row is an operator): embedding_bitext_margin_lsh +
+# embedding_hard_negatives_ann — the candidate-fed PRODUCTION forms
+# of the two quadratic-certificate miners (the r13 verdict's #5
+# ask), LSH bucket collisions feeding the identical margin/mutual
+# and label-filter + rank + band tails, no nested-loop anywhere in
+# either plan (test_r14_late_row_plan_shapes);
+# online_mixture_gate_fold — the fifth online writer's fold twin
+# (offline-calibrated exact-rational rates, bit-identical integer
+# membership); sequence_layout_nosplit_64 — document-respecting
+# next-fit packing (recursive-CTE oracle);
+# dedup_frequency_capped — duplicate-frequency capping (soft
+# dedup); (4) the 48 r11-stale rows at the 4-round point. BUDGET
+# ARITHMETIC (do this math BEFORE building anything in r15):
+# 5 spilled leads + 5 late-r14 leads + 48 r11 rows = 58 candidates
+# for 50 slots — over-subscribed by 8 even with zero r15
+# changed-code re-certs. Consequences:
+# (a) 8 of the r11 rows must spill to r16 with written
 # justification — choose single-operator rows on modules r14/r15 do
 # not touch, keep every module represented in-window by a sibling,
 # and pin the spills as non-negotiable r16 leads (this round's (4)

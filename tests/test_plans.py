@@ -945,3 +945,26 @@ def test_r14_late_row_plan_shapes(spark):
     assert "CartesianProduct" not in hann
     # one per-anchor rank window, keyed — never a global sort
     assert "hashpartitioning(anchor_id" in hann
+
+
+def test_r14_operator_plan_shapes(spark):
+    """r14 operator pins: the no-split packing fold shuffles ONLY the
+    3-integer-column frame on the group key (one keyed exchange, no
+    global sort — text never moves); frequency capping shuffles only
+    16-byte cluster keys (one keyed exchange feeding both windows)."""
+    import re
+
+    def physical(name):
+        df = Q.QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    ns = physical("sequence_layout_nosplit_64")
+    assert "Exchange rangepartitioning" not in ns  # no global sort
+    assert "hashpartitioning(source" in ns
+    assert len(re.findall(r"Exchange hashpartitioning", ns)) <= 1
+    assert "FlatMapGroupsInPandas" in ns  # the Arrow fold, post-shuffle
+
+    fc = physical("dedup_frequency_capped")
+    assert "Exchange rangepartitioning" not in fc
+    assert "hashpartitioning(text_md5" in fc
+    assert len(re.findall(r"Exchange hashpartitioning", fc)) <= 1
