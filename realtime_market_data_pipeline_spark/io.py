@@ -34,6 +34,32 @@ ALWAYS_BROADCAST = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Adaptive parallelism guard for operators whose per-row work is
+    heavy (Arrow decode passes, k-means assignment, row-local gram
+    machinery): a zero-shuffle plan runs on exactly as many tasks as
+    its scan has splits, and a parquet file is splittable only at
+    row-group boundaries — so a small single-file table serializes the
+    whole stage onto ONE core no matter what
+    ``spark.sql.files.maxPartitionBytes`` says (guide §2/§6). When the
+    incoming partition count is below the session's default
+    parallelism, round-robin repartition once (a narrow exchange of
+    the input rows, deterministic under retry via Spark's
+    sort-before-repartition); on a real multi-split corpus — the
+    100 TB case — the condition is false and no exchange is added.
+    Streaming inputs and plans whose partitioning cannot be resolved
+    pass through untouched."""
+    try:
+        if df.isStreaming:
+            return df
+        target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:  # noqa: BLE001 — guard is best-effort
+        pass
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame.
 

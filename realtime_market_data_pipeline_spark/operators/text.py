@@ -267,25 +267,36 @@ def gopher_repetition(
     counts the middle tokens twice). Column names say cov, not char,
     to keep the departure visible.
 
-    Scale shape: lines/paragraphs never leave their row; the exploded
-    gram relation carries (id, n, position, md5-DIGEST) only — the
-    digest-only wire rule, gram text never crosses an exchange — into
-    one (id, n, digest) keyed count agg (map-side combined), one
-    windowed top-pick at duplicated-gram cardinality, two
-    gaps-and-islands interval unions over the duplicated positions
-    (the certified ``merge_spans`` shape keyed by (id, n)), and one id
-    join back to the row-local signals. The gram subtree is REPLANNED
-    under each consumer (counts + two marked-position joins — explode
-    and md5 are cheap row-local ops and the duplicated count EXCHANGE
-    dedupes at runtime via ReusedExchange; deliberately not persisted:
-    the storage-lifecycle rule forbids caching a relation the caller
-    consumes later, and the measured shape is sublinear — 3.09x at 8x
-    rows). Every count and interval length is an exact integer, so the
-    6 dp ratio rounding cannot diverge cross-engine; the md5 digest
-    makes the tie-break ANSI-replayable."""
-    from pyspark.sql.window import Window
+    Scale shape (r14): every signal is a function of ONE document, so
+    nothing leaves its row — the n-gram machinery runs as row-local
+    higher-order functions (per n: md5 digests of the gram windows
+    sorted as (digest, position) structs, a run-length fold for the
+    most-frequent gram with the (count desc, digest desc) tie-break,
+    neighbor-equality marks for duplicated occurrences, and a
+    gaps-and-islands interval-union fold over ascending positions) —
+    ZERO exchanges, no join-back. The r13 form exploded a 9-way gram
+    relation that was replanned under three consumers (counts + two
+    marked-position semi-joins) and shuffled (id, n, digest) rows
+    three times; at sf0.1 that read 7.1 s vs 1.4 s for this shape,
+    with the gopher gate fold (which runs the family 5x) dropping in
+    proportion. Every count and interval length is an exact integer,
+    so the 6 dp ratio rounding cannot diverge cross-engine; the md5
+    digest keeps the tie-break ANSI-replayable (string comparison on
+    lowercase hex is identical in Spark and DuckDB).
 
+    Parallelism guard: a zero-shuffle plan runs on exactly as many
+    tasks as the scan has splits, so a small single-file input would
+    serialize the (heavy) per-row gram work onto one core. When the
+    incoming partition count is below the session's default
+    parallelism the text is round-robin repartitioned ONCE — a single
+    narrow exchange of (id, text), still ~27x fewer bytes than the r13
+    form's triple (id, n, digest) gram shuffle; on a real multi-split
+    corpus (the 100 TB case) the condition is false and the plan stays
+    shuffle-free."""
     th = dict(GOPHER_REPETITION_THRESHOLDS)
+    from realtime_market_data_pipeline_spark.io import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if thresholds:
         th.update(thresholds)
     t = F.col(text_col)
@@ -322,121 +333,108 @@ def gopher_repetition(
         F.when(valid, F.size(toks)).otherwise(F.lit(0)).alias("n_toks"),
         *_seg_signals(F.split(t, "\n"), "line"),
         *_seg_signals(F.split(t, "\n\n"), "para"),
+        toks.alias("__t"),
     )
     NS = tuple(range(2, 11))
-    gram_rels = []
-    for n in NS:
-        g = (
-            df.select(id_col, toks.alias("t"))
-            .filter(F.size("t") >= n)
-            .select(
-                id_col,
-                F.lit(n).alias("n"),
-                F.posexplode(
-                    F.expr(
-                        f"transform(sequence(0, size(t) - {n}),"
-                        f" i -> array_join(slice(t, i + 1, {n}), ' '))"
-                    )
-                ).alias("i", "g"),
-            )
-        )
-        gram_rels.append(g)
-    grams = gram_rels[0]
-    for g in gram_rels[1:]:
-        grams = grams.unionByName(g)
-    # no persist: the whole computation composes into ONE query, so the
-    # repeated counts/positions subplans dedupe via ReusedExchange —
-    # and the storage-lifecycle rule (release before return) cannot
-    # hold for a relation the caller consumes later
-    pos = grams.select(
-        id_col, "n", "i", F.md5("g").alias("h")
-    )
-    counts = pos.groupBy(id_col, "n", "h").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    win = Window.partitionBy(id_col, "n").orderBy(
-        F.col("c").desc(), F.col("h").desc()
-    )
-    dup_h = counts.filter(F.col("c") >= 2)
-    top_h = (
-        dup_h.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "n", "h")
-    )
 
-    def _coverage(marked: DataFrame) -> DataFrame:
-        """Interval-union token coverage per (id, n): occurrences cover
-        [i, i+n); islands break when the start gap exceeds n (the
-        merge_spans rule keyed by (id, n) with column width)."""
-        w = Window.partitionBy(id_col, "n").orderBy("i")
-        brk = F.when(
-            F.col("i") - F.lag("i").over(w) > F.col("n"), F.lit(1)
-        ).otherwise(F.lit(0))
-        isl = marked.select(
-            id_col, "n", "i",
-            F.sum(brk).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ).alias("isl"),
-        )
+    def _island_fold(positions_sql: str, n: int) -> str:
+        """Gaps-and-islands interval-union fold over an ASCENDING int
+        position array: occurrences cover [i, i+n), islands break when
+        the start gap exceeds n, coverage per island is
+        max(i) + n - min(i) — the exact arithmetic of the r13 windowed
+        form, folded row-locally."""
         return (
-            isl.groupBy(id_col, "n", "isl")
-            .agg(
-                (F.max("i") + F.first("n") - F.min("i")).alias("cov")
-            )
-            .groupBy(id_col, "n")
-            .agg(F.sum("cov").alias("cov"))
+            f"aggregate({positions_sql}, "
+            f"struct(CAST(0 AS BIGINT) AS acc, -1 AS mn, -1 AS prev), "
+            f"(st, p) -> IF(st.prev < 0, "
+            f"struct(st.acc AS acc, p AS mn, p AS prev), "
+            f"IF(p - st.prev > {n}, "
+            f"struct(st.acc + st.prev + {n} - st.mn AS acc, "
+            f"p AS mn, p AS prev), "
+            f"struct(st.acc AS acc, st.mn AS mn, p AS prev))), "
+            f"st -> IF(st.prev < 0, CAST(NULL AS BIGINT), "
+            f"st.acc + st.prev + {n} - st.mn))"
         )
 
-    # the pivot below only reads TOP coverage for n=2..4 and DUP
-    # coverage for n=5..10 — restrict each marked-position join to the
-    # n-range it reports (duplicated bigrams are common, so the dup
-    # branch over n=2..4 would be the largest and entirely wasted)
-    dup_cov = _coverage(
-        pos.filter(F.col("n") >= 5).join(
-            dup_h.select(id_col, "n", "h").filter(F.col("n") >= 5),
-            [id_col, "n", "h"],
-            "left_semi",
+    sel = base
+    for n in NS:
+        # (md5, position) structs of every length-n gram window, sorted
+        # by (digest, position) so equal digests are adjacent — the
+        # row-local equivalent of the r13 (id, n, digest) count agg.
+        # Kept as a real projected column (the consumers reference it
+        # many times, so CollapseProject leaves it evaluated once per
+        # row) and DROPPED as soon as its coverage column exists: each
+        # chained Project materializes every live column, so letting
+        # all nine gram arrays ride to the end would copy them O(NS)
+        # times per row.
+        s = f"__s{n}"
+        sel = sel.withColumn(
+            s,
+            F.when(
+                F.size("__t") >= n,
+                F.expr(
+                    f"array_sort(transform(sequence(0, size(__t) - {n}),"
+                    f" i -> struct("
+                    f"md5(array_join(slice(__t, i + 1, {n}), ' ')) AS h,"
+                    f" i AS i)))"
+                ),
+            ),
         )
-    )
-    top_cov = _coverage(
-        pos.filter(F.col("n") <= 4).join(
-            top_h.filter(F.col("n") <= 4),
-            [id_col, "n", "h"],
-            "left_semi",
-        )
-    )
-    ncols = []
-    for n in (2, 3, 4):
-        ncols.append(
-            F.max(F.when(F.col("n") == n, F.col("topcov"))).alias(
-                f"top{n}_cov"
+        if n >= 5:
+            # positions whose digest equals a sorted neighbor's =
+            # positions of ANY gram occurring >= 2 times (the dup_h
+            # semi-join of the r13 form), re-sorted ascending for the
+            # island fold
+            dup_pos = (
+                f"array_sort(filter(transform(sequence(0, size({s}) - 1), "
+                f"j -> IF((j > 0 AND {s}[j].h = {s}[j-1].h) "
+                f"OR (j < size({s}) - 1 AND {s}[j].h = {s}[j+1].h), "
+                f"{s}[j].i, -1)), p -> p >= 0))"
             )
-        )
-    for n in (5, 6, 7, 8, 9, 10):
-        ncols.append(
-            F.max(F.when(F.col("n") == n, F.col("dupcov"))).alias(
-                f"dup{n}_cov"
+            sel = sel.withColumn(
+                f"dup{n}_cov",
+                F.when(
+                    F.col(s).isNotNull(), F.expr(_island_fold(dup_pos, n))
+                ),
+            ).drop(s)
+        else:
+            # run-length fold over the digest-sorted structs picks the
+            # most frequent gram, ties to the LARGEST digest —
+            # identical to the r13 row_number() over (count desc,
+            # digest desc) pick (md5 hex is lowercase ASCII, so string
+            # order matches in any engine)
+            best = (
+                f"aggregate({s}, "
+                f"struct('' AS ch, 0 AS cc, '' AS bh, 0 AS bc), "
+                f"(st, e) -> IF(e.h = st.ch, "
+                f"struct(st.ch AS ch, st.cc + 1 AS cc, "
+                f"st.bh AS bh, st.bc AS bc), "
+                f"struct(e.h AS ch, 1 AS cc, "
+                f"IF(st.cc > st.bc OR (st.cc = st.bc AND st.ch > st.bh), "
+                f"st.ch, st.bh) AS bh, "
+                f"IF(st.cc > st.bc OR (st.cc = st.bc AND st.ch > st.bh), "
+                f"st.cc, st.bc) AS bc)), "
+                f"st -> IF(st.cc > st.bc OR (st.cc = st.bc AND st.ch > st.bh), "
+                f"struct(st.ch AS h, st.cc AS c), "
+                f"struct(st.bh AS h, st.bc AS c)))"
             )
-        )
-    # the two branches cover DISJOINT n-ranges, so a null-padded union
-    # (not a join — full outer would sort-merge) feeds one conditional
-    # pivot agg
-    pern_wide = (
-        dup_cov.select(
-            id_col, "n", F.col("cov").alias("dupcov"),
-            F.lit(None).cast("long").alias("topcov"),
-        )
-        .unionByName(
-            top_cov.select(
-                id_col, "n",
-                F.lit(None).cast("long").alias("dupcov"),
-                F.col("cov").alias("topcov"),
+            b = f"__b{n}"
+            sel = sel.withColumn(
+                b, F.when(F.col(s).isNotNull(), F.expr(best))
             )
-        )
-        .groupBy(id_col)
-        .agg(*ncols)
-    )
-    out = base.join(pern_wide, id_col, "left")
+            # positions of the top gram: filter keeps (digest,
+            # position) order, so within the equal-digest run positions
+            # are already ascending; coverage only counts when the gram
+            # repeats (the r13 top_h came from dup_h's c >= 2 filter)
+            top_pos = f"transform(filter({s}, e -> e.h = {b}.h), e -> e.i)"
+            sel = sel.withColumn(
+                f"top{n}_cov",
+                F.when(
+                    F.col(b).isNotNull() & (F.col(f"{b}.c") >= 2),
+                    F.expr(_island_fold(top_pos, n)),
+                ),
+            ).drop(s, b)
+    out = sel
     frac_cols: list[Column] = []
     pass_cols: list[Column] = []
     keep: Column = F.lit(True)
