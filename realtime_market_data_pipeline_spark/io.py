@@ -48,9 +48,17 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     sort-before-repartition); on a real multi-split corpus — the
     100 TB case — the condition is false and no exchange is added.
     Streaming inputs and plans whose partitioning cannot be resolved
-    pass through untouched."""
+    pass through untouched. Plans that already contain an Exchange are
+    left alone WITHOUT inspecting their RDD: they inherit
+    shuffle-partition parallelism downstream of the exchange anyway,
+    and under AQE ``df.rdd`` on such a plan MATERIALIZES the query
+    stages below the exchange — the guard would silently execute the
+    upstream subplan twice (measured: 2x on the planted-media rows)."""
     try:
         if df.isStreaming:
+            return df
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "Exchange" in plan:
             return df
         target = min_parts or df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

