@@ -8,6 +8,13 @@ and prints ONE JSON line:
 Each query executes its full plan into the `noop` sink (measures compute, not
 driver-side row transfer). Session reuse across queries mirrors a warmed
 long-running engine; a throwaway warmup query absorbs JVM/codegen start-up.
+
+Output contract (r15): line 1 is the COMPLETE payload above (also written
+to BENCH_FULL.json, stamped with `cpus`); the FINAL line is a compact
+always-parseable summary sized to the driver's 2000-byte stdout tail —
+a per-query map of the most expensive rows first (2-decimal), then
+queries_omitted/_omitted_sec accounting for the cheap rows that did not
+fit, then the totals LAST on the line.
 """
 
 from __future__ import annotations
@@ -596,6 +603,11 @@ def main() -> None:
         sum(t for n, t in timings.items() if n in CERTIFICATION), 3
     )
     op_total = round(total - cert_total, 3)
+    # r15: stamp the core count into every payload so a driver run can
+    # never leave BENCH_FULL.json ambiguous about which scaling leg
+    # (32c vs 8c) produced it (r14 PERF audit: the 8-core run clobbered
+    # the 32-core per-query map with nothing marking the difference).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     full_payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -603,6 +615,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs": RUNS,
+        "cpus": cpus,
         "operator_path_sec": op_total,
         "certification_path_sec": cert_total,
         "certification_rows": list(CERTIFICATION),
@@ -632,27 +645,52 @@ def main() -> None:
     # survive the tail capture (r5 verdict #3). features_stream_compute_sec
     # is the sum of per-batch addBatch time — the plan's actual work,
     # stripped of micro-batch scheduling/checkpoint overhead.
-    print(
-        json.dumps(
-            {
-                "total_sec": total,
-                "n_queries": len(timings),
-                "sf": sf,
-                "runs": RUNS,
-                # engine vs equality-certificate harness split (r11):
-                # compare operator_path_sec round-over-round; the
-                # certification rows time index-build/rebuild twins
-                "operator_path_sec": op_total,
-                "certification_path_sec": cert_total,
-                "features_stream_wall_sec": stream_wall,
-                "features_stream_compute_sec": stream_compute,
-                "features_stream_socket_compute_sec": socket_compute,
-                # warm steady-state feeds `queries`/total for the
-                # materialize+release graph family; cold first-call here
-                "materialize_cold_sec": cold_timings,
-            }
-        )
+    #
+    # r15 (r14 perf-audit item #2): this FINAL line also carries a
+    # per-query map so the driver's round-over-round comparison
+    # (PERF_rN.per_query) is never blind again. The complete 131-row map
+    # is ~3.8 KB compact — it can NEVER fit the 2000-byte tail whole, and
+    # a front-truncated line would not parse at all (losing even the
+    # totals, which DID parse in r13/r14) — so the map here is the
+    # MOST-EXPENSIVE rows first, cut off so the whole line stays under
+    # the tail budget and always parses; queries_omitted/_omitted_sec
+    # account for the dropped cheap rows, totals stay LAST on the line,
+    # and the COMPLETE map still rides line 1 + BENCH_FULL.json.
+    tail_budget = 1950  # driver keeps the last 2000 bytes of stdout
+    totals_part = {
+        "queries_omitted": 0,
+        "queries_omitted_sec": 0.0,
+        "total_sec": total,
+        "n_queries": len(timings),
+        "sf": sf,
+        "runs": RUNS,
+        "cpus": cpus,
+        # engine vs equality-certificate harness split (r11):
+        # compare operator_path_sec round-over-round; the
+        # certification rows time index-build/rebuild twins
+        "operator_path_sec": op_total,
+        "certification_path_sec": cert_total,
+        "features_stream_wall_sec": stream_wall,
+        "features_stream_compute_sec": stream_compute,
+        "features_stream_socket_compute_sec": socket_compute,
+        # warm steady-state feeds `queries`/total for the
+        # materialize+release graph family; cold first-call here
+        "materialize_cold_sec": cold_timings,
+    }
+    q2 = {k: round(v, 2) for k, v in timings.items()}
+    kept: dict[str, float] = {}
+    size = len(json.dumps({"queries": {}} | totals_part, separators=(",", ":")))
+    for name, secs in sorted(q2.items(), key=lambda kv: -kv[1]):
+        entry = len(json.dumps({name: secs}, separators=(",", ":"))) - 1
+        if size + entry > tail_budget:
+            break
+        kept[name] = secs
+        size += entry
+    totals_part["queries_omitted"] = len(q2) - len(kept)
+    totals_part["queries_omitted_sec"] = round(
+        sum(v for k, v in q2.items() if k not in kept), 2
     )
+    print(json.dumps({"queries": kept} | totals_part, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -48,17 +48,25 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     sort-before-repartition); on a real multi-split corpus — the
     100 TB case — the condition is false and no exchange is added.
     Streaming inputs and plans whose partitioning cannot be resolved
-    pass through untouched. Plans that already contain an Exchange are
-    left alone WITHOUT inspecting their RDD: they inherit
+    pass through untouched. Plans that already contain a SHUFFLE
+    exchange are left alone WITHOUT inspecting their RDD: they inherit
     shuffle-partition parallelism downstream of the exchange anyway,
     and under AQE ``df.rdd`` on such a plan MATERIALIZES the query
     stages below the exchange — the guard would silently execute the
-    upstream subplan twice (measured: 2x on the planted-media rows)."""
+    upstream subplan twice (measured: 2x on the planted-media rows).
+    A ``BroadcastExchange`` does NOT count (r14 advice): a
+    broadcast-join plan keeps the probe side's scan partitioning, so
+    it still needs the round-robin; materializing its build stage via
+    ``df.rdd`` is bounded by the broadcast size cap by construction."""
     try:
         if df.isStreaming:
             return df
-        plan = df._jdf.queryExecution().sparkPlan().toString()
-        if "Exchange" in plan:
+        # executedPlan, not sparkPlan: EnsureRequirements inserts the
+        # distribution-required exchanges only in the prepared plan
+        # (sparkPlan shows NONE of them — an agg/join plan looks
+        # exchange-free there). Building the prepared plan runs no job;
+        # under AQE its toString is the initial plan with exchanges.
+        if _has_shuffle_exchange(df._jdf.queryExecution().executedPlan()):
             return df
         target = min_parts or df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
@@ -66,6 +74,21 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     except Exception:  # noqa: BLE001 — guard is best-effort
         pass
     return df
+
+
+def _has_shuffle_exchange(jplan) -> bool:
+    """True iff the physical plan contains a SHUFFLE exchange node.
+    Word-boundary match on the plan string: the shuffle node prints as
+    a standalone ``Exchange <partitioning>`` while ``BroadcastExchange``
+    and ``ReusedExchange`` keep the word glued to a prefix, so ``\\b``
+    excludes them (the r14 bare-substring check wrongly skipped
+    broadcast-only plans, which do NOT inherit shuffle parallelism).
+    A JVM tree walk would be prefix-proof, but ``AdaptiveSparkPlanExec``
+    is a leaf node (its input plan is not in ``children()``), so the
+    string form is the one that actually sees the whole tree."""
+    import re
+
+    return re.search(r"\bExchange\b", jplan.toString()) is not None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

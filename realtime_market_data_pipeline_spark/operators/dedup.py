@@ -411,28 +411,60 @@ def cluster_near_dups(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    jumps_per_round: int = 1,
 ) -> DataFrame:
     """Group near-duplicate pairs into clusters: connected components by
     min-label propagation. Output (doc_id, cluster_id) with cluster_id = the
     smallest doc_id reachable through the pair graph; singletons keep their
     own id.
 
-    Iterative join dataflow (labels ⟕ edges → min per node) with a driver
-    convergence loop — the standard Spark connected-components shape (driver
-    holds only the changed-label count per round; k-means-style), plus
-    POINTER JUMPING each round (a node also adopts its label's label), so
-    convergence is O(log diameter) rounds even on the long SNM-sorted
-    chains entity resolution produces — plain propagation would pay a
-    round per hop.
+    Iterative join dataflow with a driver convergence loop — the standard
+    Spark connected-components shape (the driver holds only one aggregate
+    per round; k-means-style). r15 restructure (guide §2.4 — remove/share
+    shuffles, fewer rounds; the r14 verdict's #1 lead):
 
-    Each round eagerly ``localCheckpoint``s the new labels: the join plan
-    embeds the previous round's plan TWICE (once via neighbor_min, once via
-    the label update), so without lineage truncation the logical plan grows
-    2^rounds — at ~15 rounds merely *stringifying* the plan for the cache
-    name OOMs the driver (observed in the k=8 scale probe). Checkpointing
-    bounds the plan at one round's depth; on a real cluster swap
-    localCheckpoint for a reliable ``checkpoint()`` dir to survive executor
-    loss."""
+    - SELF-LOOPS fold the "keep own label" term into the neighbor min, so
+      the per-round update is ONE join + aggregate instead of the r13
+      form's neighbor join + agg + labels re-join;
+    - the adjacency persists PRE-PARTITIONED by the join key (``dst``), so
+      the |E|-row side of the per-round join is shuffled ONCE for the
+      whole loop, not once per round (the r7 cached-plan-partitioning
+      lever: ``canChangeCachedPlanOutputPartitioning`` lets every round's
+      join reuse the cached layout) — per round only the label rows
+      (2 longs/node) cross the wire;
+    - ROUND 0 is a pure aggregate: with identity labels, min(label over
+      N(v) ∪ {v}) is just min(neighbor ids ∪ own id), so the first round
+      needs no labels join at all — one groupBy over the adjacency;
+    - POINTER JUMPING ``jumps_per_round`` times per round (a node adopts
+      its label's label): chains converge in O(log diameter) rounds.
+      Measured at sf0.1: a SECOND jump per round did NOT cut rounds on
+      the near-dup graphs (their components are shallow; the confirm
+      round is irreducible) while adding one join per round — so the
+      default stays 1, the break-even of round count vs per-round cost;
+    - convergence detection is an exact ``sum(label)`` over the
+      checkpointed labels (decimal(38) — overflow-safe at any corpus):
+      labels descend monotonically per node, so the sum is strictly
+      decreasing until the fixpoint and equality means NO label moved —
+      replacing the per-row ``_chg`` bookkeeping column and its extra
+      left-join plumbing. At the fixpoint every edge sees equal labels on
+      both ends (no neighbor undercuts anywhere), which is exactly the
+      component-minimum labelling, regardless of the jump schedule.
+
+    Each round eagerly ``localCheckpoint``s the new labels: without
+    lineage truncation the logical plan grows exponentially in rounds —
+    at ~15 rounds merely *stringifying* the plan for the cache name OOMs
+    the driver (observed in the k=8 scale probe). Checkpointing bounds
+    the plan at one round's depth; on a real cluster swap localCheckpoint
+    for a reliable ``checkpoint()`` dir to survive executor loss.
+
+    The loop runs over ACTIVE nodes only (edge endpoints): a singleton's
+    label can never change, so shuffling the full corpus every round is
+    pure waste — at production scale the active set (docs with at least
+    one near-dup candidate) is orders of magnitude smaller than the
+    corpus. Singletons are attached once, after convergence."""
+    # the (possibly expensive) verified-pairs upstream is computed ONCE
+    # into this persist; adjacency, node set and initial labels all
+    # derive from it
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -441,70 +473,65 @@ def cluster_near_dups(
         .distinct()
         .persist()
     )
-    # The loop runs over ACTIVE nodes only (edge endpoints): a singleton's
-    # label can never change, so shuffling the full corpus every round is
-    # pure waste — at production scale the active set (docs with at least
-    # one near-dup candidate) is orders of magnitude smaller than the
-    # corpus. Singletons are attached once, after convergence.
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # adjacency incl. self-loops, persisted PRE-PARTITIONED by the
+    # per-round join key (built from the persisted edges — two cheap
+    # cache reads, not two upstream passes)
+    adj = (
+        edges.unionByName(
+            nodes.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
+            )
+        )
+        .repartition("dst")
+        .persist()
     )
-    prev_ckpt = None
     try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
+        # round 0 (identity labels) degenerates to one aggregate: the
+        # self-loops put min(own id, neighbor ids) behind a single
+        # groupBy — no join needed until labels differ from ids
+        labels = (
+            adj.groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("label"))
+            .localCheckpoint()
+        )
+        prev_ckpt = labels
+        prev_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        for _ in range(max_iter - 1):
+            # one join + partial-agg min: self-loops make min(label over
+            # nbrs ∪ {self}) the complete update — no labels re-join
+            step = (
+                adj.join(labels, adj.dst == labels.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("label").alias("label"))
             )
-            # change detection rides the SAME join that updates labels (a
-            # node changed iff a neighbor label undercut its own) — one
-            # action per round, not a second labels-vs-labels join
-            stepped = labels.join(
-                neighbor_min, labels.node == neighbor_min.src, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_chg"),
-            )
-            # pointer jumping: adopt the label's own label. Plain neighbor
-            # propagation needs O(component diameter) rounds — SNM-style
-            # chains make that linear in chain length; the jump halves every
-            # chain per round, so convergence is O(log diameter). The
-            # fixpoint is unchanged (labels descend monotonically within the
-            # component and stop at its min; the stopping condition is still
-            # "no neighbor undercut anywhere").
-            parent = stepped.select(
-                F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
-            )
-            new_labels = (
-                stepped.join(parent, stepped.label == parent._pnode, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("_plabel"), F.col("label")),
-                    ).alias("label"),
-                    (
-                        F.col("_chg")
-                        | (F.col("_plabel") < F.col("label"))
-                    ).alias("_chg"),
+            for _ in range(jumps_per_round):
+                parent = step.select(
+                    F.col("node").alias("_pn"), F.col("label").alias("_pl")
                 )
-                .localCheckpoint()  # eager: truncates lineage, see docstring
-            )
+                # inner join: every label IS some active node's id, so the
+                # parent row always exists
+                step = step.join(
+                    parent, step.label == parent._pn
+                ).select(
+                    "node", F.least("label", "_pl").alias("label")
+                )
+            new_labels = step.localCheckpoint()  # eager, see docstring
             # new_labels has materialized, so it was the previous round's
             # checkpoint's last consumer — release those blocks now
             # (PySpark GC never reclaims checkpoint storage; see
-            # session.release_local_checkpoint). Round 1 has none.
-            if prev_ckpt is not None:
-                release_local_checkpoint(prev_ckpt)
+            # session.release_local_checkpoint)
+            release_local_checkpoint(prev_ckpt)
             prev_ckpt = new_labels
-            changed = new_labels.filter(F.col("_chg")).count()
-            labels = new_labels.drop("_chg")
-            if changed == 0:
+            labels = new_labels
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         # attach singletons: nodes with no edges keep their own id
         out = ids.join(
             labels, ids[id_col] == labels["node"], "left"
@@ -515,6 +542,7 @@ def cluster_near_dups(
         return out
     finally:
         edges.unpersist()
+        adj.unpersist()
 
 
 def canonicalize_by_priority(

@@ -37,10 +37,10 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
-
-from realtime_market_data_pipeline_spark.io import ensure_parallelism as _par
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from realtime_market_data_pipeline_spark.io import ensure_parallelism as _par
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -1923,52 +1923,15 @@ def image_dhash_wide(media: DataFrame, hash_size: int = 16) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return _par(media.select("media_id", "payload")).mapInPandas(
+    # NOT _par-wrapped (r15, r14-advice fix): every batch caller plants
+    # via a _par-wrapped doc_id planter, so parallelism is ensured
+    # upstream of planting and the payload-carrying relation itself
+    # never crosses an exchange — wrapping HERE would round-robin the
+    # payload bytes on an exchange-free input (e.g. the streaming
+    # image_dedup_writer's micro-batch), violating that invariant.
+    return media.select("media_id", "payload").mapInPandas(
         run, "media_id long, width int, height int, dhash array<long>"
     )
-
-
-def _word_band_expr(hash_col: str, off: int, wdt: int) -> Column:
-    """Band value [off, off+wdt) of a multi-word hash column
-    (array<bigint>, LITTLE-ENDIAN words: element 0 carries bits 0..63).
-    A band may span a word boundary; both parts mask to non-negative
-    longs, so the equi-join key is sign-free.
-
-    Bands of 64 bits or more (reachable at small hamming budgets on
-    wide hashes, e.g. n_bits=256 with max_hamming <= 3) cannot pack
-    into one BIGINT — ``(1 << 64) - 1`` overflows the long literal and
-    the JVM's ``shiftleft(hi, 64)`` wraps to shift-by-0, silently
-    corrupting band keys (r12 advice fix). Those bands are emitted as
-    a STRUCT of sub-word parts instead: struct equality in the band
-    equi-join is exactly bitwise band equality, so the pigeonhole
-    no-false-negatives contract is unchanged."""
-    if wdt >= 64:
-        parts = []
-        o, w = off, wdt
-        while w > 0:
-            lo_word, lo_bit = o // 64, o % 64
-            take = min(w, 64 - lo_bit)
-            word = F.element_at(F.col(hash_col), lo_word + 1)
-            if lo_bit:
-                word = F.shiftrightunsigned(word, lo_bit)
-            if take < 64:
-                word = word.bitwiseAND(F.lit((1 << take) - 1))
-            parts.append(word.alias(f"p{len(parts)}"))
-            o += take
-            w -= take
-        return F.struct(*parts)
-    lo_word, lo_bit = off // 64, off % 64
-    in_lo = min(wdt, 64 - lo_bit)
-    part = F.shiftrightunsigned(
-        F.element_at(F.col(hash_col), lo_word + 1), lo_bit
-    ).bitwiseAND(F.lit((1 << in_lo) - 1))
-    if in_lo < wdt:
-        hi_bits = wdt - in_lo
-        hi = F.element_at(F.col(hash_col), lo_word + 2).bitwiseAND(
-            F.lit((1 << hi_bits) - 1)
-        )
-        part = part.bitwiseOR(F.shiftleft(hi, in_lo))
-    return part
 
 
 def _words_hamming(a: str | Column, b: str | Column) -> Column:
@@ -2035,7 +1998,10 @@ def hash_hamming_pairs(
 
     def _parts(off: int, wdt: int) -> list[Column]:
         """Band bits [off, off+wdt) as a list of non-negative long
-        parts (the _word_band_expr arithmetic, flattened)."""
+        parts (array<bigint> hashes are LITTLE-ENDIAN: element 0
+        carries bits 0..63; a band spanning a word boundary emits one
+        masked part per word touched, so the equi-join key stays
+        sign-free and >=64-bit bands never overflow a long)."""
         if not multiword:
             part = F.shiftrightunsigned(F.col(hash_col), off)
             if wdt < 64:

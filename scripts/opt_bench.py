@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""r14 optimization-loop helper: time named queries into the noop sink and
-capture their formatted plans.
+"""Optimization-loop helper (r14/r15): time named queries into the noop sink
+and capture their formatted plans.
 
 Usage:
-    python scripts/opt_bench.py [--plans DIR_SUFFIX] [--runs N] name [name ...]
+    python scripts/opt_bench.py [--plans DIR_SUFFIX] [--round rNN]
+                                [--runs N] name [name ...]
 
 Each query runs ``fn(spark, $SPARK_GRAFT_SF_DIR)`` (default sf0.1) into the
 noop sink (guide §1.4) with a job description label (guide §1.5), RUNS times
 (default 2, min reported). With --plans SUFFIX, the ``explain("formatted")``
-text is written to plans/r14/<name>_<SUFFIX>.txt for the judge to diff.
+text is written to plans/<round>/<name>_<SUFFIX>.txt (default round r15)
+for the judge to diff.
 
 This is a dev loop tool, NOT the driver bench — bench.py keeps the contract.
 """
@@ -29,6 +31,7 @@ def main() -> int:
     args = sys.argv[1:]
     plans_suffix = None
     runs = 2
+    round_dir = "r15"
     while args and args[0].startswith("--"):
         if args[0] == "--plans":
             plans_suffix = args[1]
@@ -36,11 +39,14 @@ def main() -> int:
         elif args[0] == "--runs":
             runs = int(args[1])
             args = args[2:]
+        elif args[0] == "--round":
+            round_dir = args[1]
+            args = args[2:]
         else:
             raise SystemExit(f"unknown flag {args[0]}")
     names = args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="r14-opt-bench")
+    spark = get_spark(app_name="opt-bench")
     # same warmup as bench.py's core: JVM + Arrow channel
     Q.QUERIES["kpi_summary"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
@@ -50,7 +56,7 @@ def main() -> int:
     ).format("noop").save()
     plan_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", round_dir,
     )
     os.makedirs(plan_dir, exist_ok=True)
     out = {}
@@ -67,7 +73,7 @@ def main() -> int:
                 fh.write(txt)
         best = None
         for _ in range(runs):
-            spark.sparkContext.setJobDescription(f"r14-opt: {name}")
+            spark.sparkContext.setJobDescription(f"opt: {name}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             t = time.perf_counter() - t0

@@ -258,3 +258,29 @@ def test_walk_parquet_parts_prunes_metadata_and_temp_entries(tmp_path):
     (a / "_temporary" / "0" / "part-00001.parquet").write_bytes(b"PAR1")
     assert walk_parquet_parts(str(a)) == []
     shutil.rmtree(d)
+
+
+def test_ensure_parallelism_guard_shapes(spark):
+    """r15 (r14-advice fix): the adaptive-parallelism guard must (a)
+    repartition an exchange-free single-split scan up to the session
+    default parallelism, (b) pass a shuffle-exchange plan through
+    UNTOUCHED (it inherits shuffle parallelism; touching .rdd there
+    would materialize AQE stages twice), and (c) treat a
+    broadcast-ONLY plan as needing the round-robin — BroadcastExchange
+    does not distribute the probe side, which is exactly the false
+    positive the old bare-substring check had."""
+    from realtime_market_data_pipeline_spark.io import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_DIRS[0], "documents").select("doc_id")
+    # (a) single-split scan -> round-robin to the session parallelism
+    assert ensure_parallelism(docs).rdd.getNumPartitions() == target
+    # (b) shuffle plan -> pass-through (identity)
+    agg = docs.groupBy((F.col("doc_id") % 10).alias("k")).count()
+    assert ensure_parallelism(agg) is agg
+    # (c) broadcast-only plan -> still repartitioned
+    small = spark.range(5).select(F.col("id").alias("doc_id"))
+    bj = docs.join(F.broadcast(small), "doc_id")
+    out = ensure_parallelism(bj)
+    assert out is not bj
+    assert out.rdd.getNumPartitions() == target

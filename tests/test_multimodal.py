@@ -19,12 +19,28 @@ SF = "/root/testdata/sf0.001"
 
 
 def _assert_no_keyed_exchange(plan: str, msg: str) -> None:
-    """r14: payloads must still never cross a KEYED exchange; the one
-    allowed Exchange is io.ensure_parallelism's round-robin of the
-    pre-plant doc_id rows (adaptive single-split parallelism guard —
-    a no-op on multi-split corpora)."""
+    """r14 (tightened r15 per advice): payloads must still never cross a
+    KEYED exchange, and AT MOST ONE round-robin exchange is allowed —
+    io.ensure_parallelism's repartition of the PRE-PLANT doc_id rows
+    (adaptive single-split parallelism guard — a no-op on multi-split
+    corpora). Asserting the count <= 1 and that the allowed exchange's
+    input is the bare doc_id relation (no payload/binary column below
+    it) pins the actual invariant: payload bytes never cross ANY
+    exchange."""
+    n_rr = plan.count("Exchange RoundRobinPartitioning")
+    assert n_rr <= 1, f"{msg}: {n_rr} round-robin exchanges (max 1)"
     stripped = plan.replace("Exchange RoundRobinPartitioning", "")
     assert "Exchange" not in stripped, msg
+    if n_rr:
+        # The round-robin must sit below the planter, i.e. over the bare
+        # doc_id spine. Every caller's plan is a LINEAR decode chain, so
+        # the text after the exchange line IS its input subtree — if a
+        # payload column appears there, payload bytes would cross the
+        # exchange (the exact invariant these pins exist for).
+        below = plan.split("Exchange RoundRobinPartitioning", 1)[1]
+        assert "payload" not in below, (
+            f"{msg}: payload column below the round-robin exchange"
+        )
 
 
 def test_bmp_roundtrip_padding_matters():
