@@ -91,6 +91,28 @@ def _has_shuffle_exchange(jplan) -> bool:
     return re.search(r"\bExchange\b", jplan.toString()) is not None
 
 
+def local_rows_df(spark: SparkSession, rows, schema, num_slices: int = 1):
+    """createDataFrame over a SINGLE-slice parallelize for small
+    driver-side relations (index metadata, codebooks, blocklists,
+    broadcast bitmaps — the bounded-collect family).
+
+    ``spark.createDataFrame(list)`` splits the rows into
+    ``defaultParallelism`` slices; every slice evaluation replays the
+    Python-worker task protocol, so a downstream ``coalesce(1)`` — one
+    task iterating all parent slices SEQUENTIALLY — pays ~150 ms per
+    slice: measured r15, a 17-row ``coalesce(1).write.parquet`` cost
+    5-6 s at local[32] while the same write off a 1-slice parallelize
+    is ~0.2 s. (This is what the r14 survey recorded as the ~6 s
+    "createDataFrame-relation job overhead" in the ANN certification
+    rows and mis-attributed to a session-config interaction — it
+    reproduces in a vanilla session and is config-independent.)
+    One slice also makes single-file writes natural without coalesce.
+    Only for SMALL relations: num_slices=1 serializes the write path."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, num_slices), schema
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame.
 

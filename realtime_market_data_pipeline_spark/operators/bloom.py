@@ -36,9 +36,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from realtime_market_data_pipeline_spark.io import local_rows_df
+
 
 def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
-    """k md5-derived bit positions in [0, m_bits) for a key column."""
+    """k md5-derived bit positions in [0, m_bits) for a key column.
+
+    Fast family (r15): ONE digest sliced into k disjoint 24-bit hex
+    chunks — ``conv(substring(md5, 1+6i, 6)) % m`` — instead of k
+    digests over k distinct prefixes. Whole-stage codegen does NOT
+    eliminate common subexpressions inside a filter predicate (the r14
+    K-M revert; re-measured r15 — materializing h1/h2 as projection
+    columns does not help either, PushDownPredicates re-inlines the
+    aliases into the pushed filter, plan receipt in
+    OPTIMIZATION_r15.md), so the md5 expression still evaluates k
+    times — but each evaluation drops the per-i prefix concat and the
+    15-hex conv narrows to 6 hex (interleaved A/B on a 10M-row
+    synthetic: ~13% faster, identical FPR model — md5 bits are
+    uniform, disjoint slices are independent).
+
+    Applicability guard: k slices of 6 hex chars must fit one 32-char
+    digest and address every bit (m <= 2^24); larger bitmaps or k > 5
+    keep the r13 k-digest family. Build and probe both route through
+    THIS function, so the family choice is a pure function of
+    (m_bits, k) and bitmap/probe always agree."""
+    if k * 6 <= 32 and m_bits <= (1 << 24):
+        h = F.md5(F.concat(F.lit("bloomS:"), col.cast("string")))
+        return [
+            F.conv(F.substring(h, 1 + 6 * i, 6), 16, 10).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
     return [
         F.conv(
             F.substring(
@@ -131,7 +159,10 @@ def attach_bloom(
     element_at (measured 19 s vs 2 s on 600k rows at 2^21 bits), while
     the broadcast column is constant-time at any m."""
     spark = df.sparkSession
-    bm_df = spark.createDataFrame([(bitmap,)], f"{name} array<bigint>")
+    # 1-slice local relation: the default createDataFrame splits even a
+    # 1-row local dataset into defaultParallelism slices, and the
+    # broadcast build then runs one Python task round per slice
+    bm_df = local_rows_df(spark, [(bitmap,)], f"{name} array<bigint>")
     return df.crossJoin(F.broadcast(bm_df))
 
 

@@ -778,7 +778,10 @@ def plant_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "media_type": types}
             )
 
-    return _par(docs.select("doc_id")).mapInPandas(
+    # NOT _par-wrapped (r15, r14 verdict #6): tiny per-row payloads —
+    # the round-robin's 32-task stage overhead exceeded the 1-core
+    # decode it parallelized (A/B receipts in OPTIMIZATION_r15.md §2)
+    return docs.select("doc_id").mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 
@@ -2536,7 +2539,10 @@ def plant_avi(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return _par(docs.select("doc_id")).mapInPandas(
+    # NOT _par-wrapped (r15, r14 verdict #6): tiny per-row payloads —
+    # the round-robin's 32-task stage overhead exceeded the 1-core
+    # decode it parallelized (A/B receipts in OPTIMIZATION_r15.md §2)
+    return docs.select("doc_id").mapInPandas(
         run, "media_id long, payload binary, media_type string"
     )
 

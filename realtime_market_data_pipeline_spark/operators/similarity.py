@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from realtime_market_data_pipeline_spark.io import local_rows_df
+
 
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
@@ -1325,9 +1327,14 @@ def save_ann_index(
     for i, p in enumerate(planes or []):
         rows.append(("plane", i, [float(x) for x in p]))
     rows.append(("meta", int(n_tables), None))
-    spark.createDataFrame(
-        rows, "part string, idx int, vector array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # 1-slice local relation, no coalesce: the coalesce(1)-over-
+    # parallelize form replayed the Python task protocol once per
+    # defaultParallelism slice inside one task (~5-6 s per save at
+    # local[32] — the r14 "createDataFrame-relation overhead"); one
+    # slice is one python round and already writes one file
+    local_rows_df(
+        spark, rows, "part string, idx int, vector array<double>"
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_ann_index(spark, path: str) -> dict:
@@ -1543,8 +1550,8 @@ def ivf_index_delete(
             F.col(id_col).cast("long").alias(id_col)
         ).distinct()
     else:
-        ids = spark.createDataFrame(
-            [(int(i),) for i in delete_ids], f"{id_col} long"
+        ids = local_rows_df(
+            spark, [(int(i),) for i in delete_ids], f"{id_col} long"
         ).distinct()
     ids = F.broadcast(ids)
     df = spark.read.parquet(vec)
@@ -1615,7 +1622,7 @@ def ann_topk_ivf_indexed(
         ).collect()
     ]
     probed = sorted({c for _, c in pairs})
-    q_assign = spark.createDataFrame(pairs, "qid long, cluster int")
+    q_assign = local_rows_df(spark, pairs, "qid long, cluster int")
     vectors = (
         spark.read.parquet(f"{index_dir}/vectors")
         .filter(F.col("cluster").isin(probed))
@@ -2007,9 +2014,11 @@ def save_pq_books(
         for c in range(k_sub)
     ]
     rows.append(("pqshape", k_sub, None))
-    spark.createDataFrame(
-        rows, "part string, idx int, vector array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # 1-slice local relation (see save_ann_index): the coalesce(1) form
+    # cost ~5-6 s of Python task-protocol replays per save
+    local_rows_df(
+        spark, rows, "part string, idx int, vector array<double>"
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_pq_books(spark, path: str) -> list[list[list[float]]]:

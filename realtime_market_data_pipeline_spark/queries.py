@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_market_data_pipeline_spark import io
 from realtime_market_data_pipeline_spark.io import load_table
 from realtime_market_data_pipeline_spark.operators import dedup as dedup_ops
 from realtime_market_data_pipeline_spark.operators import features as feat
@@ -10154,8 +10155,8 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(did % 7 == 5, F.lit("ftp://files.example.net/x/y/z"))
         .otherwise(F.lit("https://spam.test/"))
     )
-    bl = spark.createDataFrame(
-        [("blocked.example",), ("spam.test",)], "domain string"
+    bl = io.local_rows_df(
+        spark, [("blocked.example",), ("spam.test",)], "domain string"
     )
     return tx.url_features(
         docs.withColumn("url", url), blocklist=bl

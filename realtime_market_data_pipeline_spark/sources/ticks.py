@@ -26,6 +26,7 @@ from realtime_market_data_pipeline_spark.functions.core import (
     ms_to_timestamp,
     normalize_symbol,
 )
+from realtime_market_data_pipeline_spark.io import local_rows_df
 
 # Backfill CSV contract: samples/backfill_sample.csv:1 header
 # ``symbol,price,event_time_ms`` (publish_historical.py:40,46-49).
@@ -148,8 +149,8 @@ def synthetic_ticks_batch(
     """
     per_symbol_tps = max(1, tps // max(1, len(symbols)))
     dt = 1.0 / per_symbol_tps
-    sym_df = spark.createDataFrame(
-        [(s.strip().upper(),) for s in symbols], schema=["symbol"]
+    sym_df = local_rows_df(
+        spark, [(s.strip().upper(),) for s in symbols], "symbol string"
     )
     idx = spark.range(n_per_symbol).withColumnRenamed("id", "tick_idx")
     grid = sym_df.crossJoin(idx)

@@ -274,46 +274,68 @@ def minhash_dedup_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # r15: persist the per-batch signatures — they feed BOTH sides
+        # of the in-batch leg, the history leg, and the store landing;
+        # un-persisted, the shingle+md5 pass re-executed once per
+        # reference per write (same double-execution shape fixed in
+        # semdedup_writer, measured ~2x per-batch there)
         sigs = minhash_signature(
             batch_df, text_col, id_col, num_hashes, shingle_k
-        )
-        dup_hist = None
-        store = read_store(spark, store_dir, before_batch=batch_id)
-        if store is not None:
-            dup_hist = _dup_ids_against(
-                sigs,
-                store.select(id_col, *[f"mh{i}" for i in range(num_hashes)]),
-                id_col,
-                num_hashes,
-                band_size,
-                threshold,
-                in_batch=False,
-            )
-        dup_batch = _dup_ids_against(
-            sigs, sigs, id_col, num_hashes, band_size, threshold, in_batch=True
-        )
-        dups = dup_batch if dup_hist is None else dup_batch.unionByName(dup_hist)
-        dups = dups.distinct()
-        survivors = batch_df.join(dups, id_col, "left_anti")
-        surviving_sigs = sigs.join(dups, id_col, "left_anti")
-
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ).persist()
         try:
-            (
-                survivors.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
+            dup_hist = None
+            store = read_store(spark, store_dir, before_batch=batch_id)
+            if store is not None:
+                dup_hist = _dup_ids_against(
+                    sigs,
+                    store.select(
+                        id_col, *[f"mh{i}" for i in range(num_hashes)]
+                    ),
+                    id_col,
+                    num_hashes,
+                    band_size,
+                    threshold,
+                    in_batch=False,
+                )
+            dup_batch = _dup_ids_against(
+                sigs, sigs, id_col, num_hashes, band_size, threshold,
+                in_batch=True,
             )
-            (
-                surviving_sigs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(store_dir)
+            dups = (
+                dup_batch
+                if dup_hist is None
+                else dup_batch.unionByName(dup_hist)
             )
+            dups = dups.distinct().persist()
+            survivors = batch_df.join(dups, id_col, "left_anti")
+            surviving_sigs = sigs.join(dups, id_col, "left_anti")
+
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    survivors.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+                (
+                    surviving_sigs.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(store_dir)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+                dups.unpersist()
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            sigs.unpersist()
 
     return write
 
@@ -390,7 +412,11 @@ def embedding_dedup_writer(
         dups = _dups(vecs, vecs, in_batch=True)
         if dup_hist is not None:
             dups = dups.unionByName(dup_hist)
-        dups = dups.distinct()
+        # r15: persist the (tiny) dropped-id set — both landing writes
+        # anti-join against it, and un-persisted each write re-executed
+        # the whole bucket+verify pipeline (the semdedup_writer
+        # double-execution shape, measured ~2x per batch there)
+        dups = dups.distinct().persist()
         survivors = batch_df.join(dups, id_col, "left_anti")
 
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -411,6 +437,7 @@ def embedding_dedup_writer(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            dups.unpersist()
 
     return write
 
@@ -467,7 +494,12 @@ def semdedup_writer(
             F.col(id_col).alias("old_id"), "cluster",
             as_double(vec_col).alias("ov"),
         ).withColumn("on", norm(F.col("ov")))
-        cand = a.join(b, "cluster")
+        # broadcast the NEW side (one micro-batch, bounded by the
+        # trigger); the old side is the unbounded accepted history —
+        # broadcasting the batch kills the k-distinct-key shuffle join
+        # (k clusters -> at most k tasks, skew-prone) on both the
+        # in-batch and the history legs (r15, guide §3.1)
+        cand = F.broadcast(a).join(b, "cluster")
         if in_batch:
             cand = cand.filter(F.col("old_id") < F.col("new_id"))
         verified = cand.filter(
@@ -476,9 +508,20 @@ def semdedup_writer(
         )
         return verified.select(F.col("new_id").alias(id_col)).distinct()
 
+    # the index is FROZEN by contract (the dedup filter and the search
+    # index share one codebook; re-training rewrites index_dir and a new
+    # writer picks it up) — so load it once per writer instance, lazily
+    # at the first batch, instead of one parquet read + collect per
+    # micro-batch (r15)
+    frozen: dict = {}
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        centers = load_ann_index(spark, f"{index_dir}/meta")["centroids"]
+        if "centroids" not in frozen:
+            frozen["centroids"] = load_ann_index(
+                spark, f"{index_dir}/meta"
+            )["centroids"]
+        centers = frozen["centroids"]
         if not centers:
             raise ValueError(f"no centroids in index at {index_dir}/meta")
         vecs = _with_cluster(
@@ -503,7 +546,11 @@ def semdedup_writer(
                         in_batch=False,
                     )
                 )
-            dups = dups.distinct()
+            # r15: persist the (tiny) dropped-id set — BOTH landing
+            # writes anti-join against it, and without the persist each
+            # write re-executed the whole candidate+verify pipeline
+            # (measured: ~2x per-batch write cost)
+            dups = dups.distinct().persist()
             survivors = batch_df.join(dups, id_col, "left_anti")
             surviving_vecs = vecs.join(dups, id_col, "left_anti")
 
@@ -531,6 +578,7 @@ def semdedup_writer(
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
                 )
+                dups.unpersist()
         finally:
             vecs.unpersist()
 
