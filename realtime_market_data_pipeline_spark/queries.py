@@ -10855,6 +10855,105 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # ---------------------------------------------------------------------------
 
 _REGISTRY_PRIORITY = [
+    # r15 WINDOW (staleness-first with changed-code priority; post-r14
+    # distribution over the 200-query registry: r14 x50, r13 x47,
+    # r12 x42, r11 x48, r10 x5 (the pinned spilled leads) + 5
+    # never-adjudicated r14 registrations. r15 is an OPTIMIZATION
+    # round: no new queries, but a LOT of changed code — the window is
+    # therefore (1) never-adjudicated first, (2) the five r10 spilled
+    # rows the r14 comment pinned as non-negotiable r15 leads, (3)
+    # every row whose operator code the r15 optimizations touch
+    # (changed-code windows immediately regardless of age), (4) the
+    # eight r14-rewrite rows the r14 optimization judge explicitly
+    # asked the rotation to adjudicate (verdict #8 — touched in r14,
+    # never sampled), then (5) staleness top-ups biased to rows
+    # sitting on modules this round edited. The r11-stale rows that do
+    # not fit (≈36) sit on UNTOUCHED modules (TPC-H spine, behavior,
+    # sketches — none edited since r10/r11) and must lead r16.
+    #
+    # (1) the FIVE r14 registrations never driver-adjudicated
+    # (r14 verdict "What's wrong" #7):
+    "embedding_bitext_margin_lsh",
+    "embedding_hard_negatives_ann",
+    "online_mixture_gate_fold",
+    "sequence_layout_nosplit_64",
+    "dedup_frequency_capped",
+    # (2) the five r10 rows spilled in r14 — pinned there as
+    # non-negotiable r15 leads, each 5 rounds stale:
+    "multimodal_decode_png",
+    "multimodal_decode_flac",
+    "event_transitions",
+    "retention_cohorts_weekly",
+    "approx_percentiles_contract",
+    # (3) r15 CHANGED-CODE rows (every optimization this round sits
+    # under one of these):
+    # - the connected-components restructure (dedup.cluster_near_dups:
+    #   self-loop adjacency persisted pre-partitioned, agg-only round
+    #   0, decimal-sum convergence):
+    "dedup_minhash_priority",
+    "dedup_priority_canonical",
+    "dedup_clusters",
+    "entity_resolution_clusters",
+    # - io.local_rows_df (1-slice local relations) under the ANN
+    #   index/codebook saves, delete-id lists and query assignments:
+    "embedding_ann_ivfpq",
+    "embedding_ann_ivf_appended",
+    "embedding_ann_ivf_persisted",
+    "embedding_ann_pq",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    # - the streaming semdedup writer (dups persist across the dual
+    #   landing writes, broadcast new side, frozen-index single load):
+    "online_semdedup_fold",
+    # - the bloom sliced-digest probe family + the bitmap's 1-slice
+    #   broadcast relation:
+    "decontamination_bloom",
+    "bloom_prefilter_join",
+    # - local_rows_df under the url blocklist:
+    "url_domain_filter",
+    # - the planter round-robin unwraps (plant_media / plant_avi):
+    "multimodal_decode",
+    "multimodal_quarantine_decode",
+    "multimodal_video_frames",
+    "multimodal_quarantine_frames",
+    "multimodal_scene_cuts",
+    # - local_rows_df under the tick generator's symbol relation:
+    "synthetic_gbm_features",
+    # (4) the r14-rewrite rows the r14 judge asked the rotation to
+    # adjudicate (changed in r14 — gopher HOF rewrite, exploded-band
+    # hamming join, decode planter guards — but absent from the r14
+    # sample):
+    "doc_gopher_repetition",
+    "online_full_gopher_gate_fold",
+    "multimodal_dedup_dhash",
+    "multimodal_dedup_dhash_wide",
+    "dedup_audio_fingerprint",
+    "multimodal_decode_gif",
+    "multimodal_video_mjpeg",
+    "multimodal_probe",
+    # (5) staleness top-ups (all r11-green, 4 rounds stale), biased to
+    # rows sitting on modules r15 edited: multimodal.py
+    # (multimodal_quarantine), operators/dedup.py
+    # (dedup_sorted_neighborhood), operators/similarity.py (the
+    # embedding utility trio + dedup_embedding_cosine), sources/
+    # ticks.py (tick_validation_counts, union_backfill_counts), the
+    # io codec path (text_ingest_gzip_quarantine), plus the spine
+    # pair kpi_summary / q1 and topk_per_type:
+    "multimodal_quarantine",
+    "dedup_sorted_neighborhood",
+    "embedding_similar_pairs",
+    "embedding_l2_normalized",
+    "embedding_quantized_int8",
+    "dedup_embedding_cosine",
+    "tick_validation_counts",
+    "union_backfill_counts",
+    "text_ingest_gzip_quarantine",
+    "kpi_summary",
+    "q1_pricing_summary",
+    "topk_per_type",
+]
+
+_REGISTRY_PRIORITY_R14 = [
     # r14 WINDOW (staleness-first with changed-code priority; post-r13
     # distribution over the 195-query registry per the r13 verdict:
     # r13 x50, r12 x45, r11 x48, r10 x43 + 9 never-adjudicated late-r13

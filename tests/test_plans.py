@@ -324,59 +324,49 @@ def test_ann_lsh_multi_table_broadcast_candidates(spark):
 def test_registry_priority_window():
     # the driver adjudicates ~the first 50 registry entries in dict order;
     # STALENESS-FIRST rotation with changed-code priority (the SLO in the
-    # registry comment): the r14 window must hold (a) the NINE late-r13
-    # never-adjudicated rows leading in the staged order (r13 verdict
-    # #1), (b) the three changed-code re-certs for the r14 advice fixes
-    # (perplexity NULLS LAST, mixture NULL-domain routing, pack
-    # NULL-text guards), and (c) 38 of the 43 r10-stale rows — spine
-    # rows + word_counts first; the five spilled rows (r13 verdict #2
-    # named decode_png/decode_flac; the three re-certs displace
-    # event_transitions/retention_cohorts_weekly/
-    # approx_percentiles_contract per the verdict's tail rule) are
-    # pinned IMMEDIATELY after the window as non-negotiable r15 leads.
+    # registry comment). The r15 window must hold (a) the FIVE r14
+    # registrations never driver-adjudicated, leading (r14 verdict #7),
+    # (b) the five r10 rows spilled in r14 and pinned there as
+    # non-negotiable r15 leads, (c) every row whose operator code the
+    # r15 optimizations touch (CC loop, 1-slice local relations under
+    # the ANN lifecycle, semdedup writer, bloom probe family, planter
+    # unwraps, tick generator), and (d) the eight r14-rewrite rows the
+    # r14 optimization judge asked the rotation to adjudicate
+    # (verdict #8).
     names = list(Q.QUERIES)
     window = set(names[:50])
-    leads = [
-        "multimodal_pair_alignment", "sequence_layout_256",
-        "doc_stratified_sample", "embedding_bitext_margin",
-        "online_classifier_gate_fold", "online_c4_gate_fold",
-        "doc_curation_funnel", "embedding_hard_negatives",
-        "doc_shard_assignment",
+    never_adjudicated = [
+        "embedding_bitext_margin_lsh", "embedding_hard_negatives_ann",
+        "online_mixture_gate_fold", "sequence_layout_nosplit_64",
+        "dedup_frequency_capped",
     ]
-    assert names[:9] == leads
-    changed_code = {
-        "doc_perplexity_buckets", "doc_mixture_sample",
-        "sequence_packing_256",
-    }
-    r10_stale_windowed = {
-        "events_time_range", "q8_market_share",
-        "q13_customer_distribution", "q21_sole_returned_supplier",
-        "range_join_event_sessions", "word_counts_top100",
-        "embedding_ann_ivf", "embedding_ann_ivf_persisted",
-        "embedding_ann_ivfpq", "embedding_ann_lsh", "embedding_ann_pq",
-        "embedding_bucket_pairs", "embedding_centroids",
-        "embedding_component_stats", "embedding_cosine_topk",
-        "pagerank_trade_graph", "hits_trade_authorities",
-        "funnel_view_click_purchase", "heavy_hitters_topk",
-        "multimodal_decode", "multimodal_decode_jpeg",
-        "multimodal_resize", "multimodal_video_frames",
-        "cube_brand_size", "doc_chunks_40t_stride30",
-        "doc_embed_hash16", "doc_repetition_scores",
-        "doc_text_normalized", "events_distribution_ranks",
-        "events_lag_lead_rank", "grouping_sets_flag_status",
-        "mixture_weights_by_source", "quality_stratified_sample",
-        "running_revenue_per_supplier", "scd2_event_type_intervals",
-        "stratified_sample_events", "trailing_7d_revenue",
-        "value_percentiles_by_type",
-    }
-    for group in (set(leads), changed_code, r10_stale_windowed):
-        assert group <= window, group - window
-    # the five spilled rows sit at slots 51-55 (pinned r15 leads)
-    assert names[50:55] == [
+    assert names[:5] == never_adjudicated
+    spilled_leads = [
         "multimodal_decode_png", "multimodal_decode_flac",
         "event_transitions", "retention_cohorts_weekly",
         "approx_percentiles_contract",
     ]
+    assert names[5:10] == spilled_leads
+    r15_changed_code = {
+        "dedup_minhash_priority", "dedup_priority_canonical",
+        "dedup_clusters", "entity_resolution_clusters",
+        "embedding_ann_ivfpq", "embedding_ann_ivf_appended",
+        "embedding_ann_ivf_persisted", "embedding_ann_pq",
+        "embedding_ann_ivf", "embedding_ann_lsh",
+        "online_semdedup_fold", "decontamination_bloom",
+        "bloom_prefilter_join", "url_domain_filter",
+        "multimodal_decode", "multimodal_quarantine_decode",
+        "multimodal_video_frames", "multimodal_quarantine_frames",
+        "multimodal_scene_cuts", "synthetic_gbm_features",
+    }
+    r14_blind_spots = {
+        "doc_gopher_repetition", "online_full_gopher_gate_fold",
+        "multimodal_dedup_dhash", "multimodal_dedup_dhash_wide",
+        "dedup_audio_fingerprint", "multimodal_decode_gif",
+        "multimodal_video_mjpeg", "multimodal_probe",
+    }
+    for group in (r15_changed_code, r14_blind_spots):
+        assert group <= window, group - window
     # every registered oracle key must resolve to a query
     assert set(Q.ORACLES) <= set(Q.QUERIES)
 
