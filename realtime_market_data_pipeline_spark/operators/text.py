@@ -235,6 +235,7 @@ def gopher_repetition(
     text_col: str = "text",
     id_col: str = "doc_id",
     thresholds: dict[str, float] | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher REPETITION filters (Rae et al. 2021 Appendix A, Table A1 —
     the other half of the Gopher gate: ``gopher_quality`` covers the
@@ -328,8 +329,12 @@ def gopher_repetition(
             F.when(valid, cfrac).alias(f"dup_{prefix}_char_frac"),
         ]
 
+    # extra_cols (r15): carry caller columns through the projection
+    # chain so a composed gate (structural ⋈ repetition on the SAME
+    # relation) needs no join-back — the gopher_quality convention
     base = df.select(
         id_col,
+        *extra_cols,
         F.when(valid, F.size(toks)).otherwise(F.lit(0)).alias("n_toks"),
         *_seg_signals(F.split(t, "\n"), "line"),
         *_seg_signals(F.split(t, "\n\n"), "para"),
@@ -479,6 +484,7 @@ def gopher_repetition(
         keep = keep & p
     return out.select(
         id_col,
+        *extra_cols,
         "n_toks",
         "dup_line_frac",
         "dup_line_char_frac",

@@ -63,20 +63,25 @@ def quality_gate_writer(
             **gopher_kwargs,
         )
         if repetition:
-            rep = gopher_repetition(
-                batch_df,
+            # r15: both rule families are row-local projections of the
+            # SAME batch (the repetition family has been join-free
+            # since its r14 HOF rewrite), so the repetition columns
+            # compose directly onto the structural output via
+            # extra_cols passthrough — the per-batch id join this used
+            # to do shuffled the full batch width (text included)
+            # twice for rows that never left their partition
+            scored = scored.withColumnRenamed("keep", "keep_structural")
+            carried = tuple(c for c in scored.columns if c != id_col)
+            scored = gopher_repetition(
+                scored,
                 text_col=text_col,
                 id_col=id_col,
                 thresholds=repetition_thresholds,
+                extra_cols=carried,
             ).withColumnRenamed("keep", "keep_repetition")
-            scored = (
-                scored.withColumnRenamed("keep", "keep_structural")
-                .join(rep, id_col)
-                .withColumn(
-                    "keep",
-                    F.col("keep_structural")
-                    & F.col("keep_repetition"),
-                )
+            scored = scored.withColumn(
+                "keep",
+                F.col("keep_structural") & F.col("keep_repetition"),
             )
         scored = scored.persist()
         try:
